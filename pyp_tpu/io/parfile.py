@@ -1,0 +1,148 @@
+"""FREALIGN .par/.parx text parameter files.
+
+Formats (reverse-spec'd from /root/reference/src/pyp/inout/metadata/
+frealign_parfile.py:90-137): fixed-width tables with 'C'-prefixed comment
+headers. Supported variants:
+
+  new        16 cols: NO PSI THETA PHI SHX SHY MAG FILM DF1 DF2 ANGAST OCC
+                      LOGP SIGMA SCORE CHANGE
+  frealignx  17 cols: + PSHIFT after ANGAST
+  cclin      13 cols: NUM PSI THETA PHI SX SY MAG FILM DF1 DF2 ANGAST PRESA DPRESA
+  extended   45/46 cols: + PTLIND TILTAN DOSEXX SCANOR CNFDNC PTLCCX AXIS
+                      NORM0-2 MATRIX00-15 PPSI PTHETA PPHI (tomo .parx)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NEW_COLUMNS = [
+    "NO", "PSI", "THETA", "PHI", "SHX", "SHY", "MAG", "FILM",
+    "DF1", "DF2", "ANGAST", "OCC", "LOGP", "SIGMA", "SCORE", "CHANGE",
+]
+FREALIGNX_COLUMNS = [
+    "NO", "PSI", "THETA", "PHI", "SHX", "SHY", "MAG", "FILM",
+    "DF1", "DF2", "ANGAST", "PSHIFT", "OCC", "LOGP", "SIGMA", "SCORE", "CHANGE",
+]
+CCLIN_COLUMNS = [
+    "NUM", "PSI", "THETA", "PHI", "SX", "SY", "MAG", "FILM",
+    "DF1", "DF2", "ANGAST", "PRESA", "DPRESA",
+]
+EXTENDED_TAIL = [
+    "PTLIND", "TILTAN", "DOSEXX", "SCANOR", "CNFDNC", "PTLCCX", "AXIS",
+    "NORM0", "NORM1", "NORM2",
+] + [f"MATRIX{i:02d}" for i in range(16)] + ["PPSI", "PTHETA", "PPHI"]
+
+# fixed-width printf formats matching the reference templates exactly
+_FMT_NEW = "%7d%8.2f%8.2f%8.2f%10.2f%10.2f%8.0f%6d%9.1f%9.1f%8.2f%8.2f%10d%11.4f%8.2f%8.2f"
+_FMT_FREALIGNX = "%7d%8.2f%8.2f%8.2f%10.2f%10.2f%8.0f%6d%9.1f%9.1f%8.2f%8.2f%8.2f%10d%11.4f%8.2f%8.2f"
+_FMT_CCLIN = "%7d%8.2f%8.2f%8.2f%10.2f%10.2f%8.0f%6d%9.1f%9.1f%8.2f%8.2f%8.2f"
+_FMT_EXT_TAIL = (
+    "%9d%9.2f%9.2f%9d%9.2f%9.2f%10.4f"
+    + "%10.4f" * 3
+    + "%10.4f" * 16
+    + "%10.4f%10.4f%10.4f"
+)
+
+VARIANTS = {
+    "new": (NEW_COLUMNS, _FMT_NEW),
+    "frealignx": (FREALIGNX_COLUMNS, _FMT_FREALIGNX),
+    "cclin": (CCLIN_COLUMNS, _FMT_CCLIN),
+}
+
+
+def _header_lines(columns, title):
+    nums = "".join(f"{i + 1:>8d}" for i in range(len(columns)))
+    names = "".join(f"{c:>8s}" for c in columns)
+    return [f"C {title} parameter file", "C " + nums.lstrip()[:230], "C " + names.lstrip()[:2300]]
+
+
+class ParFile:
+    """In-memory .par table: dict of column -> float64 array, ordered."""
+
+    def __init__(self, columns, data=None):
+        self.columns = list(columns)
+        n = 0 if data is None else len(next(iter(data.values())))
+        self.data = {c: (np.zeros(n) if data is None or c not in data else np.asarray(data[c], dtype=np.float64)) for c in self.columns}
+
+    @property
+    def n_rows(self):
+        return len(self.data[self.columns[0]]) if self.columns else 0
+
+    def __getitem__(self, c):
+        return self.data[c]
+
+    def __setitem__(self, c, v):
+        if c not in self.columns:
+            self.columns.append(c)
+        self.data[c] = np.asarray(v, dtype=np.float64)
+
+    def as_array(self) -> np.ndarray:
+        return np.stack([self.data[c] for c in self.columns], axis=1)
+
+    @classmethod
+    def zeros(cls, n, variant="new", extended=False):
+        cols, _ = VARIANTS[variant]
+        cols = list(cols) + (EXTENDED_TAIL if extended else [])
+        pf = cls(cols)
+        pf.data = {c: np.zeros(n) for c in cols}
+        pf.data[cols[0]] = np.arange(1, n + 1, dtype=np.float64)
+        if "MAG" in pf.data:
+            pf.data["MAG"] = np.full(n, 10000.0)
+        if "OCC" in pf.data:
+            pf.data["OCC"] = np.full(n, 100.0)
+        return pf
+
+
+def _detect_variant(ncols):
+    if ncols == 16:
+        return "new", False
+    if ncols == 17:
+        return "frealignx", False
+    if ncols == 13:
+        return "cclin", False
+    if ncols == 45:
+        return "new", True
+    if ncols == 46:
+        return "frealignx", True
+    raise ValueError(f"unrecognized .par column count {ncols}")
+
+
+def read(path) -> ParFile:
+    rows = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("C") or not line.strip():
+                continue
+            rows.append([float(tok) for tok in line.split()])
+    if not rows:
+        return ParFile(NEW_COLUMNS)
+    arr = np.asarray(rows, dtype=np.float64)
+    variant, extended = _detect_variant(arr.shape[1])
+    cols = list(VARIANTS[variant][0]) + (EXTENDED_TAIL if extended else [])
+    return ParFile(cols, {c: arr[:, i] for i, c in enumerate(cols)})
+
+
+def write(pf: ParFile, path, variant=None):
+    cols = pf.columns
+    if variant is None:
+        base_n = len(cols) if len(cols) <= 17 else len(cols) - len(EXTENDED_TAIL)
+        variant = {16: "new", 17: "frealignx", 13: "cclin"}[base_n]
+    base_cols, fmt = VARIANTS[variant]
+    extended = len(cols) > len(base_cols)
+    fmt_full = fmt + (_FMT_EXT_TAIL if extended else "")
+    title = {"new": "FREALIGN NEW", "frealignx": "FREALIGNX", "cclin": "FREALIGN CCLIN"}[variant]
+    if extended:
+        title = title.replace("FREALIGN ", "FREALIGN EXTENDED ").replace("FREALIGNX", "FREALIGN EXTENDED FREALIGNX")
+    specs = fmt_full.replace("%", " %").split()
+    int_cols = {i for i, s in enumerate(specs) if s.endswith("d")}
+    with open(path, "w") as f:
+        for line in _header_lines(cols, title):
+            f.write(line + "\n")
+        arr = pf.as_array()
+        for row in arr:
+            parts = []
+            for i, s in enumerate(specs):
+                v = int(round(row[i])) if i in int_cols else row[i]
+                parts.append(s % v)
+            f.write("".join(parts) + "\n")

@@ -1,0 +1,153 @@
+"""Round-trip tests for the I/O codecs (MRC, .cistem, .par, .star, metadata)."""
+
+import numpy as np
+import pytest
+
+from pyp_tpu.io import cistem, metadata, mrc, parfile, star
+
+
+class TestMrc:
+    def test_roundtrip_f32(self, tmp_path):
+        data = np.random.RandomState(0).randn(5, 32, 48).astype(np.float32)
+        p = tmp_path / "a.mrc"
+        mrc.write(data, p, pixel_size=1.35)
+        hdr = mrc.read_header(p)
+        assert hdr.shape == (5, 32, 48)
+        assert abs(hdr.pixel_size - 1.35) < 1e-6
+        back = mrc.read(p)
+        np.testing.assert_array_equal(back, data)
+
+    def test_roundtrip_2d(self, tmp_path):
+        data = np.random.RandomState(1).randn(16, 16).astype(np.float32)
+        p = tmp_path / "b.mrc"
+        mrc.write(data, p)
+        back = mrc.read(p)
+        assert back.shape == (16, 16)
+        np.testing.assert_array_equal(back, data)
+
+    def test_modes(self, tmp_path):
+        for dt in [np.int8, np.int16, np.uint16, np.float16, np.complex64]:
+            data = (np.random.RandomState(2).rand(3, 8, 8) * 50).astype(dt)
+            p = tmp_path / f"m_{np.dtype(dt).name}.mrc"
+            mrc.write(data, p)
+            np.testing.assert_array_equal(mrc.read(p), data)
+
+    def test_slices_and_mmap(self, tmp_path):
+        data = np.arange(4 * 6 * 8, dtype=np.float32).reshape(4, 6, 8)
+        p = tmp_path / "c.mrc"
+        mrc.write(data, p)
+        np.testing.assert_array_equal(mrc.read(p, slices=2), data[2])
+        np.testing.assert_array_equal(mrc.read(p, slices=[1, 3]), data[[1, 3]])
+        mm = mrc.mmap(p)
+        np.testing.assert_array_equal(np.asarray(mm), data)
+
+    def test_append_and_merge(self, tmp_path):
+        a = np.random.RandomState(3).randn(2, 8, 8).astype(np.float32)
+        b = np.random.RandomState(4).randn(3, 8, 8).astype(np.float32)
+        p1, p2, pm = tmp_path / "s1.mrc", tmp_path / "s2.mrc", tmp_path / "m.mrc"
+        mrc.write(a, p1)
+        mrc.append(b, p1)
+        np.testing.assert_array_equal(mrc.read(p1), np.concatenate([a, b]))
+        mrc.write(a, p1)
+        mrc.write(b, p2)
+        mrc.merge([p1, p2], pm)
+        np.testing.assert_array_equal(mrc.read(pm), np.concatenate([a, b]))
+
+
+class TestCistem:
+    def test_roundtrip_parameters(self, tmp_path):
+        n = 17
+        t = cistem.Table.zeros(n)
+        t["position_in_stack"] = np.arange(1, n + 1)
+        t["psi"] = np.linspace(0, 350, n)
+        t["theta"] = np.linspace(0, 170, n)
+        t["defocus_1"] = np.full(n, 21234.5)
+        t["occupancy"] = np.full(n, 100.0)
+        p = tmp_path / "r.cistem"
+        cistem.write_parameters(t, p)
+        back = cistem.read_parameters(p)
+        assert back.column_ids == t.column_ids
+        np.testing.assert_allclose(back["psi"], t["psi"].astype(np.float32))
+        np.testing.assert_array_equal(back["position_in_stack"], t["position_in_stack"])
+
+    def test_roundtrip_extended(self, tmp_path):
+        part = cistem.Table.zeros(5, cistem.PARTICLE_BLOCK_COLUMNS)
+        part["particle_index"] = np.arange(5)
+        part["shift_x"] = np.random.RandomState(0).randn(5)
+        tilt = cistem.Table.zeros(7, cistem.TILT_BLOCK_COLUMNS)
+        tilt["tilt_index"] = np.arange(7)
+        tilt["tilt_angle"] = np.linspace(-60, 60, 7)
+        p = tmp_path / "e.cistem"
+        cistem.write_extended(part, tilt, p)
+        p2, t2 = cistem.read_extended(p)
+        np.testing.assert_allclose(p2["shift_x"], part["shift_x"].astype(np.float32))
+        np.testing.assert_allclose(t2["tilt_angle"], tilt["tilt_angle"].astype(np.float32))
+
+    def test_merge(self):
+        a = cistem.Table.zeros(3)
+        b = cistem.Table.zeros(4)
+        a["score"] = [1, 2, 3]
+        b["score"] = [4, 5, 6, 7]
+        m = cistem.merge_tables([a, b])
+        assert m.n_rows == 7
+        np.testing.assert_allclose(m["score"], [1, 2, 3, 4, 5, 6, 7])
+
+
+class TestParfile:
+    @pytest.mark.parametrize("variant,extended", [("new", False), ("frealignx", False), ("new", True), ("frealignx", True), ("cclin", False)])
+    def test_roundtrip(self, tmp_path, variant, extended):
+        pf = parfile.ParFile.zeros(6, variant=variant, extended=extended)
+        pf["PSI"] = np.linspace(0, 300, 6)
+        pf["DF1"] = np.full(6, 18000.4)
+        p = tmp_path / "t.par"
+        parfile.write(pf, p, variant=variant)
+        back = parfile.read(p)
+        assert back.columns == pf.columns
+        np.testing.assert_allclose(back["PSI"], pf["PSI"], atol=0.01)
+        np.testing.assert_allclose(back["DF1"], pf["DF1"], atol=0.1)
+
+    def test_detect_columns(self, tmp_path):
+        pf = parfile.ParFile.zeros(2, variant="frealignx")
+        p = tmp_path / "x.par"
+        parfile.write(pf, p)
+        back = parfile.read(p)
+        assert "PSHIFT" in back.columns
+
+
+class TestStar:
+    def test_roundtrip(self, tmp_path):
+        blocks = {
+            "optics": {
+                "fields": {"rlnVoltage": "300"},
+                "loop": {"rlnOpticsGroup": np.array([1]), "rlnImagePixelSize": np.array([1.0])},
+            },
+            "particles": {
+                "fields": {},
+                "loop": {
+                    "rlnCoordinateX": np.array([100.5, 200.25]),
+                    "rlnCoordinateY": np.array([50.0, 60.0]),
+                    "rlnImageName": np.array(["1@s.mrcs", "2@s.mrcs"], dtype=object),
+                },
+            },
+        }
+        p = tmp_path / "p.star"
+        star.write(blocks, p)
+        back = star.read(p)
+        assert back["optics"]["fields"]["rlnVoltage"] == "300"
+        np.testing.assert_allclose(back["particles"]["loop"]["rlnCoordinateX"], [100.5, 200.25])
+        assert list(back["particles"]["loop"]["rlnImageName"]) == ["1@s.mrcs", "2@s.mrcs"]
+
+
+class TestMetadata:
+    def test_save_load_refresh(self, tmp_path):
+        m = metadata.ItemMetadata("mic001", tmp_path, mode="spr")
+        m["drift"] = np.random.RandomState(0).randn(30, 2)
+        m["ctf"] = np.array([21000.0, 20500.0, 45.0, 0.0, 4.2])
+        m.scalars["voltage"] = 300.0
+        m.save()
+        m2 = metadata.ItemMetadata("mic001", tmp_path, mode="spr").load()
+        assert m2.is_done("drift") and m2.is_done("ctf")
+        np.testing.assert_allclose(m2["drift"], m["drift"])
+        assert m2.scalars["voltage"] == 300.0
+        dropped = m2.refresh({"ctf_force": True})
+        assert dropped == ["ctf"] and not m2.is_done("ctf") and m2.is_done("drift")
