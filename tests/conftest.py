@@ -1,10 +1,18 @@
 """Test configuration: force an 8-device virtual CPU mesh so multi-chip
-sharding paths are exercised without TPU hardware."""
+sharding paths are exercised without TPU hardware.
+
+Note: this machine's sitecustomize pins jax_platforms to "axon,cpu" (one real
+TPU chip over a tunnel), which overrides the JAX_PLATFORMS env var — so we
+override via jax.config before any backend is initialized.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
