@@ -1,0 +1,250 @@
+"""Movie-frame motion correction (beam-induced motion).
+
+TPU-native replacement for the reference's wrapped unblur / MotionCor3
+binaries (stdin contract at /root/reference/src/pyp/align/core.py:2273-2412,
+argv at :4083-4300). Algorithm follows the published unblur scheme,
+re-designed for batched execution:
+
+  1. all frames are FFT'd once; per iteration, each frame is cross-correlated
+     against the B-factor-weighted running sum of all *other* frames at their
+     current shifts (leave-one-out reference), all frames in one batched op;
+  2. the correlation peak is refined to sub-pixel precision by quadratic
+     interpolation; shifts are capped to a search radius;
+  3. trajectories are regularized by a least-squares polynomial in time (the
+     reference smooths with splines, analysis/fit.py:122);
+  4. outputs: per-frame shifts (pixels), aligned average, and an optionally
+     dose-weighted average (Grant-Grigorieff, matching summovie).
+
+Whole movie stays on device; everything is static-shaped and jit-compiled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pyp_tpu.core.ctf import dose_weight_2d
+from pyp_tpu.core.fft import freq_grid_2d
+
+
+class MotionResult(NamedTuple):
+    shifts: jax.Array         # (n_frames, 2) in pixels (y, x)
+    average: jax.Array        # (ny, nx) aligned sum
+    converged: jax.Array      # scalar bool-ish: last max shift update (px)
+
+
+def _weight_filter(ny, nx, pixel_size, bfactor, low_res, high_res):
+    """B-factor + band-limit weighting applied to spectra before xcorr."""
+    fy, fx = freq_grid_2d(ny, nx)
+    g2 = (fy * fy + fx * fx) / (pixel_size * pixel_size)
+    w = jnp.exp(-0.25 * bfactor * g2)
+    g = jnp.sqrt(g2)
+    if low_res > 0:
+        w = w * (g > 1.0 / low_res)
+    if high_res > 0:
+        w = w * (g < 1.0 / high_res)
+    # kill DC so constant offsets don't dominate
+    w = w.at[0, 0].set(0.0)
+    return w
+
+
+def _phase_ramp(shifts, ny, nx):
+    fy, fx = freq_grid_2d(ny, nx)
+    ph = -2.0 * jnp.pi * (fy[None] * shifts[:, 0, None, None] + fx[None] * shifts[:, 1, None, None])
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def _subpixel_peak(cc):
+    """Argmax of a (batched) correlation surface with quadratic refinement.
+
+    cc: (..., ny, nx) real. Returns (..., 2) peak positions as signed shifts
+    in pixels (FFT-centered: peak at index p > n/2 means p - n).
+    """
+    ny, nx = cc.shape[-2], cc.shape[-1]
+    flat_idx = jnp.argmax(cc.reshape(cc.shape[:-2] + (-1,)), axis=-1)
+    py = flat_idx // nx
+    px = flat_idx % nx
+
+    def gather(dy, dx):
+        return jnp.take_along_axis(
+            cc.reshape(cc.shape[:-2] + (-1,)),
+            (((py + dy) % ny) * nx + ((px + dx) % nx))[..., None],
+            axis=-1,
+        )[..., 0]
+
+    c0 = gather(0, 0)
+    cym, cyp = gather(-1, 0), gather(1, 0)
+    cxm, cxp = gather(0, -1), gather(0, 1)
+    # 1D parabola in each axis: offset = (c- - c+) / (2 (c- + c+ - 2 c0))
+    denom_y = cym + cyp - 2.0 * c0
+    denom_x = cxm + cxp - 2.0 * c0
+    off_y = jnp.where(jnp.abs(denom_y) > 1e-12, 0.5 * (cym - cyp) / denom_y, 0.0)
+    off_x = jnp.where(jnp.abs(denom_x) > 1e-12, 0.5 * (cxm - cxp) / denom_x, 0.0)
+    off_y = jnp.clip(off_y, -0.5, 0.5)
+    off_x = jnp.clip(off_x, -0.5, 0.5)
+    sy = jnp.where(py > ny // 2, py - ny, py) + off_y
+    sx = jnp.where(px > nx // 2, px - nx, px) + off_x
+    return jnp.stack([sy, sx], axis=-1)
+
+
+def _polyfit_smooth(shifts, order):
+    """Least-squares polynomial smoothing of a (n_frames, 2) trajectory."""
+    n = shifts.shape[0]
+    t = jnp.linspace(-1.0, 1.0, n)
+    A = jnp.stack([t**k for k in range(order + 1)], axis=1)  # (n, order+1)
+    coef, *_ = jnp.linalg.lstsq(A, shifts)
+    return A @ coef
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pixel_size", "bfactor", "low_res", "high_res", "max_iters",
+        "search_radius", "smooth_order", "center",
+    ),
+)
+def align_movie(
+    frames,
+    pixel_size: float = 1.0,
+    bfactor: float = 1500.0,
+    low_res: float = 0.0,
+    high_res: float = 0.0,
+    max_iters: int = 8,
+    search_radius: float = 48.0,
+    smooth_order: int = 3,
+    center: bool = True,
+) -> MotionResult:
+    """Align movie frames to their common average (global motion).
+
+    frames: (n_frames, ny, nx) float. Returns shifts such that
+    shift_images(frames[i], shifts[i]) aligns frame i to the average.
+    """
+    n_frames, ny, nx = frames.shape
+    w = _weight_filter(ny, nx, pixel_size, bfactor, low_res, high_res)
+    F = jnp.fft.rfft2(frames)
+    Fw = F * w
+
+    def iteration(carry, _):
+        shifts, _prev = carry
+        ramps = _phase_ramp(shifts, ny, nx)
+        aligned = Fw * ramps
+        total = jnp.sum(aligned, axis=0, keepdims=True)
+        ref = total - aligned  # leave-one-out reference per frame
+        # xcorr of reference against *unshifted* frame gives absolute shift
+        cc = jnp.fft.irfft2(ref * jnp.conj(Fw), s=(ny, nx))
+        new_shifts = _subpixel_peak(cc)
+        r = jnp.sqrt(jnp.sum(new_shifts**2, axis=-1, keepdims=True))
+        scale = jnp.where(r > search_radius, search_radius / jnp.maximum(r, 1e-6), 1.0)
+        new_shifts = new_shifts * scale
+        if smooth_order > 0 and n_frames > smooth_order + 1:
+            new_shifts = _polyfit_smooth(new_shifts, smooth_order)
+        delta = jnp.max(jnp.abs(new_shifts - shifts))
+        return (new_shifts, delta), None
+
+    init = (jnp.zeros((n_frames, 2), dtype=jnp.float32), jnp.float32(1e9))
+    (shifts, last_delta), _ = jax.lax.scan(iteration, init, None, length=max_iters)
+    if center:
+        shifts = shifts - jnp.mean(shifts, axis=0, keepdims=True)
+    ramps = _phase_ramp(shifts, ny, nx)
+    average = jnp.fft.irfft2(jnp.sum(F * ramps, axis=0), s=(ny, nx)) / n_frames
+    return MotionResult(shifts=shifts, average=average, converged=last_delta)
+
+
+@functools.partial(jax.jit, static_argnames=("pixel_size",))
+def dose_weighted_average(frames, shifts, doses, pixel_size: float = 1.0):
+    """Shift frames and sum with Grant-Grigorieff per-frequency dose weights.
+
+    doses: (n_frames,) cumulative exposure at the *end* of each frame (e-/Å²).
+    """
+    n_frames, ny, nx = frames.shape
+    F = jnp.fft.rfft2(frames) * _phase_ramp(shifts, ny, nx)
+    w = dose_weight_2d((ny, nx), pixel_size, doses)
+    return jnp.fft.irfft2(jnp.sum(F * w, axis=0), s=(ny, nx)) / n_frames
+
+
+def extract_patches(frames, patch_grid):
+    """Split frames into a (gy, gx) grid of patches: returns
+    (gy*gx, n_frames, py, px) with py/px floor-divided (static shapes)."""
+    n_frames, ny, nx = frames.shape
+    gy, gx = patch_grid
+    py, px = ny // gy, nx // gx
+    trimmed = frames[:, : gy * py, : gx * px]
+    t = trimmed.reshape(n_frames, gy, py, gx, px)
+    return jnp.transpose(t, (1, 3, 0, 2, 4)).reshape(gy * gx, n_frames, py, px)
+
+
+def align_movie_patches(
+    frames,
+    patch_grid=(5, 5),
+    pixel_size: float = 1.0,
+    bfactor: float = 500.0,
+    max_iters: int = 6,
+    smooth_order: int = 3,
+    **kw,
+):
+    """MotionCor-style local (patch) motion: global pass, then per-patch
+    alignment refined on globally-aligned frames. Returns
+    (global_result, patch_shifts (gy*gx, n_frames, 2), patch_centers (gy*gx, 2)).
+
+    The caller can fit a smooth (x, y, t) polynomial over patch shifts for
+    warping; per-particle trajectories interpolate these.
+    """
+    n_frames, ny, nx = frames.shape
+    glob = align_movie(
+        frames, pixel_size=pixel_size, bfactor=bfactor, max_iters=max_iters,
+        smooth_order=smooth_order, **kw,
+    )
+    from pyp_tpu.core.fft import shift_images
+
+    aligned = shift_images(frames, glob.shifts)
+    patches = extract_patches(aligned, patch_grid)
+
+    align_one = functools.partial(
+        align_movie, pixel_size=pixel_size, bfactor=bfactor,
+        max_iters=max_iters, search_radius=8.0, smooth_order=smooth_order,
+    )
+    results = jax.lax.map(lambda p: align_one(p).shifts, patches)
+    gy, gx = patch_grid
+    py, px = ny // gy, nx // gx
+    centers = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(gy) * py + py / 2.0, jnp.arange(gx) * px + px / 2.0,
+            indexing="ij",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)
+    return glob, results, centers
+
+
+def interpolate_local_shifts(patch_shifts, patch_centers, positions, shape, order=2):
+    """Fit a 2D polynomial (per frame) to patch shifts and evaluate at given
+    positions: the per-particle trajectory model used for polishing
+    (reference align_spr_local, align/core.py:279).
+
+    patch_shifts: (P, n_frames, 2); positions: (N, 2) in pixels.
+    Returns (N, n_frames, 2).
+    """
+    ny, nx = shape
+    cy = (patch_centers[:, 0] / ny) * 2 - 1
+    cx = (patch_centers[:, 1] / nx) * 2 - 1
+
+    def basis(y, x):
+        terms = [jnp.ones_like(y)]
+        for total in range(1, order + 1):
+            for i in range(total + 1):
+                terms.append((y ** (total - i)) * (x**i))
+        return jnp.stack(terms, axis=-1)
+
+    A = basis(cy, cx)  # (P, n_terms)
+    # solve per frame, both components at once: (P, n_frames*2)
+    P, n_frames, _ = patch_shifts.shape
+    B = patch_shifts.reshape(P, n_frames * 2)
+    coef, *_ = jnp.linalg.lstsq(A, B)
+    qy = (positions[:, 0] / ny) * 2 - 1
+    qx = (positions[:, 1] / nx) * 2 - 1
+    Aq = basis(qy, qx)  # (N, n_terms)
+    out = Aq @ coef  # (N, n_frames*2)
+    return out.reshape(-1, n_frames, 2)

@@ -1,0 +1,83 @@
+"""CTF estimation tests: recover known synthetic CTF parameters."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pyp_tpu.core import ctf as ctf_model
+from pyp_tpu.ops import ctf_fit
+
+
+def synthetic_power(n=512, pixel=1.0, df1=21000.0, df2=19000.0, angast=35.0,
+                    phase=0.0, noise=0.3, seed=0):
+    """Power spectrum that looks like a periodogram: CTF^2 * envelope + bg."""
+    rng = np.random.RandomState(seed)
+    c = np.asarray(
+        ctf_model.ctf_2d((n, n), pixel, df1, df2, angast, 300.0, 2.7,
+                         w=0.07, phase_shift_rad=phase)
+    )
+    fy = np.fft.fftfreq(n, d=pixel).reshape(n, 1)
+    fx = np.fft.rfftfreq(n, d=pixel).reshape(1, -1)
+    g = np.sqrt(fy**2 + fx**2)
+    envelope = np.exp(-g * 14.0)  # falling background + signal envelope
+    power = envelope * (0.5 + c**2) + noise * np.abs(rng.randn(n, n // 2 + 1)) * envelope
+    return jnp.asarray(power.astype(np.float32))
+
+
+class TestFitCtf:
+    @pytest.mark.parametrize("df1,df2,angast", [
+        (21000.0, 19000.0, 35.0),
+        (12000.0, 12000.0, 0.0),
+        (32000.0, 28500.0, 120.0),
+    ])
+    def test_recover_defocus_astig(self, df1, df2, angast):
+        power = synthetic_power(df1=df1, df2=df2, angast=angast)
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5)
+        assert abs(float(fit.df1) - df1) < 300.0, (float(fit.df1), df1)
+        assert abs(float(fit.df2) - df2) < 300.0, (float(fit.df2), df2)
+        if df1 - df2 > 500:
+            dang = abs(((float(fit.angast) - angast) + 90) % 180 - 90)
+            assert dang < 8.0, (float(fit.angast), angast)
+
+    def test_phase_shift_recovery(self):
+        power = synthetic_power(df1=15000.0, df2=15000.0, angast=0.0, phase=1.2, noise=0.1)
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5,
+                              fit_phase=True)
+        assert abs(float(fit.phase_shift) - 1.2) < 0.35
+        assert abs(float(fit.df1) - 15000.0) < 800.0
+
+    def test_fit_res_reasonable(self):
+        power = synthetic_power()
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5)
+        assert 2.0 < float(fit.fit_res) < 30.0
+
+
+class TestPeriodogram:
+    def test_shapes_and_thon_rings(self):
+        # micrograph = white noise convolved with CTF -> periodogram shows CTF^2
+        rng = np.random.RandomState(1)
+        n = 1024
+        img_f = np.fft.rfft2(rng.randn(n, n).astype(np.float32))
+        c = np.asarray(ctf_model.ctf_2d((n, n), 1.0, 18000.0, 18000.0, 0.0, 300.0, 2.7))
+        mic = np.fft.irfft2(img_f * c, s=(n, n)).astype(np.float32)
+        power = ctf_fit.periodogram(jnp.asarray(mic), tile=256)
+        assert power.shape == (256, 129)
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=8000.0, dfmax=30000.0,
+                              dfstep=250.0, min_res=20.0, max_res=4.0,
+                              fit_astigmatism=False)
+        assert abs(float(fit.df1) - 18000.0) < 500.0
+
+    def test_end_to_end_micrograph(self):
+        rng = np.random.RandomState(2)
+        n = 1024
+        img_f = np.fft.rfft2(rng.randn(n, n).astype(np.float32))
+        c = np.asarray(ctf_model.ctf_2d((n, n), 1.0, 24000.0, 21000.0, 60.0, 300.0, 2.7))
+        mic = np.fft.irfft2(img_f * c, s=(n, n)).astype(np.float32)
+        fit = ctf_fit.fit_ctf_micrograph(jnp.asarray(mic), 1.0, tile=512,
+                                         dfmin=10000.0, dfmax=35000.0,
+                                         dfstep=250.0, min_res=20.0, max_res=4.0)
+        assert abs(float(fit.df1) - 24000.0) < 600.0
+        assert abs(float(fit.df2) - 21000.0) < 600.0

@@ -1,0 +1,81 @@
+"""Motion-correction kernel tests: recovery of known synthetic drift."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import fft, filters
+from pyp_tpu.ops import motion
+
+
+def make_movie(n_frames=12, n=128, drift_scale=6.0, noise=0.5, seed=0):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, n).astype(np.float32)
+    base = np.asarray(filters.apply_bandpass(jnp.asarray(base)[None], 0.0, 0.25)[0]) * 10
+    t = np.linspace(0, 1, n_frames)
+    # smooth polynomial drift, fast early decay like real beam-induced motion
+    traj = np.stack(
+        [drift_scale * (1 - np.exp(-3 * t)), -0.6 * drift_scale * t**2], axis=1
+    ).astype(np.float32)
+    traj -= traj.mean(axis=0, keepdims=True)  # zero-mean so aligned avg ~ base
+    frames = np.array(fft.shift_images(jnp.asarray(np.repeat(base[None], n_frames, 0)), jnp.asarray(traj)))
+    frames += noise * rng.randn(*frames.shape).astype(np.float32)
+    return frames, traj, base
+
+
+class TestAlignMovie:
+    def test_recovers_known_drift(self):
+        frames, traj, _ = make_movie()
+        res = motion.align_movie(jnp.asarray(frames), bfactor=200.0, search_radius=20.0)
+        expected = -(traj - traj.mean(axis=0))
+        err = np.abs(np.asarray(res.shifts) - expected)
+        assert err.max() < 0.35, f"max shift error {err.max():.3f} px\n{np.asarray(res.shifts)}\n{expected}"
+
+    def test_average_sharper_than_unaligned(self):
+        frames, _, base = make_movie()
+        res = motion.align_movie(jnp.asarray(frames), bfactor=200.0, search_radius=20.0)
+        unaligned = frames.mean(axis=0)
+        # correlation of averages with the base image
+        def corr(a, b):
+            a = a - a.mean(); b = b - b.mean()
+            return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+        assert corr(np.asarray(res.average), base) > corr(unaligned, base) + 0.05
+
+    def test_zero_drift_stays_zero(self):
+        frames, _, _ = make_movie(drift_scale=0.0, noise=0.2)
+        res = motion.align_movie(jnp.asarray(frames), bfactor=200.0)
+        assert float(jnp.max(jnp.abs(res.shifts))) < 0.3
+
+    def test_dose_weighted_average(self):
+        frames, traj, base = make_movie()
+        res = motion.align_movie(jnp.asarray(frames), bfactor=200.0, search_radius=20.0)
+        doses = jnp.linspace(2.0, 30.0, frames.shape[0])
+        dw = motion.dose_weighted_average(jnp.asarray(frames), res.shifts, doses, pixel_size=1.0)
+        assert dw.shape == base.shape
+        assert np.isfinite(np.asarray(dw)).all()
+
+
+class TestPatches:
+    def test_extract_patches_shapes(self):
+        frames = jnp.zeros((4, 64, 64))
+        p = motion.extract_patches(frames, (2, 2))
+        assert p.shape == (4, 4, 32, 32)
+
+    def test_patch_alignment_on_uniform_drift(self):
+        frames, traj, _ = make_movie(n=128)
+        glob, patch_shifts, centers = motion.align_movie_patches(
+            jnp.asarray(frames), patch_grid=(2, 2), bfactor=200.0
+        )
+        # after global correction, per-patch residual shifts should be small
+        assert float(jnp.max(jnp.abs(patch_shifts))) < 1.0
+
+    def test_interpolate_local_shifts(self):
+        # synthetic: patch shifts linear in position -> interpolation exact
+        centers = jnp.asarray(np.array([[16.0, 16.0], [16.0, 48.0], [48.0, 16.0], [48.0, 48.0]]))
+        n_frames = 3
+        shifts = jnp.stack(
+            [centers[:, 0:1] * 0.01 * (f + 1) for f in range(n_frames)], axis=1
+        )  # (P, n_frames, 1)
+        shifts = jnp.concatenate([shifts, jnp.zeros_like(shifts)], axis=-1)
+        pos = jnp.asarray(np.array([[32.0, 32.0]]))
+        out = motion.interpolate_local_shifts(shifts, centers, pos, (64, 64), order=1)
+        np.testing.assert_allclose(np.asarray(out[0, :, 0]), [0.32, 0.64, 0.96], atol=1e-3)
