@@ -1,0 +1,96 @@
+"""Picking and extraction tests on synthetic micrographs with known particles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.ops import extract, pick
+
+
+def make_micrograph(n=512, n_particles=20, radius=16, contrast=-3.0, seed=0):
+    rng = np.random.RandomState(seed)
+    img = rng.randn(n, n).astype(np.float32)
+    ax = np.arange(-radius * 2, radius * 2 + 1)
+    blob = np.exp(-(ax[:, None] ** 2 + ax[None, :] ** 2) / (radius * radius / 1.5))
+    coords = []
+    while len(coords) < n_particles:
+        y, x = rng.randint(radius * 3, n - radius * 3, 2)
+        if all(abs(y - cy) + abs(x - cx) > radius * 4 for cy, cx in coords):
+            coords.append((y, x))
+    for y, x in coords:
+        img[y - 2 * radius : y + 2 * radius + 1, x - 2 * radius : x + 2 * radius + 1] += contrast * blob
+    return img, np.array(coords)
+
+
+class TestPick:
+    def test_finds_planted_particles(self):
+        img, coords = make_micrograph()
+        res = pick.pick_particles(jnp.asarray(img), particle_radius_px=16,
+                                  max_picks=64, threshold_sigma=2.0, edge_px=16)
+        found = np.asarray(res.coords)[np.asarray(res.valid)]
+        assert len(found) >= len(coords) * 0.8, f"found only {len(found)}"
+        # each planted particle should have a pick within radius
+        hits = 0
+        for y, x in coords:
+            d = np.sqrt(((found - [y, x]) ** 2).sum(axis=1))
+            if d.min() < 16:
+                hits += 1
+        assert hits >= len(coords) * 0.8, f"{hits}/{len(coords)} recovered"
+
+    def test_no_picks_on_pure_noise(self):
+        rng = np.random.RandomState(5)
+        img = rng.randn(256, 256).astype(np.float32)
+        res = pick.pick_particles(jnp.asarray(img), particle_radius_px=16,
+                                  max_picks=64, threshold_sigma=4.0)
+        assert int(jnp.sum(res.valid)) < 5
+
+    def test_gold_beads_and_erase(self):
+        img, coords = make_micrograph(n_particles=5, radius=6, contrast=-30.0)
+        res = pick.detect_gold_beads(jnp.asarray(img), bead_radius_px=6, threshold_sigma=6.0)
+        found = np.asarray(res.coords)[np.asarray(res.valid)]
+        assert len(found) >= 4
+        erased = pick.erase_blobs(jnp.asarray(img), res.coords, res.valid, 14.0)
+        # the deep minima should be gone
+        assert float(jnp.min(erased)) > float(np.min(img)) * 0.5
+
+
+class TestExtract:
+    def test_window_shapes_and_content(self):
+        img = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+        coords = jnp.asarray(np.array([[32, 32], [10, 10]]))
+        boxes = extract.window_particles(jnp.asarray(img), coords, 16)
+        assert boxes.shape == (2, 16, 16)
+        np.testing.assert_array_equal(np.asarray(boxes[0]), img[24:40, 24:40])
+
+    def test_clamping_at_edges(self):
+        img = np.zeros((64, 64), dtype=np.float32)
+        coords = jnp.asarray(np.array([[0, 0], [63, 63]]))
+        boxes = extract.window_particles(jnp.asarray(img), coords, 16)
+        assert boxes.shape == (2, 16, 16)
+
+    def test_extract_normalized(self):
+        img, coords = make_micrograph(n_particles=6)
+        stack = extract.extract_particles(jnp.asarray(img), jnp.asarray(coords), 64)
+        assert stack.shape == (6, 64, 64)
+        # normalized background: overall std near 1, particle (inverted) bright
+        assert 0.5 < float(jnp.std(stack)) < 3.0
+        center = np.asarray(stack[:, 24:40, 24:40]).mean()
+        assert center > 0.5  # inverted contrast -> particles positive
+
+    def test_downsample(self):
+        img, coords = make_micrograph(n_particles=4)
+        stack = extract.extract_particles(jnp.asarray(img), jnp.asarray(coords), 64, downsample_to=32)
+        assert stack.shape == (4, 32, 32)
+
+    def test_extract_from_frames(self):
+        rng = np.random.RandomState(1)
+        frames = rng.randn(3, 128, 128).astype(np.float32)
+        coords = jnp.asarray(np.array([[64, 64], [40, 80]]))
+        out = extract.extract_from_frames(jnp.asarray(frames), coords, 32, normalize=False, invert=False)
+        assert out.shape == (2, 3, 32, 32)
+        np.testing.assert_allclose(np.asarray(out[0, 1]), frames[1, 48:80, 48:80], atol=1e-6)
+
+    def test_subvolume_gather(self):
+        vol = np.arange(32 ** 3, dtype=np.float32).reshape(32, 32, 32)
+        out = extract.subvolume_gather(jnp.asarray(vol), jnp.asarray(np.array([[16, 16, 16]])), 8)
+        assert out.shape == (1, 8, 8, 8)
+        np.testing.assert_array_equal(np.asarray(out[0]), vol[12:20, 12:20, 12:20])
