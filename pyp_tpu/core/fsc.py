@@ -92,7 +92,6 @@ def radial_shell_filter_3d(vol_shape, shell_values):
 
 def apply_fsc_filter(vol, curve):
     """Filter a volume by the Cref weights derived from its half-map FSC."""
-    n = vol.shape[-1]
     w = fsc_weights(curve)
-    filt = radial_shell_filter_3d((n, n, n // 2 + 1), w)
+    filt = radial_shell_filter_3d(vol.shape[-3:], w)
     return jnp.fft.irfftn(jnp.fft.rfftn(vol) * filt, s=vol.shape[-3:])

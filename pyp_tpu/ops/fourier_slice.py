@@ -1,0 +1,287 @@
+"""Central-slice Fourier operators: projection (slice gather) and insertion
+(slice scatter) with Hermitian-symmetric rfft layouts.
+
+These are the primitive operators under both the refine3d-equivalent
+(projection matching) and the reconstruct3d/merge3d-equivalent (gridding
+insertion) kernels — the roles played by the reference's wrapped cisTEM2
+binaries (SURVEY §2.2; stdin contracts at /root/reference/src/pyp/refine/
+frealign/frealign.py:3916, :1780).
+
+Conventions:
+  * volumes/images are "centered": the phase origin sits at the center sample
+    (index n//2), achieved by multiplying raw FFT output with the frequency
+    checkerboard (-1)^(sum of indices) (= ifftshift of the object);
+  * interpolation accuracy: spectra sampled at the native grid oscillate too
+    fast for trilinear interpolation, so volumes (and, in the search path,
+    particle images) are zero-padded by `pad` (default 2) before the FFT —
+    the same oversampling trick cisTEM's iblow/RELION's pad factor use. All
+    gather/scatter coordinates here are given in *unpadded* image wavenumber
+    units and scaled by `pad` internally;
+  * poses are ZYZ Euler angles (phi, theta, psi): R = Rz(psi)Ry(theta)Rz(phi)
+    maps volume coords to image coords; F_image(g) = F_vol(R^T [gx, gy, 0]);
+  * shifts (sy, sx) in pixels translate image content toward +y/+x.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_PAD = 2
+
+
+def _freq_checkerboard_2d(n: int):
+    i = np.add.outer(np.arange(n), np.arange(n // 2 + 1))
+    return jnp.asarray(np.where(i % 2 == 0, 1.0, -1.0).astype(np.float32))
+
+
+def _freq_checkerboard_3d(n: int):
+    iz = np.arange(n).reshape(n, 1, 1)
+    iy = np.arange(n).reshape(1, n, 1)
+    ix = np.arange(n // 2 + 1).reshape(1, 1, -1)
+    s = iz + iy + ix
+    return jnp.asarray(np.where(s % 2 == 0, 1.0, -1.0).astype(np.float32))
+
+
+def pad_image(imgs, pad: int):
+    """Zero-pad (..., n, n) images to (..., pad*n, pad*n) keeping the object
+    centered (center n//2 -> center pad*n//2)."""
+    if pad == 1:
+        return imgs
+    n = imgs.shape[-1]
+    off = (pad * n) // 2 - n // 2
+    widths = [(0, 0)] * (imgs.ndim - 2) + [(off, pad * n - n - off)] * 2
+    return jnp.pad(imgs, widths)
+
+
+def pad_volume(vol, pad: int):
+    if pad == 1:
+        return vol
+    n = vol.shape[-1]
+    off = (pad * n) // 2 - n // 2
+    widths = [(0, 0)] * (vol.ndim - 3) + [(off, pad * n - n - off)] * 3
+    return jnp.pad(vol, widths)
+
+
+def image_to_fourier(imgs, pad: int = 1):
+    """Centered 2D spectra; optionally oversampled by zero padding."""
+    x = pad_image(imgs, pad)
+    n = x.shape[-1]
+    return jnp.fft.rfft2(x) * _freq_checkerboard_2d(n)
+
+
+def fourier_to_image(F, n: int):
+    """Inverse of image_to_fourier for pad=1 spectra."""
+    return jnp.fft.irfft2(F * _freq_checkerboard_2d(n), s=(n, n))
+
+
+def volume_to_fourier(vol, pad: int = DEFAULT_PAD):
+    """Centered, `pad`-times oversampled 3D spectrum of a cubic volume."""
+    v = pad_volume(vol, pad)
+    n = v.shape[-1]
+    return jnp.fft.rfftn(v) * _freq_checkerboard_3d(n)
+
+
+def fourier_to_volume(F, n: int, pad: int = 1):
+    """Inverse: padded spectrum -> cropped central (n, n, n) volume."""
+    pn = n * pad
+    v = jnp.fft.irfftn(F * _freq_checkerboard_3d(pn), s=(pn, pn, pn))
+    if pad == 1:
+        return v
+    off = pn // 2 - n // 2
+    return v[..., off : off + n, off : off + n, off : off + n]
+
+
+# ---------------------------------------------------------------------------
+# Hermitian-aware gathers
+# ---------------------------------------------------------------------------
+
+def gather_3d_hermitian(Fvol, q, scale: float = 1.0):
+    """Trilinear interpolation of a 3D rfft-layout spectrum at continuous
+    wavenumber coordinates q (..., 3) ordered (qz, qy, qx). `scale`
+    multiplies coordinates first (pad-factor oversampling). Friedel mates
+    are used for qx < 0; points beyond the Nyquist sphere return 0."""
+    n = Fvol.shape[0]
+    nxf = Fvol.shape[2]
+    q = q * scale
+    flip = q[..., 2] < 0
+    qs = jnp.where(flip[..., None], -q, q)
+    q0 = jnp.floor(qs)
+    frac = qs - q0
+    q0 = q0.astype(jnp.int32)
+
+    out = jnp.zeros(q.shape[:-1], dtype=Fvol.dtype)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (frac[..., 0] if dz else 1 - frac[..., 0])
+                    * (frac[..., 1] if dy else 1 - frac[..., 1])
+                    * (frac[..., 2] if dx else 1 - frac[..., 2])
+                )
+                kz = q0[..., 0] + dz
+                ky = q0[..., 1] + dy
+                kx = q0[..., 2] + dx
+                neg = kx < 0
+                kzz = jnp.where(neg, -kz, kz) % n
+                kyy = jnp.where(neg, -ky, ky) % n
+                kxx = jnp.where(neg, -kx, kx)
+                valid = kxx <= nxf - 1
+                kxx = jnp.clip(kxx, 0, nxf - 1)
+                vals = Fvol[kzz, kyy, kxx]
+                vals = jnp.where(neg, jnp.conj(vals), vals)
+                out = out + jnp.where(valid, w, 0.0) * vals
+    out = jnp.where(flip, jnp.conj(out), out)
+    r2 = jnp.sum(q * q, axis=-1)
+    return jnp.where(r2 <= (n // 2) ** 2, out, 0.0)
+
+
+def gather_2d_hermitian(Fimg, p, scale: float = 1.0):
+    """Bilinear interpolation of a 2D rfft-layout spectrum at continuous
+    wavenumber coords p (..., 2) ordered (ky, kx). Friedel-aware."""
+    n = Fimg.shape[-2]
+    nxf = Fimg.shape[-1]
+    p = p * scale
+    flip = p[..., 1] < 0
+    ps = jnp.where(flip[..., None], -p, p)
+    p0 = jnp.floor(ps)
+    frac = ps - p0
+    p0 = p0.astype(jnp.int32)
+
+    out = jnp.zeros(p.shape[:-1], dtype=Fimg.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            w = (frac[..., 0] if dy else 1 - frac[..., 0]) * (
+                frac[..., 1] if dx else 1 - frac[..., 1]
+            )
+            ky = p0[..., 0] + dy
+            kx = p0[..., 1] + dx
+            neg = kx < 0
+            kyy = jnp.where(neg, -ky, ky) % n
+            kxx = jnp.where(neg, -kx, kx)
+            valid = kxx <= nxf - 1
+            kxx = jnp.clip(kxx, 0, nxf - 1)
+            vals = Fimg[kyy, kxx]
+            vals = jnp.where(neg, jnp.conj(vals), vals)
+            out = out + jnp.where(valid, w, 0.0) * vals
+    return jnp.where(flip, jnp.conj(out), out)
+
+
+# ---------------------------------------------------------------------------
+# projection / insertion
+# ---------------------------------------------------------------------------
+
+def slice_coords(R, n: int):
+    """3D wavenumber coords of the central slice for rotation(s) R, in
+    unpadded image wavenumber units. R: (..., 3, 3). Returns
+    q (..., n, n//2+1, 3) ordered (qz, qy, qx)."""
+    ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)
+    kx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    gy = ky[:, None]
+    gx = kx[None, :]
+    ex = R[..., 0, :]  # image x axis in volume coords
+    ey = R[..., 1, :]
+    q_xyz = (
+        gx[..., None] * ex[..., None, None, :] + gy[..., None] * ey[..., None, None, :]
+    )
+    return q_xyz[..., ::-1]
+
+
+def project(Fvol, R, n: int):
+    """Central slice(s) of a padded volume spectrum: returns (..., n, n//2+1)
+    spectra of projections at the unpadded image resolution."""
+    pad = Fvol.shape[0] // n
+    q = slice_coords(R, n)
+    return gather_3d_hermitian(Fvol, q, scale=float(pad))
+
+
+def project_real(vol, phi, theta, psi, pad: int = DEFAULT_PAD):
+    """Real-space projection images for Euler angle arrays (batched)."""
+    from pyp_tpu.core.geometry import euler_to_matrix
+
+    n = vol.shape[-1]
+    Fvol = volume_to_fourier(vol, pad)
+    R = euler_to_matrix(jnp.asarray(phi), jnp.asarray(theta), jnp.asarray(psi))
+    F = project(Fvol, R, n)
+    return fourier_to_image(F, n)
+
+
+def insert_slices(F_parts, ctfs, R, n: int, pad: int = DEFAULT_PAD, weights=None):
+    """CTF-weighted gridding insertion of particle spectra into an
+    oversampled 3D accumulator pair.
+
+    F_parts: (B, n, n//2+1) centered unpadded particle spectra
+    (shift-corrected); ctfs: (B, n, n//2+1); R: (B, 3, 3).
+    Returns (num (pn, pn, pn//2+1) complex, den real), pn = pad*n:
+      num += w * CTF * F_part, den += w * CTF^2, trilinear-spread at pad*q.
+    """
+    pn = pad * n
+    nxf = pn // 2 + 1
+    q = slice_coords(R, n) * pad  # (B, n, n//2+1, 3) padded units
+    vals = F_parts * ctfs
+    c2 = ctfs * ctfs
+    if weights is not None:
+        vals = vals * weights[:, None, None]
+        c2 = c2 * weights[:, None, None]
+
+    flip = q[..., 2] < 0
+    qs = jnp.where(flip[..., None], -q, q)
+    vals = jnp.where(flip, jnp.conj(vals), vals)
+    q0 = jnp.floor(qs)
+    frac = qs - q0
+    q0 = q0.astype(jnp.int32)
+
+    r2 = jnp.sum(q * q, axis=-1)
+    in_sphere = r2 <= (pn // 2) ** 2
+
+    num = jnp.zeros((pn, pn, nxf), dtype=vals.dtype)
+    den = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (frac[..., 0] if dz else 1 - frac[..., 0])
+                    * (frac[..., 1] if dy else 1 - frac[..., 1])
+                    * (frac[..., 2] if dx else 1 - frac[..., 2])
+                )
+                w = jnp.where(in_sphere, w, 0.0)
+                kz = q0[..., 0] + dz
+                ky = q0[..., 1] + dy
+                kx = q0[..., 2] + dx
+                neg = kx < 0
+                kzz = jnp.where(neg, -kz, kz) % pn
+                kyy = jnp.where(neg, -ky, ky) % pn
+                kxx = jnp.where(neg, -kx, kx)
+                valid = kxx <= nxf - 1
+                kxx = jnp.clip(kxx, 0, nxf - 1)
+                w = jnp.where(valid, w, 0.0)
+                v = jnp.where(neg, jnp.conj(vals), vals)
+                num = num.at[kzz, kyy, kxx].add(w * v)
+                den = den.at[kzz, kyy, kxx].add(w * c2)
+    return num, den
+
+
+def gridding_correction(n: int, pad: int = DEFAULT_PAD):
+    """Real-space correction over the cropped n-box for the trilinear kernel
+    on the padded grid: divide by sinc^2((x - c)/pn) per axis."""
+    pn = n * pad
+    ax = (np.arange(n) - n // 2) / pn
+    s = np.sinc(ax) ** 2
+    c = s[:, None, None] * s[None, :, None] * s[None, None, :]
+    return jnp.asarray(np.maximum(c, 1e-3).astype(np.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "pad"))
+def reconstruct_from_accumulators(num, den, n: int, pad: int = DEFAULT_PAD,
+                                  wiener: float = 1.0):
+    """num/den -> real-space n-box map with Wiener-style regularization and
+    gridding correction."""
+    vol_f = num / (den + wiener)
+    vol = fourier_to_volume(vol_f, n, pad)
+    # padded irfftn spreads the inverse-transform normalization over pn^3
+    # samples; rescale so amplitudes match the unpadded convention
+    vol = vol * (pad ** 3)
+    return vol / gridding_correction(n, pad)

