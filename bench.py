@@ -1,0 +1,85 @@
+"""Benchmark: refine3d-equivalent particle throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particles/sec/chip", "vs_baseline": N}
+
+Workload: local pose refinement (the inner loop of every refinement
+iteration — SURVEY §3.3/§3.4) on a realistic SPA configuration: 128 px
+boxes, 1.0 Å/px, refinement band 25-4 Å, 16 gradient steps over
+(phi, theta, psi, sy, sx), plus CTF-weighted scoring. Baseline: the
+reference wraps cisTEM2 refine3d (CPU); measured throughput of its local
+refinement mode is ~2-4 particles/sec/core, i.e. ~40 particles/sec on a
+16-core SLURM node (no GPU path exists for refine3d in the reference).
+vs_baseline is computed against 40 particles/sec/node.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_PARTICLES_PER_SEC = 40.0  # reference cisTEM2 refine3d, 16-core node
+
+N = 128
+PIXEL = 1.0
+BATCH = 256
+ITERS = 16
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import refine3d as r3
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+    rng = np.random.RandomState(0)
+    vol = rng.randn(N, N, N).astype(np.float32)
+    Fref = volume_to_fourier(jnp.asarray(vol))
+
+    stack = rng.randn(BATCH, N, N).astype(np.float32)
+    df = rng.uniform(10000, 25000, BATCH).astype(np.float32)
+    ctf_params = np.stack(
+        [df + 300, df - 300, np.full(BATCH, 40.0), np.zeros(BATCH)], 1
+    ).astype(np.float32)
+    poses = np.stack(
+        [
+            rng.uniform(0, 360, BATCH),
+            rng.uniform(0, 180, BATCH),
+            rng.uniform(0, 360, BATCH),
+            np.zeros(BATCH),
+            np.zeros(BATCH),
+        ],
+        1,
+    ).astype(np.float32)
+
+    mask_pts = r3.make_mask_points(N, PIXEL, 25.0, 4.0)
+
+    def run():
+        out_poses, scores = r3.local_refine(
+            jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
+            jnp.asarray(poses), jnp.asarray(mask_pts), N, PIXEL,
+            iters=ITERS,
+        )
+        return scores
+
+    # warmup/compile
+    run().block_until_ready()
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    pps = BATCH / dt
+
+    print(json.dumps({
+        "metric": "refine3d_local_particles_per_sec_per_chip",
+        "value": round(pps, 2),
+        "unit": "particles/sec/chip",
+        "vs_baseline": round(pps / BASELINE_PARTICLES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
