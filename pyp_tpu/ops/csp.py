@@ -1,0 +1,318 @@
+"""Constrained single-particle tomography (CSP/CSPT) refinement.
+
+Replaces the reference's wrapped CSP binary (argv contract
+/root/reference/src/pyp/system/local_run.py:363-463; modes
+align/core.py:1015-1023; SURVEY §A.3): joint refinement of per-tilt-series
+geometry and per-particle pose against projections of the current reference.
+
+Model. A particle p sits in the tomogram at position pos_p (centered voxel
+coords) with orientation M_p = R(phi_p, theta_p, psi_p) (reference -> tomogram).
+Tilt t maps tomogram to image: R_t = Rz(axis_t) @ Ry(tilt_t), plus per-tilt
+image shift d_t. The particle's projection in tilt t therefore has pose
+R_eff = R_t @ M_p and lands at image position proj(R_t pos_p) + d_t; its
+defocus is the tilt defocus plus the particle's depth along the beam.
+
+TPU-first design. The CSP binary runs a Powell optimizer per parameter block
+per tilt-series (mode -2/0/1/2/3/4 select blocks); here ALL blocks are
+continuous inputs to one differentiable CTF-weighted correlation loss
+(through the Fourier-slice gather), so each mode is just a gradient mask.
+One tilt-series' full refinement is a handful of vmapped/jitted Adam steps;
+tilt-series are data-parallel across chips; the trajectory regularization
+(csp_transreg, pyp_config §A.3) is a quadratic penalty inside the same loss.
+
+Reconstruction reuses ops.reconstruct with per-(particle, tilt) poses
+(R_eff) and 2D windows — subtomogram averaging becomes the same gridding
+insertion as SPA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core.geometry import euler_to_matrix, rot_y, rot_z
+from pyp_tpu.ops.fourier_slice import (
+    gather_2d_hermitian,
+    gather_3d_hermitian,
+    image_to_fourier,
+)
+from pyp_tpu.ops.refine3d import _ctf_at_points, make_mask_points
+
+
+class CspParams(NamedTuple):
+    """All refinable quantities for one tilt-series (static shapes)."""
+    tilt_angles: jax.Array    # (T,) degrees
+    axis_angles: jax.Array    # (T,) degrees (in-plane tilt axis)
+    tilt_shifts: jax.Array    # (T, 2) pixels (y, x) image shifts
+    particle_eulers: jax.Array  # (P, 3) (phi, theta, psi) degrees
+    particle_pos: jax.Array   # (P, 3) (z, y, x) centered tomogram voxels
+
+
+# mode -> which blocks get gradients (reference mode table align/core.py:1015)
+MODE_BLOCKS = {
+    0: ("tilt_angles", "axis_angles"),          # tilt geometry angles
+    1: ("particle_eulers",),                    # particle rotations
+    2: ("particle_pos",),                       # particle shifts (3D)
+    3: ("tilt_shifts",),                        # micrograph shifts
+    5: ("tilt_shifts",),                        # patch micrograph variant
+    6: ("particle_pos",),                       # patch particle variant
+}
+
+
+def tilt_rotation(tilt_deg, axis_deg):
+    """R_t = Rz(axis) @ Ry(tilt): tomogram -> image frame (batched)."""
+    return rot_z(axis_deg) @ rot_y(tilt_deg)
+
+
+def project_positions(params: CspParams):
+    """Predicted image positions (T, P, 2) = (y, x), centered coords."""
+    R = tilt_rotation(params.tilt_angles, params.axis_angles)  # (T, 3, 3)
+    pos_xyz = params.particle_pos[:, ::-1]  # (P, 3) -> (x, y, z)
+    proj = jnp.einsum("tij,pj->tpi", R, pos_xyz)  # (T, P, 3) image-frame xyz
+    xy = proj[..., :2]
+    yx = xy[..., ::-1]
+    return yx + params.tilt_shifts[:, None, :]
+
+
+def particle_depth(params: CspParams):
+    """Depth along the beam (z of the image frame) per (T, P) — defocus
+    offset in pixels (DefocusOffsetFromCenter, geometry/core.py:686)."""
+    R = tilt_rotation(params.tilt_angles, params.axis_angles)
+    pos_xyz = params.particle_pos[:, ::-1]
+    proj = jnp.einsum("tij,pj->tpi", R, pos_xyz)
+    return proj[..., 2]
+
+
+def effective_rotations(params: CspParams):
+    """(T, P, 3, 3) pose of each particle's projection: R_t @ M_p."""
+    R_t = tilt_rotation(params.tilt_angles, params.axis_angles)
+    M_p = euler_to_matrix(
+        params.particle_eulers[:, 0],
+        params.particle_eulers[:, 1],
+        params.particle_eulers[:, 2],
+    )
+    return jnp.einsum("tij,pjk->tpik", R_t, M_p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast"),
+)
+def csp_score(
+    params: CspParams,
+    windows_f,           # (T, P, n, nxf) centered spectra of extracted windows
+    window_centers,      # (T, P, 2) centered image coords where windows were cut
+    tilt_defocus,        # (T, 2): (df1+df2)/2 mean defocus and astig ignored
+    mask_pts,            # (G, 2)
+    Fref,                # padded reference spectrum
+    tilt_weights,        # (T,) exposure weights
+    valid,               # (T, P) 1/0 particle visible in tilt
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Mean CTF-weighted NCC over all (tilt, particle) projections."""
+    vol_pad = Fref.shape[0] // n
+    T, P = windows_f.shape[0], windows_f.shape[1]
+    R_eff = effective_rotations(params)  # (T, P, 3, 3)
+    pred_pos = project_positions(params)  # (T, P, 2)
+    depth = particle_depth(params)        # (T, P)
+
+    # residual shift between predicted position and window center
+    dshift = pred_pos - window_centers    # (T, P, 2)
+
+    mask = jnp.asarray(mask_pts)
+
+    q = (
+        mask[None, None, :, 1, None] * R_eff[..., None, 0, :]
+        + mask[None, None, :, 0, None] * R_eff[..., None, 1, :]
+    )  # (T, P, G, 3) xyz
+    u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))  # (T, P, G)
+
+    df = tilt_defocus[:, None, 0] + depth * pixel_size  # (T, P) Å
+    c = _ctf_at_points(
+        mask[None, None], n, pixel_size, df[..., None], df[..., None], 0.0,
+        voltage_kv, cs_mm, amplitude_contrast, 0.0,
+    )  # (T, P, G)
+
+    xv = gather_2d_hermitian_batched(windows_f, mask)  # (T, P, G)
+    # model window = projection whose content sits at +dshift from the
+    # window center: M = u * exp(-2*pi*i g.dshift/n); num = Re<X, M>
+    ph = -2.0 * jnp.pi * (
+        mask[None, None, :, 0] * dshift[..., 0:1]
+        + mask[None, None, :, 1] * dshift[..., 1:2]
+    ) / n
+    phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * c * u), axis=-1)
+    den = jnp.sqrt(
+        jnp.sum(jnp.abs(xv) ** 2, axis=-1)
+        * jnp.sum(c * c * jnp.abs(u) ** 2, axis=-1)
+        + 1e-12
+    )
+    ncc = num / den  # (T, P)
+    w = tilt_weights[:, None] * valid
+    return jnp.sum(ncc * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def gather_2d_hermitian_batched(F, pts):
+    """gather_2d_hermitian vmapped over two leading axes of F."""
+    fn = jax.vmap(jax.vmap(lambda Fi: gather_2d_hermitian(Fi, pts)))
+    return fn(F)
+
+
+def _smoothness_penalty(x):
+    """Second-difference penalty along the tilt axis (the reference's
+    spline/Gaussian trajectory regularization, csp_transreg §A.3)."""
+    d2 = x[2:] - 2 * x[1:-1] + x[:-2]
+    return jnp.mean(d2 * d2)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "iters", "n", "pixel_size", "voltage_kv",
+                     "cs_mm", "amplitude_contrast"),
+)
+def csp_refine_mode(
+    params: CspParams,
+    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid,
+    mode: int,
+    n: int,
+    pixel_size: float,
+    iters: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Refine one parameter block (a CSP mode) by masked gradient ascent."""
+    blocks = MODE_BLOCKS[mode]
+    # per-block step scales (degrees / pixels)
+    scales = CspParams(
+        tilt_angles=jnp.asarray(0.2), axis_angles=jnp.asarray(0.2),
+        tilt_shifts=jnp.asarray(0.5), particle_eulers=jnp.asarray(1.0),
+        particle_pos=jnp.asarray(0.5),
+    )
+
+    def loss_fn(p):
+        score = csp_score(
+            p, windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+            tilt_weights, valid, n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast,
+        )
+        reg = _smoothness_penalty(p.tilt_shifts) + _smoothness_penalty(
+            p.tilt_angles[:, None]
+        )
+        return score - reg_weight * reg
+
+    grad_fn = jax.grad(loss_fn)
+
+    def step(carry, t):
+        p, m = carry
+        g = grad_fn(p)
+        # zero gradients of frozen blocks
+        g = CspParams(*(
+            gi if name in blocks else jnp.zeros_like(gi)
+            for name, gi in zip(CspParams._fields, g)
+        ))
+        gnorm = jnp.sqrt(sum(jnp.sum(gi * gi) for gi in g) + 1e-12)
+        g = jax.tree.map(lambda gi: gi / gnorm, g)
+        m = jax.tree.map(lambda mi, gi: 0.7 * mi + gi, m, g)
+        decay = 0.5 * (1 + jnp.cos(jnp.pi * t / iters))
+        p = CspParams(*(
+            pi + lr * decay * si * mi
+            for pi, si, mi in zip(p, scales, m)
+        ))
+        return (p, m), None
+
+    m0 = jax.tree.map(jnp.zeros_like, params)
+    (p_out, _), _ = jax.lax.scan(step, (params, m0), jnp.arange(iters))
+    s0 = loss_fn(params)
+    s1 = loss_fn(p_out)
+    better = s1 >= s0
+    p_final = jax.tree.map(
+        lambda a, b: jnp.where(better, b, a), params, p_out
+    )
+    return p_final, jnp.where(better, s1, s0)
+
+
+def csp_refine(
+    params: CspParams,
+    tilt_images,         # (T, ny, nx) aligned tilt series
+    tilt_defocus,        # (T, 2)
+    ref_volume,          # (n, n, n) current reference
+    pixel_size: float,
+    boxsize: int,
+    modes=(0, 3, 1, 2),
+    iters_per_mode: int = 20,
+    low_res: float = 60.0,
+    high_res: float = 12.0,
+    reg_weight: float = 0.1,
+    tilt_weights=None,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Full CSP pass on one tilt-series: extract windows at predicted
+    positions, then refine each mode block in sequence (the reference runs
+    the same mode schedule, align/core.py:978-1005)."""
+    from pyp_tpu.ops.extract import window_particles
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+    tilt_images = jnp.asarray(tilt_images)
+    T, ny, nx = tilt_images.shape
+    n = boxsize
+    Fref = volume_to_fourier(jnp.asarray(ref_volume))
+    mask_pts = jnp.asarray(make_mask_points(n, pixel_size, low_res, high_res))
+    if tilt_weights is None:
+        tilt_weights = jnp.ones(T)
+
+    # extract windows at currently-predicted positions
+    pred = np.asarray(project_positions(params))  # (T, P, 2) centered
+    centers_img = pred + np.array([ny // 2, nx // 2])
+    P = pred.shape[1]
+    windows = []
+    w_centers = np.zeros((T, P, 2), dtype=np.float32)
+    valid = np.ones((T, P), dtype=np.float32)
+    for t in range(T):
+        ci = np.round(centers_img[t]).astype(np.int32)
+        inb = (
+            (ci[:, 0] >= n // 2) & (ci[:, 0] < ny - n // 2)
+            & (ci[:, 1] >= n // 2) & (ci[:, 1] < nx - n // 2)
+        )
+        valid[t] = inb.astype(np.float32)
+        ci = np.clip(ci, n // 2, [ny - n // 2 - 1, nx - n // 2 - 1])
+        windows.append(window_particles(tilt_images[t], jnp.asarray(ci), n))
+        w_centers[t] = ci - np.array([ny // 2, nx // 2])
+    windows = jnp.stack(windows)  # (T, P, n, n)
+    windows_f = image_to_fourier(windows)
+
+    scores = []
+    for mode in modes:
+        params, score = csp_refine_mode(
+            params, windows_f, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
+            mask_pts, Fref, jnp.asarray(tilt_weights), jnp.asarray(valid),
+            mode, n, pixel_size, iters=iters_per_mode, reg_weight=reg_weight,
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast,
+        )
+        scores.append(float(score))
+    return params, scores
+
+
+def csp_particles_for_reconstruction(params: CspParams, windows_f_shape=None):
+    """Convert refined CSP params to per-(tilt, particle) reconstruction
+    poses: returns (R_eff (T, P, 3, 3), shifts (T, P, 2) residual image
+    shifts, defocus offsets (T, P) in pixels)."""
+    R = effective_rotations(params)
+    pos = project_positions(params)
+    depth = particle_depth(params)
+    return R, pos, depth

@@ -1,0 +1,329 @@
+"""Tilt-series alignment and tomogram reconstruction.
+
+TPU-native replacements for the reference's wrapped IMOD/AreTomo toolchain
+(SURVEY §A.5: tiltxcorr pre-alignment align/core.py:1763-1816, tiltalign
+projection-model solve :5726, `tilt` WBP merge/core.py:353):
+
+  * `prealign_tilt_series` — cosine-stretch cross-correlation between
+    adjacent tilts, accumulated outward from the zero-tilt image (tiltxcorr
+    semantics), all correlations batched through one FFT pipeline;
+  * `track_patches` / `solve_projection_model` — patch tracks across the
+    series + alternating least-squares for per-tilt shifts, a global tilt
+    axis angle, and 3D patch positions (the core of tiltalign's model);
+  * `wbp_reconstruct` — ramp-filtered weighted backprojection: each output
+    z-slab is a batched bilinear gather over all tilts (single-axis tilt
+    about y), optionally dose/lowpass weighted;
+  * `ctf_correct_tilts` — strip-free per-pixel phase flipping with the
+    defocus gradient along the tilt direction (ctfphaseflip equivalent,
+    ctf/core.py:1110).
+
+Geometry: tilt angle theta rotates the specimen about the image y axis;
+a voxel at centered coords (z, y, x) projects to image coords
+(y, x cos(theta) + z sin(theta)) — consistent with project(F, Ry(theta)).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import ctf as ctf_model
+from pyp_tpu.core.filters import apply_bandpass
+
+
+# ---------------------------------------------------------------------------
+# pre-alignment (tiltxcorr)
+# ---------------------------------------------------------------------------
+
+def _xcorr_shift(a, b, bp_low=0.01, bp_high=0.25):
+    """Shift of b relative to a via phase-weighted cross-correlation with
+    parabolic sub-pixel refinement. Returns (dy, dx) such that shifting b by
+    (dy, dx) aligns it to a."""
+    ny, nx = a.shape[-2], a.shape[-1]
+    A = jnp.fft.rfft2(apply_bandpass(a, bp_low, bp_high))
+    Bf = jnp.fft.rfft2(apply_bandpass(b, bp_low, bp_high))
+    cc = jnp.fft.irfft2(A * jnp.conj(Bf), s=(ny, nx))
+    from pyp_tpu.ops.motion import _subpixel_peak
+
+    return _subpixel_peak(cc)
+
+
+def _stretch_x(img, factor):
+    """Stretch an image along x about its center by `factor` (cosine
+    stretching: the higher-tilt image is compressed in x by cos(theta), so
+    stretching by cos(t_ref)/cos(t) matches adjacent tilts)."""
+    n = img.shape[-1]
+    c = n // 2
+    xs = (jnp.arange(n, dtype=jnp.float32) - c) / factor + c
+    ys = jnp.arange(img.shape[-2], dtype=jnp.float32)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    return jax.scipy.ndimage.map_coordinates(img, [yy, xx], order=1, mode="constant")
+
+
+def prealign_tilt_series(tilts, tilt_angles, bp_low=0.01, bp_high=0.2):
+    """tiltxcorr-equivalent: pairwise adjacent alignment, accumulated from
+    the lowest-|angle| tilt outward.
+
+    tilts: (T, ny, nx); tilt_angles: (T,) degrees (monotonic order).
+    Returns shifts (T, 2): shifting tilt t by shifts[t] aligns the series.
+    """
+    tilts = jnp.asarray(tilts)
+    angles = np.asarray(tilt_angles, dtype=np.float64)
+    T = tilts.shape[0]
+    ref_idx = int(np.argmin(np.abs(angles)))
+
+    rel = np.zeros((T, 2), dtype=np.float32)
+    # walk outward in both directions
+    order = []
+    for t in range(ref_idx + 1, T):
+        order.append((t, t - 1))
+    for t in range(ref_idx - 1, -1, -1):
+        order.append((t, t + 1))
+    for t, prev in order:
+        stretch = np.cos(np.radians(angles[prev])) / np.cos(np.radians(angles[t]))
+        stretched = _stretch_x(tilts[t], float(stretch))
+        d = np.asarray(_xcorr_shift(tilts[prev][None], stretched[None])[0])
+        rel[t] = d
+
+    shifts = np.zeros((T, 2), dtype=np.float32)
+    for t in range(ref_idx + 1, T):
+        shifts[t] = shifts[t - 1] + rel[t]
+    for t in range(ref_idx - 1, -1, -1):
+        shifts[t] = shifts[t + 1] + rel[t]
+    return jnp.asarray(shifts)
+
+
+# ---------------------------------------------------------------------------
+# patch tracking + projection-model solve (tiltalign)
+# ---------------------------------------------------------------------------
+
+def track_patches(tilts, shifts, tilt_angles, patch_centers, patch_size: int = 64):
+    """Track patches (defined on the zero-tilt image) through the series.
+
+    Returns measured positions (T, P, 2) in pixel coords (y, x) of each
+    patch center in each tilt (NaN-free; low-confidence tracks keep the
+    predicted position).
+    """
+    from pyp_tpu.ops.extract import window_particles
+
+    tilts = jnp.asarray(tilts)
+    T = tilts.shape[0]
+    angles = np.asarray(tilt_angles, dtype=np.float64)
+    ref_idx = int(np.argmin(np.abs(angles)))
+    centers = np.asarray(patch_centers, dtype=np.float32)  # (P, 2) (y, x)
+    ny, nx = tilts.shape[-2], tilts.shape[-1]
+    c = np.array([ny // 2, nx // 2], dtype=np.float32)
+
+    ref_patches = window_particles(
+        tilts[ref_idx], jnp.asarray(np.round(centers).astype(np.int32)), patch_size
+    )
+
+    measured = np.zeros((T, len(centers), 2), dtype=np.float32)
+    for t in range(T):
+        # predicted position: x compresses by cos(theta) about center; the
+        # series shift moves content by shifts[t] -> patch appears at -shift
+        cos_t = np.cos(np.radians(angles[t])) / np.cos(np.radians(angles[ref_idx]))
+        pred = centers.copy()
+        pred[:, 1] = (centers[:, 1] - c[1]) * cos_t + c[1]
+        pred = pred - np.asarray(shifts[t])
+        cur = window_particles(
+            tilts[t], jnp.asarray(np.round(pred).astype(np.int32)), patch_size
+        )
+        d = np.asarray(_xcorr_shift(ref_patches, cur))
+        measured[t] = np.round(pred) - d  # content found shifted by -d
+    return jnp.asarray(measured)
+
+
+class ProjectionModel(NamedTuple):
+    shifts: jax.Array       # (T, 2) per-tilt shifts (y, x)
+    axis_angle: jax.Array   # scalar, in-plane tilt-axis rotation (deg)
+    points3d: jax.Array     # (P, 3) fiducial/patch positions (z, y, x), centered
+    residual: jax.Array     # rms residual (pixels)
+
+
+def solve_projection_model(measured, tilt_angles, image_shape, iters: int = 5):
+    """Alternating least squares for the single-axis projection model:
+
+        m(t, p) ~= Rz2(axis) @ [ y_p,  x_p cos(th_t) + z_p sin(th_t) ] - d_t
+
+    (centered coords). Solves per-tilt shifts d_t, global axis angle, and 3D
+    points. Equivalent role to IMOD tiltalign (align/core.py:5726)."""
+    m = np.asarray(measured, dtype=np.float64).copy()
+    T, P, _ = m.shape
+    ny, nx = image_shape
+    center = np.array([ny // 2, nx // 2], dtype=np.float64)
+    m -= center
+    th = np.radians(np.asarray(tilt_angles, dtype=np.float64))
+
+    A_x = np.stack([np.cos(th), np.sin(th)], axis=1)
+
+    def project(pts, alpha, d):
+        ca, sa = np.cos(np.radians(alpha)), np.sin(np.radians(alpha))
+        xr = pts[None, :, 2] * np.cos(th)[:, None] + pts[None, :, 0] * np.sin(th)[:, None]
+        yr = np.broadcast_to(pts[None, :, 1], (T, P)).copy()
+        x2 = ca * xr - sa * yr
+        y2 = sa * xr + ca * yr
+        return np.stack([y2, x2], axis=-1) - d[:, None, :]
+
+    def solve_given_alpha(alpha):
+        """Closed-form inner solve at fixed axis angle: centering the
+        measurements over points cancels the per-tilt shifts exactly (with
+        the gauge constraint mean(points) = 0), so points come from one
+        least-squares solve and shifts from the mean residual. The axis
+        angle is searched on the OUTSIDE: a joint descent lets the points
+        absorb most of an in-plane rotation and stalls."""
+        ca, sa = np.cos(np.radians(alpha)), np.sin(np.radians(alpha))
+        mc = m - m.mean(axis=1, keepdims=True)  # center over points: d cancels
+        # un-rotate by R(-alpha): x = ca*mx + sa*my ; y = ca*my - sa*mx
+        ym = ca * mc[..., 0] - sa * mc[..., 1]
+        ym_x = ca * mc[..., 1] + sa * mc[..., 0]
+        pts = np.zeros((P, 3))
+        for p in range(P):
+            sol, *_ = np.linalg.lstsq(A_x, ym_x[:, p], rcond=None)
+            pts[p, 2], pts[p, 0] = sol
+            pts[p, 1] = ym[:, p].mean()
+        pts -= pts.mean(axis=0, keepdims=True)  # gauge: centered point cloud
+        pred = project(pts, alpha, np.zeros((T, 2)))
+        d = (pred - m).mean(axis=1)
+        r = project(pts, alpha, d) - m
+        return float(np.sqrt((r**2).mean())), pts, d
+
+    best = (1e18, 0.0, None, None)
+    for alpha in np.arange(-10.0, 10.01, 1.0):
+        rms, pts, d = solve_given_alpha(alpha)
+        if rms < best[0]:
+            best = (rms, alpha, pts, d)
+    for alpha in np.arange(best[1] - 1.0, best[1] + 1.01, 0.1):
+        rms, pts, d = solve_given_alpha(alpha)
+        if rms < best[0]:
+            best = (rms, alpha, pts, d)
+    rms, alpha, pts, d = best[0], best[1], best[2], best[3]
+    return ProjectionModel(
+        shifts=jnp.asarray(d.astype(np.float32)),
+        axis_angle=jnp.asarray(np.float32(alpha)),
+        points3d=jnp.asarray(pts.astype(np.float32)),
+        residual=jnp.asarray(np.float32(rms)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted backprojection (the IMOD `tilt` equivalent)
+# ---------------------------------------------------------------------------
+
+def ramp_filter(nx: int, cutoff: float = 0.35, falloff: float = 0.05):
+    """R-weighting along x: |f| up to cutoff, cosine rolloff after
+    (IMOD -RADIAL semantics, merge/core.py:201)."""
+    f = np.abs(np.fft.rfftfreq(nx))
+    w = np.where(f <= cutoff, f, 0.0)
+    roll = (f > cutoff) & (f <= cutoff + falloff)
+    w = np.where(roll, cutoff * 0.5 * (1 + np.cos(np.pi * (f - cutoff) / falloff)), w)
+    w[0] = 0.25 / nx  # keep a small DC term so means survive
+    return jnp.asarray(w.astype(np.float32))
+
+
+def _filter_tilts(tilts, cutoff, falloff):
+    w = ramp_filter(tilts.shape[-1], cutoff, falloff)
+    return jnp.fft.irfft(jnp.fft.rfft(tilts, axis=-1) * w[None, None, :],
+                         n=tilts.shape[-1], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("thickness", "slab"))
+def wbp_reconstruct(
+    tilts, tilt_angles, shifts=None, thickness: int = 128,
+    cutoff: float = 0.35, falloff: float = 0.05,
+    tilt_weights=None, slab: int = 16,
+):
+    """Weighted backprojection of an aligned tilt series.
+
+    tilts: (T, ny, nx); tilt_angles (T,) degrees; shifts (T, 2) applied to
+    the images before backprojection (alignment). Returns (thickness, ny, nx)
+    with z centered (z=0 plane at thickness//2).
+
+    Implementation: ramp-filter along x, then for each z-slab gather
+    bilinearly from every tilt at x' = x cos(th) + z sin(th) (the tilt axis
+    is y: rows are independent) and sum — one fused gather per (slab, tilt).
+    """
+    tilts = jnp.asarray(tilts)
+    T, ny, nx = tilts.shape
+    angles = jnp.deg2rad(jnp.asarray(tilt_angles, dtype=jnp.float32))
+    if shifts is not None:
+        from pyp_tpu.core.fft import shift_images
+
+        tilts = shift_images(tilts, jnp.asarray(shifts))
+    filt = _filter_tilts(tilts, cutoff, falloff)
+    if tilt_weights is not None:
+        filt = filt * jnp.asarray(tilt_weights)[:, None, None]
+
+    cx = nx // 2
+    cz = thickness // 2
+    xs = jnp.arange(nx, dtype=jnp.float32) - cx
+
+    def one_slab(z0):
+        zs = z0 + jnp.arange(slab, dtype=jnp.float32) - cz  # (slab,)
+
+        def one_tilt(carry, t):
+            acc = carry
+            xprime = xs[None, :] * jnp.cos(angles[t]) + zs[:, None] * jnp.sin(angles[t]) + cx
+            xp = jnp.clip(xprime, 0.0, nx - 1.000001)
+            x0 = jnp.floor(xp).astype(jnp.int32)
+            fx = xp - x0
+            img = filt[t]  # (ny, nx)
+            # gather per row: out[z, y, x] = img[y, xprime(z, x)]
+            v0 = img[:, x0.reshape(-1)].reshape(ny, slab, nx)
+            v1 = img[:, jnp.minimum(x0 + 1, nx - 1).reshape(-1)].reshape(ny, slab, nx)
+            vals = v0 * (1 - fx)[None] + v1 * fx[None]
+            inb = ((xprime >= 0) & (xprime <= nx - 1)).astype(filt.dtype)
+            acc = acc + jnp.transpose(vals, (1, 0, 2)) * inb[:, None, :]
+            return acc, None
+
+        acc0 = jnp.zeros((slab, ny, nx), dtype=filt.dtype)
+        acc, _ = jax.lax.scan(one_tilt, acc0, jnp.arange(T))
+        return acc * (jnp.pi / (2.0 * T))
+
+    slabs = []
+    for z0 in range(0, thickness, slab):
+        slabs.append(one_slab(z0))
+    return jnp.concatenate(slabs, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# per-tilt CTF correction (ctfphaseflip)
+# ---------------------------------------------------------------------------
+
+def ctf_correct_tilts(
+    tilts, tilt_angles, defoci, pixel_size,
+    voltage_kv=300.0, cs_mm=2.7, amplitude_contrast=0.07, axis_angle=0.0,
+):
+    """Phase-flip each tilt with the defocus gradient along the tilt
+    direction: defocus(x) = df_t + x * pixel * tan(theta) (x measured from
+    the tilt axis). Strip-free: done in overlapping bands via per-column
+    defocus rounding to 20 bands.
+
+    defoci: (T,) nominal defocus (Å) at the tilt axis, per tilt.
+    """
+    tilts = np.asarray(tilts)
+    T, ny, nx = tilts.shape
+    out = np.zeros_like(tilts)
+    n_bands = 20
+    for t in range(T):
+        theta = np.radians(float(np.asarray(tilt_angles)[t]))
+        xs = (np.arange(nx) - nx // 2) * pixel_size
+        df_per_col = float(np.asarray(defoci)[t]) + xs * np.tan(theta)
+        bands = np.linspace(df_per_col.min(), df_per_col.max() + 1.0, n_bands + 1)
+        F = np.fft.rfft2(tilts[t])
+        img_out = np.zeros((ny, nx), dtype=np.float64)
+        for b in range(n_bands):
+            df_mid = 0.5 * (bands[b] + bands[b + 1])
+            c = np.asarray(ctf_model.ctf_2d(
+                (ny, nx), pixel_size, df_mid, df_mid, 0.0, voltage_kv, cs_mm,
+                w=amplitude_contrast,
+            ))
+            flipped = np.fft.irfft2(F * np.sign(c), s=(ny, nx))
+            col_sel = (df_per_col >= bands[b]) & (df_per_col < bands[b + 1])
+            img_out[:, col_sel] = flipped[:, col_sel]
+        out[t] = img_out
+    return jnp.asarray(out.astype(np.float32))

@@ -1,0 +1,142 @@
+"""CSP (constrained single-particle tomography) refinement tests.
+
+Synthetic tilt-series: particles are projections of a known reference placed
+at known 3D positions through a known tilt geometry. Perturb the geometry /
+poses, refine each CSP mode, verify recovery.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+from pyp_tpu.ops import csp, fourier_slice as fs
+from pyp_tpu.core.fft import shift_images
+
+
+NBOX = 24
+NY = NX = 160
+PIXEL = 2.0
+ANGLES = np.arange(-45.0, 46.0, 15.0, dtype=np.float32)  # 7 tilts
+T = len(ANGLES)
+P = 6
+
+
+def make_reference(seed=0):
+    rng = np.random.RandomState(seed)
+    vol = rng.randn(NBOX, NBOX, NBOX).astype(np.float32)
+    vol *= np.asarray(soft_spherical_mask(NBOX, NBOX * 0.33, 2.0))
+    vol = np.array(lowpass_filter_3d(jnp.asarray(vol), PIXEL, 3.0 * PIXEL))
+    return vol * 20.0
+
+
+def make_tilt_series(vol, seed=1, noise=0.05):
+    rng = np.random.RandomState(seed)
+    true = csp.CspParams(
+        tilt_angles=jnp.asarray(ANGLES),
+        axis_angles=jnp.asarray(np.full(T, 2.0, dtype=np.float32)),
+        tilt_shifts=jnp.asarray(rng.uniform(-3, 3, (T, 2)).astype(np.float32)),
+        particle_eulers=jnp.asarray(rng.uniform(0, 360, (P, 3)).astype(np.float32)),
+        particle_pos=jnp.asarray(np.stack([
+            rng.uniform(-10, 10, P),
+            rng.uniform(-50, 50, P),
+            rng.uniform(-50, 50, P),
+        ], 1).astype(np.float32)),
+    )
+    Fv = fs.volume_to_fourier(jnp.asarray(vol))
+    R_eff = csp.effective_rotations(true)            # (T, P, 3, 3)
+    pos = np.asarray(csp.project_positions(true))    # (T, P, 2) centered
+    depth = np.asarray(csp.particle_depth(true))     # (T, P)
+
+    defocus_nominal = 15000.0
+    from pyp_tpu.ops.refine3d import _ctf_at_points
+
+    ky = (np.fft.fftfreq(NBOX) * NBOX).astype(np.float32)
+    kx = np.arange(NBOX // 2 + 1, dtype=np.float32)
+    grid_pts = jnp.asarray(np.stack(np.meshgrid(ky, kx, indexing="ij"), -1))
+
+    images = np.zeros((T, NY, NX), dtype=np.float32)
+    for t in range(T):
+        F = fs.project(Fv, R_eff[t], NBOX)           # (P, NBOX, nxf)
+        # apply the same depth-dependent CTF the scoring model uses
+        df = defocus_nominal + depth[t] * PIXEL      # (P,)
+        ctf = _ctf_at_points(grid_pts[None], NBOX, PIXEL,
+                             jnp.asarray(df)[:, None, None],
+                             jnp.asarray(df)[:, None, None],
+                             0.0, 300.0, 2.7, 0.07, 0.0)
+        projs = np.array(fs.fourier_to_image(F * ctf, NBOX))
+        for p in range(P):
+            cy, cx = pos[t, p] + np.array([NY // 2, NX // 2])
+            iy, ix = int(round(cy)), int(round(cx))
+            fy, fx = cy - iy, cx - ix
+            win = np.array(shift_images(jnp.asarray(projs[p])[None],
+                                        jnp.asarray([[fy, fx]]))[0])
+            y0, x0 = iy - NBOX // 2, ix - NBOX // 2
+            images[t, y0:y0 + NBOX, x0:x0 + NBOX] += win
+    images += noise * np.abs(images).max() * rng.randn(*images.shape).astype(np.float32)
+    defocus = np.full((T, 2), 15000.0, dtype=np.float32)
+    return true, jnp.asarray(images), jnp.asarray(defocus)
+
+
+class TestCspScore:
+    def test_truth_scores_higher_than_perturbed(self):
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol)
+        rng = np.random.RandomState(2)
+        perturbed = true._replace(
+            tilt_shifts=true.tilt_shifts + jnp.asarray(rng.uniform(-3, 3, (T, 2)).astype(np.float32)),
+        )
+        p_true, s_true = csp.csp_refine(true, images, defocus, vol, PIXEL, NBOX,
+                                        modes=(3,), iters_per_mode=0)
+        p_pert, s_pert = csp.csp_refine(perturbed, images, defocus, vol, PIXEL, NBOX,
+                                        modes=(3,), iters_per_mode=0)
+        assert s_true[0] > s_pert[0], (s_true, s_pert)
+
+    def test_mode3_recovers_tilt_shifts(self):
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol)
+        rng = np.random.RandomState(3)
+        pert_shift = rng.uniform(-2.5, 2.5, (T, 2)).astype(np.float32)
+        perturbed = true._replace(tilt_shifts=true.tilt_shifts + jnp.asarray(pert_shift))
+        refined, scores = csp.csp_refine(
+            perturbed, images, defocus, vol, PIXEL, NBOX,
+            modes=(3,), iters_per_mode=40, high_res=2.5 * PIXEL, reg_weight=0.0,
+        )
+        err0 = np.abs(pert_shift).mean()
+        err1 = np.abs(np.asarray(refined.tilt_shifts - true.tilt_shifts)).mean()
+        assert err1 < err0 * 0.5, (err0, err1)
+
+    def test_mode1_recovers_particle_rotations(self):
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol)
+        rng = np.random.RandomState(4)
+        pert = rng.uniform(-6, 6, (P, 3)).astype(np.float32)
+        perturbed = true._replace(particle_eulers=true.particle_eulers + jnp.asarray(pert))
+        refined, scores = csp.csp_refine(
+            perturbed, images, defocus, vol, PIXEL, NBOX,
+            modes=(1,), iters_per_mode=40, high_res=2.5 * PIXEL, reg_weight=0.0,
+        )
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        def rot_errs(params):
+            Rt = euler_to_matrix(true.particle_eulers[:, 0], true.particle_eulers[:, 1], true.particle_eulers[:, 2])
+            Re = euler_to_matrix(params.particle_eulers[:, 0], params.particle_eulers[:, 1], params.particle_eulers[:, 2])
+            tr = np.einsum("pij,pij->p", np.asarray(Rt), np.asarray(Re))
+            return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+        e0 = rot_errs(perturbed).mean()
+        e1 = rot_errs(refined).mean()
+        assert e1 < e0 * 0.6, (e0, e1)
+
+    def test_mode0_recovers_tilt_angles(self):
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol)
+        rng = np.random.RandomState(5)
+        pert = rng.uniform(-1.5, 1.5, T).astype(np.float32)
+        perturbed = true._replace(tilt_angles=true.tilt_angles + jnp.asarray(pert))
+        refined, scores = csp.csp_refine(
+            perturbed, images, defocus, vol, PIXEL, NBOX,
+            modes=(0,), iters_per_mode=40, high_res=2.5 * PIXEL, reg_weight=0.0,
+        )
+        e0 = np.abs(pert).mean()
+        e1 = np.abs(np.asarray(refined.tilt_angles - true.tilt_angles)).mean()
+        assert e1 < e0, (e0, e1)

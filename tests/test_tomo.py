@@ -1,0 +1,113 @@
+"""Tilt-series alignment + WBP reconstruction tests on synthetic tomograms."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core.filters import lowpass_filter_3d
+from pyp_tpu.core.geometry import euler_to_matrix
+from pyp_tpu.ops import fourier_slice as fs
+from pyp_tpu.ops import tomo
+
+
+N = 64
+ANGLES = np.arange(-60.0, 61.0, 10.0, dtype=np.float32)  # 13 tilts
+
+
+def make_tomo_data(shift_scale=4.0, noise=0.1, seed=0):
+    rng = np.random.RandomState(seed)
+    vol = np.zeros((N, N, N), dtype=np.float32)
+    # place a few gaussian blobs in the central slab
+    for _ in range(8):
+        z, y, x = rng.randint(N // 2 - 8, N // 2 + 8), rng.randint(10, N - 10), rng.randint(10, N - 10)
+        zz, yy, xx = np.mgrid[0:N, 0:N, 0:N]
+        vol += np.exp(-((zz - z) ** 2 + (yy - y) ** 2 + (xx - x) ** 2) / 8.0).astype(np.float32)
+    vol = np.array(lowpass_filter_3d(jnp.asarray(vol), 1.0, 3.0)) * 50
+    Fv = fs.volume_to_fourier(jnp.asarray(vol))
+    R = euler_to_matrix(jnp.zeros(len(ANGLES)), jnp.asarray(ANGLES), jnp.zeros(len(ANGLES)))
+    tilts = np.array(fs.fourier_to_image(fs.project(Fv, R, N), N))
+    true_shifts = rng.uniform(-shift_scale, shift_scale, (len(ANGLES), 2)).astype(np.float32)
+    ref_idx = int(np.argmin(np.abs(ANGLES)))
+    true_shifts -= true_shifts[ref_idx]
+    from pyp_tpu.core.fft import shift_images
+
+    misaligned = np.array(shift_images(jnp.asarray(tilts), jnp.asarray(-true_shifts)))
+    misaligned += noise * np.abs(misaligned).max() * rng.randn(*misaligned.shape).astype(np.float32)
+    return vol, tilts, misaligned, true_shifts
+
+
+class TestPrealign:
+    def test_recovers_shifts(self):
+        vol, tilts, misaligned, true_shifts = make_tomo_data()
+        shifts = np.asarray(tomo.prealign_tilt_series(misaligned, ANGLES))
+        err = np.abs(shifts - true_shifts)
+        assert np.median(err) < 1.0, (shifts, true_shifts)
+
+    def test_aligned_series_needs_no_shift(self):
+        vol, tilts, _, _ = make_tomo_data(noise=0.05)
+        shifts = np.asarray(tomo.prealign_tilt_series(tilts, ANGLES))
+        assert np.abs(shifts).max() < 1.5, shifts
+
+
+class TestProjectionModel:
+    def test_solves_synthetic_model(self):
+        rng = np.random.RandomState(1)
+        P = 12
+        pts = np.stack([
+            rng.uniform(-10, 10, P),   # z
+            rng.uniform(-20, 20, P),   # y
+            rng.uniform(-20, 20, P),   # x
+        ], axis=1)
+        # shifts are only determined up to the projection of a global 3D
+        # translation (gauge freedom); fix the gauge as the solver does
+        pts -= pts.mean(axis=0, keepdims=True)
+        th = np.radians(ANGLES)
+        alpha = 3.0
+        d_true = rng.uniform(-5, 5, (len(ANGLES), 2))
+        ca, sa = np.cos(np.radians(alpha)), np.sin(np.radians(alpha))
+        xr = pts[None, :, 2] * np.cos(th)[:, None] + pts[None, :, 0] * np.sin(th)[:, None]
+        yr = np.broadcast_to(pts[None, :, 1], xr.shape)
+        x2 = ca * xr - sa * yr
+        y2 = sa * xr + ca * yr
+        measured = np.stack([y2, x2], axis=-1) - d_true[:, None, :]
+        measured += np.array([N // 2, N // 2])
+        model = tomo.solve_projection_model(jnp.asarray(measured), ANGLES, (N, N), iters=8)
+        assert float(model.residual) < 0.3, float(model.residual)
+        assert abs(float(model.axis_angle) - alpha) < 0.5
+        d_err = np.abs(np.asarray(model.shifts) - d_true)
+        assert np.median(d_err) < 0.5
+
+
+class TestWBP:
+    def test_reconstruction_correlates_with_truth(self):
+        vol, tilts, misaligned, true_shifts = make_tomo_data(noise=0.05)
+        recon = np.asarray(tomo.wbp_reconstruct(
+            jnp.asarray(misaligned), jnp.asarray(ANGLES),
+            shifts=jnp.asarray(true_shifts), thickness=N, slab=16,
+        ))
+        assert recon.shape == (N, N, N)
+        # compare central slab (missing wedge blurs z)
+        sl = slice(N // 2 - 6, N // 2 + 6)
+        a = recon[sl].ravel()
+        b = vol[sl].ravel()
+        cc = np.corrcoef(a, b)[0, 1]
+        assert cc > 0.6, cc
+
+    def test_blob_positions_recovered(self):
+        vol, tilts, _, _ = make_tomo_data(noise=0.02)
+        recon = np.asarray(tomo.wbp_reconstruct(
+            jnp.asarray(tilts), jnp.asarray(ANGLES), thickness=N, slab=16,
+        ))
+        # the brightest voxel of the recon should be near a bright voxel of vol
+        pz, py, px = np.unravel_index(recon.argmax(), recon.shape)
+        neighborhood = vol[max(pz-3,0):pz+4, max(py-3,0):py+4, max(px-3,0):px+4]
+        assert neighborhood.max() > 0.5 * vol.max()
+
+
+class TestCtfCorrect:
+    def test_phase_flip_runs(self):
+        rng = np.random.RandomState(2)
+        tilts = rng.randn(3, 64, 64).astype(np.float32)
+        out = tomo.ctf_correct_tilts(tilts, [-30.0, 0.0, 30.0],
+                                     [20000.0, 20000.0, 20000.0], 2.0)
+        assert out.shape == tilts.shape
+        assert np.isfinite(np.asarray(out)).all()
