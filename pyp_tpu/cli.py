@@ -1,0 +1,212 @@
+"""Command-line driver — the bin/run/pyp equivalent.
+
+Mode dispatch mirrors the reference's env-var dispatched driver
+(bin/run/pyp:4685-7020) as subcommands:
+
+  pyp_tpu spr     -data_path "movies/*.mrc" ...   # SPA preprocessing swarm
+  pyp_tpu tomo    ...                             # tilt-series swarm
+  pyp_tpu extract ...                             # build particle stack
+  pyp_tpu refine  -refine_maxiter 5 ...           # 3D refinement loop
+  pyp_tpu classify2d -class_num 50 ...            # 2D classification
+  pyp_tpu postprocess ...                         # masking/sharpening/FSC
+  pyp_tpu worker  payload.json                    # SLURM array element entry
+
+State persists in the project directory (.pyp_tpu_config.toml + per-item
+metadata bundles), so re-running a mode resumes.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.config import params as cfg
+from pyp_tpu.utils import get_logger
+
+logger = get_logger("cli")
+
+MODES = ("spr", "tomo", "extract", "refine", "classify2d", "postprocess",
+         "worker", "params")
+
+
+def _project_params(argv, work_dir="."):
+    overrides = cfg.parse_arguments(argv)
+    explicit = {}
+    defaults = cfg.defaults()
+    for k, v in overrides.items():
+        if defaults.get(k) != v:
+            explicit[k] = v
+    return cfg.update_parameters(work_dir, explicit)
+
+
+def _discover_items(params):
+    pattern = params.get("data_path") or ""
+    items = []
+    for path in sorted(glob.glob(pattern)):
+        items.append({"name": Path(path).stem, "path": path})
+    return items
+
+
+def mode_spr(argv):
+    params = _project_params(argv)
+    items = _discover_items(params)
+    if not items:
+        logger.error("no input files match data_path=%r", params.get("data_path"))
+        return 1
+    from pyp_tpu.pipeline import spr
+    from pyp_tpu.sched import JobGraph, LocalExecutor
+
+    graph = JobGraph("spr")
+    graph.swarm(
+        "sprswarm", items,
+        work_fn=lambda item: spr.process_micrograph(item, params),
+        merge_fn=lambda results, missing: spr.spr_merge(results, missing),
+        max_retries=int(params.get("slurm_merge_retries") or 2),
+    )
+    LocalExecutor().run(graph)
+    merge = graph.jobs["sprswarm.merge"]
+    print(json.dumps(merge.result, indent=1, default=str))
+    return 0 if merge.status == "done" else 1
+
+
+def mode_tomo(argv):
+    params = _project_params(argv)
+    items = _discover_items(params)
+    if not items:
+        logger.error("no input files match data_path=%r", params.get("data_path"))
+        return 1
+    from pyp_tpu.io import mrc
+    from pyp_tpu.pipeline import tomo as tomo_pipe
+    from pyp_tpu.sched import JobGraph, LocalExecutor
+
+    def load_item(item):
+        # tilt angles from a sidecar .tlt/.rawtlt file if present
+        for ext in (".tlt", ".rawtlt"):
+            tlt = Path(item["path"]).with_suffix(ext)
+            if tlt.exists():
+                item["angles"] = np.loadtxt(tlt)
+                break
+        else:
+            n = mrc.read_header(item["path"]).nz
+            item["angles"] = np.linspace(-60, 60, n)
+        return tomo_pipe.process_tilt_series(item, params)
+
+    graph = JobGraph("tomo")
+    graph.swarm(
+        "tomoswarm", items, work_fn=load_item,
+        merge_fn=lambda results, missing: tomo_pipe.tomo_merge(results, missing),
+    )
+    LocalExecutor().run(graph)
+    merge = graph.jobs["tomoswarm.merge"]
+    print(json.dumps(merge.result, indent=1, default=str))
+    return 0 if merge.status == "done" else 1
+
+
+def mode_extract(argv):
+    params = _project_params(argv)
+    from pyp_tpu.pipeline import spr
+
+    names = sorted(
+        p.name.replace(".meta.npz", "") for p in Path(".").glob("*.meta.npz")
+    )
+    stack, table = spr.extract_stack([{"name": n} for n in names], params)
+    if stack is None:
+        logger.error("no picked particles found in project dir")
+        return 1
+    print(json.dumps({"particles": len(stack), "stack": "stack.mrc"}))
+    return 0
+
+
+def mode_refine(argv):
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, mrc
+    from pyp_tpu.pipeline import refine as ref_pipe
+
+    stack = mrc.read("stack.mrc").astype(np.float32)
+    table = cistem.read_parameters("stack.cistem")
+    model_path = params.get("model_path") or ""
+    n = stack.shape[-1]
+    init_path = Path("initial_model.mrc")
+    if init_path.exists():
+        initial = mrc.read(init_path).astype(np.float32)
+    else:
+        # featureless sphere initial model (the reference's fallback)
+        from pyp_tpu.core.filters import soft_spherical_mask
+
+        initial = np.asarray(soft_spherical_mask(n, n * 0.3, 5.0), dtype=np.float32)
+    dataset = params.get("data_set") or "dataset"
+    table, final, history = ref_pipe.refine_loop(
+        stack, table, initial, params, dataset=dataset,
+    )
+    print(json.dumps({"iterations": history}, default=str))
+    return 0
+
+
+def mode_classify2d(argv):
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, mrc
+    from pyp_tpu.ops import refine2d
+    from pyp_tpu.pipeline.refine import table_to_ctf_params
+
+    stack = mrc.read("stack.mrc").astype(np.float32)
+    table = cistem.read_parameters("stack.cistem")
+    res = refine2d.classify2d(
+        stack, table_to_ctf_params(table),
+        int(params.get("class_num") or 10),
+        float(params["scope_pixel"]),
+        iters=int(params.get("class_2d_iters") or 10),
+        high_res=float(params.get("class_rhcls") or 10.0),
+    )
+    mrc.write(np.asarray(res.class_avgs), "classes_2d.mrc",
+              pixel_size=float(params["scope_pixel"]))
+    table["best_2d_class"] = np.asarray(res.assignments) + 1
+    cistem.write_parameters(table, "stack.cistem")
+    print(json.dumps({
+        "classes": int(res.class_avgs.shape[0]),
+        "occupancy": np.asarray(res.occupancy).tolist(),
+    }))
+    return 0
+
+
+def mode_postprocess(argv):
+    params = _project_params(argv)
+    from pyp_tpu.postprocess import core as post
+
+    dataset = params.get("data_set") or "dataset"
+    out = post.postprocess_latest(dataset, params)
+    print(json.dumps(out, default=str))
+    return 0
+
+
+def mode_worker(argv):
+    """SLURM array element entry: run a serialized job payload."""
+    payload = json.loads(Path(argv[0]).read_text())
+    mode = payload["mode"]
+    return main([mode] + payload.get("argv", []))
+
+
+def mode_params(argv):
+    params = _project_params(argv)
+    print(json.dumps(params, indent=1, default=str))
+    return 0
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        print("modes:", ", ".join(MODES))
+        return 0
+    mode, rest = argv[0], argv[1:]
+    if mode not in MODES:
+        print(f"unknown mode {mode!r}; available: {', '.join(MODES)}")
+        return 2
+    return globals()[f"mode_{mode}"](rest)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,200 @@
+"""Declarative parameter schema.
+
+The rebuild's equivalent of the reference's 11.4k-line TOML schema
+(/root/reference/config/pyp_config.toml: ~1,540 parameter definitions in 70
+`tabs.*` groups; parameter id = "<tab>_<name>"). Same id convention so
+project files and muscle memory transfer; the set here covers the parameters
+the TPU kernels actually consume plus orchestration knobs — it grows with
+the framework.
+
+Schema -> argparse CLI (config.params.build_parser), web forms, and project
+state files. Values support per-iteration schedules with colon syntax
+("8:7:6:4:3", resolved by config.params.param()).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ParamDef:
+    name: str                 # full id, e.g. "movie_ali"
+    type: type                # float, int, str, bool
+    default: object = None
+    help: str = ""
+    enum: tuple = ()
+    schedule: bool = False    # may carry an iteration schedule "a:b:c"
+
+
+def P(name, type, default=None, help="", enum=(), schedule=False):  # noqa: A002
+    return ParamDef(name, type, default, help, tuple(enum), schedule)
+
+
+SCHEMA: dict[str, list[ParamDef]] = {
+    # ------------------------------------------------------------------ scope
+    "scope": [
+        P("scope_pixel", float, 1.0, "pixel size (Å)"),
+        P("scope_voltage", float, 300.0, "acceleration voltage (kV)"),
+        P("scope_cs", float, 2.7, "spherical aberration (mm)"),
+        P("scope_wgh", float, 0.07, "amplitude contrast"),
+        P("scope_dose_rate", float, 1.0, "dose per frame (e-/Å²)"),
+        P("scope_mag", float, 10000.0, "nominal magnification"),
+    ],
+    # ------------------------------------------------------------------- data
+    "data": [
+        P("data_mode", str, "spr", "processing mode", enum=("spr", "tomo")),
+        P("data_path", str, "", "glob for raw movies / tilt series"),
+        P("data_set", str, "", "dataset name"),
+        P("data_bin", int, 1, "binning applied on import"),
+        P("data_invert", bool, False, "invert contrast on import"),
+    ],
+    "gain": [
+        P("gain_reference", str, "", "gain reference image path"),
+        P("gain_rotation", int, 0, "gain rotation (multiples of 90°)"),
+        P("gain_fliph", bool, False, "flip gain horizontally"),
+        P("gain_flipv", bool, False, "flip gain vertically"),
+    ],
+    # ------------------------------------------------------------------ movie
+    "movie": [
+        P("movie_ali", str, "tpu", "frame alignment engine",
+          enum=("tpu", "skip")),
+        P("movie_bfactor", float, 1500.0, "B-factor for frame xcorr weighting (Å²)"),
+        P("movie_iters", int, 8, "alignment iterations"),
+        P("movie_search", float, 48.0, "max shift search radius (px)"),
+        P("movie_smooth_order", int, 3, "polynomial order for trajectory smoothing"),
+        P("movie_patches", int, 0, "local motion patch grid (0 = global only)"),
+        P("movie_weights", bool, True, "dose-weighted average output"),
+        P("movie_force", bool, False, "force re-run of frame alignment"),
+        P("movie_first", int, 0, "first frame used"),
+        P("movie_last", int, -1, "last frame used (-1 = all)"),
+    ],
+    # -------------------------------------------------------------------- ctf
+    "ctf": [
+        P("ctf_tile", int, 512, "power spectrum tile size"),
+        P("ctf_min_res", float, 30.0, "lowest resolution of fit (Å)"),
+        P("ctf_max_res", float, 5.0, "highest resolution of fit (Å)"),
+        P("ctf_min_def", float, 3000.0, "minimum defocus (Å)"),
+        P("ctf_max_def", float, 50000.0, "maximum defocus (Å)"),
+        P("ctf_fstep", float, 250.0, "defocus search step (Å)"),
+        P("ctf_use_ast", bool, True, "fit astigmatism"),
+        P("ctf_dast", float, 4000.0, "max astigmatism (Å)"),
+        P("ctf_use_phs", bool, False, "fit phase shift (phase plate)"),
+        P("ctf_force", bool, False, "force re-run of CTF estimation"),
+    ],
+    # ----------------------------------------------------------------- detect
+    "detect": [
+        P("detect_method", str, "auto", "particle picking method",
+          enum=("auto", "all", "manual", "import", "none")),
+        P("detect_rad", float, 80.0, "particle radius (Å)"),
+        P("detect_thresh", float, 1.0, "picking threshold (sigma)"),
+        P("detect_dist", float, 0.0, "min distance between picks (px, 0=auto)"),
+        P("detect_max", int, 1024, "max picks per micrograph"),
+        P("detect_force", bool, False, "force re-run of picking"),
+    ],
+    "particle": [
+        P("particle_rad", float, 80.0, "particle radius (Å)"),
+        P("particle_mw", float, 100.0, "molecular weight (kDa)"),
+        P("particle_sym", str, "C1", "point-group symmetry"),
+    ],
+    # ---------------------------------------------------------------- extract
+    "extract": [
+        P("extract_box", int, 128, "box size (px)"),
+        P("extract_bin", int, 1, "extraction binning"),
+        P("extract_fmt", str, "mrc", "stack format"),
+        P("extract_inv", bool, True, "invert contrast on extraction"),
+    ],
+    # --------------------------------------------------------------- tomo_ali
+    "tomo_ali": [
+        P("tomo_ali_method", str, "tpu", "tilt alignment engine",
+          enum=("tpu", "import", "skip")),
+        P("tomo_ali_bin", int, 4, "binning for alignment"),
+        P("tomo_ali_patches", int, 12, "patches tracked for the model solve"),
+        P("tomo_ali_patch_size", int, 64, "patch size (px, binned)"),
+        P("tomo_ali_force", bool, False, "force re-run of tilt alignment"),
+    ],
+    # --------------------------------------------------------------- tomo_rec
+    "tomo_rec": [
+        P("tomo_rec_thickness", int, 2048, "tomogram thickness (unbinned px)"),
+        P("tomo_rec_binning", int, 8, "reconstruction binning"),
+        P("tomo_rec_method", str, "wbp", "reconstruction method", enum=("wbp",)),
+        P("tomo_rec_filter_cutoff", float, 0.35, "ramp filter cutoff (cyc/px)"),
+        P("tomo_rec_filter_falloff", float, 0.05, "ramp filter falloff"),
+        P("tomo_rec_erase_fiducials", bool, False, "erase gold beads first"),
+    ],
+    "tomo_vir": [
+        P("tomo_vir_method", str, "none", "virion detection", enum=("none", "template", "auto")),
+        P("tomo_vir_rad", float, 500.0, "virion radius (Å)"),
+        P("tomo_vir_detect_band", float, 800.0, "detection band (Å)"),
+    ],
+    "tomo_spk": [
+        P("tomo_spk_method", str, "none", "3D particle picking",
+          enum=("none", "auto", "template", "surface", "import")),
+        P("tomo_spk_rad", float, 100.0, "particle radius (Å)"),
+        P("tomo_spk_max", int, 2048, "max picks per tomogram"),
+    ],
+    # ------------------------------------------------------------------ class
+    "class": [
+        P("class_num", int, 1, "number of classes"),
+        P("class_rhcls", float, 10.0, "classification high-res limit (Å)"),
+        P("class_2d_iters", int, 10, "2D classification iterations"),
+    ],
+    # ----------------------------------------------------------------- refine
+    "refine": [
+        P("refine_maxiter", int, 5, "number of refinement iterations"),
+        P("refine_iter", int, 2, "first iteration (resume point)"),
+        P("refine_mode", str, "local", "search mode", enum=("global", "local")),
+        P("refine_rlref", float, 100.0, "low-res limit (Å)"),
+        P("refine_rhref", str, "8:7:6:4:3", "high-res limit schedule (Å)",
+          schedule=True),
+        P("refine_dang", float, 15.0, "global angular step (deg)"),
+        P("refine_psi_step", float, 10.0, "in-plane angular step (deg)"),
+        P("refine_searchx", float, 6.0, "shift search extent x (px)"),
+        P("refine_searchy", float, 6.0, "shift search extent y (px)"),
+        P("refine_topk", int, 4, "global-search candidates refined per particle"),
+        P("refine_local_iters", int, 24, "local refinement gradient steps"),
+        P("refine_skip", bool, False, "reconstruction-only iteration"),
+        P("refine_bsc", float, 0.0, "score-based particle weighting factor"),
+    ],
+    # ------------------------------------------------------------ reconstruct
+    "reconstruct": [
+        P("reconstruct_rrec", float, 0.0, "reconstruction res limit (Å, 0=Nyquist)"),
+        P("reconstruct_wiener", float, 0.5, "Wiener regularization constant"),
+        P("reconstruct_pad", int, 2, "Fourier oversampling factor"),
+        P("reconstruct_norm", bool, True, "normalize particles"),
+        P("reconstruct_dose_weighting_enable", bool, False, "dose weighting"),
+    ],
+    # -------------------------------------------------------------------- csp
+    "csp": [
+        P("csp_UseImagesForRefinementMin", int, 0, "first tilt used"),
+        P("csp_UseImagesForRefinementMax", int, -1, "last tilt used (-1=all)"),
+        P("csp_refine_modes", str, "3:0:1:2", "mode schedule per pass"),
+        P("csp_OptimizerIters", int, 20, "gradient steps per mode"),
+        P("csp_transreg", float, 0.1, "trajectory smoothness regularization"),
+        P("csp_Grid", str, "1:1:1", "patch grid (x:y:z)"),
+        P("csp_box", int, 64, "projection window size (px)"),
+        P("csp_rlref", float, 60.0, "low-res limit (Å)"),
+        P("csp_rhref", str, "12", "high-res limit schedule (Å)", schedule=True),
+    ],
+    # ------------------------------------------------------------------ slurm
+    "slurm": [
+        P("slurm_tasks", int, 1, "tasks per swarm job"),
+        P("slurm_memory", int, 16, "memory per task (GB)"),
+        P("slurm_walltime", str, "24:00:00", "walltime"),
+        P("slurm_queue", str, "", "partition/queue"),
+        P("slurm_merge_retries", int, 2, "merge retry budget for missing items"),
+        P("slurm_bundle", int, 1, "array-task bundling factor"),
+    ],
+}
+
+
+def all_params() -> dict[str, ParamDef]:
+    out = {}
+    for tab, defs in SCHEMA.items():
+        for d in defs:
+            out[d.name] = d
+    return out
+
+
+def defaults() -> dict:
+    return {d.name: d.default for d in all_params().values()}

@@ -1,0 +1,166 @@
+"""Iterative 3D refinement loop — the frealign_iterate equivalent.
+
+Rebuild of the reference's refinement driver (call stack SURVEY §3.3,
+refine/frealign/frealign.py:1422): per iteration — (optional) occupancy
+update, pose refinement over particle ranges, reconstruction of half maps,
+FSC/resolution bookkeeping, durable per-iteration state
+(maps/<dataset>_r01_02.mrc + .cistem tables) so `refine_iter` resumes.
+Particle-range sharding is a batch loop on one chip and shard_map across
+chips (pyp_tpu.parallel); classes refine independently.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.config.params import param
+from pyp_tpu.io import cistem, mrc
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("refine")
+
+
+def table_to_ctf_params(table: cistem.Table) -> np.ndarray:
+    return np.stack([
+        table["defocus_1"], table["defocus_2"], table["defocus_angle"],
+        table["phase_shift"] if "phase_shift" in table else np.zeros(table.n_rows),
+    ], axis=1).astype(np.float32)
+
+
+def table_to_poses(table: cistem.Table, pixel: float) -> np.ndarray:
+    """Pose array from a .cistem table; shifts stored in Å -> pixels."""
+    return np.stack([
+        table["phi"], table["theta"], table["psi"],
+        table["y_shift"] / pixel, table["x_shift"] / pixel,
+    ], axis=1).astype(np.float32)
+
+
+def poses_into_table(table: cistem.Table, result, pixel: float):
+    table["phi"] = np.asarray(result.phi)
+    table["theta"] = np.asarray(result.theta)
+    table["psi"] = np.asarray(result.psi)
+    table["y_shift"] = np.asarray(result.shift_y) * pixel
+    table["x_shift"] = np.asarray(result.shift_x) * pixel
+    table["score"] = np.asarray(result.score)
+    table["logp"] = np.asarray(result.logp)
+    table["sigma"] = np.asarray(result.sigma)
+    return table
+
+
+def refinement_iteration(
+    stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
+    batch: int = 256,
+):
+    """One iteration: refine poses (batched over particle ranges), then
+    reconstruct half maps + FSC. Returns (table, Reconstruction)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops import refine3d
+
+    pixel = float(table["pixel_size"][0]) if "pixel_size" in table else float(
+        params["scope_pixel"]
+    )
+    rhref = float(param(params["refine_rhref"], iteration))
+    mode = params.get("refine_mode", "local")
+    n_total = table.n_rows
+    ctf_params = table_to_ctf_params(table)
+    has_poses = np.any(np.abs(table_to_poses(table, pixel)[:, :3]) > 1e-6)
+    global_search = mode == "global" or not has_poses
+
+    results = []
+    if not params.get("refine_skip"):
+        with Timer(f"refinement iteration {iteration}"):
+            for lo in range(0, n_total, batch):
+                hi = min(lo + batch, n_total)
+                init = None if global_search else table_to_poses(table, pixel)[lo:hi]
+                res = refine3d.refine_batch(
+                    jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                    jnp.asarray(ref_volume), pixel,
+                    angular_step=float(params["refine_dang"]),
+                    psi_step=float(params["refine_psi_step"]),
+                    low_res=float(params["refine_rlref"]),
+                    high_res_search=max(rhref, 2.5 * pixel),
+                    high_res_refine=max(rhref * 0.8, 2.1 * pixel),
+                    shift_extent=float(params["refine_searchx"]),
+                    symmetry=str(params["particle_sym"]),
+                    mode="global" if global_search else "local",
+                    init_poses=init,
+                    topk=int(params.get("refine_topk") or 4),
+                    local_iters=int(params.get("refine_local_iters") or 24),
+                    voltage_kv=float(params["scope_voltage"]),
+                    cs_mm=float(params["scope_cs"]),
+                    amplitude_contrast=float(params["scope_wgh"]),
+                )
+                results.append(res)
+            merged = refine3d.RefineResult(*(
+                jnp.concatenate([getattr(r, f) for r in results])
+                for f in refine3d.RefineResult._fields
+            ))
+            table = poses_into_table(table, merged, pixel)
+
+    with Timer(f"reconstruction iteration {iteration}"):
+        poses = table_to_poses(table, pixel)
+        subset = (
+            np.asarray(table["assigned_subset"]) - 1
+            if "assigned_subset" in table else np.arange(n_total) % 2
+        )
+        weights = (
+            np.asarray(table["occupancy"]) / 100.0
+            if "occupancy" in table else np.ones(n_total)
+        )
+        out = rec.reconstruct(
+            np.asarray(stack), poses, ctf_params, pixel,
+            subset=subset.astype(np.int32), weights=weights.astype(np.float32),
+            symmetry=str(params["particle_sym"]),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+            wiener=float(params.get("reconstruct_wiener") or 0.5),
+            batch=batch,
+        )
+    res_a = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
+    logger.info("iteration %d: FSC(0.143) resolution %.2f Å", iteration, res_a)
+    return table, out, res_a
+
+
+def refine_loop(stack, table, initial_model, params, work_dir=".",
+                dataset="dataset", cls: int = 1):
+    """Multi-iteration refinement with durable per-iteration state
+    (maps/<dataset>_r{cls:02d}_{it:02d}.mrc/.cistem — resume at refine_iter)."""
+    maps_dir = Path(work_dir) / "maps"
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    pixel = float(params["scope_pixel"])
+    start = int(params.get("refine_iter") or 2)
+    maxiter = int(params["refine_maxiter"])
+    ref = np.asarray(initial_model)
+
+    # resume: load the latest finished iteration's map/table if present
+    for it in range(maxiter + 1, start - 1, -1):
+        m = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc"
+        t = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.cistem"
+        if m.exists() and t.exists():
+            ref = mrc.read(m).astype(np.float32)
+            table = cistem.read_parameters(t)
+            start = it + 1
+            logger.info("resuming at iteration %d", start)
+            break
+
+    history = []
+    for it in range(start, maxiter + 2):
+        table, recon, res_a = refinement_iteration(stack, table, ref, params, it)
+        ref = np.asarray(recon.volume, dtype=np.float32)
+        mrc.write(ref, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc", pixel_size=pixel)
+        mrc.write(np.asarray(recon.half1), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half1.mrc", pixel_size=pixel)
+        mrc.write(np.asarray(recon.half2), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half2.mrc", pixel_size=pixel)
+        cistem.write_parameters(table, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.cistem")
+        np.savetxt(
+            maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_fsc.txt",
+            np.stack([np.asarray(recon.freqs), np.asarray(recon.fsc)], 1),
+            header="freq_cyc_per_px fsc",
+        )
+        history.append({"iteration": it, "resolution": res_a})
+    return table, ref, history

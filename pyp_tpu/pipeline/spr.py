@@ -1,0 +1,240 @@
+"""Single-particle (SPA) preprocessing pipeline.
+
+The rebuild of the reference's `spr_swarm` worker (call stack SURVEY §3.1,
+bin/run/pyp:1433): per micrograph — frame alignment, CTF estimation, particle
+picking, extraction bookkeeping — with metadata-driven `is_done` resume
+(pyp_metadata semantics) and a merge step that assembles the dataset-level
+particle table. Each numerical stage calls the jit-compiled TPU kernels in
+pyp_tpu.ops instead of shelling out to unblur/ctffind/binaries.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.config.params import param
+from pyp_tpu.io import cistem, mrc
+from pyp_tpu.io.metadata import ItemMetadata
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("spr")
+
+
+def load_movie(path):
+    """Read a movie stack (MRC or TIFF) into (n_frames, ny, nx) float32."""
+    path = str(path)
+    if path.endswith((".tif", ".tiff")):
+        from pyp_tpu.io.tiff import read as tiff_read
+
+        return np.asarray(tiff_read(path), dtype=np.float32)
+    data = mrc.read(path)
+    if data.ndim == 2:
+        data = data[None]
+    return data.astype(np.float32)
+
+
+def apply_gain(frames, params):
+    gain_path = params.get("gain_reference") or ""
+    if not gain_path:
+        return frames
+    gain = mrc.read(gain_path).astype(np.float32)
+    if gain.ndim == 3:
+        gain = gain[0]
+    rot = int(params.get("gain_rotation") or 0)
+    if rot:
+        gain = np.rot90(gain, rot)
+    if params.get("gain_fliph"):
+        gain = gain[:, ::-1]
+    if params.get("gain_flipv"):
+        gain = gain[::-1]
+    return frames * gain[None]
+
+
+def process_micrograph(item, params: dict, work_dir=".") -> dict:
+    """Full per-micrograph preprocessing. `item` is {"name", "path"} or
+    {"name", "frames": array}. Returns a summary dict; detailed arrays land
+    in the ItemMetadata bundle."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import ctf_fit, motion, pick
+
+    name = item["name"]
+    meta = ItemMetadata(name, work_dir, mode="spr").load()
+    meta.refresh(params)
+    pixel = float(params["scope_pixel"]) * int(params.get("data_bin") or 1)
+    summary = {"name": name}
+
+    frames = None
+
+    def get_frames():
+        nonlocal frames
+        if frames is None:
+            raw = item.get("frames")
+            if raw is None:
+                raw = load_movie(item["path"])
+            frames = apply_gain(np.asarray(raw, dtype=np.float32), params)
+            first = int(params.get("movie_first") or 0)
+            last = int(params.get("movie_last") or -1)
+            if last < 0:
+                last = frames.shape[0]
+            frames = frames[first:last]
+        return frames
+
+    # ---- motion correction ------------------------------------------------
+    if not meta.is_done("drift") and params.get("movie_ali") != "skip":
+        with Timer("movie alignment"):
+            f = jnp.asarray(get_frames())
+            res = motion.align_movie(
+                f,
+                pixel_size=pixel,
+                bfactor=float(params["movie_bfactor"]),
+                max_iters=int(params["movie_iters"]),
+                search_radius=float(params["movie_search"]),
+                smooth_order=int(params["movie_smooth_order"]),
+            )
+            if params.get("movie_weights"):
+                dose = float(params.get("scope_dose_rate") or 1.0)
+                doses = jnp.arange(1, f.shape[0] + 1) * dose
+                avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)
+            else:
+                avg = res.average
+            meta["drift"] = np.asarray(res.shifts)
+            meta["average"] = np.asarray(avg, dtype=np.float32)
+    elif not meta.is_done("average"):
+        f = get_frames()
+        meta["drift"] = np.zeros((f.shape[0], 2), dtype=np.float32)
+        meta["average"] = f.mean(axis=0)
+    average = meta["average"]
+    summary["drift_px"] = float(np.abs(np.diff(meta["drift"], axis=0)).sum())
+
+    # ---- CTF estimation ---------------------------------------------------
+    if not meta.is_done("ctf"):
+        with Timer("CTF estimation"):
+            import jax.numpy as jnp
+
+            fit = ctf_fit.fit_ctf_micrograph(
+                jnp.asarray(average), pixel,
+                tile=min(int(params["ctf_tile"]), min(average.shape)),
+                dfmin=float(params["ctf_min_def"]),
+                dfmax=float(params["ctf_max_def"]),
+                dfstep=float(params["ctf_fstep"]),
+                min_res=float(params["ctf_min_res"]),
+                max_res=float(params["ctf_max_res"]),
+                fit_astigmatism=bool(params["ctf_use_ast"]),
+                max_astig=float(params["ctf_dast"]),
+                fit_phase=bool(params["ctf_use_phs"]),
+            )
+            meta["ctf"] = np.array([
+                float(fit.df1), float(fit.df2), float(fit.angast),
+                float(fit.phase_shift), float(fit.cc), float(fit.fit_res),
+            ])
+    ctf_vec = meta["ctf"]
+    summary["df1"], summary["df2"] = float(ctf_vec[0]), float(ctf_vec[1])
+    summary["ctf_fit_res"] = float(ctf_vec[5])
+
+    # ---- particle picking -------------------------------------------------
+    method = params.get("detect_method", "auto")
+    if not meta.is_done("box") and method not in ("none", "manual"):
+        with Timer("particle picking"):
+            import jax.numpy as jnp
+
+            radius_px = max(4, int(float(params["detect_rad"]) / pixel))
+            res = pick.pick_particles(
+                jnp.asarray(average),
+                particle_radius_px=radius_px,
+                max_picks=int(params["detect_max"]),
+                min_distance_px=int(float(params["detect_dist"]) or radius_px),
+                threshold_sigma=float(params["detect_thresh"]),
+                edge_px=int(params["extract_box"]) // 2,
+            )
+            valid = np.asarray(res.valid)
+            coords = np.asarray(res.coords)[valid]
+            scores = np.asarray(res.scores)[valid]
+            meta["box"] = np.concatenate([coords, scores[:, None]], axis=1)
+    if meta.is_done("box"):
+        summary["particles"] = int(len(meta["box"]))
+    else:
+        summary["particles"] = 0
+
+    meta.scalars.update(
+        {"pixel": pixel, "voltage": float(params["scope_voltage"])}
+    )
+    meta.save()
+    return summary
+
+
+def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
+    """Dataset-level extraction: windows every picked particle from its
+    micrograph average into one stack + a .cistem parameter table (what the
+    reference assembles via per-micrograph .boxx + stacks, extract/core.py)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import extract as ex
+
+    box = int(params["extract_box"])
+    pixel = float(params["scope_pixel"]) * int(params.get("data_bin") or 1)
+    all_imgs = []
+    rows = []
+    film = 0
+    for item in items:
+        name = item["name"] if isinstance(item, dict) else item
+        meta = ItemMetadata(name, work_dir, mode="spr").load()
+        if not (meta.is_done("box") and meta.is_done("average")):
+            continue
+        coords = meta["box"][:, :2].astype(np.int32)
+        if len(coords) == 0:
+            film += 1
+            continue
+        stack = ex.extract_particles(
+            jnp.asarray(meta["average"]), jnp.asarray(coords), box,
+            invert=bool(params.get("extract_inv", True)),
+        )
+        all_imgs.append(np.asarray(stack, dtype=np.float32))
+        ctf_vec = meta["ctf"] if meta.is_done("ctf") else np.zeros(6)
+        for c in coords:
+            rows.append((film, c[0], c[1], ctf_vec[0], ctf_vec[1], ctf_vec[2]))
+        film += 1
+    if not all_imgs:
+        return None, None
+    stack = np.concatenate(all_imgs, axis=0)
+    mrc.write(stack, Path(work_dir) / out_stack, pixel_size=pixel)
+
+    n = len(rows)
+    table = cistem.Table.zeros(n)
+    arr = np.asarray(rows, dtype=np.float64)
+    table["position_in_stack"] = np.arange(1, n + 1)
+    table["image_is_active"] = np.ones(n)
+    table["particle_group"] = arr[:, 0] + 1
+    table["original_y_position"] = arr[:, 1]
+    table["original_x_position"] = arr[:, 2]
+    table["defocus_1"] = arr[:, 3]
+    table["defocus_2"] = arr[:, 4]
+    table["defocus_angle"] = arr[:, 5]
+    table["pixel_size"] = np.full(n, pixel)
+    table["microscope_voltage"] = np.full(n, float(params["scope_voltage"]))
+    table["microscope_cs"] = np.full(n, float(params["scope_cs"]))
+    table["amplitude_contrast"] = np.full(n, float(params["scope_wgh"]))
+    table["occupancy"] = np.full(n, 100.0)
+    table["assigned_subset"] = np.arange(n) % 2 + 1
+    cistem.write_parameters(table, Path(work_dir) / (out_stack.replace(".mrc", ".cistem")))
+    return stack, table
+
+
+def spr_merge(results: dict, missing: list, work_dir=".") -> dict:
+    """Dataset merge: aggregate per-micrograph summaries (the reference's
+    spr_merge, bin/run/pyp:735) and report missing items."""
+    ok = [r for r in results.values() if r]
+    out = {
+        "micrographs": len(ok),
+        "missing": list(missing),
+        "particles": int(sum(r.get("particles", 0) for r in ok)),
+        "mean_ctf_fit_res": float(np.mean([r["ctf_fit_res"] for r in ok]))
+        if ok else 0.0,
+    }
+    logger.info(
+        "merged %d micrographs (%d missing), %d particles",
+        out["micrographs"], len(missing), out["particles"],
+    )
+    return out

@@ -1,0 +1,155 @@
+"""Tilt-series (TOMO) preprocessing pipeline.
+
+Rebuild of the reference's `tomo_swarm` worker (call stack SURVEY §3.2,
+bin/run/pyp:1734): per tilt-series — per-tilt frame alignment, tilt-series
+alignment (xcorr prealign + patch-track model solve), per-tilt CTF, tomogram
+reconstruction by WBP, 3D particle picking — with metadata-driven resume.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyp_tpu.io.metadata import ItemMetadata
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("tomo")
+
+
+def process_tilt_series(item, params: dict, work_dir=".") -> dict:
+    """`item`: {"name", "tilts": (T, ny, nx) array or path, "angles": (T,)}"""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.fft import bin_images
+    from pyp_tpu.ops import ctf_fit, pick, tomo
+
+    name = item["name"]
+    meta = ItemMetadata(name, work_dir, mode="tomo").load()
+    meta.refresh(params)
+    pixel = float(params["scope_pixel"])
+    summary = {"name": name}
+
+    tilts = item.get("tilts")
+    if tilts is None:
+        from pyp_tpu.io import mrc
+
+        tilts = mrc.read(item["path"]).astype(np.float32)
+    tilts = np.asarray(tilts, dtype=np.float32)
+    angles = np.asarray(item["angles"], dtype=np.float32)
+    meta["tlt"] = angles
+
+    binning = int(params.get("tomo_ali_bin") or 4)
+    binning = max(1, min(binning, tilts.shape[-1] // 128 or 1))
+    tilts_b = np.asarray(bin_images(jnp.asarray(tilts), binning)) if binning > 1 else tilts
+    pixel_b = pixel * binning
+
+    # ---- tilt-series alignment -------------------------------------------
+    if not meta.is_done("xf") and params.get("tomo_ali_method") != "skip":
+        with Timer("tilt-series alignment"):
+            shifts = tomo.prealign_tilt_series(jnp.asarray(tilts_b), angles)
+            # patch-track + projection model refinement
+            npatch = int(params.get("tomo_ali_patches") or 0)
+            axis_angle = 0.0
+            if npatch > 0:
+                ny, nx = tilts_b.shape[-2:]
+                ps = int(params.get("tomo_ali_patch_size") or 64)
+                g = max(2, int(np.sqrt(npatch)))
+                ys = np.linspace(ny * 0.25, ny * 0.75, g)
+                xs = np.linspace(nx * 0.25, nx * 0.75, g)
+                centers = np.array([(y, x) for y in ys for x in xs], dtype=np.float32)
+                tracks = tomo.track_patches(jnp.asarray(tilts_b), shifts, angles,
+                                            centers, patch_size=ps)
+                model = tomo.solve_projection_model(tracks, angles, (ny, nx))
+                shifts = -np.asarray(model.shifts)
+                axis_angle = float(model.axis_angle)
+                summary["align_residual_px"] = float(model.residual) * binning
+            meta["xf"] = np.concatenate(
+                [np.asarray(shifts) * binning,
+                 np.full((len(angles), 1), axis_angle)], axis=1,
+            )
+    if meta.is_done("xf"):
+        summary["axis_angle"] = float(meta["xf"][0, 2])
+
+    # ---- per-tilt CTF -----------------------------------------------------
+    if not meta.is_done("ctf"):
+        with Timer("per-tilt CTF"):
+            fits = ctf_fit.fit_ctf_tilt_series(
+                jnp.asarray(tilts), pixel,
+                tile=min(int(params.get("ctf_tile") or 512), min(tilts.shape[-2:])),
+                dfmin=float(params["ctf_min_def"]),
+                dfmax=float(params["ctf_max_def"]),
+                dfstep=float(params["ctf_fstep"]),
+                min_res=float(params["ctf_min_res"]),
+                max_res=max(float(params["ctf_max_res"]), 8.0),
+            )
+            meta["ctf"] = np.stack([
+                np.asarray(fits.df1), np.asarray(fits.df2),
+                np.asarray(fits.angast), np.asarray(fits.cc),
+                np.asarray(fits.fit_res),
+            ], axis=1)
+    summary["mean_defocus"] = float(np.mean(meta["ctf"][:, :2]))
+
+    # ---- tomogram reconstruction ------------------------------------------
+    rec_bin = int(params.get("tomo_rec_binning") or 8)
+    rec_bin = max(1, rec_bin // binning)
+    thickness = max(32, int(params.get("tomo_rec_thickness") or 2048) // (binning * rec_bin))
+    if not meta.is_done("rec_done"):
+        with Timer("tomogram reconstruction"):
+            t2 = (
+                np.asarray(bin_images(jnp.asarray(tilts_b), rec_bin))
+                if rec_bin > 1 else tilts_b
+            )
+            xf = meta["xf"] if meta.is_done("xf") else np.zeros((len(angles), 3))
+            shifts_r = xf[:, :2] / (binning * rec_bin)
+            recon = tomo.wbp_reconstruct(
+                jnp.asarray(t2), jnp.asarray(angles),
+                shifts=jnp.asarray(shifts_r.astype(np.float32)),
+                thickness=thickness,
+                cutoff=float(params.get("tomo_rec_filter_cutoff") or 0.35),
+                falloff=float(params.get("tomo_rec_filter_falloff") or 0.05),
+                slab=min(16, thickness),
+            )
+            from pyp_tpu.io import mrc
+
+            rec_path = f"{work_dir}/{name}.rec.mrc"
+            mrc.write(np.asarray(recon, dtype=np.float32), rec_path,
+                      pixel_size=pixel * binning * rec_bin)
+            meta["rec_done"] = np.array([1])
+            summary["tomogram"] = rec_path
+
+    # ---- 3D particle picking ---------------------------------------------
+    method = params.get("tomo_spk_method", "none")
+    if not meta.is_done("box") and method in ("auto",):
+        with Timer("3D particle picking"):
+            from pyp_tpu.io import mrc
+
+            recon = mrc.read(f"{work_dir}/{name}.rec.mrc")
+            rad_px = max(2, int(float(params["tomo_spk_rad"]) / (pixel * binning * rec_bin)))
+            coords = []
+            for z in range(recon.shape[0]):
+                res = pick.pick_particles(
+                    jnp.asarray(recon[z]), particle_radius_px=rad_px,
+                    max_picks=64, threshold_sigma=4.0, edge_px=rad_px,
+                    invert=False,
+                )
+                valid = np.asarray(res.valid)
+                for (y, x), s in zip(np.asarray(res.coords)[valid],
+                                     np.asarray(res.scores)[valid]):
+                    coords.append((z, y, x, s))
+            meta["box"] = np.asarray(coords, dtype=np.float32).reshape(-1, 4)
+            summary["particles"] = len(coords)
+
+    meta.scalars.update({"pixel": pixel, "binning": binning * rec_bin})
+    meta.save()
+    return summary
+
+
+def tomo_merge(results: dict, missing: list, work_dir=".") -> dict:
+    ok = [r for r in results.values() if r]
+    out = {
+        "tilt_series": len(ok),
+        "missing": list(missing),
+        "particles": int(sum(r.get("particles", 0) for r in ok)),
+    }
+    logger.info("merged %d tilt-series (%d missing)", len(ok), len(missing))
+    return out

@@ -1,0 +1,160 @@
+"""Map postprocessing: auto-masking, corrected FSC, B-factor sharpening.
+
+Replaces the reference's postprocess layer (/root/reference/src/pyp/
+postprocess/core.py:230 `cistem_postprocess` wrapping cistem2 sharpen_map /
+relion_postprocess; pyp_fsc.py): all in JAX —
+
+  * auto_mask: lowpass -> threshold -> dilation -> soft cosine edge;
+  * masked FSC with high-resolution noise substitution (phase randomization
+    beyond a shell, Chen et al. 2013) -> "part FSC";
+  * Guinier-fit automatic B-factor (Rosenthal & Henderson 2003) +
+    FSC-weighted sharpening and lowpass at the measured resolution.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import fsc as fsc_mod
+from pyp_tpu.utils import get_logger
+
+logger = get_logger("postprocess")
+
+
+def auto_mask(vol, lowpass_a=15.0, pixel_size=1.0, threshold_sigmas=1.0,
+              dilation_px=3, soft_px=6):
+    """Shape mask from a lowpassed map: threshold, dilate, soften."""
+    from pyp_tpu.core.filters import lowpass_filter_3d
+
+    lp = lowpass_filter_3d(jnp.asarray(vol), pixel_size, lowpass_a)
+    thr = jnp.mean(lp) + threshold_sigmas * jnp.std(lp)
+    binary = (lp > thr).astype(jnp.float32)
+    # dilation via box max-pool
+    k = 2 * dilation_px + 1
+    dil = jax.lax.reduce_window(binary, 0.0, jax.lax.max, (k, k, k),
+                                (1, 1, 1), "SAME")
+    # soft edge via normalized box blur applied twice
+    kk = 2 * soft_px + 1
+    blur = jax.lax.reduce_window(dil, 0.0, jax.lax.add, (kk, kk, kk),
+                                 (1, 1, 1), "SAME") / (kk ** 3)
+    return jnp.clip(blur * 1.2, 0.0, 1.0)
+
+
+def _phase_randomize(F, bins, cutoff_bin, seed=0):
+    """Randomize phases beyond a shell (for mask-correction FSC)."""
+    key = jax.random.PRNGKey(seed)
+    phases = jax.random.uniform(key, F.shape, minval=0.0, maxval=2 * np.pi)
+    rand = jnp.abs(F) * jnp.exp(1j * phases)
+    return jnp.where(bins[..., :] > cutoff_bin, rand, F)
+
+
+def masked_fsc(half1, half2, mask, pixel_size, rand_res_a=10.0):
+    """Mask-corrected FSC ("part FSC"): masked FSC with noise substitution
+    beyond the randomization shell. Returns (freqs, corrected_curve)."""
+    n = half1.shape[-1]
+    n_bins = n // 2
+    freqs, fsc_masked = fsc_mod.fsc(half1 * mask, half2 * mask, n_bins)
+    cutoff_bin = int(round((pixel_size / rand_res_a) / 0.5 * n_bins))
+    cutoff_bin = min(max(cutoff_bin, 2), n_bins - 2)
+
+    bins3 = fsc_mod._shell_bins(n, n_bins).reshape(n, n, n // 2 + 1)
+    F1 = jnp.fft.rfftn(jnp.asarray(half1))
+    F2 = jnp.fft.rfftn(jnp.asarray(half2))
+    r1 = jnp.fft.irfftn(_phase_randomize(F1, bins3, cutoff_bin, 1), s=half1.shape)
+    r2 = jnp.fft.irfftn(_phase_randomize(F2, bins3, cutoff_bin, 2), s=half2.shape)
+    _, fsc_rand = fsc_mod.fsc(r1 * mask, r2 * mask, n_bins)
+    corrected = fsc_mod.part_fsc(fsc_masked, fsc_rand, cutoff_bin + 2)
+    return freqs, corrected
+
+
+def guinier_bfactor(vol, pixel_size, min_res=10.0, max_res=None):
+    """Automatic B-factor from the Guinier plot slope: fit
+    ln|F|(g^2) in [1/min_res, 1/max_res]; B = 4 * slope."""
+    n = vol.shape[-1]
+    if max_res is None:
+        max_res = 2.5 * pixel_size
+    F = jnp.fft.rfftn(jnp.asarray(vol))
+    amps2 = jnp.abs(F) ** 2
+    n_bins = n // 2
+    bins = fsc_mod._shell_bins(n, n_bins)
+    sums = jnp.zeros(n_bins).at[bins].add(amps2.reshape(-1))
+    counts = jnp.zeros(n_bins).at[bins].add(1.0)
+    amp = jnp.sqrt(sums / jnp.maximum(counts, 1.0))
+    g = (jnp.arange(n_bins) + 0.5) * 0.5 / n_bins / pixel_size
+    sel = (g > 1.0 / min_res) & (g < 1.0 / max_res) & (amp > 0)
+    g2 = g * g
+    w = sel.astype(jnp.float32)
+    x = g2
+    y = jnp.log(jnp.maximum(amp, 1e-12))
+    xm = jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+    ym = jnp.sum(y * w) / jnp.maximum(jnp.sum(w), 1.0)
+    slope = jnp.sum(w * (x - xm) * (y - ym)) / jnp.maximum(
+        jnp.sum(w * (x - xm) ** 2), 1e-12
+    )
+    return 4.0 * slope  # negative for falling amplitudes
+
+
+def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
+                fsc_curve=None):
+    """Sharpen: apply -B (auto if None), optional Cref FSC weighting, and a
+    cosine lowpass at `resolution`."""
+    from pyp_tpu.core.filters import lowpass_filter_3d
+
+    vol = jnp.asarray(vol)
+    n = vol.shape[-1]
+    if bfactor is None:
+        bfactor = float(guinier_bfactor(vol, pixel_size))
+        logger.info("auto B-factor: %.1f Å²", bfactor)
+    F = jnp.fft.rfftn(vol)
+    fz = jnp.fft.fftfreq(n, d=pixel_size).reshape(n, 1, 1)
+    fy = jnp.fft.fftfreq(n, d=pixel_size).reshape(1, n, 1)
+    fx = jnp.fft.rfftfreq(n, d=pixel_size).reshape(1, 1, -1)
+    g2 = fz * fz + fy * fy + fx * fx
+    F = F * jnp.exp(-0.25 * bfactor * g2)  # bfactor < 0 -> sharpening
+    if fsc_curve is not None:
+        w = fsc_mod.fsc_weights(jnp.clip(jnp.asarray(fsc_curve), 0.0, 1.0))
+        F = F * fsc_mod.radial_shell_filter_3d((n, n, n), w)
+    out = jnp.fft.irfftn(F, s=vol.shape)
+    if resolution is not None:
+        out = lowpass_filter_3d(out, pixel_size, resolution)
+    return out, bfactor
+
+
+def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
+    """Find the newest half maps in maps/, run the full postprocess, write
+    <dataset>_sharpened.mrc + FSC table. The CLI `postprocess` mode."""
+    from pyp_tpu.io import mrc
+
+    maps_dir = Path(work_dir) / "maps"
+    halves = sorted(maps_dir.glob(f"{dataset}_r??_??_half1.mrc"))
+    if not halves:
+        raise FileNotFoundError(f"no half maps under {maps_dir}")
+    h1p = halves[-1]
+    h2p = Path(str(h1p).replace("half1", "half2"))
+    half1 = mrc.read(h1p).astype(np.float32)
+    half2 = mrc.read(h2p).astype(np.float32)
+    pixel = mrc.read_header(h1p).pixel_size
+    mask = auto_mask(half1 + half2, pixel_size=pixel)
+    freqs, curve = masked_fsc(half1, half2, mask, pixel)
+    res = float(fsc_mod.resolution_at_threshold(freqs, curve, pixel, 0.143))
+    combined = (half1 + half2) * 0.5
+    sharp, bfac = sharpen_map(combined, pixel, resolution=res, fsc_curve=curve)
+    out_map = maps_dir / f"{dataset}_sharpened.mrc"
+    mrc.write(np.asarray(sharp * mask, dtype=np.float32), out_map, pixel_size=pixel)
+    np.savetxt(
+        maps_dir / f"{dataset}_fsc_masked.txt",
+        np.stack([np.asarray(freqs) / pixel, np.asarray(curve)], 1),
+        header="freq_1_per_A fsc_corrected",
+    )
+    out = {
+        "resolution_A": res,
+        "bfactor": float(bfac),
+        "map": str(out_map),
+        "halves": [str(h1p), str(h2p)],
+    }
+    logger.info("postprocess: %.2f Å, B=%.0f", res, bfac)
+    return out

@@ -1,0 +1,158 @@
+"""Executors for job graphs: in-process local pool and SLURM emitter.
+
+Local = the reference's "standalone mode" (streampyp/jobs.py:283-295 +
+system/mpi.py worker pool): runs everything in one process (optionally a
+thread pool for I/O-bound stages — TPU stages serialize on the device
+anyway). Failed swarm items are retried up to their budget before the merge
+runs (the reference's merge-side resubmission, SURVEY §5.3).
+
+Slurm = generates sbatch array scripts with bundling and afterany
+dependencies matching the reference's submission shape
+(streampyp/jobs.py:137-345); submission itself shells out to sbatch when
+available, else writes the scripts for inspection (no cluster in CI).
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import subprocess
+import time
+import traceback
+from pathlib import Path
+
+from pyp_tpu.sched.graph import Job, JobGraph
+from pyp_tpu.utils.log import get_logger
+
+logger = get_logger("sched")
+
+
+class LocalExecutor:
+    def __init__(self, max_workers: int = 1):
+        self.max_workers = max_workers
+
+    def _run_job(self, graph: JobGraph, job: Job):
+        job.status = "running"
+        t0 = time.time()
+        try:
+            if job.deps:  # merge-style: pass dep results
+                results = {
+                    d: graph.jobs[d].result
+                    for d in job.deps
+                    if graph.jobs[d].status == "done"
+                }
+                missing = [d for d in job.deps if graph.jobs[d].status != "done"]
+                job.result = job.fn(results, missing, *job.args, **job.kwargs)
+            else:
+                job.result = job.fn(*job.args, **job.kwargs)
+            job.status = "done"
+        except Exception as e:  # noqa: BLE001
+            job.status = "failed"
+            job.error = f"{e}\n{traceback.format_exc()}"
+            logger.warning("job %s failed: %s", job.name, e)
+        job.elapsed = time.time() - t0
+
+    def run(self, graph: JobGraph):
+        """Run to completion with dependency ordering and retry-on-failure."""
+        while not graph.is_complete():
+            ready = graph.ready_jobs()
+            if not ready:
+                # retry failed leaf jobs with budget before declaring stall
+                progressed = False
+                for job in graph.jobs.values():
+                    if job.status == "failed" and not job.deps:
+                        if graph.resubmit(job):
+                            progressed = True
+                if not progressed:
+                    break
+                continue
+            # merges run after trying to resubmit their failed deps
+            for job in list(ready):
+                if job.deps:
+                    failed = [
+                        graph.jobs[d] for d in job.deps
+                        if graph.jobs[d].status == "failed"
+                    ]
+                    resub = [d for d in failed if graph.resubmit(d)]
+                    if resub:
+                        ready.remove(job)
+            if self.max_workers > 1:
+                leaf = [j for j in ready if not j.deps]
+                with cf.ThreadPoolExecutor(self.max_workers) as pool:
+                    list(pool.map(lambda j: self._run_job(graph, j), leaf))
+                for job in [j for j in ready if j.deps]:
+                    self._run_job(graph, job)
+            else:
+                for job in ready:
+                    self._run_job(graph, job)
+        return graph
+
+
+class SlurmExecutor:
+    """Emit (and optionally submit) sbatch scripts reproducing the
+    reference's array-with-bundling shape. Python jobs are exported as
+    `python -m pyp_tpu.cli worker <payload.json>` invocations."""
+
+    def __init__(self, script_dir="swarm", queue="", walltime="24:00:00",
+                 tasks: int = 1, memory_gb: int = 16, bundle: int = 1,
+                 submit: bool = False):
+        self.script_dir = Path(script_dir)
+        self.queue = queue
+        self.walltime = walltime
+        self.tasks = tasks
+        self.memory_gb = memory_gb
+        self.bundle = bundle
+        self.submit = submit
+
+    def write_array_script(self, stage: str, commands: list[str],
+                           dependency: str | None = None) -> Path:
+        """One array job; commands bundled `bundle` per element
+        (streampyp/jobs.py:137-170 semantics)."""
+        self.script_dir.mkdir(parents=True, exist_ok=True)
+        cmd_file = self.script_dir / f"{stage}.swarm"
+        cmd_file.write_text("\n".join(commands) + "\n")
+        n = len(commands)
+        n_elems = (n + self.bundle - 1) // self.bundle
+        lines = [
+            "#!/bin/bash",
+            f"#SBATCH --job-name={stage}",
+            f"#SBATCH --array=1-{n_elems}",
+            f"#SBATCH --cpus-per-task={self.tasks}",
+            f"#SBATCH --mem={self.memory_gb}G",
+            f"#SBATCH --time={self.walltime}",
+            f"#SBATCH --output={self.script_dir}/{stage}-%A_%a.out",
+        ]
+        if self.queue:
+            lines.append(f"#SBATCH --partition={self.queue}")
+        if dependency:
+            lines.append(f"#SBATCH --dependency=afterany:{dependency}")
+        lines += [
+            "set -u",
+            f"START=$(( (SLURM_ARRAY_TASK_ID - 1) * {self.bundle} + 1 ))",
+            f"END=$(( START + {self.bundle} - 1 ))",
+            f'sed -n "${{START}},${{END}}p" {cmd_file} | while read -r cmd; do',
+            '  eval "$cmd"',
+            "done",
+        ]
+        path = self.script_dir / f"{stage}.sbatch"
+        path.write_text("\n".join(lines) + "\n")
+        return path
+
+    def sbatch(self, script: Path) -> str | None:
+        """Submit and return the job id (None when sbatch is unavailable)."""
+        if not self.submit:
+            return None
+        try:
+            out = subprocess.run(
+                ["sbatch", "--parsable", str(script)],
+                capture_output=True, text=True, check=True,
+            )
+            return out.stdout.strip().split(";")[0]
+        except (FileNotFoundError, subprocess.CalledProcessError) as e:
+            logger.warning("sbatch failed (%s); scripts left in %s", e,
+                           self.script_dir)
+            return None
+
+    def run_swarm(self, stage: str, commands: list[str],
+                  dependency: str | None = None) -> str | None:
+        script = self.write_array_script(stage, commands, dependency)
+        return self.sbatch(script)
