@@ -1,0 +1,111 @@
+"""Score-based particle selection and cleaning.
+
+Equivalent of the reference's analysis/scores.py (shape_phase_residuals
+:300, particle_cleaning :981, remove_duplicates :1542): statistical
+filtering of particle tables between refinement iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyp_tpu.io import cistem
+from pyp_tpu.utils import get_logger
+
+logger = get_logger("scores")
+
+
+def score_threshold(scores, mode: str = "otsu", sigma: float = 1.0):
+    """Pick a score cutoff: 'otsu' (bimodal split), 'sigma' (mean - k*std),
+    or a float quantile in (0, 1)."""
+    scores = np.asarray(scores, dtype=np.float64)
+    if isinstance(mode, float) or (isinstance(mode, str) and mode.replace(".", "").isdigit()):
+        return float(np.quantile(scores, float(mode)))
+    if mode == "sigma":
+        return float(scores.mean() - sigma * scores.std())
+    # otsu on a 128-bin histogram
+    hist, edges = np.histogram(scores, bins=128)
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    total = hist.sum()
+    best_t, best_var = centers[0], -1.0
+    w0 = 0.0
+    sum0 = 0.0
+    sum_all = (hist * centers).sum()
+    for i in range(128):
+        w0 += hist[i]
+        if w0 == 0 or w0 == total:
+            continue
+        sum0 += hist[i] * centers[i]
+        m0 = sum0 / w0
+        m1 = (sum_all - sum0) / (total - w0)
+        var = w0 * (total - w0) * (m0 - m1) ** 2
+        if var > best_var:
+            best_var, best_t = var, centers[i]
+    return float(best_t)
+
+
+def particle_cleaning(table: cistem.Table, score_cut=None, min_occ: float = 0.0,
+                      mode: str = "otsu"):
+    """Deactivate particles below the score threshold / occupancy floor.
+
+    Returns (table, kept_mask). Particles are kept in the table (FREALIGN
+    semantics: OCC=0 / image_is_active=0 instead of deletion)."""
+    scores = np.asarray(table["score"], dtype=np.float64)
+    if score_cut is None:
+        score_cut = score_threshold(scores, mode)
+    keep = scores >= score_cut
+    if "occupancy" in table:
+        keep &= np.asarray(table["occupancy"]) >= min_occ
+    if "image_is_active" in table:
+        table["image_is_active"] = keep.astype(np.int64)
+    if "occupancy" in table:
+        occ = np.asarray(table["occupancy"]).copy()
+        occ[~keep] = 0.0
+        table["occupancy"] = occ
+    logger.info("particle cleaning: %d/%d kept (cutoff %.2f)",
+                int(keep.sum()), len(keep), score_cut)
+    return table, keep
+
+
+def remove_duplicates(positions, scores, min_distance: float):
+    """Greedy NMS on (N, 2 or 3) positions: keep the best-scoring particle
+    within each min_distance neighborhood (reference remove_duplicates
+    :1542). Returns a boolean keep mask."""
+    positions = np.asarray(positions, dtype=np.float64)
+    order = np.argsort(np.asarray(scores))[::-1]
+    keep = np.zeros(len(positions), dtype=bool)
+    kept_pos = []
+    for i in order:
+        p = positions[i]
+        if all(np.linalg.norm(p - q) >= min_distance for q in kept_pos):
+            keep[i] = True
+            kept_pos.append(p)
+    return keep
+
+
+def per_frame_weights(scores_per_frame):
+    """Relative per-frame weighting from frame-resolved scores (the
+    reference's per-frame scoring/weighting for movie refinement :31)."""
+    s = np.asarray(scores_per_frame, dtype=np.float64)
+    s = s - s.min() + 1e-6
+    return s / s.sum()
+
+
+def angular_groups(phi, theta, n_groups: int = 50):
+    """Group particles by viewing direction (coarse orientation clusters for
+    defocus/angle grouping, reference :208)."""
+    from pyp_tpu.core.geometry import euler_to_matrix
+    import jax.numpy as jnp
+
+    R = np.asarray(euler_to_matrix(jnp.asarray(phi), jnp.asarray(theta),
+                                   jnp.zeros_like(jnp.asarray(phi))))
+    views = R[:, 2, :]  # viewing axes
+    # k-means-lite: seed from a Fibonacci sphere
+    k = n_groups
+    idx = np.arange(k) + 0.5
+    ga = np.pi * (1 + 5**0.5) * idx
+    z = 1 - 2 * idx / k
+    r = np.sqrt(1 - z * z)
+    seeds = np.stack([r * np.cos(ga), r * np.sin(ga), z], axis=1)
+    assign = np.argmax(views @ seeds.T, axis=1)
+    return assign

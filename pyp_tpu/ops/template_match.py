@@ -1,0 +1,199 @@
+"""3D template matching and virion detection in tomograms.
+
+Replaces the reference's TOMO/ITK binaries (SURVEY §2.2):
+  * Correlation3DNew (detect/tomo/core.py:174) -> `match_template_3d`:
+    FFT-based locally-normalized cross-correlation of a rotated template
+    over the tomogram, running max over a rotation grid;
+  * itkCLT Canny+Hough virion detection (:701) -> `detect_spheres`:
+    spherical-shell correlation over a radius sweep (Hough-equivalent);
+  * surface-constrained picking (detect_particles_from_surface :93) ->
+    `match_on_surface`: score templates only at sphere-surface points with
+    normal-aligned orientation priors;
+  * mesh/normal generation (mesh_coordinate_generator :2511) ->
+    `sphere_surface_points`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core.geometry import euler_to_matrix
+
+
+def rotate_volume(vol, phi, theta, psi):
+    """Rotate a cubic volume by ZYZ Euler angles about its center
+    (trilinear resampling; out(v) = vol(R^T (v - c) + c))."""
+    n = vol.shape[-1]
+    c = n // 2
+    R = euler_to_matrix(phi, theta, psi)
+    ax = jnp.arange(n, dtype=jnp.float32) - c
+    zz, yy, xx = jnp.meshgrid(ax, ax, ax, indexing="ij")
+    pts = jnp.stack([xx, yy, zz], axis=-1)  # xyz order
+    src = jnp.einsum("ij,abcj->abci", R.T, pts)  # R^T
+    coords = [
+        src[..., 2] + c,  # z
+        src[..., 1] + c,  # y
+        src[..., 0] + c,  # x
+    ]
+    return jax.scipy.ndimage.map_coordinates(vol, coords, order=1, mode="constant")
+
+
+def _box_mean(vol, k: int):
+    s = jax.lax.reduce_window(vol, 0.0, jax.lax.add, (k, k, k), (1, 1, 1), "SAME")
+    return s / (k ** 3)
+
+
+@functools.partial(jax.jit, static_argnames=("norm_size",))
+def _ncc_one_rotation(tomo_f, tomo, template, local_var, norm_size: int = 0):
+    """Correlation of one (already rotated, zero-mean) template with the
+    tomogram via FFT; normalized by template norm and local tomogram sigma."""
+    nz, ny, nx = tomo.shape
+    t = template - jnp.mean(template)
+    tnorm = jnp.sqrt(jnp.sum(t * t) + 1e-12)
+    # pad template to tomogram size, centered at origin for correlation
+    tz, ty, tx = t.shape
+    padded = jnp.zeros_like(tomo)
+    padded = jax.lax.dynamic_update_slice(padded, t, (0, 0, 0))
+    # center the kernel: roll so template center sits at index 0
+    padded = jnp.roll(padded, (-(tz // 2), -(ty // 2), -(tx // 2)), (0, 1, 2))
+    tf = jnp.fft.rfftn(padded)
+    cc = jnp.fft.irfftn(tomo_f * jnp.conj(tf), s=tomo.shape)
+    return cc / (tnorm * jnp.sqrt(local_var + 1e-6))
+
+
+def match_template_3d(tomogram, template, angles, norm_size: int | None = None):
+    """Locally-normalized 3D template matching over a rotation grid.
+
+    tomogram: (nz, ny, nx); template: (t, t, t); angles: (A, 3) ZYZ degrees.
+    Returns (best_score (nz, ny, nx), best_angle_idx (nz, ny, nx))."""
+    tomogram = jnp.asarray(tomogram, dtype=jnp.float32)
+    template = jnp.asarray(template, dtype=jnp.float32)
+    angles = np.asarray(angles, dtype=np.float32)
+    t = template.shape[-1]
+    if norm_size is None:
+        norm_size = t
+    mu = _box_mean(tomogram, norm_size)
+    var = _box_mean(tomogram * tomogram, norm_size) - mu * mu
+    local_var = jnp.maximum(var, 1e-6) * (norm_size ** 3)
+    tomo_f = jnp.fft.rfftn(tomogram)
+
+    best = jnp.full(tomogram.shape, -jnp.inf)
+    best_idx = jnp.zeros(tomogram.shape, dtype=jnp.int32)
+    for a, (phi, theta, psi) in enumerate(angles):
+        rot = rotate_volume(template, float(phi), float(theta), float(psi))
+        cc = _ncc_one_rotation(tomo_f, tomogram, rot, local_var)
+        better = cc > best
+        best = jnp.where(better, cc, best)
+        best_idx = jnp.where(better, a, best_idx)
+    return best, best_idx
+
+
+def pick_peaks_3d(score, n_peaks: int, min_distance: int, threshold: float = 0.0):
+    """Top-N local maxima of a 3D score volume with a distance constraint.
+
+    Returns (coords (n_peaks, 3) as (z, y, x), values, valid mask)."""
+    score = jnp.asarray(score)
+    k = 2 * min_distance + 1
+    mx = jax.lax.reduce_window(score, -jnp.inf, jax.lax.max, (k, k, k),
+                               (1, 1, 1), "SAME")
+    cand = jnp.where((score >= mx) & (score > threshold), score, -jnp.inf)
+    flat = cand.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, n_peaks)
+    nz, ny, nx = score.shape
+    z = idx // (ny * nx)
+    y = (idx // nx) % ny
+    x = idx % nx
+    return jnp.stack([z, y, x], axis=1), vals, jnp.isfinite(vals)
+
+
+def spherical_shell_template(radius_px: float, thickness_px: float = 2.0,
+                             box: int | None = None):
+    if box is None:
+        box = int(2 * (radius_px + 3 * thickness_px) + 1)
+    ax = np.arange(box) - box // 2
+    r = np.sqrt(ax[:, None, None] ** 2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2)
+    shell = np.exp(-0.5 * ((r - radius_px) / thickness_px) ** 2)
+    return jnp.asarray(shell.astype(np.float32))
+
+
+def detect_spheres(tomogram, radii_px, n_peaks: int = 32, min_distance=None,
+                   invert: bool = True):
+    """Virion/sphere detection: shell-correlation sweep over radii
+    (Hough-transform equivalent of itkCLT). Returns
+    (coords (N, 3), radii (N,), scores (N,), valid)."""
+    tomo = jnp.asarray(tomogram, dtype=jnp.float32)
+    if invert:
+        tomo = -tomo
+    best = jnp.full(tomo.shape, -jnp.inf)
+    best_r = jnp.zeros(tomo.shape)
+    for r in radii_px:
+        shell = spherical_shell_template(float(r))
+        score, _ = match_template_3d(tomo, shell, np.zeros((1, 3)),
+                                     norm_size=shell.shape[0])
+        better = score > best
+        best = jnp.where(better, score, best)
+        best_r = jnp.where(better, float(r), best_r)
+    if min_distance is None:
+        min_distance = int(min(radii_px))
+    coords, vals, valid = pick_peaks_3d(best, n_peaks, min_distance)
+    radii = best_r[coords[:, 0], coords[:, 1], coords[:, 2]]
+    return coords, radii, vals, valid
+
+
+def sphere_surface_points(center, radius_px: float, n_points: int = 200):
+    """Quasi-uniform points + outward normals on a sphere surface
+    (Fibonacci lattice) — the mesh/normal generator for surface picking."""
+    idx = np.arange(n_points) + 0.5
+    ga = np.pi * (1 + 5**0.5) * idx
+    z = 1 - 2 * idx / n_points
+    r = np.sqrt(1 - z * z)
+    normals = np.stack([z, r * np.sin(ga), r * np.cos(ga)], axis=1)  # (z,y,x)
+    points = np.asarray(center)[None, :] + radius_px * normals
+    return points.astype(np.float32), normals.astype(np.float32)
+
+
+def match_on_surface(tomogram, template, points, normals, psi_step: float = 30.0):
+    """Score the template at given surface points with orientation fixed to
+    the surface normal (in-plane psi searched) — surface-constrained
+    picking (detect_particles_from_surface). Returns (scores (N,),
+    best_psi (N,))."""
+    from pyp_tpu.core.geometry import normal_to_euler
+    from pyp_tpu.ops.extract import subvolume_gather
+
+    tomo = jnp.asarray(tomogram, dtype=jnp.float32)
+    t = template.shape[-1]
+    coords = jnp.asarray(np.round(points).astype(np.int32))
+    subs = subvolume_gather(tomo, coords, t)  # (N, t, t, t)
+    subs = subs - jnp.mean(subs, axis=(1, 2, 3), keepdims=True)
+    snorm = jnp.sqrt(jnp.sum(subs * subs, axis=(1, 2, 3)) + 1e-12)
+
+    nrm = np.asarray(normals)
+    phi_n, theta_n, _ = normal_to_euler(
+        jnp.asarray(nrm[:, 2]), jnp.asarray(nrm[:, 1]), jnp.asarray(nrm[:, 0])
+    )
+    psis = np.arange(0.0, 360.0, psi_step, dtype=np.float32)
+    best = jnp.full(coords.shape[0], -jnp.inf)
+    best_psi = jnp.zeros(coords.shape[0])
+    for psi in psis:
+        # rotate template to each point's normal orientation is expensive;
+        # approximate with shared orientation bins: round normals' euler to
+        # 30-degree bins and rotate once per bin
+        key = np.round(np.stack([np.asarray(phi_n), np.asarray(theta_n)], 1) / 30.0) * 30.0
+        for phi_b, theta_b in np.unique(key, axis=0):
+            sel = (key[:, 0] == phi_b) & (key[:, 1] == theta_b)
+            if not sel.any():
+                continue
+            rot = rotate_volume(jnp.asarray(template), float(phi_b),
+                                float(theta_b), float(psi))
+            rot = rot - jnp.mean(rot)
+            rnorm = jnp.sqrt(jnp.sum(rot * rot) + 1e-12)
+            cc = jnp.sum(subs * rot[None], axis=(1, 2, 3)) / (snorm * rnorm)
+            cc = jnp.where(jnp.asarray(sel), cc, -jnp.inf)
+            better = cc > best
+            best = jnp.where(better, cc, best)
+            best_psi = jnp.where(better, psi, best_psi)
+    return best, best_psi

@@ -1,0 +1,164 @@
+"""Tests for analysis (scores, occupancies, fit, plots) and 3D template
+matching / virion detection."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pyp_tpu.analysis import fit, occupancies, scores
+from pyp_tpu.io import cistem
+from pyp_tpu.ops import template_match as tm
+
+
+class TestScores:
+    def test_otsu_separates_bimodal(self):
+        rng = np.random.RandomState(0)
+        s = np.concatenate([rng.normal(10, 2, 300), rng.normal(30, 3, 700)])
+        t = scores.score_threshold(s, "otsu")
+        assert 14 < t < 26, t
+
+    def test_particle_cleaning(self):
+        rng = np.random.RandomState(1)
+        table = cistem.Table.zeros(100)
+        table["score"] = np.concatenate([rng.normal(5, 1, 30), rng.normal(20, 1, 70)])
+        table["occupancy"] = np.full(100, 100.0)
+        table, keep = scores.particle_cleaning(table)
+        assert 60 <= keep.sum() <= 80
+        assert np.all(np.asarray(table["occupancy"])[~keep] == 0)
+
+    def test_remove_duplicates(self):
+        pos = np.array([[0, 0], [1, 1], [50, 50], [51, 50]], dtype=float)
+        sc = np.array([1.0, 2.0, 3.0, 0.5])
+        keep = scores.remove_duplicates(pos, sc, min_distance=5.0)
+        assert keep.tolist() == [False, True, True, False]
+
+    def test_angular_groups(self):
+        rng = np.random.RandomState(2)
+        assign = scores.angular_groups(rng.uniform(0, 360, 200),
+                                       rng.uniform(0, 180, 200), n_groups=10)
+        assert assign.shape == (200,)
+        assert len(np.unique(assign)) > 3
+
+
+class TestOccupancies:
+    def test_softmax_rows_sum_100(self):
+        rng = np.random.RandomState(3)
+        occ = occupancies.occupancies_from_logp(rng.randn(50, 4) * 5)
+        np.testing.assert_allclose(occ.sum(axis=1), 100.0, atol=1e-6)
+
+    def test_dominant_class_wins(self):
+        logp = np.array([[0.0, 10.0, 0.0]])
+        occ = occupancies.occupancies_from_logp(logp)
+        assert occ[0, 1] > 99.0
+
+    def test_prior_shifts_assignment(self):
+        logp = np.zeros((10, 2))
+        occ = occupancies.occupancies_from_logp(logp, prior_occ=[90.0, 10.0])
+        assert np.all(occ[:, 0] > occ[:, 1])
+
+    def test_initialization(self):
+        occ = occupancies.classification_initialization(20, 4)
+        np.testing.assert_allclose(occ.sum(axis=1), 100.0, atol=1e-6)
+        assert occ.std() > 1.0  # jittered
+
+
+class TestFit:
+    def test_spline_smooths_noise(self):
+        rng = np.random.RandomState(4)
+        t = np.linspace(0, 1, 40)
+        clean = 5 * t**2
+        noisy = clean + 0.5 * rng.randn(40)
+        sm = fit.fit_spline_trajectory(noisy, smoothing=10.0)
+        assert np.abs(sm - clean).mean() < np.abs(noisy - clean).mean()
+
+    def test_regularize_trajectories(self):
+        rng = np.random.RandomState(5)
+        clean = np.cumsum(rng.randn(3, 1, 2) * 0 + 0.1, axis=1)  # linear drift
+        tracks = np.repeat(clean, 20, axis=1) * np.arange(20)[None, :, None]
+        noisy = tracks + 0.5 * rng.randn(*tracks.shape)
+        sm = fit.regularize_trajectories(noisy, time_sigma=5.0)
+        assert np.abs(sm - tracks).mean() < np.abs(noisy - tracks).mean()
+
+
+class TestTemplateMatch:
+    def make_tomo(self, seed=0):
+        rng = np.random.RandomState(seed)
+        tomo = rng.randn(48, 64, 64).astype(np.float32) * 0.2
+        # plant two copies of a blob template
+        ax = np.arange(-6, 7)
+        blob = np.exp(-(ax[:, None, None] ** 2 + ax[None, :, None] ** 2 + ax[None, None, :] ** 2) / 6.0)
+        blob = blob.astype(np.float32)
+        spots = [(24, 20, 20), (24, 45, 45)]
+        for z, y, x in spots:
+            tomo[z - 6:z + 7, y - 6:y + 7, x - 6:x + 7] += blob
+        template = np.zeros((16, 16, 16), dtype=np.float32)
+        template[8 - 6:8 + 7, 8 - 6:8 + 7, 8 - 6:8 + 7] = blob
+        return tomo, template, spots
+
+    def test_finds_planted_templates(self):
+        tomo, template, spots = self.make_tomo()
+        score, _ = tm.match_template_3d(tomo, template, np.zeros((1, 3)))
+        coords, vals, valid = tm.pick_peaks_3d(score, 4, min_distance=8, threshold=0.3)
+        found = np.asarray(coords)[np.asarray(valid)]
+        for z, y, x in spots:
+            d = np.abs(found - [z, y, x]).sum(axis=1).min()
+            assert d <= 3, (found, spots)
+
+    def test_rotation_grid_improves_elongated(self):
+        # elongated template rotated 90 deg in the volume: matching with the
+        # rotation grid should score higher than identity only
+        rng = np.random.RandomState(1)
+        tomo = rng.randn(32, 48, 48).astype(np.float32) * 0.1
+        bar = np.zeros((12, 12, 12), dtype=np.float32)
+        bar[5:7, 2:10, 5:7] = 1.0  # elongated along y
+        rot_bar = np.transpose(bar, (0, 2, 1))  # elongated along x
+        tomo[10:22, 18:30, 18:30] += rot_bar
+        s_id, _ = tm.match_template_3d(tomo, bar, np.array([[0.0, 0.0, 0.0]]))
+        s_rot, idx = tm.match_template_3d(
+            tomo, bar, np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 90.0]])
+        )
+        assert float(s_rot.max()) >= float(s_id.max())
+
+    def test_detect_spheres(self):
+        rng = np.random.RandomState(2)
+        tomo = rng.randn(48, 64, 64).astype(np.float32) * 0.1
+        center, radius = (24, 32, 30), 10.0
+        ax_z = np.arange(48)[:, None, None]
+        ax_y = np.arange(64)[None, :, None]
+        ax_x = np.arange(64)[None, None, :]
+        r = np.sqrt((ax_z - center[0]) ** 2 + (ax_y - center[1]) ** 2 + (ax_x - center[2]) ** 2)
+        tomo -= np.exp(-0.5 * ((r - radius) / 1.5) ** 2)  # dark shell
+        coords, radii, vals, valid = tm.detect_spheres(tomo, [8.0, 10.0, 12.0], n_peaks=3)
+        best = np.asarray(coords)[0]
+        assert np.abs(best - center).max() <= 2, (best, center)
+        assert abs(float(radii[0]) - radius) <= 2.0
+
+    def test_surface_points(self):
+        pts, normals = tm.sphere_surface_points((24, 32, 32), 10.0, 50)
+        d = np.linalg.norm(pts - np.array([24, 32, 32]), axis=1)
+        np.testing.assert_allclose(d, 10.0, atol=1e-4)
+        np.testing.assert_allclose(np.linalg.norm(normals, axis=1), 1.0, atol=1e-5)
+
+
+class TestPlots:
+    def test_all_plots_render(self, tmp_path):
+        from pyp_tpu.analysis import plots
+
+        rng = np.random.RandomState(0)
+        plots.plot_drift(np.cumsum(rng.randn(20, 2), 0), tmp_path / "drift.png")
+        plots.plot_fsc(np.linspace(0.01, 0.5, 30),
+                       [np.linspace(1, 0, 30)], 1.0, tmp_path / "fsc.png",
+                       labels=["half-map"])
+        plots.plot_angular_distribution(rng.uniform(0, 360, 100),
+                                        rng.uniform(0, 180, 100),
+                                        tmp_path / "ang.png")
+        plots.plot_defocus_histogram(rng.uniform(1e4, 3e4, 50),
+                                     rng.uniform(1e4, 3e4, 50),
+                                     tmp_path / "df.png")
+        plots.class_montage(rng.randn(12, 32, 32), tmp_path / "classes.png",
+                            occupancy=np.arange(12))
+        plots.write_bild_angular_distribution(
+            rng.uniform(0, 360, 100), rng.uniform(0, 180, 100),
+            tmp_path / "ang.bild")
+        for f in ["drift.png", "fsc.png", "ang.png", "df.png", "classes.png", "ang.bild"]:
+            assert (tmp_path / f).stat().st_size > 0
