@@ -154,7 +154,11 @@ def read(path, frames=None) -> np.ndarray:
                 if comp == 1:
                     pass
                 elif comp == 5:
-                    raw = _lzw_decode(raw)
+                    from pyp_tpu.io import native
+
+                    expected = rows_per_strip * width * (bits // 8)
+                    decoded = native.lzw_decode(raw, expected)
+                    raw = decoded if decoded is not None else _lzw_decode(raw)
                 elif comp in (8, 32946):
                     raw = zlib.decompress(raw)
                 else:
