@@ -187,3 +187,44 @@ def load_accumulators(path) -> Accumulators:
             jnp.asarray(z["num1"]), jnp.asarray(z["den1"]),
             jnp.asarray(z["num2"]), jnp.asarray(z["den2"]),
         )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "pad"),
+)
+def accumulate_matrices(
+    windows,             # (B, n, n) particle projections (e.g. CSP windows)
+    rotations,           # (B, 3, 3) full projection rotations (R_eff)
+    shifts,              # (B, 2) residual shifts to apply (pixels)
+    defoci,              # (B,) mean defocus per projection (Å)
+    subset,              # (B,) 0/1 half assignment
+    weights,             # (B,) weights (exposure * occupancy)
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    pad: int = DEFAULT_PAD,
+    prev: Accumulators | None = None,
+) -> Accumulators:
+    """Insertion with explicit rotation matrices — the CSPT path: each
+    (tilt, particle) projection window contributes a slice at pose
+    R_eff = R_tilt @ M_particle (SURVEY §3.4; ops.csp produces these)."""
+    X = image_to_fourier(windows)
+    X = _shift_correct(X, shifts, n)
+    cp = jnp.stack([defoci, defoci, jnp.zeros_like(defoci), jnp.zeros_like(defoci)], 1)
+    ctfs = _ctf_grids(n, pixel_size, cp, voltage_kv, cs_mm, amplitude_contrast)
+    pn = pad * n
+    nxf = pn // 2 + 1
+    if prev is None:
+        zc = jnp.zeros((pn, pn, nxf), dtype=jnp.complex64)
+        zr = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
+        prev = Accumulators(zc, zr, zc, zr)
+    w1 = weights * (subset == 0)
+    w2 = weights * (subset == 1)
+    a1, b1 = insert_slices(X, ctfs, rotations, n, pad=pad, weights=w1)
+    a2, b2 = insert_slices(X, ctfs, rotations, n, pad=pad, weights=w2)
+    return Accumulators(prev.num1 + a1, prev.den1 + b1,
+                        prev.num2 + a2, prev.den2 + b2)

@@ -406,3 +406,55 @@ def refine_batch(
         logp=logp,
         sigma=sigma,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "n_steps"),
+)
+def refine_defocus(
+    stack,
+    ctf_params,
+    Fref,
+    poses,
+    mask_pts,
+    n: int,
+    pixel_size: float,
+    search_range: float = 500.0,
+    n_steps: int = 21,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Per-particle defocus refinement at fixed pose — the cisTEM
+    `refine_ctf` equivalent (SURVEY §2.2; reference frealign.py:4350):
+    score a symmetric defocus-offset grid for every particle (one batched
+    sweep) and apply a parabolic sub-step refinement. df1/df2 move together
+    (astigmatism fixed). Returns (new_ctf_params, best_scores)."""
+    X = image_to_fourier(stack)
+    mask_pts = jnp.asarray(mask_pts)
+    offsets = jnp.linspace(-search_range, search_range, n_steps)
+
+    def score_one(pose, Xi, cp, d_off):
+        cp2 = jnp.stack([cp[0] + d_off, cp[1] + d_off, cp[2], cp[3]])
+        return _pose_score(pose, Xi, cp2, Fref, mask_pts, n, pixel_size,
+                           voltage_kv, cs_mm, amplitude_contrast)
+
+    def particle_sweep(pose, Xi, cp):
+        scores = jax.vmap(lambda d: score_one(pose, Xi, cp, d))(offsets)
+        i = jnp.argmax(scores)
+        # parabolic refinement between neighboring grid points
+        im = jnp.clip(i, 1, n_steps - 2)
+        s0, s1, s2 = scores[im - 1], scores[im], scores[im + 1]
+        denom = s0 + s2 - 2.0 * s1
+        frac = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (s0 - s2) / denom, 0.0)
+        frac = jnp.clip(frac, -1.0, 1.0)
+        step = offsets[1] - offsets[0]
+        best = offsets[im] + frac * step
+        best = jnp.where((i == 0) | (i == n_steps - 1), offsets[i], best)
+        return best, jnp.max(scores)
+
+    d_best, scores = jax.vmap(particle_sweep)(poses, X, ctf_params)
+    new_cp = ctf_params.at[:, 0].add(d_best).at[:, 1].add(d_best)
+    return new_cp, scores

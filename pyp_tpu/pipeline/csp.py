@@ -1,0 +1,176 @@
+"""CSPT pipeline: per-tilt-series constrained refinement + subtomogram
+averaging reconstruction.
+
+Rebuild of the reference's csp call stack (SURVEY §3.4: csp_split ->
+cspswarm per tilt-series -> csp refinement modes -> per-series
+reconstruction dumps -> cspmerge global merge): each tilt-series runs
+ops.csp joint refinement (region patch grids supported via
+geometry.divide_regions), its particle projections are inserted into
+reconstruction accumulators with full R_eff matrices, and series-level
+accumulators merge with a sum (psum across chips / file merge across hosts).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.config.params import param
+from pyp_tpu.io import cistem
+from pyp_tpu.io.metadata import ItemMetadata
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("csp")
+
+
+def series_params_from_metadata(meta: ItemMetadata, coords_zyx, eulers):
+    """Build CspParams for one tilt-series from its metadata bundle +
+    particle table (positions in binned tomogram voxels, centered)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops.csp import CspParams
+
+    angles = np.asarray(meta["tlt"], dtype=np.float32)
+    T = len(angles)
+    xf = meta["xf"] if "xf" in meta else np.zeros((T, 3), dtype=np.float32)
+    return CspParams(
+        tilt_angles=jnp.asarray(angles),
+        axis_angles=jnp.asarray(np.full(T, xf[0, 2] if xf.shape[1] > 2 else 0.0,
+                                        dtype=np.float32)),
+        tilt_shifts=jnp.asarray(xf[:, :2].astype(np.float32)),
+        particle_eulers=jnp.asarray(np.asarray(eulers, dtype=np.float32)),
+        particle_pos=jnp.asarray(np.asarray(coords_zyx, dtype=np.float32)),
+    )
+
+
+def csp_swarm_one(
+    item: dict, params: dict, ref_volume, work_dir=".", iteration: int = 2,
+    prev_acc=None,
+):
+    """One tilt-series CSP pass: refine geometry/poses, then insert all
+    particle projections into reconstruction accumulators.
+
+    item: {"name", "tilts" (T,ny,nx), "coords" (P,3) centered voxels,
+           "eulers" (P,3)}.
+    Returns (refined CspParams, accumulators, scores).
+    """
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops.extract import window_particles
+    from pyp_tpu.ops.fourier_slice import image_to_fourier
+
+    name = item["name"]
+    meta = ItemMetadata(name, work_dir, mode="tomo").load()
+    tilts = np.asarray(item["tilts"], dtype=np.float32)
+    T, ny, nx = tilts.shape
+    pixel = float(params["scope_pixel"])
+    box = int(params.get("csp_box") or 64)
+
+    cp = series_params_from_metadata(meta, item["coords"], item["eulers"])
+    defocus = (
+        meta["ctf"][:, :2].astype(np.float32)
+        if "ctf" in meta else np.full((T, 2), 20000.0, dtype=np.float32)
+    )
+
+    # exposure window (csp_UseImagesForRefinementMin/Max)
+    t_lo = int(params.get("csp_UseImagesForRefinementMin") or 0)
+    t_hi = int(params.get("csp_UseImagesForRefinementMax") or -1)
+    if t_hi < 0:
+        t_hi = T - 1
+    tilt_weights = np.zeros(T, dtype=np.float32)
+    tilt_weights[t_lo:t_hi + 1] = 1.0
+
+    modes = tuple(
+        int(m) for m in str(params.get("csp_refine_modes") or "3:0:1:2").split(":")
+    )
+    rhref = float(param(params.get("csp_rhref") or "12", iteration))
+
+    with Timer(f"csp refinement {name}"):
+        refined, scores = csp_ops.csp_refine(
+            cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
+            box, modes=modes,
+            iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
+            low_res=float(params.get("csp_rlref") or 60.0),
+            high_res=max(rhref, 2.5 * pixel),
+            reg_weight=float(params.get("csp_transreg") or 0.1),
+            tilt_weights=jnp.asarray(tilt_weights),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+        )
+
+    # ---- insert projections into accumulators (per-series "dump") ---------
+    with Timer(f"csp reconstruction {name}"):
+        R_eff = np.asarray(csp_ops.effective_rotations(refined))  # (T, P, 3, 3)
+        pred = np.asarray(csp_ops.project_positions(refined))     # (T, P, 2)
+        depth = np.asarray(csp_ops.particle_depth(refined))       # (T, P)
+        P = pred.shape[1]
+        center = np.array([ny // 2, nx // 2])
+
+        rows_R, rows_shift, rows_df, rows_sub, rows_w, wins = [], [], [], [], [], []
+        for t in range(t_lo, t_hi + 1):
+            ci = np.round(pred[t] + center).astype(np.int32)
+            inb = (
+                (ci[:, 0] >= box // 2) & (ci[:, 0] < ny - box // 2)
+                & (ci[:, 1] >= box // 2) & (ci[:, 1] < nx - box // 2)
+            )
+            ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+            w = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci), box)
+            wins.append(np.asarray(w))
+            # residual shift: content sits at pred - window_center
+            dsh = pred[t] + center - ci
+            rows_shift.append(-dsh)  # shift to apply to center the content
+            rows_R.append(R_eff[t])
+            rows_df.append(defocus[t, :2].mean() + depth[t] * pixel)
+            rows_sub.append(np.arange(P) % 2)
+            rows_w.append(inb.astype(np.float32))
+        windows = np.concatenate(wins)
+        acc = rec.accumulate_matrices(
+            jnp.asarray(windows),
+            jnp.asarray(np.concatenate(rows_R)),
+            jnp.asarray(np.concatenate(rows_shift).astype(np.float32)),
+            jnp.asarray(np.concatenate(rows_df).astype(np.float32)),
+            jnp.asarray(np.concatenate(rows_sub)),
+            jnp.asarray(np.concatenate(rows_w)),
+            box, pixel,
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+            prev=prev_acc,
+        )
+
+    # persist refined geometry back to metadata (resume + interop)
+    meta["xf"] = np.concatenate([
+        np.asarray(refined.tilt_shifts),
+        np.asarray(refined.axis_angles)[:, None],
+    ], axis=1)
+    meta["tlt"] = np.asarray(refined.tilt_angles)
+    meta.save()
+    return refined, acc, scores
+
+
+def csp_merge(accumulators, box: int, params: dict, work_dir=".",
+              dataset="dataset", iteration: int = 2):
+    """Global merge: sum per-series accumulators, finalize half maps + FSC,
+    write outputs (the cspmerge job, SURVEY §3.4)."""
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.io import mrc
+    from pyp_tpu.ops import reconstruct as rec
+
+    acc = rec.merge_accumulators(accumulators)
+    out = rec.finalize(acc, box)
+    pixel = float(params["scope_pixel"])
+    maps_dir = Path(work_dir) / "maps"
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    mrc.write(np.asarray(out.volume, dtype=np.float32),
+              maps_dir / f"{dataset}_csp_{iteration:02d}.mrc", pixel_size=pixel)
+    mrc.write(np.asarray(out.half1, dtype=np.float32),
+              maps_dir / f"{dataset}_csp_{iteration:02d}_half1.mrc", pixel_size=pixel)
+    mrc.write(np.asarray(out.half2, dtype=np.float32),
+              maps_dir / f"{dataset}_csp_{iteration:02d}_half2.mrc", pixel_size=pixel)
+    res = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
+    logger.info("csp merge: FSC(0.143) = %.2f Å", res)
+    return out, res

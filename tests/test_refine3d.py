@@ -171,3 +171,30 @@ class TestReconstruct:
         rec.save_accumulators(acc, p)
         back = rec.load_accumulators(p)
         np.testing.assert_allclose(np.asarray(back.den1), np.asarray(acc.den1), rtol=1e-6)
+
+
+class TestRefineDefocus:
+    def test_recovers_defocus_error(self):
+        import jax.numpy as jnp
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+        vol = make_volume()
+        imgs, ctf_params, truth = make_particles(vol, n_particles=8, noise=0.05)
+        rng = np.random.RandomState(11)
+        derr = rng.uniform(-400, 400, 8).astype(np.float32)
+        wrong = np.asarray(ctf_params).copy()
+        wrong[:, 0] += derr
+        wrong[:, 1] += derr
+        poses = jnp.asarray(np.stack([
+            truth["phi"], truth["theta"], truth["psi"],
+            -truth["shifts"][:, 0], -truth["shifts"][:, 1],
+        ], axis=1).astype(np.float32))
+        Fref = volume_to_fourier(jnp.asarray(vol))
+        pts = refine3d.make_mask_points(N, PIXEL, 100.0, 2.2 * PIXEL)
+        new_cp, scores = refine3d.refine_defocus(
+            imgs, jnp.asarray(wrong), Fref, poses, jnp.asarray(pts),
+            N, PIXEL, search_range=600.0,
+        )
+        err_before = np.abs(derr).mean()
+        err_after = np.abs(np.asarray(new_cp)[:, 0] - np.asarray(ctf_params)[:, 0]).mean()
+        assert err_after < err_before * 0.6, (err_before, err_after)
