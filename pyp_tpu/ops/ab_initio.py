@@ -1,0 +1,98 @@
+"""Ab initio initial model generation.
+
+Equivalent of the reference's initial-model path (frealign.py:4552
+`create_initial_model` and the ab-initio branch bin/run/pyp:4185): stochastic
+refinement from a featureless start — iterate global orientation search on
+random particle subsets against the current model with a resolution ladder
+(very low resolution first so the landscape is smooth), reconstruct, lowpass,
+repeat. The classic cisTEM ab-initio recipe, here batched on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("ab_initio")
+
+
+def ab_initio(
+    stack,
+    ctf_params,
+    pixel_size: float,
+    n_rounds: int = 6,
+    start_res: float = 40.0,
+    end_res: float = 12.0,
+    subset_frac: float = 0.5,
+    symmetry: str = "C1",
+    angular_step: float = 20.0,
+    seed: int = 0,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Returns (volume (n, n, n), final poses (B, 5)).
+
+    Resolution ladder: geometric from start_res to end_res over rounds;
+    each round refines a random subset globally and reconstructs from ALL
+    particles assigned so far (unassigned particles keep random poses from
+    round 0 with decaying weight).
+    """
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops import refine3d
+
+    stack = np.asarray(stack, dtype=np.float32)
+    B, n, _ = stack.shape
+    rng = np.random.RandomState(seed)
+
+    # start: reconstruction from random poses of a lowpassed noise ball —
+    # equivalent to a blurred average of the data
+    poses = np.stack([
+        rng.uniform(0, 360, B),
+        np.degrees(np.arccos(rng.uniform(-1, 1, B))),
+        rng.uniform(0, 360, B),
+        np.zeros(B), np.zeros(B),
+    ], axis=1).astype(np.float32)
+
+    mask = np.asarray(soft_spherical_mask(n, n * 0.4, 4.0))
+    res_ladder = np.geomspace(start_res, end_res, n_rounds)
+
+    def reconstruct_all(poses, res):
+        out = rec.reconstruct(
+            stack, jnp.asarray(poses), jnp.asarray(ctf_params), pixel_size,
+            symmetry=symmetry, voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast, batch=min(256, B),
+        )
+        vol = np.asarray(out.volume) * mask
+        return np.array(
+            lowpass_filter_3d(jnp.asarray(vol), pixel_size, float(res)),
+            dtype=np.float32,
+        )
+
+    vol = reconstruct_all(poses, res_ladder[0])
+
+    for r in range(n_rounds):
+        res = float(res_ladder[r])
+        k = max(8, int(B * subset_frac))
+        sel = rng.choice(B, size=k, replace=False)
+        with Timer(f"ab-initio round {r + 1}/{n_rounds} @ {res:.0f} Å"):
+            out = refine3d.refine_batch(
+                jnp.asarray(stack[sel]), jnp.asarray(np.asarray(ctf_params)[sel]),
+                vol, pixel_size,
+                angular_step=angular_step, psi_step=angular_step,
+                low_res=300.0, high_res_search=res, high_res_refine=res,
+                shift_extent=max(2.0, n * 0.05), shift_step=2.0,
+                symmetry=symmetry, mode="global", topk=2, local_iters=10,
+                voltage_kv=voltage_kv, cs_mm=cs_mm,
+                amplitude_contrast=amplitude_contrast,
+            )
+            poses[sel] = np.stack([
+                np.asarray(out.phi), np.asarray(out.theta), np.asarray(out.psi),
+                np.asarray(out.shift_y), np.asarray(out.shift_x),
+            ], axis=1)
+            vol = reconstruct_all(poses, res)
+    return vol, poses

@@ -146,7 +146,7 @@ def make_shift_grid(extent_px: float, step_px: float) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast", "topk"),
+                     "amplitude_contrast", "topk", "use_pallas"),
 )
 def global_search(
     stack,
@@ -162,6 +162,7 @@ def global_search(
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
     topk: int = 4,
+    use_pallas: bool = False,
 ):
     """Exhaustive orientation/shift search. Returns (poses (B, K, 5),
     scores (B, K)) of the top-K candidates (by in-plane angle), each with
@@ -209,29 +210,19 @@ def global_search(
     cnorm = jnp.sqrt(c2 @ u2.T + 1e-12)  # (BP, D)
     E = _shift_phasors(jnp.asarray(mask_pts), jnp.asarray(shift_grid), n)  # (G, S)
 
-    uT = u.T  # (G, D)
+    # best score over shifts for every (row, direction): fused Pallas kernel
+    # on TPU (keeps u-tiles in VMEM across the shift loop), XLA scan
+    # elsewhere — numerically identical (tests/test_pallas_kernels.py)
+    from pyp_tpu.ops import pallas_kernels as pk
 
-    def scan_shift(carry, s_idx):
-        best_score, best_d, best_s = carry
-        vs = v * E[:, s_idx][None, :]
-        num = jnp.real(vs @ uT)  # (BP, D)
-        score = num / (cnorm * xnorm[:, None])
-        d_idx = jnp.argmax(score, axis=1)
-        sc = jnp.take_along_axis(score, d_idx[:, None], axis=1)[:, 0]
-        better = sc > best_score
-        return (
-            jnp.where(better, sc, best_score),
-            jnp.where(better, d_idx, best_d),
-            jnp.where(better, s_idx, best_s),
-        ), None
-
-    S = shift_grid.shape[0]
-    init = (
-        jnp.full((B * P,), -jnp.inf),
-        jnp.zeros((B * P,), dtype=jnp.int32),
-        jnp.zeros((B * P,), dtype=jnp.int32),
-    )
-    (score_bp, d_bp, s_bp), _ = jax.lax.scan(scan_shift, init, jnp.arange(S))
+    ninv = 1.0 / (cnorm * xnorm[:, None])
+    if jax.default_backend() in ("tpu", "axon") and use_pallas:
+        best_ds, sidx_ds = pk.shift_scored_match(v, u.T, E, ninv)
+    else:
+        best_ds, sidx_ds = pk.shift_scored_match_xla(v, u.T, E, ninv)
+    d_bp = jnp.argmax(best_ds, axis=1)                     # (BP,)
+    score_bp = jnp.take_along_axis(best_ds, d_bp[:, None], axis=1)[:, 0]
+    s_bp = jnp.take_along_axis(sidx_ds, d_bp[:, None], axis=1)[:, 0]
 
     score_bp = score_bp.reshape(B, P)
     k = min(topk, P)

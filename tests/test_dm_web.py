@@ -1,0 +1,73 @@
+"""DM4 codec round-trip and web RPC client tests."""
+
+import numpy as np
+
+from pyp_tpu.io import dm
+from pyp_tpu.stream.web import Web
+
+
+class TestDM4:
+    def test_roundtrip_2d(self, tmp_path):
+        data = (np.random.RandomState(0).rand(24, 36) * 1000).astype(np.float32)
+        p = tmp_path / "img.dm4"
+        dm.write_dm4(data, p)
+        back = dm.read(p)
+        assert back.shape == data.shape
+        np.testing.assert_allclose(back, data)
+
+    def test_roundtrip_int16(self, tmp_path):
+        data = (np.random.RandomState(1).rand(16, 16) * 100).astype(np.int16)
+        p = tmp_path / "img16.dm4"
+        dm.write_dm4(data, p)
+        np.testing.assert_array_equal(dm.read(p), data)
+
+    def test_roundtrip_stack(self, tmp_path):
+        data = np.random.RandomState(2).rand(3, 8, 12).astype(np.float32)
+        p = tmp_path / "stack.dm4"
+        dm.write_dm4(data, p)
+        assert dm.read(p).shape == (3, 8, 12)
+
+
+class TestWeb:
+    def test_inactive_noop_journal(self, monkeypatch):
+        monkeypatch.delenv("PYP_TPU_WEBHOST", raising=False)
+        web = Web()
+        assert not web.exists
+        web.slurm_started(42)
+        web.write_micrograph("mic1", {"particles": 10, "df1": np.float32(21000.0)})
+        web.write_reconstruction("ds", 3, 4.5, fsc=np.linspace(1, 0, 5))
+        assert len(web.sent) == 3
+        # numpy values are jsonable in the journal
+        import json
+
+        json.dumps(web.sent)
+
+    def test_active_posts_to_host(self, monkeypatch):
+        # spin an in-process HTTP server to receive the RPC
+        import http.server
+        import threading
+
+        received = []
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers["Content-Length"])
+                received.append(self.rfile.read(n))
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(b'{"result": "ok"}')
+
+            def log_message(self, *a):
+                pass
+
+        srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            web = Web(host=f"http://127.0.0.1:{srv.server_port}")
+            out = web.log("hello from pyp_tpu")
+            assert out == {"result": "ok"}
+            assert b"hello from pyp_tpu" in received[0]
+        finally:
+            srv.shutdown()
