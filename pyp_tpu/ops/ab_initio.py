@@ -49,8 +49,6 @@ def ab_initio(
     B, n, _ = stack.shape
     rng = np.random.RandomState(seed)
 
-    # start: reconstruction from random poses of a lowpassed noise ball —
-    # equivalent to a blurred average of the data
     poses = np.stack([
         rng.uniform(0, 360, B),
         np.degrees(np.arccos(rng.uniform(-1, 1, B))),
@@ -61,11 +59,12 @@ def ab_initio(
     mask = np.asarray(soft_spherical_mask(n, n * 0.4, 4.0))
     res_ladder = np.geomspace(start_res, end_res, n_rounds)
 
-    def reconstruct_all(poses, res):
+    def reconstruct_from(idx, poses, res):
         out = rec.reconstruct(
-            stack, jnp.asarray(poses), jnp.asarray(ctf_params), pixel_size,
+            stack[idx], jnp.asarray(poses[idx]),
+            jnp.asarray(np.asarray(ctf_params)[idx]), pixel_size,
             symmetry=symmetry, voltage_kv=voltage_kv, cs_mm=cs_mm,
-            amplitude_contrast=amplitude_contrast, batch=min(256, B),
+            amplitude_contrast=amplitude_contrast, batch=min(256, len(idx)),
         )
         vol = np.asarray(out.volume) * mask
         return np.array(
@@ -73,7 +72,16 @@ def ab_initio(
             dtype=np.float32,
         )
 
-    vol = reconstruct_all(poses, res_ladder[0])
+    # symmetry breaking: seed the model from a handful of particles at random
+    # poses — a lumpy, asymmetric start. A full-dataset random-pose
+    # reconstruction is nearly centrosymmetric and the search can never
+    # break the tie (every orientation matches a blob equally well).
+    seed_idx = rng.choice(B, size=min(8, B), replace=False)
+    vol = reconstruct_from(seed_idx, poses, res_ladder[0])
+    all_idx = np.arange(B)
+
+    def reconstruct_all(poses, res):
+        return reconstruct_from(all_idx, poses, res)
 
     for r in range(n_rounds):
         res = float(res_ladder[r])
