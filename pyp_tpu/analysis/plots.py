@@ -153,3 +153,25 @@ def write_bild_angular_distribution(phi, theta, out_path, radius: float = 50.0):
                 f".cylinder {base[0]:.2f} {base[1]:.2f} {base[2]:.2f} "
                 f"{tip[0]:.2f} {tip[1]:.2f} {tip[2]:.2f} {0.5 + h:.2f}\n"
             )
+
+
+def volume_montage(volume, out_path, axis: int = 0, n_slices: int = 9):
+    """Slice montage of a 3D map (the reference's map montage in
+    mreconstruct_post, frealign.py:2376)."""
+    vol = np.asarray(volume)
+    n = vol.shape[axis]
+    picks = np.linspace(n // 6, n - n // 6 - 1, n_slices).astype(int)
+    cols = int(np.ceil(np.sqrt(n_slices)))
+    rows = int(np.ceil(n_slices / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(2.2 * cols, 2.2 * rows))
+    axes = np.atleast_1d(axes).ravel()
+    for ax in axes:
+        ax.axis("off")
+    for k, z in enumerate(picks):
+        sl = np.take(vol, z, axis=axis)
+        lo, hi = np.percentile(sl, [1, 99])
+        axes[k].imshow(sl, cmap="gray", vmin=lo, vmax=hi)
+        axes[k].set_title(f"{z}", fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)

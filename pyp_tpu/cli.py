@@ -29,8 +29,8 @@ from pyp_tpu.utils import get_logger
 
 logger = get_logger("cli")
 
-MODES = ("spr", "tomo", "extract", "refine", "classify2d", "postprocess",
-         "worker", "params")
+MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
+         "postprocess", "worker", "params")
 
 
 def _project_params(argv, work_dir="."):
@@ -169,6 +169,53 @@ def mode_classify2d(argv):
         "classes": int(res.class_avgs.shape[0]),
         "occupancy": np.asarray(res.occupancy).tolist(),
     }))
+    return 0
+
+
+def mode_csp(argv):
+    """CSPT refinement over preprocessed tilt-series: uses each series'
+    metadata bundle (tlt/xf/ctf + 3D picks) and a reference map."""
+    params = _project_params(argv)
+    import numpy as np
+
+    from pyp_tpu.io import mrc
+    from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.pipeline import csp as csp_pipe
+
+    items = _discover_items(params)
+    ref_path = Path("initial_model.mrc")
+    if not ref_path.exists():
+        logger.error("csp needs initial_model.mrc (reference map)")
+        return 1
+    ref = mrc.read(ref_path).astype(np.float32)
+    box = int(params.get("csp_box") or ref.shape[-1])
+    rng = np.random.RandomState(0)
+    accs = []
+    for item in items:
+        meta = ItemMetadata(item["name"], ".", mode="tomo").load()
+        if not (meta.exists() and "box" in meta and "tlt" in meta):
+            logger.warning("skipping %s: no tomo metadata/picks", item["name"])
+            continue
+        tilts = mrc.read(item["path"]).astype(np.float32)
+        binning = float(meta.scalars.get("binning", 1.0))
+        picks = meta["box"][:, :3] * binning  # unbinned voxel coords (z, y, x)
+        # center: tomogram frame -> centered coords
+        nz = float(params.get("tomo_rec_thickness") or tilts.shape[-1])
+        center = np.array([nz / 2, tilts.shape[-2] / 2, tilts.shape[-1] / 2])
+        coords = picks - center
+        eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
+        item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
+                 "eulers": eulers, "angles": meta["tlt"]}
+        refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")
+        accs.append(acc)
+        logger.info("csp %s: scores %s", item["name"],
+                    [round(s, 3) for s in scores])
+    if not accs:
+        logger.error("no tilt-series with picks found")
+        return 1
+    out, res = csp_pipe.csp_merge(accs, box, params, ".",
+                                  params.get("data_set") or "dataset")
+    print(json.dumps({"resolution": res, "series": len(accs)}))
     return 0
 
 

@@ -346,3 +346,42 @@ def avgrot(power, pixel_size, fit: CtfFit, voltage_kv=300.0, cs_mm=2.7, w=0.07, 
         np.asarray(norm_radial),
         np.asarray(model),
     )
+
+
+def fit_ctf_local(micrograph, pixel_size, grid=(2, 2), tile: int = 512, **kw):
+    """Per-region CTF fits + defocus plane fit.
+
+    Equivalent of the reference's quadrant/local defocus estimation
+    (ctf/core.py:571 `ctffind4_quad`, :715 `ctffind_spr_local_estimate`):
+    the micrograph is split into a grid of regions, each fit independently;
+    a plane df(x, y) is least-squares fit through the per-region means for
+    per-particle defocus interpolation.
+
+    Returns (fits: list[CtfFit] row-major, plane: (3,) [df0, ddf/dy, ddf/dx]
+    in Å and Å/px)."""
+    import numpy as np
+
+    mic = np.asarray(micrograph)
+    ny, nx = mic.shape
+    gy, gx = grid
+    fits = []
+    centers = []
+    for iy in range(gy):
+        for ix in range(gx):
+            sub = mic[iy * ny // gy:(iy + 1) * ny // gy,
+                      ix * nx // gx:(ix + 1) * nx // gx]
+            t = min(tile, min(sub.shape))
+            fits.append(fit_ctf_micrograph(jnp.asarray(sub), pixel_size, tile=t, **kw))
+            centers.append(((iy + 0.5) * ny / gy, (ix + 0.5) * nx / gx))
+    dfs = np.array([0.5 * (float(f.df1) + float(f.df2)) for f in fits])
+    C = np.array([[1.0, cy, cx] for cy, cx in centers])
+    plane, *_ = np.linalg.lstsq(C, dfs, rcond=None)
+    return fits, plane
+
+
+def defocus_at_positions(plane, positions):
+    """Evaluate the local-defocus plane at particle positions (N, 2) (y, x)."""
+    import numpy as np
+
+    pos = np.asarray(positions, dtype=np.float64)
+    return plane[0] + plane[1] * pos[:, 0] + plane[2] * pos[:, 1]

@@ -327,3 +327,59 @@ def ctf_correct_tilts(
             img_out[:, col_sel] = flipped[:, col_sel]
         out[t] = img_out
     return jnp.asarray(out.astype(np.float32))
+
+
+def detect_handedness(tilts, tilt_angles, defoci, pixel_size,
+                      voltage_kv=300.0, cs_mm=2.7, w=0.07):
+    """Defocus handedness detection (ctf/core.py:1935 `detect_handedness`):
+    for each tilt, fit CTF separately on the left and right halves of the
+    image; the defocus gradient across the tilt axis must match
+    +tan(theta) for one handedness and -tan(theta) for the other. Returns
+    +1 or -1 (the sign to apply to the defocus gradient) and the per-tilt
+    gradient measurements."""
+    from pyp_tpu.ops.ctf_fit import fit_ctf_micrograph
+
+    tilts = np.asarray(tilts)
+    T, ny, nx = tilts.shape
+    grads = []
+    for t in range(T):
+        theta = float(np.asarray(tilt_angles)[t])
+        if abs(theta) < 20:
+            continue  # gradient too small to measure
+        half = nx // 2
+        df_nominal = float(np.asarray(defoci)[t])
+        rng_lo = max(5000.0, df_nominal - 8000.0)
+        rng_hi = df_nominal + 8000.0
+        fits = []
+        for sl in (slice(0, half), slice(half, nx)):
+            f = fit_ctf_micrograph(
+                jnp.asarray(tilts[t][:, sl]), pixel_size,
+                tile=min(256, ny, half),
+                dfmin=rng_lo, dfmax=rng_hi, dfstep=250.0,
+                min_res=30.0, max_res=8.0, fit_astigmatism=False,
+                voltage_kv=voltage_kv, cs_mm=cs_mm, amplitude_contrast=w,
+            )
+            fits.append(0.5 * (float(f.df1) + float(f.df2)))
+        measured = (fits[1] - fits[0]) / (half * pixel_size)  # d(df)/dx
+        expected = np.tan(np.radians(theta))
+        grads.append(measured * expected)
+    if not grads:
+        return 0, np.array([])
+    return (1 if np.median(grads) > 0 else -1), np.asarray(grads)
+
+
+def wbp_reconstruct_halves(tilts, tilt_angles, shifts=None, thickness: int = 128,
+                           **kw):
+    """Even/odd-tilt half tomograms for noise2noise denoising training
+    (reference reconstruct_tomo_halves, merge/core.py:707). Returns
+    (half_even, half_odd)."""
+    tilts = jnp.asarray(tilts)
+    angles = jnp.asarray(tilt_angles)
+    idx = np.arange(tilts.shape[0])
+    halves = []
+    for par in (0, 1):
+        sel = idx[idx % 2 == par]
+        sh = None if shifts is None else jnp.asarray(shifts)[sel]
+        halves.append(wbp_reconstruct(tilts[sel], angles[sel], shifts=sh,
+                                      thickness=thickness, **kw))
+    return halves[0], halves[1]

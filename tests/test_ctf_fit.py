@@ -81,3 +81,28 @@ class TestPeriodogram:
                                          dfstep=250.0, min_res=20.0, max_res=4.0)
         assert abs(float(fit.df1) - 24000.0) < 600.0
         assert abs(float(fit.df2) - 21000.0) < 600.0
+
+
+class TestLocalCtf:
+    def test_defocus_plane_recovered(self):
+        # micrograph with a defocus gradient along x
+        rng = np.random.RandomState(9)
+        n = 1024
+        mic = np.zeros((n, n), dtype=np.float32)
+        for half, sl in ((0, slice(0, n // 2)), (1, slice(n // 2, n))):
+            df = 15000.0 if half == 0 else 19000.0
+            noise = rng.randn(n, n // 2).astype(np.float32)
+            c = np.asarray(ctf_model.ctf_2d((n, n // 2), 1.0, df, df, 0.0, 300.0, 2.7))
+            mic[:, sl] = np.fft.irfft2(np.fft.rfft2(noise) * c, s=(n, n // 2))
+        fits, plane = ctf_fit.fit_ctf_local(
+            jnp.asarray(mic), 1.0, grid=(1, 2), tile=512,
+            dfmin=10000.0, dfmax=25000.0, dfstep=250.0,
+            min_res=25.0, max_res=5.0, fit_astigmatism=False,
+        )
+        df_left = 0.5 * (float(fits[0].df1) + float(fits[0].df2))
+        df_right = 0.5 * (float(fits[1].df1) + float(fits[1].df2))
+        assert abs(df_left - 15000) < 800, df_left
+        assert abs(df_right - 19000) < 800, df_right
+        # plane evaluation at region centers matches
+        est = ctf_fit.defocus_at_positions(plane, [[512, 256], [512, 768]])
+        assert abs(est[0] - 15000) < 1000 and abs(est[1] - 19000) < 1000

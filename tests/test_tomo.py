@@ -111,3 +111,56 @@ class TestCtfCorrect:
                                      [20000.0, 20000.0, 20000.0], 2.0)
         assert out.shape == tilts.shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHandedness:
+    def test_detects_planted_gradient(self):
+        # build tilts whose defocus gradient matches +tan(theta)
+        from pyp_tpu.core import ctf as cm
+
+        rng = np.random.RandomState(7)
+        T, ny, nx = 3, 256, 512
+        angles = [-40.0, 30.0, 45.0]
+        df0 = 20000.0
+        tilts = np.zeros((T, ny, nx), dtype=np.float32)
+        for t, theta in enumerate(angles):
+            for half, sl in ((0, slice(0, nx // 2)), (1, slice(nx // 2, nx))):
+                xc = (-nx / 4 if half == 0 else nx / 4)
+                df = df0 + xc * 2.0 * np.tan(np.radians(theta))
+                noise = rng.randn(ny, nx // 2).astype(np.float32)
+                c = np.asarray(cm.ctf_2d((ny, nx // 2), 2.0, df, df, 0.0, 300.0, 2.7))
+                tilts[t][:, sl] = np.fft.irfft2(np.fft.rfft2(noise) * c,
+                                                s=(ny, nx // 2))
+        hand, grads = tomo.detect_handedness(tilts, angles, [df0] * T, 2.0)
+        assert hand == 1, (hand, grads)
+
+    def test_flipped_gradient(self):
+        from pyp_tpu.core import ctf as cm
+
+        rng = np.random.RandomState(8)
+        T, ny, nx = 2, 256, 512
+        angles = [40.0, -35.0]
+        df0 = 18000.0
+        tilts = np.zeros((T, ny, nx), dtype=np.float32)
+        for t, theta in enumerate(angles):
+            for half, sl in ((0, slice(0, nx // 2)), (1, slice(nx // 2, nx))):
+                xc = (-nx / 4 if half == 0 else nx / 4)
+                df = df0 - xc * 2.0 * np.tan(np.radians(theta))  # flipped
+                noise = rng.randn(ny, nx // 2).astype(np.float32)
+                c = np.asarray(cm.ctf_2d((ny, nx // 2), 2.0, df, df, 0.0, 300.0, 2.7))
+                tilts[t][:, sl] = np.fft.irfft2(np.fft.rfft2(noise) * c,
+                                                s=(ny, nx // 2))
+        hand, grads = tomo.detect_handedness(tilts, angles, [df0] * T, 2.0)
+        assert hand == -1, (hand, grads)
+
+
+class TestHalves:
+    def test_halves_shapes_and_independence(self):
+        vol, tilts, _, _ = make_tomo_data(noise=0.05)
+        h1, h2 = tomo.wbp_reconstruct_halves(
+            jnp.asarray(tilts), jnp.asarray(ANGLES), thickness=32, slab=16)
+        assert h1.shape == h2.shape == (32, N, N)
+        # halves come from disjoint tilts but share signal: correlated but
+        # not identical
+        cc = np.corrcoef(np.asarray(h1).ravel(), np.asarray(h2).ravel())[0, 1]
+        assert 0.3 < cc < 0.999
