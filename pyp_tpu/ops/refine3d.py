@@ -290,21 +290,45 @@ def local_refine(
     lr_shifts: float = 0.4,
 ):
     """Gradient-ascent pose polishing, vmapped over particles. Angles in
-    degrees, shifts in pixels; per-parameter learning rates with cosine decay."""
+    degrees, shifts in pixels; per-parameter learning rates with cosine decay.
+
+    Perf note: the particle-side spectrum samples and the CTF are
+    pose-INVARIANT, so they are gathered/evaluated once per particle and
+    closed over by the per-step score — the gradient loop only re-gathers
+    the reference slice and the shift phasors (halves the gather traffic
+    and removes all CTF trig from the hot loop)."""
     X = image_to_fourier(stack)
     mask_pts = jnp.asarray(mask_pts)
+    vol_pad = Fref.shape[0] // n
     scale = jnp.array([lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts])
 
-    def score_fn(pose, Xi, cp):
-        return _pose_score(pose, Xi, cp, Fref, mask_pts, n, pixel_size,
-                           voltage_kv, cs_mm, amplitude_contrast)
+    def precompute(Xi, cp):
+        xv = gather_2d_hermitian(Xi, mask_pts)
+        c = _ctf_at_points(mask_pts, n, pixel_size, cp[0], cp[1], cp[2],
+                           voltage_kv, cs_mm, amplitude_contrast, cp[3])
+        xnorm2 = jnp.sum(jnp.abs(xv) ** 2)
+        return jnp.conj(xv) * c, c * c, xnorm2
 
-    grad_fn = jax.grad(score_fn)
+    def score_cached(pose, xc, c2, xnorm2):
+        phi, theta, psi, sy, sx = pose[0], pose[1], pose[2], pose[3], pose[4]
+        R = euler_to_matrix(phi, theta, psi)
+        q = (mask_pts[:, 1, None] * R[0, None, :]
+             + mask_pts[:, 0, None] * R[1, None, :])
+        u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+        ph = 2.0 * jnp.pi * (mask_pts[:, 0] * sy + mask_pts[:, 1] * sx) / n
+        phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        num = jnp.sum(jnp.real(xc * phasor * u))
+        den = jnp.sqrt(xnorm2 * jnp.sum(c2 * jnp.abs(u) ** 2) + 1e-12)
+        return num / den
+
+    grad_fn = jax.grad(score_cached)
 
     def refine_one(pose0, Xi, cp):
+        xc, c2, xnorm2 = precompute(Xi, cp)
+
         def step(carry, t):
             pose, m = carry
-            g = grad_fn(pose, Xi, cp)
+            g = grad_fn(pose, xc, c2, xnorm2)
             gn = g / (jnp.linalg.norm(g) + 1e-8)
             m = 0.7 * m + gn
             decay = 0.5 * (1 + jnp.cos(jnp.pi * t / iters))
@@ -312,8 +336,8 @@ def local_refine(
             return (pose, m), None
 
         (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros(5)), jnp.arange(iters))
-        sc0 = score_fn(pose0, Xi, cp)
-        sc1 = score_fn(pose, Xi, cp)
+        sc0 = score_cached(pose0, xc, c2, xnorm2)
+        sc1 = score_cached(pose, xc, c2, xnorm2)
         better = sc1 >= sc0
         return jnp.where(better, pose, pose0), jnp.where(better, sc1, sc0)
 
@@ -425,15 +449,32 @@ def refine_defocus(
     (astigmatism fixed). Returns (new_ctf_params, best_scores)."""
     X = image_to_fourier(stack)
     mask_pts = jnp.asarray(mask_pts)
+    vol_pad = Fref.shape[0] // n
     offsets = jnp.linspace(-search_range, search_range, n_steps)
 
-    def score_one(pose, Xi, cp, d_off):
-        cp2 = jnp.stack([cp[0] + d_off, cp[1] + d_off, cp[2], cp[3]])
-        return _pose_score(pose, Xi, cp2, Fref, mask_pts, n, pixel_size,
-                           voltage_kv, cs_mm, amplitude_contrast)
-
     def particle_sweep(pose, Xi, cp):
-        scores = jax.vmap(lambda d: score_one(pose, Xi, cp, d))(offsets)
+        # pose is fixed across the sweep: gather the reference slice and the
+        # shifted particle values ONCE; only the CTF varies with defocus
+        phi, theta, psi, sy, sx = pose[0], pose[1], pose[2], pose[3], pose[4]
+        R = euler_to_matrix(phi, theta, psi)
+        q = (mask_pts[:, 1, None] * R[0, None, :]
+             + mask_pts[:, 0, None] * R[1, None, :])
+        u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+        xv = gather_2d_hermitian(Xi, mask_pts)
+        ph = 2.0 * jnp.pi * (mask_pts[:, 0] * sy + mask_pts[:, 1] * sx) / n
+        xu = jnp.conj(xv) * jax.lax.complex(jnp.cos(ph), jnp.sin(ph)) * u
+        xnorm2 = jnp.sum(jnp.abs(xv) ** 2)
+        u2 = jnp.abs(u) ** 2
+
+        def score_one(d_off):
+            c = _ctf_at_points(mask_pts, n, pixel_size, cp[0] + d_off,
+                               cp[1] + d_off, cp[2], voltage_kv, cs_mm,
+                               amplitude_contrast, cp[3])
+            num = jnp.sum(jnp.real(xu) * c)
+            den = jnp.sqrt(xnorm2 * jnp.sum(c * c * u2) + 1e-12)
+            return num / den
+
+        scores = jax.vmap(score_one)(offsets)
         i = jnp.argmax(scores)
         # parabolic refinement between neighboring grid points
         im = jnp.clip(i, 1, n_steps - 2)
