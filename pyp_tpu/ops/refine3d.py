@@ -139,6 +139,19 @@ def make_shift_grid(extent_px: float, step_px: float) -> np.ndarray:
     return np.stack([sy[sel], sx[sel]], axis=-1).astype(np.float32)
 
 
+def shell_weights_from_fsc(fsc_curve, mask_pts, n: int):
+    """Per-frequency-point scoring weights from a half-map FSC curve: the
+    Cref figure of merit sqrt(2C/(1+C)) interpolated at each mask point's
+    |g| — FREALIGN's SSNR/statistics weighting (refine_fssnr, SURVEY §A.1
+    line 6). Host-side; pass the result as `weights` to local_refine."""
+    curve = np.clip(np.asarray(fsc_curve, dtype=np.float64), 0.0, 1.0)
+    n_bins = len(curve)
+    r = np.sqrt((np.asarray(mask_pts) ** 2).sum(axis=1)) / n  # cycles/px
+    idx = np.clip((r / 0.5 * n_bins).astype(int), 0, n_bins - 1)
+    cref = np.sqrt(2.0 * curve / (1.0 + curve))
+    return cref[idx].astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # global search
 # ---------------------------------------------------------------------------
@@ -288,6 +301,7 @@ def local_refine(
     iters: int = 24,
     lr_angles: float = 2.0,
     lr_shifts: float = 0.4,
+    weights=None,
 ):
     """Gradient-ascent pose polishing, vmapped over particles. Angles in
     degrees, shifts in pixels; per-parameter learning rates with cosine decay.
@@ -301,13 +315,14 @@ def local_refine(
     mask_pts = jnp.asarray(mask_pts)
     vol_pad = Fref.shape[0] // n
     scale = jnp.array([lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts])
+    w = jnp.ones(mask_pts.shape[0]) if weights is None else jnp.asarray(weights)
 
     def precompute(Xi, cp):
         xv = gather_2d_hermitian(Xi, mask_pts)
         c = _ctf_at_points(mask_pts, n, pixel_size, cp[0], cp[1], cp[2],
                            voltage_kv, cs_mm, amplitude_contrast, cp[3])
-        xnorm2 = jnp.sum(jnp.abs(xv) ** 2)
-        return jnp.conj(xv) * c, c * c, xnorm2
+        xnorm2 = jnp.sum(w * jnp.abs(xv) ** 2)
+        return w * jnp.conj(xv) * c, w * c * c, xnorm2
 
     def score_cached(pose, xc, c2, xnorm2):
         phi, theta, psi, sy, sx = pose[0], pose[1], pose[2], pose[3], pose[4]
@@ -369,8 +384,11 @@ def refine_batch(
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
     local_iters: int = 24,
+    shell_weights=None,
 ) -> RefineResult:
-    """Full refine3d-equivalent on one batch of particles."""
+    """Full refine3d-equivalent on one batch of particles. `shell_weights`
+    (G,) weights matching make_mask_points(low_res, high_res_refine) apply
+    SSNR weighting to the local-refinement score (shell_weights_from_fsc)."""
     n = stack.shape[-1]
     Fref = volume_to_fourier(jnp.asarray(ref_volume))
 
@@ -392,7 +410,7 @@ def refine_batch(
         poses_k, scores_k = local_refine(
             stack_rep, ctf_rep, Fref, cand.reshape(B * K, 5),
             jnp.asarray(pts_refine), n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast, iters=local_iters,
+            amplitude_contrast, iters=local_iters, weights=shell_weights,
         )
         scores_k = scores_k.reshape(B, K)
         poses_k = poses_k.reshape(B, K, 5)
@@ -404,6 +422,7 @@ def refine_batch(
             jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
             jnp.asarray(init_poses), jnp.asarray(pts_refine), n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, iters=local_iters,
+            weights=shell_weights,
         )
 
     # FREALIGN-compatible output statistics: SCORE = 100*NCC; SIGMA = rms

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from pyp_tpu.core.geometry import euler_to_matrix
 from pyp_tpu.ops import refine3d as r3
@@ -47,10 +47,13 @@ def make_mesh(n_devices: int | None = None, model: int = 1) -> Mesh:
     return Mesh(arr, axis_names=("data", "model"))
 
 
-def _pose_score_sharded(pose, Xi, cp, Fref, mask_pts, n, pixel_size,
+def _pose_score_sharded(pose, Xi, cp, Fref, mask_pts, pt_valid, n, pixel_size,
                         voltage_kv, cs_mm, w, model_axis):
     """CTF-weighted NCC with the frequency sum sharded over `model_axis`:
-    each shard holds a slice of mask_pts; partial sums psum over ICI."""
+    each shard holds a slice of mask_pts; partial sums psum over ICI.
+    `pt_valid` zeroes the contribution of padding points (G is padded to a
+    multiple of the model axis — without the mask those pads would gather
+    the volume's DC term and bias every score)."""
     phi, theta, psi, sy, sx = pose[0], pose[1], pose[2], pose[3], pose[4]
     vol_pad = Fref.shape[0] // n
     R = euler_to_matrix(phi, theta, psi)
@@ -61,9 +64,9 @@ def _pose_score_sharded(pose, Xi, cp, Fref, mask_pts, n, pixel_size,
     xv = gather_2d_hermitian(Xi, mask_pts)
     ph = 2.0 * jnp.pi * (mask_pts[:, 0] * sy + mask_pts[:, 1] * sx) / n
     phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
-    num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * c * u))
-    xn = jnp.sum(jnp.abs(xv) ** 2)
-    cn = jnp.sum(c * c * jnp.abs(u) ** 2)
+    num = jnp.sum(pt_valid * jnp.real(jnp.conj(xv) * phasor * c * u))
+    xn = jnp.sum(pt_valid * jnp.abs(xv) ** 2)
+    cn = jnp.sum(pt_valid * c * c * jnp.abs(u) ** 2)
     num = jax.lax.psum(num, model_axis)
     xn = jax.lax.psum(xn, model_axis)
     cn = jax.lax.psum(cn, model_axis)
@@ -97,17 +100,18 @@ def sharded_refine_step(
     # pad G to a multiple of the model axis
     G = mask_pts.shape[0]
     padG = (-G) % model_size
+    pt_valid = np.concatenate([np.ones(G, np.float32), np.zeros(padG, np.float32)])
     mask_pts = np.concatenate([mask_pts, np.zeros((padG, 2), np.float32)])
 
     lr_angles, lr_shifts = 2.0, 0.4
     scale = jnp.array([lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts])
 
-    def shard_fn(stack_s, ctf_s, poses_s, Fref_s, pts_s):
+    def shard_fn(stack_s, ctf_s, poses_s, Fref_s, pts_s, valid_s):
         X = image_to_fourier(stack_s)
 
         def score_fn(pose, Xi, cp):
             return _pose_score_sharded(
-                pose, Xi, cp, Fref_s, pts_s, n, pixel_size,
+                pose, Xi, cp, Fref_s, pts_s, valid_s, n, pixel_size,
                 voltage_kv, cs_mm, amplitude_contrast, "model",
             )
 
@@ -122,7 +126,7 @@ def sharded_refine_step(
                 decay = 0.5 * (1 + jnp.cos(jnp.pi * t / iters))
                 return (pose + scale * decay * m, m), None
 
-            (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros(5)), jnp.arange(iters))
+            (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros_like(pose0)), jnp.arange(iters))
             sc0 = score_fn(pose0, Xi, cp)
             sc1 = score_fn(pose, Xi, cp)
             better = sc1 >= sc0
@@ -134,13 +138,12 @@ def sharded_refine_step(
     fn = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("data"), P("data"), P("data"), P(), P("model")),
+        in_specs=(P("data"), P("data"), P("data"), P(), P("model"), P("model")),
         out_specs=(P("data"), P("data")),
-        check_rep=False,
     )
     return jax.jit(fn)(
         jnp.asarray(stack), jnp.asarray(ctf_params), jnp.asarray(init_poses),
-        Fref, jnp.asarray(mask_pts),
+        Fref, jnp.asarray(mask_pts), jnp.asarray(pt_valid),
     )
 
 
@@ -178,7 +181,6 @@ def sharded_reconstruct(
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P("data")),
         out_specs=P(),
-        check_rep=False,
     )
     return jax.jit(fn)(
         jnp.asarray(stack), jnp.asarray(poses), jnp.asarray(ctf_params),

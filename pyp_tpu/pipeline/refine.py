@@ -51,7 +51,7 @@ def poses_into_table(table: cistem.Table, result, pixel: float):
 
 def refinement_iteration(
     stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
-    batch: int = 256,
+    batch: int = 256, fsc_curve=None,
 ):
     """One iteration: refine poses (batched over particle ranges), then
     reconstruct half maps + FSC. Returns (table, Reconstruction)."""
@@ -70,6 +70,16 @@ def refinement_iteration(
     ctf_params = table_to_ctf_params(table)
     has_poses = np.any(np.abs(table_to_poses(table, pixel)[:, :3]) > 1e-6)
     global_search = mode == "global" or not has_poses
+
+    shell_w = None
+    if fsc_curve is not None:
+        from pyp_tpu.ops.refine3d import make_mask_points, shell_weights_from_fsc
+
+        n_box = stack.shape[-1]
+        rhref_pts = make_mask_points(
+            n_box, pixel, float(params["refine_rlref"]), max(rhref * 0.8, 2.1 * pixel)
+        )
+        shell_w = shell_weights_from_fsc(fsc_curve, rhref_pts, n_box)
 
     results = []
     if not params.get("refine_skip"):
@@ -91,6 +101,7 @@ def refinement_iteration(
                     init_poses=init,
                     topk=int(params.get("refine_topk") or 4),
                     local_iters=int(params.get("refine_local_iters") or 24),
+                    shell_weights=shell_w,
                     voltage_kv=float(params["scope_voltage"]),
                     cs_mm=float(params["scope_cs"]),
                     amplitude_contrast=float(params["scope_wgh"]),
@@ -112,6 +123,14 @@ def refinement_iteration(
             np.asarray(table["occupancy"]) / 100.0
             if "occupancy" in table else np.ones(n_total)
         )
+        # score-based particle weighting (refine_bsc, SURVEY §A.2): weight
+        # exp(bsc * (score - mean)/std) caps reconstruction influence of
+        # low-scoring particles
+        bsc = float(params.get("refine_bsc") or 0.0)
+        if bsc > 0 and "score" in table:
+            sc = np.asarray(table["score"])
+            z = (sc - sc.mean()) / (sc.std() + 1e-6)
+            weights = weights * np.exp(np.clip(bsc * z, -4.0, 1.0))
         out = rec.reconstruct(
             np.asarray(stack), poses, ctf_params, pixel,
             subset=subset.astype(np.int32), weights=weights.astype(np.float32),
@@ -150,8 +169,11 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             break
 
     history = []
+    fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
     for it in range(start, maxiter + 2):
-        table, recon, res_a = refinement_iteration(stack, table, ref, params, it)
+        table, recon, res_a = refinement_iteration(
+            stack, table, ref, params, it, fsc_curve=fsc_curve)
+        fsc_curve = np.asarray(recon.fsc)
         ref = np.asarray(recon.volume, dtype=np.float32)
         mrc.write(ref, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc", pixel_size=pixel)
         mrc.write(np.asarray(recon.half1), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half1.mrc", pixel_size=pixel)

@@ -198,3 +198,31 @@ class TestRefineDefocus:
         err_before = np.abs(derr).mean()
         err_after = np.abs(np.asarray(new_cp)[:, 0] - np.asarray(ctf_params)[:, 0]).mean()
         assert err_after < err_before * 0.6, (err_before, err_after)
+
+
+class TestShellWeights:
+    def test_weighted_scoring_runs_and_downweights(self):
+        import jax.numpy as jnp
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+        vol = make_volume()
+        imgs, ctf_params, truth = make_particles(vol, n_particles=4, noise=0.1)
+        poses = jnp.asarray(np.stack([
+            truth["phi"], truth["theta"], truth["psi"],
+            -truth["shifts"][:, 0], -truth["shifts"][:, 1],
+        ], axis=1).astype(np.float32))
+        pts = refine3d.make_mask_points(N, PIXEL, 100.0, 2.2 * PIXEL)
+        # a decaying FSC curve -> decreasing weights with frequency
+        curve = np.linspace(1.0, 0.1, N // 2)
+        w = refine3d.shell_weights_from_fsc(curve, pts, N)
+        assert w.shape == (len(pts),)
+        r = np.sqrt((pts ** 2).sum(1))
+        assert w[np.argmin(r)] > w[np.argmax(r)]  # low freq weighted higher
+        Fref = volume_to_fourier(jnp.asarray(vol))
+        _, s_w = refine3d.local_refine(imgs, ctf_params, Fref, poses,
+                                       jnp.asarray(pts), N, PIXEL, iters=0,
+                                       weights=jnp.asarray(w))
+        _, s_u = refine3d.local_refine(imgs, ctf_params, Fref, poses,
+                                       jnp.asarray(pts), N, PIXEL, iters=0)
+        # weighted scores emphasize the reliable low-res band -> higher NCC
+        assert float(jnp.mean(s_w)) >= float(jnp.mean(s_u)) - 0.05
