@@ -1,0 +1,153 @@
+"""Multi-reference (K-class) 3D refinement with occupancy updates.
+
+Rebuild of the reference's 3D classification path (frealign_iterate loop
+over classes r01..rNN, frealign.py:1491; occupancy updates from per-class
+LogP, analysis/occupancies.py:70; per-class reconstruction / classmerge,
+particle_cspt.py:1682): each iteration refines every particle against every
+class reference, converts per-class scores to soft occupancies (softmax with
+mixing-proportion prior), and reconstructs each class from occupancy-weighted
+particles. Class axis is embarrassingly parallel (the reference runs one
+classmerge job per class; here classes batch on one chip or shard across
+chips).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from pyp_tpu.analysis import occupancies as occ_mod
+from pyp_tpu.io import cistem, mrc
+from pyp_tpu.utils import Timer, get_logger
+
+logger = get_logger("classify3d")
+
+
+def classify3d_iteration(
+    stack, table: cistem.Table, references, occ, params: dict, iteration: int,
+    batch: int = 256,
+):
+    """One K-class iteration. references: list of (n,n,n); occ: (B, K).
+
+    Returns (table, new_references, new_occ, per-class resolutions)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops import refine3d
+    from pyp_tpu.pipeline.refine import (
+        param, table_to_ctf_params, table_to_poses, poses_into_table,
+    )
+
+    K = len(references)
+    B = table.n_rows
+    pixel = float(table["pixel_size"][0]) if "pixel_size" in table else float(
+        params["scope_pixel"])
+    rhref = float(param(params["refine_rhref"], iteration))
+    ctf_params = table_to_ctf_params(table)
+    init_poses = table_to_poses(table, pixel)
+
+    # --- refine against each class ----------------------------------------
+    per_class = []
+    with Timer(f"classification iteration {iteration} ({K} classes)"):
+        for k in range(K):
+            res_parts = []
+            for lo in range(0, B, batch):
+                hi = min(lo + batch, B)
+                res = refine3d.refine_batch(
+                    jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                    jnp.asarray(references[k]), pixel,
+                    mode="local", init_poses=init_poses[lo:hi],
+                    low_res=float(params["refine_rlref"]),
+                    high_res_refine=max(
+                        float(params.get("class_rhcls") or rhref), 2.1 * pixel),
+                    local_iters=int(params.get("refine_local_iters") or 16),
+                    symmetry=str(params["particle_sym"]),
+                    voltage_kv=float(params["scope_voltage"]),
+                    cs_mm=float(params["scope_cs"]),
+                    amplitude_contrast=float(params["scope_wgh"]),
+                )
+                res_parts.append(res)
+            merged = refine3d.RefineResult(*(
+                jnp.concatenate([getattr(r, f) for r in res_parts])
+                for f in refine3d.RefineResult._fields
+            ))
+            per_class.append(merged)
+
+    # --- occupancies from per-class log-likelihood proxies -----------------
+    logp = np.stack([np.asarray(r.logp) for r in per_class], axis=1)  # (B, K)
+    prior = occ_mod.update_average_occupancies(occ)
+    occ = occ_mod.occupancies_from_logp(logp, prior_occ=prior)
+    assign = occ_mod.hard_assignments(occ)
+
+    # particle keeps the pose refined against its best class
+    best = refine3d.RefineResult(*(
+        jnp.stack([getattr(per_class[assign[i]], f)[i] for i in range(B)])
+        for f in refine3d.RefineResult._fields
+    ))
+    table = poses_into_table(table, best, pixel)
+    table["occupancy"] = occ[np.arange(B), assign]
+    table["best_2d_class"] = assign + 1
+
+    # --- per-class reconstruction (the classmerge jobs) --------------------
+    poses = table_to_poses(table, pixel)
+    subset = (
+        np.asarray(table["assigned_subset"]) - 1
+        if "assigned_subset" in table else np.arange(B) % 2
+    )
+    new_refs, resolutions = [], []
+    for k in range(K):
+        out = rec.reconstruct(
+            np.asarray(stack), poses, ctf_params, pixel,
+            subset=subset.astype(np.int32),
+            weights=(occ[:, k] / 100.0).astype(np.float32),
+            symmetry=str(params["particle_sym"]),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+            batch=batch,
+        )
+        new_refs.append(np.asarray(out.volume, dtype=np.float32))
+        resolutions.append(float(fsc_mod.resolution_at_threshold(
+            out.freqs, out.fsc, pixel, 0.143)))
+    logger.info("iteration %d: class occupancies %s, resolutions %s",
+                iteration, np.round(prior, 1).tolist(),
+                np.round(resolutions, 2).tolist())
+    return table, new_refs, occ, resolutions
+
+
+def classify3d_loop(stack, table, initial_model, params, work_dir=".",
+                    dataset="dataset"):
+    """K-class classification: seed classes by jittered occupancies of the
+    common initial model, iterate refinement/occupancy/reconstruction, write
+    per-class maps (maps/<dataset>_rKK_II.mrc)."""
+    K = int(params.get("class_num") or 1)
+    B = table.n_rows
+    maps_dir = Path(work_dir) / "maps"
+    maps_dir.mkdir(parents=True, exist_ok=True)
+    pixel = float(params["scope_pixel"])
+    maxiter = int(params["refine_maxiter"])
+    start = int(params.get("refine_iter") or 2)
+
+    occ = occ_mod.classification_initialization(B, K, seed=0)
+    # seed class references: occupancy-jittered reconstructions around the
+    # initial model (classification_initialization semantics)
+    refs = [np.asarray(initial_model, dtype=np.float32)] * K
+    rng = np.random.RandomState(1)
+    refs = [r + rng.normal(0, 0.02 * (np.abs(r).max() + 1e-6), r.shape).astype(np.float32)
+            for r in refs]
+
+    history = []
+    for it in range(start, maxiter + 2):
+        table, refs, occ, resolutions = classify3d_iteration(
+            stack, table, refs, occ, params, it)
+        for k, (r, res) in enumerate(zip(refs, resolutions)):
+            mrc.write(r, maps_dir / f"{dataset}_r{k + 1:02d}_{it:02d}.mrc",
+                      pixel_size=pixel)
+        cistem.write_parameters(table, maps_dir / f"{dataset}_classes_{it:02d}.cistem")
+        history.append({
+            "iteration": it, "resolutions": resolutions,
+            "occupancy": occ.mean(axis=0).tolist(),
+        })
+    return table, refs, occ, history
