@@ -92,11 +92,24 @@ def accumulate(
     symmetry: str = "C1",
     pad: int = DEFAULT_PAD,
     prev: Accumulators | None = None,
+    doses=None,
 ) -> Accumulators:
-    """Insert a batch of particles into (possibly pre-existing) accumulators."""
+    """Insert a batch of particles into (possibly pre-existing) accumulators.
+
+    `doses` (B,) cumulative exposures (e-/Å²) apply the Grant-Grigorieff
+    damage envelope to each particle's CTF weight — the reconstruct3d dose
+    weighting block (SURVEY §A.2)."""
     X = image_to_fourier(stack)
     X = _shift_correct(X, poses[:, 3:5], n)
     ctfs = _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, amplitude_contrast)
+    if doses is not None:
+        from pyp_tpu.core.ctf import dose_weight
+
+        ky = jnp.asarray(np.fft.fftfreq(n, d=pixel_size)).reshape(n, 1)
+        kx = jnp.asarray(np.fft.rfftfreq(n, d=pixel_size)).reshape(1, -1)
+        g = jnp.sqrt(ky * ky + kx * kx)
+        env = dose_weight(g[None], jnp.asarray(doses)[:, None, None])
+        ctfs = ctfs * env
     R = euler_to_matrix(poses[:, 0], poses[:, 1], poses[:, 2])
 
     sym_mats = jnp.asarray(apply_symmetry_matrices(symmetry))

@@ -231,7 +231,7 @@ def _filter_tilts(tilts, cutoff, falloff):
                          n=tilts.shape[-1], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("thickness", "slab"))
+@functools.partial(jax.jit, static_argnames=("thickness", "slab", "cutoff", "falloff"))
 def wbp_reconstruct(
     tilts, tilt_angles, shifts=None, thickness: int = 128,
     cutoff: float = 0.35, falloff: float = 0.05,

@@ -185,4 +185,10 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             header="freq_cyc_per_px fsc",
         )
         history.append({"iteration": it, "resolution": res_a})
+        from pyp_tpu.stream.web import Web
+
+        web = Web()
+        if web.exists:
+            web.write_reconstruction(dataset, it, res_a,
+                                     fsc=np.asarray(recon.fsc).tolist())
     return table, ref, history

@@ -237,4 +237,10 @@ def spr_merge(results: dict, missing: list, work_dir=".") -> dict:
         "merged %d micrographs (%d missing), %d particles",
         out["micrographs"], len(missing), out["particles"],
     )
+    from pyp_tpu.stream.web import Web
+
+    web = Web()
+    if web.exists:
+        for r in ok:
+            web.write_micrograph(r["name"], r)
     return out
