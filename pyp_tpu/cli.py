@@ -30,7 +30,7 @@ from pyp_tpu.utils import get_logger
 logger = get_logger("cli")
 
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
-         "postprocess", "worker", "params")
+         "polish", "postprocess", "worker", "params")
 
 
 def _project_params(argv, work_dir="."):
@@ -216,6 +216,53 @@ def mode_csp(argv):
     out, res = csp_pipe.csp_merge(accs, box, params, ".",
                                   params.get("data_set") or "dataset")
     print(json.dumps({"resolution": res, "series": len(accs)}))
+    return 0
+
+
+def mode_polish(argv):
+    """Per-particle movie refinement: re-extract particles from raw frames
+    at drift-corrected positions, refine per-frame trajectories against the
+    latest map, and rebuild the stack dose-weighted (the reference's movie
+    refinement / csp frame mode)."""
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, mrc
+    from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.ops import polish as polish_ops
+    from pyp_tpu.pipeline.refine import table_to_ctf_params, table_to_poses
+    from pyp_tpu.pipeline.spr import apply_gain, load_movie
+
+    table = cistem.read_parameters("stack.cistem")
+    dataset = params.get("data_set") or "dataset"
+    maps = sorted(Path("maps").glob(f"{dataset}_r??_??.mrc"))
+    if not maps:
+        logger.error("polish needs refined maps under maps/")
+        return 1
+    ref = mrc.read(maps[-1]).astype(np.float32)
+    pixel = float(params["scope_pixel"])
+    box = int(params["extract_box"])
+    films = np.asarray(table["particle_group"]).astype(int)
+    items = _discover_items(params)
+    poses = table_to_poses(table, pixel)
+    ctf = table_to_ctf_params(table)
+    new_stack = np.array(mrc.read("stack.mrc"), dtype=np.float32, copy=True)
+    n_polished = 0
+    for film, item in enumerate(items, start=1):
+        sel = np.where(films == film)[0]
+        meta = ItemMetadata(item["name"], ".", mode="spr").load()
+        if len(sel) == 0 or "box" not in meta:
+            continue
+        frames = apply_gain(load_movie(item["path"]), params)
+        coords = meta["box"][:, :2].astype(np.int32)[: len(sel)]
+        drift = meta["drift"] if "drift" in meta else None
+        stack_p, traj = polish_ops.polish(
+            frames, coords, poses[sel], ctf[sel], ref, pixel, box,
+            global_shifts=drift,
+        )
+        sign = -1.0 if params.get("extract_inv", True) else 1.0
+        new_stack[sel] = sign * np.asarray(stack_p)
+        n_polished += len(sel)
+    mrc.write(new_stack, "stack.mrc", pixel_size=pixel)
+    print(json.dumps({"polished": n_polished}))
     return 0
 
 

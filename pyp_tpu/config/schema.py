@@ -14,7 +14,7 @@ state files. Values support per-iteration schedules with colon syntax
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

@@ -11,7 +11,6 @@ import ctypes
 import subprocess
 from pathlib import Path
 
-import numpy as np
 
 _LIB = None
 _TRIED = False

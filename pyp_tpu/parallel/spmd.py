@@ -18,12 +18,11 @@ checked; across hosts, jax.distributed extends the same mesh over DCN.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from pyp_tpu.core.geometry import euler_to_matrix

@@ -17,7 +17,6 @@ from pathlib import Path
 import numpy as np
 
 from pyp_tpu.config.params import param
-from pyp_tpu.io import cistem
 from pyp_tpu.io.metadata import ItemMetadata
 from pyp_tpu.utils import Timer, get_logger
 
@@ -60,7 +59,6 @@ def csp_swarm_one(
     from pyp_tpu.ops import csp as csp_ops
     from pyp_tpu.ops import reconstruct as rec
     from pyp_tpu.ops.extract import window_particles
-    from pyp_tpu.ops.fourier_slice import image_to_fourier
 
     name = item["name"]
     meta = ItemMetadata(name, work_dir, mode="tomo").load()

@@ -14,7 +14,6 @@ from pathlib import Path
 
 import numpy as np
 
-from pyp_tpu.config.params import param
 from pyp_tpu.io import cistem, mrc
 from pyp_tpu.io.metadata import ItemMetadata
 from pyp_tpu.utils import Timer, get_logger

@@ -16,7 +16,6 @@ as an explicit graph the executors run:
 from __future__ import annotations
 
 import dataclasses
-import time
 from typing import Any, Callable
 
 

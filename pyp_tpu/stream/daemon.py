@@ -18,7 +18,6 @@ from pathlib import Path
 
 import numpy as np
 
-from pyp_tpu.io.metadata import ItemMetadata
 from pyp_tpu.utils import get_logger
 
 logger = get_logger("stream")

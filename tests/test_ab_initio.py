@@ -11,12 +11,14 @@ sharpens, particle scores improve across rounds, and outputs are sane.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.ops import ab_initio, refine3d
 from pyp_tpu.ops.fourier_slice import volume_to_fourier
 from tests.test_refine3d import make_particles, make_volume, N, PIXEL
 
 
+@pytest.mark.slow
 class TestAbInitio:
     def test_mechanics_and_score_improvement(self):
         vol = make_volume()

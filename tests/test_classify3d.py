@@ -3,6 +3,7 @@ into two classes whose maps match their own volume better than the other."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.config.params import defaults
 from pyp_tpu.io import cistem
@@ -10,6 +11,7 @@ from pyp_tpu.pipeline import classify3d
 from tests.test_refine3d import make_particles, make_volume, N, PIXEL
 
 
+@pytest.mark.slow
 class TestClassify3D:
     def test_two_state_separation(self, tmp_path):
         volA = make_volume(seed=0)

@@ -7,12 +7,14 @@ from pathlib import Path
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu import cli
 from pyp_tpu.io import mrc
 from pyp_tpu.io.metadata import ItemMetadata
 
 
+@pytest.mark.slow
 class TestTomoCli:
     def test_tomo_then_csp(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)

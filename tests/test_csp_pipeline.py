@@ -3,6 +3,7 @@ the subtomogram-average reconstruction correlates with the reference."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.config.params import defaults
 from pyp_tpu.io.metadata import ItemMetadata
@@ -10,6 +11,7 @@ from pyp_tpu.pipeline import csp as csp_pipe
 from tests.test_csp import make_reference, make_tilt_series, NBOX, PIXEL, T, P
 
 
+@pytest.mark.slow
 class TestCspPipeline:
     def test_swarm_and_merge(self, tmp_path):
         vol = make_reference()

@@ -119,6 +119,7 @@ class TestTiff:
         assert isinstance(out, bytes)
 
 
+@pytest.mark.slow
 class TestEndToEndSPA:
     """The minimum end-to-end slice (SURVEY §7.6): import -> motion -> CTF ->
     pick -> extract -> refine -> reconstruct on synthetic data, driven
@@ -211,3 +212,52 @@ class TestEndToEndSPA:
         # resolution should be sane (better than 30 Å on synthetic data)
         fsc_table = np.loadtxt("maps/test_fsc_masked.txt")
         assert fsc_table.shape[1] == 2
+
+
+@pytest.mark.slow
+class TestPolishMode:
+    def test_polish_cli(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        from pyp_tpu import cli
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.core.geometry import euler_to_matrix
+        from pyp_tpu.core.fft import shift_images
+        from pyp_tpu.io import mrc
+        from pyp_tpu.ops import fourier_slice as fs
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.RandomState(0)
+        nvol, n = 32, 384
+        vol = rng.randn(nvol, nvol, nvol).astype(np.float32)
+        vol *= np.asarray(soft_spherical_mask(nvol, nvol * 0.3, 2.0))
+        vol = np.array(lowpass_filter_3d(jnp.asarray(vol), 2.0, 6.0)) * 40
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        mic = np.zeros((n, n), dtype=np.float32)
+        for i in range(12):
+            gy, gx = 48 + (i // 4) * 96, 48 + (i % 4) * 80
+            R = euler_to_matrix(rng.uniform(0, 360), 90.0, rng.uniform(0, 360))[None]
+            mic[gy - 16:gy + 16, gx - 16:gx + 16] += -np.array(
+                fs.fourier_to_image(fs.project(Fv, R, nvol), nvol)[0])
+        drift = np.cumsum(rng.uniform(-1, 1, (4, 2)), 0).astype(np.float32)
+        frames = np.array(shift_images(jnp.repeat(jnp.asarray(mic)[None], 4, 0),
+                                       jnp.asarray(drift)))
+        frames += 0.3 * rng.randn(*frames.shape).astype(np.float32)
+        mrc.write(frames, "m0.mrc", pixel_size=2.0)
+        mrc.write(vol, "initial_model.mrc", pixel_size=2.0)
+
+        assert cli.main(["spr", "-data_path", str(tmp_path / "m0.mrc"),
+                         "-scope_pixel", "2.0", "-detect_rad", "22",
+                         "-extract_box", "32", "-detect_thresh", "1.2",
+                         "-ctf_min_def", "8000", "-ctf_max_def", "30000",
+                         "-ctf_max_res", "8", "-movie_search", "8"]) == 0
+        assert cli.main(["extract"]) == 0
+        assert cli.main(["refine", "-refine_maxiter", "2", "-refine_dang", "30",
+                         "-refine_rhref", "8", "-data_set", "pol",
+                         "-refine_local_iters", "8", "-refine_topk", "2"]) == 0
+        before = mrc.read("stack.mrc").copy()
+        rc = cli.main(["polish", "-data_set", "pol"])
+        assert rc == 0
+        after = mrc.read("stack.mrc")
+        assert after.shape == before.shape
+        assert not np.allclose(after, before)  # stack rebuilt from frames

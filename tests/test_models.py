@@ -26,6 +26,7 @@ def make_labeled_micrographs(n_mics=2, n=256, n_particles=12, radius=8, seed=0):
     return mics, coords
 
 
+@pytest.mark.slow
 class TestPicker:
     def test_train_and_pick(self):
         mics, coords = make_labeled_micrographs()
@@ -44,6 +45,7 @@ class TestPicker:
         assert hits >= len(test_coords[0]) * 0.7, (hits, len(test_coords[0]))
 
 
+@pytest.mark.slow
 class TestDenoise:
     def test_noise2noise_improves(self):
         rng = np.random.RandomState(0)
