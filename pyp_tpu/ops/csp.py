@@ -50,6 +50,20 @@ class CspParams(NamedTuple):
     tilt_shifts: jax.Array    # (T, 2) pixels (y, x) image shifts
     particle_eulers: jax.Array  # (P, 3) (phi, theta, psi) degrees
     particle_pos: jax.Array   # (P, 3) (z, y, x) centered tomogram voxels
+    defocus_offsets: jax.Array  # (T,) Å added to the nominal tilt defocus
+
+
+def make_params(tilt_angles, axis_angles, tilt_shifts, particle_eulers,
+                particle_pos, defocus_offsets=None) -> "CspParams":
+    import jax.numpy as _jnp
+
+    if defocus_offsets is None:
+        defocus_offsets = _jnp.zeros(_jnp.asarray(tilt_angles).shape[0])
+    return CspParams(
+        _jnp.asarray(tilt_angles), _jnp.asarray(axis_angles),
+        _jnp.asarray(tilt_shifts), _jnp.asarray(particle_eulers),
+        _jnp.asarray(particle_pos), _jnp.asarray(defocus_offsets),
+    )
 
 
 # mode -> which blocks get gradients (reference mode table align/core.py:1015)
@@ -58,6 +72,7 @@ MODE_BLOCKS = {
     1: ("particle_eulers",),                    # particle rotations
     2: ("particle_pos",),                       # particle shifts (3D)
     3: ("tilt_shifts",),                        # micrograph shifts
+    4: ("defocus_offsets",),                    # per-tilt defocus
     5: ("tilt_shifts",),                        # patch micrograph variant
     6: ("particle_pos",),                       # patch particle variant
 }
@@ -136,7 +151,8 @@ def csp_score(
     )  # (T, P, G, 3) xyz
     u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))  # (T, P, G)
 
-    df = tilt_defocus[:, None, 0] + depth * pixel_size  # (T, P) Å
+    df = (tilt_defocus[:, None, 0] + params.defocus_offsets[:, None]
+          + depth * pixel_size)  # (T, P) Å
     c = _ctf_at_points(
         mask[None, None], n, pixel_size, df[..., None], df[..., None], 0.0,
         voltage_kv, cs_mm, amplitude_contrast, 0.0,
@@ -199,7 +215,7 @@ def csp_refine_mode(
     scales = CspParams(
         tilt_angles=jnp.asarray(0.2), axis_angles=jnp.asarray(0.2),
         tilt_shifts=jnp.asarray(0.5), particle_eulers=jnp.asarray(1.0),
-        particle_pos=jnp.asarray(0.5),
+        particle_pos=jnp.asarray(0.5), defocus_offsets=jnp.asarray(100.0),
     )
 
     def loss_fn(p):

@@ -28,18 +28,17 @@ def series_params_from_metadata(meta: ItemMetadata, coords_zyx, eulers):
     particle table (positions in binned tomogram voxels, centered)."""
     import jax.numpy as jnp
 
-    from pyp_tpu.ops.csp import CspParams
+    from pyp_tpu.ops.csp import make_params
 
     angles = np.asarray(meta["tlt"], dtype=np.float32)
     T = len(angles)
     xf = meta["xf"] if "xf" in meta else np.zeros((T, 3), dtype=np.float32)
-    return CspParams(
-        tilt_angles=jnp.asarray(angles),
-        axis_angles=jnp.asarray(np.full(T, xf[0, 2] if xf.shape[1] > 2 else 0.0,
-                                        dtype=np.float32)),
-        tilt_shifts=jnp.asarray(xf[:, :2].astype(np.float32)),
-        particle_eulers=jnp.asarray(np.asarray(eulers, dtype=np.float32)),
-        particle_pos=jnp.asarray(np.asarray(coords_zyx, dtype=np.float32)),
+    return make_params(
+        angles,
+        np.full(T, xf[0, 2] if xf.shape[1] > 2 else 0.0, dtype=np.float32),
+        xf[:, :2].astype(np.float32),
+        np.asarray(eulers, dtype=np.float32),
+        np.asarray(coords_zyx, dtype=np.float32),
     )
 
 
@@ -172,3 +171,46 @@ def csp_merge(accumulators, box: int, params: dict, work_dir=".",
     res = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
     logger.info("csp merge: FSC(0.143) = %.2f Å", res)
     return out, res
+
+
+def csp_refine_regions(
+    params_in, tilt_images, tilt_defocus, ref_volume, pixel_size, boxsize,
+    grid=(2, 2, 1), modes=(5, 6), bounds=None, **kw,
+):
+    """Patch-based CSP (reference modes 5/6/7 and csp_Grid, SURVEY §2.3.7):
+    particles are partitioned into a spatial grid of regions; each region
+    refines its own copy of the per-tilt geometry (local deformations), with
+    particle blocks refined within the region subset.
+
+    Returns (per_region_params: list[CspParams or None], region_of_particle
+    (P,)). Regions with no particles return None.
+    """
+    from pyp_tpu.core.geometry import region_of
+    from pyp_tpu.ops import csp as csp_ops
+
+    pos = np.asarray(params_in.particle_pos)  # (P, 3) (z, y, x)
+    if bounds is None:
+        lo = pos.min(axis=0) - 1.0
+        hi = pos.max(axis=0) + 1.0
+    else:
+        lo, hi = bounds
+    # grid given as (x, y, z) like csp_Grid; positions are (z, y, x)
+    grid_zyx = np.asarray(grid[::-1], dtype=np.int64)
+    region = region_of(pos, lo, hi, grid_zyx)
+
+    out = []
+    for r in range(int(np.prod(grid_zyx))):
+        sel = np.where(region == r)[0]
+        if len(sel) == 0:
+            out.append(None)
+            continue
+        sub = params_in._replace(
+            particle_eulers=params_in.particle_eulers[sel],
+            particle_pos=params_in.particle_pos[sel],
+        )
+        refined, _scores = csp_ops.csp_refine(
+            sub, tilt_images, tilt_defocus, ref_volume, pixel_size, boxsize,
+            modes=tuple(modes), **kw,
+        )
+        out.append(refined)
+    return out, region

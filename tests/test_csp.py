@@ -31,16 +31,16 @@ def make_reference(seed=0):
 
 def make_tilt_series(vol, seed=1, noise=0.05):
     rng = np.random.RandomState(seed)
-    true = csp.CspParams(
-        tilt_angles=jnp.asarray(ANGLES),
-        axis_angles=jnp.asarray(np.full(T, 2.0, dtype=np.float32)),
-        tilt_shifts=jnp.asarray(rng.uniform(-3, 3, (T, 2)).astype(np.float32)),
-        particle_eulers=jnp.asarray(rng.uniform(0, 360, (P, 3)).astype(np.float32)),
-        particle_pos=jnp.asarray(np.stack([
+    true = csp.make_params(
+        ANGLES,
+        np.full(T, 2.0, dtype=np.float32),
+        rng.uniform(-3, 3, (T, 2)).astype(np.float32),
+        rng.uniform(0, 360, (P, 3)).astype(np.float32),
+        np.stack([
             rng.uniform(-10, 10, P),
             rng.uniform(-50, 50, P),
             rng.uniform(-50, 50, P),
-        ], 1).astype(np.float32)),
+        ], 1).astype(np.float32),
     )
     Fv = fs.volume_to_fourier(jnp.asarray(vol))
     R_eff = csp.effective_rotations(true)            # (T, P, 3, 3)
@@ -140,3 +140,41 @@ class TestCspScore:
         e0 = np.abs(pert).mean()
         e1 = np.abs(np.asarray(refined.tilt_angles - true.tilt_angles)).mean()
         assert e1 < e0, (e0, e1)
+
+
+class TestCspDefocusMode:
+    def test_mode4_recovers_defocus_error(self):
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol, noise=0.05)
+        rng = np.random.RandomState(6)
+        derr = rng.uniform(-500, 500, T).astype(np.float32)
+        # data has true defocus; tell the model a WRONG nominal defocus
+        wrong_defocus = np.asarray(defocus).copy()
+        wrong_defocus[:, 0] += derr
+        wrong_defocus[:, 1] += derr
+        refined, scores = csp.csp_refine(
+            true, images, jnp.asarray(wrong_defocus), vol, PIXEL, NBOX,
+            modes=(4,), iters_per_mode=40, high_res=2.5 * PIXEL, reg_weight=0.0,
+        )
+        # defocus_offsets should cancel the planted error
+        resid = np.asarray(refined.defocus_offsets) + derr
+        assert np.abs(resid).mean() < np.abs(derr).mean() * 0.7, (
+            derr, np.asarray(refined.defocus_offsets))
+
+
+class TestCspRegions:
+    def test_region_partition_and_refine(self):
+        from pyp_tpu.pipeline.csp import csp_refine_regions
+
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol, noise=0.05)
+        per_region, region = csp_refine_regions(
+            true, images, defocus, vol, PIXEL, NBOX, grid=(2, 1, 1),
+            modes=(5,), iters_per_mode=4, reg_weight=0.0,
+        )
+        assert len(per_region) == 2
+        assert region.shape == (P,)
+        refined = [p for p in per_region if p is not None]
+        assert refined, "no region refined"
+        for p in refined:
+            assert np.isfinite(np.asarray(p.tilt_shifts)).all()
