@@ -82,4 +82,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the axon compile service is occasionally flaky (UNIMPLEMENTED on fresh
+    # compiles); one retry in-process after a short pause rescues those runs
+    try:
+        main()
+    except Exception:  # noqa: BLE001
+        import time as _time
+
+        _time.sleep(20)
+        main()

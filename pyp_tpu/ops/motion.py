@@ -248,3 +248,26 @@ def interpolate_local_shifts(patch_shifts, patch_centers, positions, shape, orde
     Aq = basis(qy, qx)  # (N, n_terms)
     out = Aq @ coef  # (N, n_frames*2)
     return out.reshape(-1, n_frames, 2)
+
+
+def running_average(frames, window: int = 3):
+    """Centered running average over the frame axis (the reference's
+    compute_running_avg, analysis/image.py:359, used by CSP mode -2.1)."""
+    n = frames.shape[0]
+    k = jnp.ones((window,), dtype=frames.dtype) / window
+    pad = window // 2
+    fp = jnp.pad(frames, ((pad, pad), (0, 0), (0, 0)), mode="edge")
+    idx = jnp.arange(n)[:, None] + jnp.arange(window)[None, :]
+    return jnp.einsum("w,nwyx->nyx", k, fp[idx])
+
+
+def weighted_average(frames, weights):
+    """Per-frame weighted 2D average (the reference's weight_average,
+    merge/core.py:155): weights (n_frames,) or (n_frames, ny, nxf) Fourier
+    weights."""
+    weights = jnp.asarray(weights)
+    if weights.ndim == 1:
+        return jnp.einsum("f,fyx->yx", weights / jnp.sum(weights), frames)
+    F = jnp.fft.rfft2(frames)
+    out = jnp.sum(F * weights, axis=0) / frames.shape[0]
+    return jnp.fft.irfft2(out, s=frames.shape[-2:])

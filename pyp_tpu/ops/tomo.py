@@ -256,6 +256,7 @@ def wbp_reconstruct(
         tilts = shift_images(tilts, jnp.asarray(shifts))
     filt = _filter_tilts(tilts, cutoff, falloff)
     if tilt_weights is not None:
+        # (T,) exposure/cosine weights, e.g. cos(theta) thickness correction
         filt = filt * jnp.asarray(tilt_weights)[:, None, None]
 
     cx = nx // 2
