@@ -30,7 +30,8 @@ from pyp_tpu.utils import get_logger
 logger = get_logger("cli")
 
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
-         "polish", "postprocess", "worker", "params")
+         "polish", "postprocess", "import_star", "export_star", "worker",
+         "params")
 
 
 def _project_params(argv, work_dir="."):
@@ -273,6 +274,36 @@ def mode_postprocess(argv):
     dataset = params.get("data_set") or "dataset"
     out = post.postprocess_latest(dataset, params)
     print(json.dumps(out, default=str))
+    return 0
+
+
+def mode_import_star(argv):
+    """RELION particles.star -> stack.cistem (the reference's import_star
+    driver mode, bin/run/pyp)."""
+    if not argv:
+        logger.error("usage: import_star <particles.star>")
+        return 2
+    from pyp_tpu.io import cistem, relion
+
+    table, optics = relion.import_star(argv[0])
+    cistem.write_parameters(table, "stack.cistem")
+    print(json.dumps({"particles": table.n_rows, "optics": optics}))
+    return 0
+
+
+def mode_export_star(argv):
+    """stack.cistem -> RELION particles.star (export_star driver mode)."""
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, relion
+
+    table = cistem.read_parameters("stack.cistem")
+    out = "particles.star"
+    relion.export_star(
+        table, out, pixel_size=float(params["scope_pixel"]),
+        voltage=float(params["scope_voltage"]), cs=float(params["scope_cs"]),
+        w=float(params["scope_wgh"]),
+    )
+    print(json.dumps({"particles": table.n_rows, "star": out}))
     return 0
 
 

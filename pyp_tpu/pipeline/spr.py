@@ -243,3 +243,22 @@ def spr_merge(results: dict, missing: list, work_dir=".") -> dict:
         for r in ok:
             web.write_micrograph(r["name"], r)
     return out
+
+
+def estimate_gain(movie_paths, max_movies: int = 10):
+    """Estimate a multiplicative gain reference from raw counting movies
+    (the reference's `pypgain` driver mode): gain = mean(all frames) over
+    many movies, normalized to unit mean, inverted — flat-field estimate."""
+    acc = None
+    count = 0
+    for path in list(movie_paths)[:max_movies]:
+        frames = load_movie(path)
+        s = frames.sum(axis=0, dtype=np.float64)
+        acc = s if acc is None else acc + s
+        count += frames.shape[0]
+    if acc is None or count == 0:
+        raise ValueError("no movies found for gain estimation")
+    mean_img = acc / count
+    mean_img = np.maximum(mean_img, 1e-6 * mean_img.mean())
+    gain = mean_img.mean() / mean_img
+    return gain.astype(np.float32)

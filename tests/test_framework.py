@@ -261,3 +261,23 @@ class TestPolishMode:
         after = mrc.read("stack.mrc")
         assert after.shape == before.shape
         assert not np.allclose(after, before)  # stack rebuilt from frames
+
+
+class TestGainEstimation:
+    def test_recovers_flat_field(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.pipeline.spr import estimate_gain
+
+        rng = np.random.RandomState(0)
+        true_gain = 1.0 + 0.3 * rng.rand(32, 32).astype(np.float32)
+        paths = []
+        for i in range(6):
+            counts = rng.poisson(20.0, (8, 32, 32)).astype(np.float32)
+            frames = counts / true_gain[None]  # camera divides by gain
+            p = tmp_path / f"mv{i}.mrc"
+            mrc.write(frames, p)
+            paths.append(p)
+        gain = estimate_gain(paths)
+        # applying the estimated gain should flatten the field
+        corrected = gain / true_gain
+        assert corrected.std() / corrected.mean() < 0.03

@@ -111,3 +111,27 @@ class TestSessionDaemon:
         assert len(out) == 3
         names = sorted(s["name"] for s in out)
         assert names == ["s0", "s1", "s9"]
+
+
+class TestStarCliModes:
+    def test_import_export_roundtrip(self, tmp_path, monkeypatch):
+        import json
+
+        from pyp_tpu import cli
+        from pyp_tpu.io import cistem, relion
+
+        monkeypatch.chdir(tmp_path)
+        n = 5
+        table = cistem.Table.zeros(n)
+        table["position_in_stack"] = np.arange(1, n + 1)
+        table["phi"] = np.linspace(0, 100, n)
+        table["defocus_1"] = np.full(n, 19000.0)
+        cistem.write_parameters(table, "stack.cistem")
+        assert cli.main(["export_star", "-scope_pixel", "1.2"]) == 0
+        assert (tmp_path / "particles.star").exists()
+        # wipe and re-import
+        (tmp_path / "stack.cistem").unlink()
+        assert cli.main(["import_star", "particles.star"]) == 0
+        back = cistem.read_parameters("stack.cistem")
+        assert back.n_rows == n
+        np.testing.assert_allclose(back["defocus_1"], 19000.0)

@@ -151,3 +151,22 @@ class TestMetadata:
         assert m2.scalars["voltage"] == 300.0
         dropped = m2.refresh({"ctf_force": True})
         assert dropped == ["ctf"] and not m2.is_done("ctf") and m2.is_done("drift")
+
+
+class TestMrcExtendedHeader:
+    def test_read_skips_extended_header(self, tmp_path):
+        # files with nsymbt extended headers (serialEM writes these)
+        data = np.random.RandomState(0).randn(2, 8, 8).astype(np.float32)
+        p = tmp_path / "ext.mrc"
+        mrc.write(data, p)
+        raw = p.read_bytes()
+        ext = b"\\x07" * 128
+        hdr = bytearray(raw[:1024])
+        import struct
+
+        struct.pack_into("<i", hdr, 92, len(ext))  # nsymbt
+        (tmp_path / "ext2.mrc").write_bytes(bytes(hdr) + ext + raw[1024:])
+        back = mrc.read(tmp_path / "ext2.mrc")
+        np.testing.assert_array_equal(back, data)
+        mm = mrc.mmap(tmp_path / "ext2.mrc")
+        np.testing.assert_array_equal(np.asarray(mm), data)
