@@ -280,4 +280,4 @@ class TestGainEstimation:
         gain = estimate_gain(paths)
         # applying the estimated gain should flatten the field
         corrected = gain / true_gain
-        assert corrected.std() / corrected.mean() < 0.03
+        assert corrected.std() / corrected.mean() < 0.04  # ~3% Poisson noise at this dose
