@@ -109,3 +109,22 @@ def angular_groups(phi, theta, n_groups: int = 50):
     seeds = np.stack([r * np.cos(ga), r * np.sin(ga), z], axis=1)
     assign = np.argmax(views @ seeds.T, axis=1)
     return assign
+
+
+def select_classes(table, keep_classes):
+    """Keep only particles assigned to the given 2D/3D classes (the
+    reference's kselection mode): deactivates everything else. Returns
+    (table, keep mask)."""
+    import numpy as np
+
+    assign = np.asarray(table["best_2d_class"]).astype(int)
+    keep = np.isin(assign, np.asarray(list(keep_classes), dtype=int))
+    if "image_is_active" in table:
+        table["image_is_active"] = keep.astype(np.int64)
+    if "occupancy" in table:
+        occ = np.asarray(table["occupancy"]).copy()
+        occ[~keep] = 0.0
+        table["occupancy"] = occ
+    logger.info("class selection: %d/%d particles kept (classes %s)",
+                int(keep.sum()), len(keep), sorted(keep_classes))
+    return table, keep

@@ -112,6 +112,7 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("tomo_ali_patches", int, 12, "patches tracked for the model solve"),
         P("tomo_ali_patch_size", int, 64, "patch size (px, binned)"),
         P("tomo_ali_force", bool, False, "force re-run of tilt alignment"),
+        P("tomo_ali_exclude", str, "", "tilt indices to exclude, colon-separated"),
     ],
     # --------------------------------------------------------------- tomo_rec
     "tomo_rec": [

@@ -36,6 +36,21 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
         tilts = mrc.read(item["path"]).astype(np.float32)
     tilts = np.asarray(tilts, dtype=np.float32)
     angles = np.asarray(item["angles"], dtype=np.float32)
+
+    # tilt exclusion (the reference's tomoedit mode: drop bad tilts); indices
+    # come from the item, a prior edit, or params "tomo_ali_exclude" ("3:7")
+    excl = item.get("exclude")
+    if excl is None and "exclude" in meta:
+        excl = meta["exclude"].astype(int).tolist()
+    if excl is None:
+        raw = str(params.get("tomo_ali_exclude") or "").strip()
+        excl = [int(x) for x in raw.split(":") if x] if raw else []
+    if excl:
+        keep = np.setdiff1d(np.arange(len(angles)), np.asarray(excl, dtype=int))
+        tilts = tilts[keep]
+        angles = angles[keep]
+        meta["exclude"] = np.asarray(excl, dtype=np.int64)
+        summary["excluded_tilts"] = list(map(int, excl))
     meta["tlt"] = angles
 
     binning = int(params.get("tomo_ali_bin") or 4)

@@ -162,3 +162,13 @@ class TestPlots:
             tmp_path / "ang.bild")
         for f in ["drift.png", "fsc.png", "ang.png", "df.png", "classes.png", "ang.bild"]:
             assert (tmp_path / f).stat().st_size > 0
+
+
+class TestClassSelection:
+    def test_select_classes(self):
+        table = cistem.Table.zeros(10)
+        table["best_2d_class"] = np.array([1, 2, 3, 1, 2, 3, 1, 2, 3, 1])
+        table["occupancy"] = np.full(10, 100.0)
+        table, keep = scores.select_classes(table, [1, 3])
+        assert keep.sum() == 7
+        assert np.all(np.asarray(table["occupancy"])[~keep] == 0)

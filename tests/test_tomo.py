@@ -164,3 +164,29 @@ class TestHalves:
         # not identical
         cc = np.corrcoef(np.asarray(h1).ravel(), np.asarray(h2).ravel())[0, 1]
         assert 0.3 < cc < 0.999
+
+
+class TestTiltExclusion:
+    def test_excluded_tilts_dropped(self, tmp_path):
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.pipeline.tomo import process_tilt_series
+
+        rng = np.random.RandomState(3)
+        tilts = rng.randn(7, 128, 128).astype(np.float32)
+        params = defaults()
+        params.update({
+            "scope_pixel": 2.0, "tomo_ali_method": "skip",
+            "tomo_ali_exclude": "0:6", "ctf_min_def": 8000,
+            "ctf_max_def": 25000, "ctf_tile": 64, "ctf_max_res": 9.0,
+            "tomo_rec_thickness": 32, "tomo_rec_binning": 1,
+            "tomo_ali_bin": 1, "tomo_spk_method": "none",
+        })
+        item = {"name": "ex1", "tilts": tilts,
+                "angles": np.linspace(-60, 60, 7)}
+        out = process_tilt_series(item, params, tmp_path)
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        meta = ItemMetadata("ex1", tmp_path, mode="tomo").load()
+        assert len(meta["tlt"]) == 5  # 7 - 2 excluded
+        assert meta["ctf"].shape[0] == 5
+        assert out.get("excluded_tilts") == [0, 6]
