@@ -85,7 +85,7 @@ SCHEMA: dict[str, list[ParamDef]] = {
     # ----------------------------------------------------------------- detect
     "detect": [
         P("detect_method", str, "auto", "particle picking method",
-          enum=("auto", "all", "manual", "import", "none")),
+          enum=("auto", "nn", "all", "manual", "import", "none")),
         P("detect_rad", float, 80.0, "particle radius (Å)"),
         P("detect_thresh", float, 1.0, "picking threshold (sigma)"),
         P("detect_dist", float, 0.0, "min distance between picks (px, 0=auto)"),

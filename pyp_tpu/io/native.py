@@ -72,6 +72,10 @@ def copy_section(src_path, src_off, dst_path, dst_off, count) -> int:
     lib = _load()
     if lib is None:
         # python fallback
+        import os
+
+        if not os.path.exists(dst_path):
+            open(dst_path, "wb").close()
         with open(src_path, "rb") as src, open(dst_path, "r+b") as dst:
             src.seek(src_off)
             dst.seek(dst_off)

@@ -135,7 +135,36 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
 
     # ---- particle picking -------------------------------------------------
     method = params.get("detect_method", "auto")
-    if not meta.is_done("box") and method not in ("none", "manual"):
+    if not meta.is_done("box") and method == "nn":
+        # learned picker: weights trained by models.picker.train_picker and
+        # saved to picker_model.npz in the project dir (sprtrain equivalent)
+        with Timer("NN particle picking"):
+            from pathlib import Path as _Path
+
+            import jax
+            import jax.numpy as jnp
+
+            from pyp_tpu.models import io as mio
+            from pyp_tpu.models import picker as nn_picker
+            from pyp_tpu.models.unet import UNet2D
+
+            radius_px = max(4, int(float(params["detect_rad"]) / pixel))
+            model_path = _Path(work_dir) / "picker_model.npz"
+            net = UNet2D(features=(8, 16, 32), out_channels=1)
+            patch = 128
+            template = net.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, patch, patch, 1)))
+            weights, meta_np = mio.load_params(model_path, template)
+            model = nn_picker.PickerModel(params=weights,
+                                          patch=int(meta_np.get("patch", patch)),
+                                          radius_px=radius_px)
+            heat = nn_picker.infer_heatmap(model, average, features=(8, 16, 32))
+            coords, vals, valid = nn_picker.pick_from_heatmap(
+                heat, radius_px, threshold=0.3,
+                max_picks=int(params["detect_max"]))
+            coords, vals = coords[valid], vals[valid]
+            meta["box"] = np.concatenate([coords, vals[:, None]], axis=1)
+    elif not meta.is_done("box") and method not in ("none", "manual"):
         with Timer("particle picking"):
             import jax.numpy as jnp
 

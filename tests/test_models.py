@@ -66,3 +66,37 @@ class TestDenoise:
         err_in = float(np.mean((a[3] - signal[3]) ** 2))
         err_out = float(np.mean((out - signal[3]) ** 2))
         assert err_out < err_in * 0.8, (err_in, err_out)
+
+
+@pytest.mark.slow
+class TestNnPickingPipeline:
+    def test_detect_method_nn(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.models import io as mio
+        from pyp_tpu.pipeline.spr import process_micrograph
+
+        mics, coords = make_labeled_micrographs(n_mics=2)
+        model = picker.train_picker(mics, coords, radius_px=8, patch=64,
+                                    steps=120, batch=8, features=(8, 16, 32))
+        mio.save_params(model.params, tmp_path / "picker_model.npz", patch=64)
+
+        test_mics, test_coords = make_labeled_micrographs(n_mics=1, seed=9)
+        params = defaults()
+        params.update({
+            "scope_pixel": 1.0, "detect_method": "nn", "detect_rad": 8,
+            "movie_ali": "skip", "ctf_tile": 128, "ctf_min_def": 8000,
+            "ctf_max_def": 30000, "ctf_max_res": 8.0, "extract_box": 32,
+        })
+        out = process_micrograph(
+            {"name": "nnmic", "frames": test_mics[0][None]}, params, tmp_path)
+        assert out["particles"] > 0
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        meta = ItemMetadata("nnmic", tmp_path, mode="spr").load()
+        found = meta["box"][:, :2]
+        hits = sum(1 for y, x in test_coords[0]
+                   if np.abs(found - [y, x]).sum(axis=1).min() < 8)
+        assert hits >= len(test_coords[0]) * 0.6, hits
