@@ -385,3 +385,83 @@ def defocus_at_positions(plane, positions):
 
     pos = np.asarray(positions, dtype=np.float64)
     return plane[0] + plane[1] * pos[:, 0] + plane[2] * pos[:, 1]
+
+
+def _model_polar_thickness(g_axis, theta_axis, df_mean, astig, angast_rad,
+                           phase, thickness, pixel_size, voltage_kv, cs_mm,
+                           w, ring_mask):
+    """CTF^2 averaged over sample depth `thickness` (Å):
+
+        <CTF^2>_t = 1/2 - 1/2 cos(2 chi) sinc(lambda g^2 t)
+
+    (sinc normalized: sin(pi x)/(pi x)) — the CTFFIND5 sample-thickness model
+    whose nodes sit where the sinc vanishes. thickness: (B,)."""
+    g = g_axis[None, :, None] / pixel_size
+    df = df_mean[:, None, None] + astig[:, None, None] * jnp.cos(
+        2.0 * (theta_axis[None, None, :] - angast_rad[:, None, None])
+    )
+    x = ctf_model.chi(g, df, voltage_kv, cs_mm, phase[:, None, None])
+    amp = jnp.arctan2(w, jnp.sqrt(max(1.0 - w * w, 0.0)))
+    lam = ctf_model.wavelength(voltage_kv)
+    node = jnp.sinc(lam * g * g * thickness[:, None, None])
+    c2 = 0.5 - 0.5 * jnp.cos(2.0 * (x + amp)) * node
+    m = ring_mask[None, :, None]
+    band_mean = jnp.sum(c2 * m, axis=1, keepdims=True) / jnp.maximum(
+        jnp.sum(m, axis=1, keepdims=True), 1.0
+    )
+    c2 = (c2 - band_mean) * m
+    norm = jnp.sqrt(jnp.mean(c2 * c2, axis=(1, 2), keepdims=True) + 1e-12)
+    return c2 / norm
+
+
+def fit_thickness(power, pixel_size, fit: CtfFit,
+                  voltage_kv: float = 300.0, cs_mm: float = 2.7,
+                  amplitude_contrast: float = 0.07,
+                  min_res: float = 30.0, max_res: float = 5.0,
+                  t_max: float = 1000.0, n_steps: int = 51):
+    """Sample-thickness estimation given a converged CTF fit (the CTFFIND5
+    node-fitting step, SURVEY §A.4 `ctf_determine_thickness`): sweep
+    thickness, re-score the depth-averaged model, parabolic-refine the peak.
+
+    Returns (thickness_A, score_curve (n_steps,))."""
+    n_g, n_theta = 384, 64
+    P_polar, g_axis, theta_axis = polar_resample(power, n_g, n_theta)
+    P_norm = _normalize_spectrum(P_polar, g_axis)
+    g_inv_a = g_axis / pixel_size
+    ring_mask = ((g_inv_a > 1.0 / min_res) & (g_inv_a < 1.0 / max_res)).astype(P_norm.dtype)
+    m = ring_mask[:, None]
+    band_mean = jnp.sum(P_norm * m, axis=0, keepdims=True) / jnp.maximum(
+        jnp.sum(m, axis=0, keepdims=True), 1.0
+    )
+    Pm = (P_norm - band_mean) * m
+
+    df_mean = 0.5 * (fit.df1 + fit.df2)
+    astig = 0.5 * (fit.df1 - fit.df2)
+    ang = jnp.deg2rad(fit.angast)
+    # joint (defocus, thickness) sweep: the thin-sample fit absorbs part of
+    # the node structure into a defocus bias, so df must be re-searched
+    # together with t (CTFFIND5 does the same joint node fit)
+    ts = jnp.linspace(0.0, t_max, n_steps)
+    d_offs = jnp.linspace(-800.0, 800.0, 17)
+    tt, dd = jnp.meshgrid(ts, d_offs, indexing="ij")
+    tt, dd = tt.reshape(-1), dd.reshape(-1)
+    model = _model_polar_thickness(
+        g_axis, theta_axis,
+        df_mean + dd, jnp.broadcast_to(astig, dd.shape),
+        jnp.broadcast_to(ang, dd.shape),
+        jnp.broadcast_to(fit.phase_shift, dd.shape),
+        tt, pixel_size, voltage_kv, cs_mm, amplitude_contrast, ring_mask,
+    )
+    scores2d = jnp.einsum("gt,bgt->b", Pm, model).reshape(n_steps, 17)
+    scores = jnp.max(scores2d, axis=1)  # best over df per thickness
+    i = int(jnp.argmax(scores))
+    j = int(jnp.argmax(scores2d[i]))
+    df_best = float(df_mean + d_offs[j])
+    if 0 < i < n_steps - 1:
+        s0, s1, s2 = float(scores[i - 1]), float(scores[i]), float(scores[i + 1])
+        denom = s0 + s2 - 2 * s1
+        frac = 0.5 * (s0 - s2) / denom if abs(denom) > 1e-9 else 0.0
+        t_best = float(ts[i]) + frac * float(ts[1] - ts[0])
+    else:
+        t_best = float(ts[i])
+    return t_best, np.asarray(scores)

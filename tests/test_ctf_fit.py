@@ -106,3 +106,39 @@ class TestLocalCtf:
         # plane evaluation at region centers matches
         est = ctf_fit.defocus_at_positions(plane, [[512, 256], [512, 768]])
         assert abs(est[0] - 15000) < 1000 and abs(est[1] - 19000) < 1000
+
+
+class TestThickness:
+    def test_recovers_sample_thickness(self):
+        # synthesize a depth-averaged power spectrum at known thickness
+        n, pixel, df, t_true = 512, 1.0, 18000.0, 1500.0  # 150 nm lamella: nodes inside the fit band
+        fy = np.fft.fftfreq(n, d=pixel).reshape(n, 1)
+        fx = np.fft.rfftfreq(n, d=pixel).reshape(1, -1)
+        g = np.sqrt(fy**2 + fx**2)
+        lam = float(ctf_model.wavelength(300.0))
+        cs = 2.7e7
+        chi = np.pi * lam * g * g * df - 0.5 * np.pi * cs * lam**3 * g**4
+        amp = np.arctan2(0.07, np.sqrt(1 - 0.07**2))
+        c2t = 0.5 - 0.5 * np.cos(2 * (chi + amp)) * np.sinc(lam * g * g * t_true)
+        envelope = np.exp(-g * 12.0)
+        rng = np.random.RandomState(0)
+        power = envelope * (0.4 + c2t) + 0.15 * np.abs(rng.randn(n, n // 2 + 1)) * envelope
+        power = jnp.asarray(power.astype(np.float32))
+
+        fit = ctf_fit.fit_ctf(power, pixel, dfmin=10000.0, dfmax=30000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5,
+                              fit_astigmatism=False)
+        assert abs(float(fit.df1) - df) < 500.0
+        t_est, scores = ctf_fit.fit_thickness(power, pixel, fit,
+                                              min_res=25.0, max_res=3.5,
+                                              t_max=3000.0, n_steps=76)
+        assert abs(t_est - t_true) < 200.0, (t_est, t_true)
+
+    def test_thin_sample_gives_small_thickness(self):
+        power = synthetic_power(df1=18000.0, df2=18000.0, angast=0.0, noise=0.1)
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=10000.0, dfmax=30000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5,
+                              fit_astigmatism=False)
+        t_est, scores = ctf_fit.fit_thickness(power, 1.0, fit,
+                                              min_res=25.0, max_res=3.5)
+        assert t_est < 250.0, t_est  # no depth modulation planted
