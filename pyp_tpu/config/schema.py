@@ -48,6 +48,7 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("data_set", str, "", "dataset name"),
         P("data_bin", int, 1, "binning applied on import"),
         P("data_invert", bool, False, "invert contrast on import"),
+        P("data_remove_xrays", bool, True, "remove x-ray/hot pixels on import"),
     ],
     "gain": [
         P("gain_reference", str, "", "gain reference image path"),

@@ -74,6 +74,12 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             if raw is None:
                 raw = load_movie(item["path"])
             frames = apply_gain(np.asarray(raw, dtype=np.float32), params)
+            if params.get("data_remove_xrays", True):
+                import jax.numpy as _jnp
+
+                from pyp_tpu.ops.pick import remove_hot_pixels
+
+                frames = np.asarray(remove_hot_pixels(_jnp.asarray(frames)))
             first = int(params.get("movie_first") or 0)
             last = int(params.get("movie_last") or -1)
             if last < 0:
