@@ -71,3 +71,36 @@ class TestWeb:
             assert b"hello from pyp_tpu" in received[0]
         finally:
             srv.shutdown()
+
+
+class TestEER:
+    def test_bitstream_roundtrip(self):
+        from pyp_tpu.io import eer
+
+        rng = np.random.RandomState(0)
+        size = 256
+        frame = (rng.rand(size, size) < 0.01).astype(np.uint16)  # sparse events
+        raw = eer.encode_frame(frame)
+        back = eer.decode_frame(raw, eer.COMPRESSION_EER7, size, upsampling=1)
+        np.testing.assert_array_equal(back, frame)
+
+    def test_eer8_variant(self):
+        from pyp_tpu.io import eer
+
+        rng = np.random.RandomState(1)
+        size = 128
+        frame = (rng.rand(size, size) < 0.02).astype(np.uint16)
+        raw = eer.encode_frame(frame, compression=eer.COMPRESSION_EER8)
+        back = eer.decode_frame(raw, eer.COMPRESSION_EER8, size)
+        np.testing.assert_array_equal(back, frame)
+
+    def test_upsampled_rendering_conserves_counts(self):
+        from pyp_tpu.io import eer
+
+        rng = np.random.RandomState(2)
+        size = 128
+        frame = (rng.rand(size, size) < 0.02).astype(np.uint16)
+        raw = eer.encode_frame(frame)
+        up = eer.decode_frame(raw, eer.COMPRESSION_EER7, size, upsampling=2)
+        assert up.shape == (256, 256)
+        assert up.sum() == frame.sum()
