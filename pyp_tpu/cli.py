@@ -30,8 +30,8 @@ from pyp_tpu.utils import get_logger
 logger = get_logger("cli")
 
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
-         "polish", "postprocess", "import_star", "export_star", "worker",
-         "params")
+         "polish", "postprocess", "import_star", "export_star", "clean",
+         "worker", "params")
 
 
 def _project_params(argv, work_dir="."):
@@ -304,6 +304,33 @@ def mode_export_star(argv):
         w=float(params["scope_wgh"]),
     )
     print(json.dumps({"particles": table.n_rows, "star": out}))
+    return 0
+
+
+def mode_clean(argv):
+    """Remove regenerable intermediates (the reference's `clean` /
+    clear_scratch modes): swarm scripts, stream stacks, and — only with
+    -clean_all — maps and metadata bundles."""
+    import shutil
+
+    deep = "-clean_all" in argv
+    removed = []
+    for pattern in ["swarm", "stream_stack.mrc", "stream_classes.png"]:
+        p = Path(pattern)
+        if p.is_dir():
+            shutil.rmtree(p)
+            removed.append(str(p) + "/")
+        elif p.exists():
+            p.unlink()
+            removed.append(str(p))
+    if deep:
+        for p in list(Path(".").glob("*.meta.npz")) + list(Path(".").glob("*.meta.json")):
+            p.unlink()
+            removed.append(str(p))
+        if Path("maps").is_dir():
+            shutil.rmtree("maps")
+            removed.append("maps/")
+    print(json.dumps({"removed": removed, "deep": deep}))
     return 0
 
 

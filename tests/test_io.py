@@ -170,3 +170,43 @@ class TestMrcExtendedHeader:
         np.testing.assert_array_equal(back, data)
         mm = mrc.mmap(tmp_path / "ext2.mrc")
         np.testing.assert_array_equal(np.asarray(mm), data)
+
+
+class TestCistemByteLayout:
+    def test_hand_crafted_bytes_read(self, tmp_path):
+        """Byte-level contract check: a file assembled by hand to the
+        documented layout (SURVEY §A.6: int32 ncols, int32 nrows, per-column
+        int64 id + int8 type code, row-major records) must parse."""
+        import struct
+
+        buf = b""
+        # two columns: POSITION_IN_STACK (uint32) and PSI (float)
+        buf += struct.pack("<ii", 2, 3)                     # ncols, nrows
+        buf += struct.pack("<qb", 1, 9)                     # POSITION, UINT
+        buf += struct.pack("<qb", 4, 3)                     # PSI, FLOAT
+        for i, psi in [(1, 10.5), (2, 20.5), (3, 30.5)]:
+            buf += struct.pack("<If", i, psi)
+        p = tmp_path / "hand.cistem"
+        p.write_bytes(buf)
+        t = cistem.read_parameters(p)
+        assert t.n_rows == 3
+        np.testing.assert_array_equal(t["position_in_stack"], [1, 2, 3])
+        np.testing.assert_allclose(t["psi"], [10.5, 20.5, 30.5])
+
+    def test_writer_emits_documented_layout(self, tmp_path):
+        import struct
+
+        t = cistem.Table.zeros(2, [cistem.POSITION_IN_STACK, cistem.PSI])
+        t["position_in_stack"] = [7, 8]
+        t["psi"] = [1.25, 2.5]
+        p = tmp_path / "w.cistem"
+        cistem.write_parameters(t, p)
+        raw = p.read_bytes()
+        ncols, nrows = struct.unpack_from("<ii", raw, 0)
+        assert (ncols, nrows) == (2, 2)
+        cid0, tc0 = struct.unpack_from("<qb", raw, 8)
+        cid1, tc1 = struct.unpack_from("<qb", raw, 17)
+        assert (cid0, tc0) == (1, 9)   # POSITION_IN_STACK, UINT
+        assert (cid1, tc1) == (4, 3)   # PSI, FLOAT
+        v0, p0 = struct.unpack_from("<If", raw, 26)
+        assert v0 == 7 and abs(p0 - 1.25) < 1e-6
