@@ -79,3 +79,26 @@ class TestPatches:
         pos = jnp.asarray(np.array([[32.0, 32.0]]))
         out = motion.interpolate_local_shifts(shifts, centers, pos, (64, 64), order=1)
         np.testing.assert_allclose(np.asarray(out[0, :, 0]), [0.32, 0.64, 0.96], atol=1e-3)
+
+
+class TestFrameAverages:
+    def test_running_average(self):
+        rng = np.random.RandomState(0)
+        f = jnp.asarray(rng.randn(6, 16, 16).astype(np.float32))
+        ra = motion.running_average(f, 3)
+        assert ra.shape == f.shape
+        np.testing.assert_allclose(np.asarray(ra[2]),
+                                   np.asarray((f[1] + f[2] + f[3]) / 3), atol=1e-5)
+        # edges use edge-padding
+        np.testing.assert_allclose(np.asarray(ra[0]),
+                                   np.asarray((f[0] + f[0] + f[1]) / 3), atol=1e-5)
+
+    def test_weighted_average_scalar_weights(self):
+        rng = np.random.RandomState(1)
+        f = jnp.asarray(rng.randn(4, 8, 8).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(motion.weighted_average(f, jnp.ones(4))),
+            np.asarray(f.mean(0)), atol=1e-5)
+        w = jnp.asarray([1.0, 0.0, 0.0, 0.0])
+        np.testing.assert_allclose(
+            np.asarray(motion.weighted_average(f, w)), np.asarray(f[0]), atol=1e-5)
