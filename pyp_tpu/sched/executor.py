@@ -15,6 +15,8 @@ available, else writes the scripts for inspection (no cluster in CI).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
+import random
 import subprocess
 import time
 import traceback
@@ -27,12 +29,29 @@ logger = get_logger("sched")
 
 
 class LocalExecutor:
-    def __init__(self, max_workers: int = 1):
+    """In-process executor. Fault injection: set fault_rate (or the
+    PYP_TPU_FAULT_RATE env var) to make each leaf job fail with that
+    probability on its first attempts — exercises the retry/merge-missing
+    machinery (the reference has no fault injection; SURVEY §5.3)."""
+
+    def __init__(self, max_workers: int = 1, fault_rate: float | None = None,
+                 fault_seed: int = 0):
         self.max_workers = max_workers
+        if fault_rate is None:
+            fault_rate = float(os.environ.get("PYP_TPU_FAULT_RATE", "0") or 0)
+        self.fault_rate = fault_rate
+        self._fault_rng = random.Random(fault_seed)
 
     def _run_job(self, graph: JobGraph, job: Job):
         job.status = "running"
         t0 = time.time()
+        if (self.fault_rate > 0 and not job.deps
+                and self._fault_rng.random() < self.fault_rate):
+            job.status = "failed"
+            job.error = "injected fault (PYP_TPU_FAULT_RATE)"
+            job.elapsed = time.time() - t0
+            logger.warning("job %s failed: injected fault", job.name)
+            return
         try:
             if job.deps:  # merge-style: pass dep results
                 results = {

@@ -281,3 +281,22 @@ class TestGainEstimation:
         # applying the estimated gain should flatten the field
         corrected = gain / true_gain
         assert corrected.std() / corrected.mean() < 0.04  # ~3% Poisson noise at this dose
+
+
+class TestFaultInjection:
+    def test_retries_absorb_injected_faults(self):
+        runs = {"n": 0}
+
+        def work(item):
+            runs["n"] += 1
+            return item["name"]
+
+        graph = JobGraph()
+        graph.swarm("s", [{"name": f"i{k}"} for k in range(10)], work_fn=work,
+                    merge_fn=lambda r, m: (len(r), list(m)), max_retries=5)
+        ex = LocalExecutor(fault_rate=0.4, fault_seed=1)
+        ex.run(graph)
+        done, missing = graph.jobs["s.merge"].result
+        # with 5 retries at 40% fault rate, everything should complete
+        assert done == 10 and missing == [], (done, missing)
+        assert runs["n"] >= 10  # some retries actually happened via faults
