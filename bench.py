@@ -22,7 +22,7 @@ BASELINE_PARTICLES_PER_SEC = 40.0  # reference cisTEM2 refine3d, 16-core node
 
 N = 128
 PIXEL = 1.0
-BATCH = 256
+BATCH = 64   # per-dispatch batch: gather-buffer working set stays HBM-friendly
 ITERS = 16
 
 
@@ -66,7 +66,7 @@ def main():
     # warmup/compile
     run().block_until_ready()
     t0 = time.perf_counter()
-    reps = 3
+    reps = 5
     for _ in range(reps):
         out = run()
     out.block_until_ready()
