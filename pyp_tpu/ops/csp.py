@@ -116,11 +116,12 @@ def effective_rotations(params: CspParams):
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast"),
+                     "amplitude_contrast", "xv_precomputed"),
 )
 def csp_score(
     params: CspParams,
-    windows_f,           # (T, P, n, nxf) centered spectra of extracted windows
+    windows_f,           # (T, P, n, nxf) centered spectra OR precomputed
+                         # (T, P, G) gathered values (xv) when xv_precomputed
     window_centers,      # (T, P, 2) centered image coords where windows were cut
     tilt_defocus,        # (T, 2): (df1+df2)/2 mean defocus and astig ignored
     mask_pts,            # (G, 2)
@@ -132,8 +133,13 @@ def csp_score(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    xv_precomputed: bool = False,
 ):
-    """Mean CTF-weighted NCC over all (tilt, particle) projections."""
+    """Mean CTF-weighted NCC over all (tilt, particle) projections.
+
+    Perf: the window-spectrum gather is parameter-independent; the
+    optimizer precomputes it once (xv_precomputed=True) so the gradient
+    loop only re-gathers the reference slice."""
     vol_pad = Fref.shape[0] // n
     T, P = windows_f.shape[0], windows_f.shape[1]
     R_eff = effective_rotations(params)  # (T, P, 3, 3)
@@ -158,7 +164,10 @@ def csp_score(
         voltage_kv, cs_mm, amplitude_contrast, 0.0,
     )  # (T, P, G)
 
-    xv = gather_2d_hermitian_batched(windows_f, mask)  # (T, P, G)
+    if xv_precomputed:
+        xv = windows_f  # already (T, P, G)
+    else:
+        xv = gather_2d_hermitian_batched(windows_f, mask)  # (T, P, G)
     # model window = projection whose content sits at +dshift from the
     # window center: M = u * exp(-2*pi*i g.dshift/n); num = Re<X, M>
     ph = -2.0 * jnp.pi * (
@@ -218,11 +227,13 @@ def csp_refine_mode(
         particle_pos=jnp.asarray(0.5), defocus_offsets=jnp.asarray(100.0),
     )
 
+    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+
     def loss_fn(p):
         score = csp_score(
-            p, windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+            p, xv, window_centers, tilt_defocus, mask_pts, Fref,
             tilt_weights, valid, n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast,
+            amplitude_contrast, xv_precomputed=True,
         )
         reg = _smoothness_penalty(p.tilt_shifts) + _smoothness_penalty(
             p.tilt_angles[:, None]
