@@ -214,3 +214,140 @@ def csp_refine_regions(
         )
         out.append(refined)
     return out, region
+
+
+def csp_classify(
+    items_refined, params: dict, references, work_dir=".", iteration: int = 2,
+):
+    """Subtomogram classification (the reference's tomo classification +
+    per-class classmerge, SURVEY §2.3.6 / particle_cspt.py:1682): given
+    refined per-series CspParams and K reference volumes, score every
+    particle against every reference (mean CTF-weighted NCC over its tilt
+    projections), convert to occupancies, and reconstruct each class with
+    occupancy-weighted matrix-pose insertion.
+
+    items_refined: list of dicts {"name", "tilts", "params": CspParams,
+    "defocus" (T, 2)}. Returns (per-class Reconstruction list, occupancies
+    list per item, resolutions).
+    """
+    import jax.numpy as jnp
+
+    from pyp_tpu.analysis import occupancies as occ_mod
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops.extract import window_particles
+    from pyp_tpu.ops.fourier_slice import image_to_fourier, volume_to_fourier
+    from pyp_tpu.ops.refine3d import make_mask_points
+
+    K = len(references)
+    pixel = float(params["scope_pixel"])
+    box = int(params.get("csp_box") or 64)
+    rhref = float(param(params.get("csp_rhref") or "12", iteration))
+    mask_pts = jnp.asarray(make_mask_points(
+        box, pixel, float(params.get("csp_rlref") or 60.0),
+        max(rhref, 2.5 * pixel)))
+    Frefs = [volume_to_fourier(jnp.asarray(r)) for r in references]
+
+    accs = [None] * K
+    occ_per_item = []
+    for item in items_refined:
+        cp = item["params"]
+        tilts = np.asarray(item["tilts"], dtype=np.float32)
+        defocus = np.asarray(item["defocus"], dtype=np.float32)
+        T, ny, nx = tilts.shape
+        P = cp.particle_pos.shape[0]
+        pred = np.asarray(csp_ops.project_positions(cp))
+        depth = np.asarray(csp_ops.particle_depth(cp))
+        center = np.array([ny // 2, nx // 2])
+        wins, w_centers, valid = [], np.zeros((T, P, 2), np.float32), np.ones((T, P), np.float32)
+        for t in range(T):
+            ci = np.round(pred[t] + center).astype(np.int32)
+            inb = ((ci[:, 0] >= box // 2) & (ci[:, 0] < ny - box // 2)
+                   & (ci[:, 1] >= box // 2) & (ci[:, 1] < nx - box // 2))
+            valid[t] = inb.astype(np.float32)
+            ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+            wins.append(np.asarray(window_particles(jnp.asarray(tilts[t]),
+                                                    jnp.asarray(ci), box)))
+            w_centers[t] = ci - center
+        windows_f = image_to_fourier(jnp.asarray(np.stack(wins)))
+        xv = csp_ops.gather_2d_hermitian_batched(windows_f, mask_pts)
+
+        # per-particle per-class scores: reuse csp_score internals through
+        # per-class calls with per-particle reduction
+        logp = np.zeros((P, K))
+        tw = jnp.ones(T)
+        for k in range(K):
+            # per-(T,P) ncc, averaged over tilts per particle
+            score_map = _per_particle_scores(
+                cp, xv, jnp.asarray(w_centers), jnp.asarray(defocus),
+                mask_pts, Frefs[k], tw, jnp.asarray(valid), box, pixel,
+                float(params["scope_voltage"]), float(params["scope_cs"]),
+                float(params["scope_wgh"]),
+            )
+            logp[:, k] = np.asarray(score_map)
+        G = mask_pts.shape[0]
+        occ = occ_mod.occupancies_from_logp(logp * G * 0.5)  # sharpen by band size
+        occ_per_item.append(occ)
+
+        R_eff = np.asarray(csp_ops.effective_rotations(cp))
+        for k in range(K):
+            rows_R = np.concatenate([R_eff[t] for t in range(T)])
+            rows_shift = np.concatenate([-(pred[t] + center
+                                           - np.round(pred[t] + center)) for t in range(T)])
+            rows_df = np.concatenate([defocus[t, :2].mean() + depth[t] * pixel
+                                      for t in range(T)]).reshape(-1)
+            rows_sub = np.concatenate([np.arange(P) % 2 for _ in range(T)])
+            rows_w = np.concatenate([valid[t] * occ[:, k] / 100.0 for t in range(T)])
+            accs[k] = rec.accumulate_matrices(
+                jnp.asarray(np.concatenate(wins)),
+                jnp.asarray(rows_R), jnp.asarray(rows_shift.astype(np.float32)),
+                jnp.asarray(rows_df.astype(np.float32)),
+                jnp.asarray(rows_sub), jnp.asarray(rows_w.astype(np.float32)),
+                box, pixel,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                prev=accs[k],
+            )
+
+    outs, resolutions = [], []
+    for k in range(K):
+        out = rec.finalize(accs[k], box)
+        outs.append(out)
+        resolutions.append(float(fsc_mod.resolution_at_threshold(
+            out.freqs, out.fsc, pixel, 0.143)))
+    return outs, occ_per_item, resolutions
+
+
+def _per_particle_scores(cp, xv, w_centers, defocus, mask_pts, Fref, tw,
+                         valid, n, pixel, voltage, cs, w):
+    """Mean NCC per particle over tilts (helper for csp_classify)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops.fourier_slice import gather_3d_hermitian
+    from pyp_tpu.ops.refine3d import _ctf_at_points
+
+    vol_pad = Fref.shape[0] // n
+    R_eff = csp_ops.effective_rotations(cp)
+    pred = csp_ops.project_positions(cp)
+    depth = csp_ops.particle_depth(cp)
+    dshift = pred - w_centers
+    mask = jnp.asarray(mask_pts)
+    q = (mask[None, None, :, 1, None] * R_eff[..., None, 0, :]
+         + mask[None, None, :, 0, None] * R_eff[..., None, 1, :])
+    u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+    df = defocus[:, None, 0] + cp.defocus_offsets[:, None] + depth * pixel
+    c = _ctf_at_points(mask[None, None], n, pixel, df[..., None],
+                       df[..., None], 0.0, voltage, cs, w, 0.0)
+    ph = -2.0 * jnp.pi * (mask[None, None, :, 0] * dshift[..., 0:1]
+                          + mask[None, None, :, 1] * dshift[..., 1:2]) / n
+    phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * c * u), axis=-1)
+    den = jnp.sqrt(jnp.sum(jnp.abs(xv) ** 2, -1)
+                   * jnp.sum(c * c * jnp.abs(u) ** 2, -1) + 1e-12)
+    ncc = num / den  # (T, P)
+    wgt = tw[:, None] * valid
+    return jnp.sum(ncc * wgt, axis=0) / jnp.maximum(jnp.sum(wgt, axis=0), 1.0)

@@ -57,3 +57,37 @@ class TestCspPipeline:
         # refined geometry persisted for resume
         meta2 = ItemMetadata("ts1", tmp_path, mode="tomo").load()
         assert meta2["xf"].shape == (T, 3)
+
+
+@pytest.mark.slow
+class TestCspClassify:
+    def test_two_state_subtomogram_classification(self):
+        from pyp_tpu.pipeline.csp import csp_classify
+        from pyp_tpu.config.params import defaults
+
+        volA = make_reference(seed=0)
+        volB = make_reference(seed=55)
+        trueA, imagesA, defocusA = make_tilt_series(volA, seed=1, noise=0.08)
+        trueB, imagesB, defocusB = make_tilt_series(volB, seed=2, noise=0.08)
+        params = defaults()
+        params.update({"scope_pixel": PIXEL, "csp_box": NBOX,
+                       "csp_rlref": 60.0, "csp_rhref": "5"})
+        items = [
+            {"name": "a", "tilts": np.asarray(imagesA), "params": trueA,
+             "defocus": np.asarray(defocusA)},
+            {"name": "b", "tilts": np.asarray(imagesB), "params": trueB,
+             "defocus": np.asarray(defocusB)},
+        ]
+        outs, occs, resolutions = csp_classify(items, params, [volA, volB])
+        assert len(outs) == 2 and len(occs) == 2
+        # particles from series A should prefer class 0, series B class 1
+        prefA = (occs[0][:, 0] > occs[0][:, 1]).mean()
+        prefB = (occs[1][:, 1] > occs[1][:, 0]).mean()
+        assert prefA > 0.8, occs[0]
+        assert prefB > 0.8, occs[1]
+        # class maps correlate with their own state
+        ccAA = np.corrcoef(np.asarray(outs[0].volume).ravel(), volA.ravel())[0, 1]
+        ccBB = np.corrcoef(np.asarray(outs[1].volume).ravel(), volB.ravel())[0, 1]
+        ccAB = np.corrcoef(np.asarray(outs[0].volume).ravel(), volB.ravel())[0, 1]
+        assert ccAA > ccAB, (ccAA, ccAB)
+        assert ccBB > 0.3
