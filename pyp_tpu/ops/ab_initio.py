@@ -31,6 +31,7 @@ def ab_initio(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    anneal: float = 0.0,
 ):
     """Returns (volume (n, n, n), final poses (B, 5)).
 
@@ -102,5 +103,55 @@ def ab_initio(
                 np.asarray(out.phi), np.asarray(out.theta), np.asarray(out.psi),
                 np.asarray(out.shift_y), np.asarray(out.shift_x),
             ], axis=1)
+            if anneal > 0 and r < n_rounds - 1:
+                # stochastic annealing: decaying angular noise keeps the
+                # assignment distribution from collapsing onto a bad seed
+                frac = 1.0 - r / max(n_rounds - 1, 1)
+                poses[:, :3] += rng.normal(
+                    0, anneal * frac, poses[:, :3].shape)
             vol = reconstruct_all(poses, res)
     return vol, poses
+
+
+def mean_particle_score(stack, ctf_params, poses, volume, pixel_size,
+                        res: float, voltage_kv=300.0, cs_mm=2.7, w=0.07):
+    """Mean CTF-weighted NCC of the stack against a model at given poses —
+    the model-selection criterion for multi-seed ab initio."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import refine3d
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+    n = stack.shape[-1]
+    pts = refine3d.make_mask_points(n, pixel_size, 300.0, res)
+    _, scores = refine3d.local_refine(
+        jnp.asarray(stack), jnp.asarray(ctf_params),
+        volume_to_fourier(jnp.asarray(volume)), jnp.asarray(poses),
+        jnp.asarray(pts), n, pixel_size, iters=0,
+        voltage_kv=voltage_kv, cs_mm=cs_mm, amplitude_contrast=w,
+    )
+    return float(np.mean(np.asarray(scores)))
+
+
+def ab_initio_multiseed(
+    stack, ctf_params, pixel_size: float, n_seeds: int = 4, **kw,
+):
+    """Run `n_seeds` independent ab-initio trajectories and keep the model
+    whose refined particle scores are highest — the cheap, robust fix for
+    seed-dependent collapse (cisTEM runs multiple starts the same way).
+    Returns (volume, poses, best_seed, per-seed scores)."""
+    end_res = float(kw.get("end_res", 12.0))
+    base_seed = int(kw.pop("seed", 0))
+    results = []
+    scores = []
+    for s in range(n_seeds):
+        vol, poses = ab_initio(stack, ctf_params, pixel_size,
+                               seed=base_seed + s * 101, **kw)
+        sc = mean_particle_score(stack, ctf_params, poses, vol, pixel_size,
+                                 end_res)
+        results.append((vol, poses))
+        scores.append(sc)
+        logger.info("ab-initio seed %d: mean score %.4f", s, sc)
+    best = int(np.argmax(scores))
+    vol, poses = results[best]
+    return vol, poses, best, scores

@@ -227,3 +227,60 @@ def refine_virion_surface(tomogram, center, radius_px, n_points: int = 300,
         radii = 0.5 * radii + 0.5 * radii[nn].mean(axis=1)
     points = center[None, :] + radii[:, None] * normals
     return points.astype(np.float32), normals, radii.astype(np.float32)
+
+
+def align_volumes(a, b, coarse_step: float = 30.0, iters: int = 60,
+                  try_hand: bool = True):
+    """Rigidly align volume `a` to volume `b` over rotations (+ optional
+    hand flip): coarse ZYZ grid then autodiff gradient polish of the
+    correlation through the trilinear resampler. Returns
+    (cc, (phi, theta, psi), flipped, aligned_volume).
+
+    Needed e.g. to validate ab-initio maps, whose global orientation and
+    hand are arbitrary (a 45-degree grid alone scores an EXACT rotated copy
+    of a 6 Å-featured map at only ~0.14 — see tests)."""
+    import jax
+
+    b_j = jnp.asarray(np.ascontiguousarray(b), dtype=jnp.float32)
+    b_c = b_j - jnp.mean(b_j)
+    b_n = b_c / (jnp.linalg.norm(b_c) + 1e-8)
+
+    def cc_of(vol_j, p, t, s):
+        r = rotate_volume(vol_j, p, t, s)
+        rc = r - jnp.mean(r)
+        return jnp.sum(rc * b_n) / (jnp.linalg.norm(rc) + 1e-8)
+
+    cc_jit = jax.jit(cc_of)
+    grad_fn = jax.jit(jax.grad(lambda angles, vol_j: cc_of(
+        vol_j, angles[0], angles[1], angles[2]), argnums=0))
+
+    best = (-2.0, (0.0, 0.0, 0.0), False)
+    hands = (False, True) if try_hand else (False,)
+    for flip in hands:
+        va = np.ascontiguousarray(a[::-1]) if flip else np.ascontiguousarray(a)
+        va_j = jnp.asarray(va, dtype=jnp.float32)
+        for p in np.arange(0.0, 360.0, coarse_step):
+            for t in np.arange(0.0, 181.0, coarse_step):
+                for s in np.arange(0.0, 360.0, coarse_step):
+                    c = float(cc_jit(va_j, p, t, s))
+                    if c > best[0]:
+                        best = (c, (p, t, s), flip)
+    # gradient polish from the best coarse cell
+    flip = best[2]
+    va = np.ascontiguousarray(a[::-1]) if flip else np.ascontiguousarray(a)
+    va_j = jnp.asarray(va, dtype=jnp.float32)
+    angles = jnp.asarray(best[1], dtype=jnp.float32)
+    m = jnp.zeros(3)
+    for i in range(iters):
+        g = grad_fn(angles, va_j)
+        gn = g / (jnp.linalg.norm(g) + 1e-9)
+        m = 0.7 * m + gn
+        decay = 0.5 * (1 + np.cos(np.pi * i / iters))
+        angles = angles + 3.0 * decay * m
+    cc = float(cc_jit(va_j, angles[0], angles[1], angles[2]))
+    if cc < best[0]:
+        angles = jnp.asarray(best[1], dtype=jnp.float32)
+        cc = best[0]
+    aligned = np.asarray(rotate_volume(va_j, float(angles[0]),
+                                       float(angles[1]), float(angles[2])))
+    return cc, tuple(float(x) for x in angles), flip, aligned

@@ -172,3 +172,18 @@ class TestClassSelection:
         table, keep = scores.select_classes(table, [1, 3])
         assert keep.sum() == 7
         assert np.all(np.asarray(table["occupancy"])[~keep] == 0)
+
+
+class TestAlignVolumes:
+    def test_recovers_rotation_and_hand(self):
+        from tests.test_refine3d import make_volume
+        from pyp_tpu.ops.template_match import align_volumes, rotate_volume
+
+        vol = make_volume()
+        rot = np.asarray(rotate_volume(jnp.asarray(vol), 25.0, 70.0, 200.0))
+        cc, angles, flip, aligned = align_volumes(rot, vol)
+        assert cc > 0.9, cc
+        assert not flip
+        # hand-flipped copy is recognized as flipped
+        cc2, _, flip2, _ = align_volumes(rot[::-1], vol)
+        assert cc2 > 0.9 and flip2
