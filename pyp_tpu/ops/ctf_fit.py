@@ -465,3 +465,39 @@ def fit_thickness(power, pixel_size, fit: CtfFit,
     else:
         t_best = float(ts[i])
     return t_best, np.asarray(scores)
+
+
+def diagnostic_image(power, pixel_size, fit: CtfFit, voltage_kv=300.0,
+                     cs_mm=2.7, w=0.07, size: int = 512):
+    """CTFFIND-style diagnostic: fftshifted power spectrum with the fitted
+    CTF^2 model rendered in the upper-left half (the `power.mrc` output the
+    reference parses/publishes, ctf/core.py stdin contract §A.4).
+    Returns (size, size) float32."""
+    import numpy as np
+
+    from pyp_tpu.core.fft import fourier_crop
+
+    ny, nxf = power.shape
+    n = ny
+    # full-plane spectrum by Friedel mirroring, shifted to center
+    full = np.zeros((n, n), dtype=np.float32)
+    p = np.asarray(power)
+    full[:, : nxf] = p[:, ::-1]
+    full[1:, nxf - 1:] = p[1:, 1:][::-1, :]
+    full[0, nxf - 1:] = p[0, 1:]
+    full = np.fft.fftshift(full, axes=0)
+    if n != size:
+        full = np.asarray(fourier_crop(jnp.asarray(full)[None], (size, size))[0])
+    # contrast-equalize the data half per radial ring
+    c = np.asarray(ctf_model.ctf_2d(
+        (size, size), pixel_size * n / size, float(fit.df1), float(fit.df2),
+        float(fit.angast), voltage_kv, cs_mm, w, float(fit.phase_shift),
+        rfft=False,
+    ))
+    model = np.fft.fftshift(c**2)
+    lo, hi = np.percentile(full, [2, 98])
+    data = np.clip((full - lo) / max(hi - lo, 1e-9), 0, 1)
+    yy, xx = np.mgrid[0:size, 0:size]
+    upper_left = (yy + xx) < size
+    out = np.where(upper_left, model, data)
+    return out.astype(np.float32)

@@ -142,3 +142,15 @@ class TestThickness:
         t_est, scores = ctf_fit.fit_thickness(power, 1.0, fit,
                                               min_res=25.0, max_res=3.5)
         assert t_est < 250.0, t_est  # no depth modulation planted
+
+
+class TestDiagnostic:
+    def test_diagnostic_renders(self):
+        power = synthetic_power()
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5)
+        img = ctf_fit.diagnostic_image(power, 1.0, fit, size=256)
+        assert img.shape == (256, 256)
+        assert np.isfinite(img).all()
+        # model half in [0, 1], and there is ring contrast
+        assert img.std() > 0.05
