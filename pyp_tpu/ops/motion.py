@@ -271,3 +271,73 @@ def weighted_average(frames, weights):
     F = jnp.fft.rfft2(frames)
     out = jnp.sum(F * weights, axis=0) / frames.shape[0]
     return jnp.fft.irfft2(out, s=frames.shape[-2:])
+
+
+@functools.partial(jax.jit, static_argnames=("binning",))
+def _bin_frames_scan(frames, binning: int):
+    """Fourier-bin frames one at a time (lax.map) — a whole-stack fft2 of a
+    K3-sized movie allocates ~10 GB of HLO temps and OOMs a 16 GB chip."""
+    from pyp_tpu.core.fft import fourier_crop
+
+    n_frames, ny, nx = frames.shape
+    out_shape = (ny // binning, nx // binning)
+    return jax.lax.map(lambda f: fourier_crop(f[None], out_shape)[0], frames)
+
+
+@functools.partial(jax.jit, static_argnames=("pixel_size", "dose_weighted"))
+def _average_scan(frames, shifts, doses, pixel_size: float = 1.0,
+                  dose_weighted: bool = True):
+    """Aligned (dose-weighted) average accumulated frame-by-frame: peak
+    memory = one frame spectrum instead of the whole stack's."""
+    from pyp_tpu.core.ctf import dose_weight
+
+    n_frames, ny, nx = frames.shape
+    fy, fx = freq_grid_2d(ny, nx)
+    g = jnp.sqrt((fy / pixel_size) ** 2 + (fx / pixel_size) ** 2)
+
+    if dose_weighted:
+        # per-frequency normalization sum(w^2) across frames, accumulated
+        def wsum_body(carry, dose_e):
+            return carry + dose_weight(g, dose_e) ** 2, None
+
+        wsq, _ = jax.lax.scan(wsum_body, jnp.zeros_like(g), doses)
+        wnorm = jnp.sqrt(jnp.maximum(wsq, 1e-12))
+
+    def body(acc, inputs):
+        frame, shift, dose_e = inputs
+        F = jnp.fft.rfft2(frame)
+        ph = -2.0 * jnp.pi * (fy * shift[0] + fx * shift[1])
+        F = F * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        if dose_weighted:
+            F = F * (dose_weight(g, dose_e) / wnorm)
+        return acc + F, None
+
+    acc0 = jnp.zeros((ny, nx // 2 + 1), dtype=jnp.complex64)
+    acc, _ = jax.lax.scan(body, acc0, (frames, shifts, doses))
+    return jnp.fft.irfft2(acc, s=(ny, nx)) / n_frames
+
+
+def align_movie_large(
+    frames,
+    pixel_size: float = 1.0,
+    binning: int = 2,
+    doses=None,
+    dose_weighted: bool = True,
+    **kw,
+) -> MotionResult:
+    """HBM-frugal movie alignment for camera-sized movies (K3: 40x4096^2
+    does not fit the whole-stack FFT pipeline in 16 GB): align on
+    Fourier-binned frames (drift is resolution-independent; shifts scale by
+    the bin factor), then accumulate the full-resolution (dose-weighted)
+    average frame-by-frame."""
+    frames = jnp.asarray(frames)
+    n_frames = frames.shape[0]
+    small = _bin_frames_scan(frames, binning) if binning > 1 else frames
+    kw.setdefault("search_radius", 48.0 / binning)
+    res = align_movie(small, pixel_size=pixel_size * binning, **kw)
+    shifts = res.shifts * binning
+    if doses is None:
+        doses = jnp.arange(1, n_frames + 1, dtype=jnp.float32)
+    avg = _average_scan(frames, shifts, jnp.asarray(doses), pixel_size,
+                        dose_weighted)
+    return MotionResult(shifts=shifts, average=avg, converged=res.converged)

@@ -91,20 +91,33 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
     if not meta.is_done("drift") and params.get("movie_ali") != "skip":
         with Timer("movie alignment"):
             f = jnp.asarray(get_frames())
-            res = motion.align_movie(
-                f,
-                pixel_size=pixel,
-                bfactor=float(params["movie_bfactor"]),
-                max_iters=int(params["movie_iters"]),
-                search_radius=float(params["movie_search"]),
-                smooth_order=int(params["movie_smooth_order"]),
-            )
-            if params.get("movie_weights"):
-                dose = float(params.get("scope_dose_rate") or 1.0)
-                doses = jnp.arange(1, f.shape[0] + 1) * dose
-                avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)
-            else:
+            dose = float(params.get("scope_dose_rate") or 1.0)
+            doses = jnp.arange(1, f.shape[0] + 1) * dose
+            # camera-sized movies (K3: 40x4096^2) exceed the 16 GB chip with
+            # the whole-stack FFT pipeline; switch to the binned+scan path
+            large = f.size > 300_000_000
+            if large:
+                res = motion.align_movie_large(
+                    f, pixel_size=pixel, binning=2, doses=doses,
+                    dose_weighted=bool(params.get("movie_weights")),
+                    bfactor=float(params["movie_bfactor"]),
+                    max_iters=int(params["movie_iters"]),
+                    smooth_order=int(params["movie_smooth_order"]),
+                )
                 avg = res.average
+            else:
+                res = motion.align_movie(
+                    f,
+                    pixel_size=pixel,
+                    bfactor=float(params["movie_bfactor"]),
+                    max_iters=int(params["movie_iters"]),
+                    search_radius=float(params["movie_search"]),
+                    smooth_order=int(params["movie_smooth_order"]),
+                )
+                if params.get("movie_weights"):
+                    avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)
+                else:
+                    avg = res.average
             meta["drift"] = np.asarray(res.shifts)
             meta["average"] = np.asarray(avg, dtype=np.float32)
     elif not meta.is_done("average"):

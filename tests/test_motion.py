@@ -102,3 +102,22 @@ class TestFrameAverages:
         w = jnp.asarray([1.0, 0.0, 0.0, 0.0])
         np.testing.assert_allclose(
             np.asarray(motion.weighted_average(f, w)), np.asarray(f[0]), atol=1e-5)
+
+
+class TestLargeMovie:
+    def test_binned_alignment_recovers_drift(self):
+        frames, traj, base = make_movie(n_frames=8, n=256, drift_scale=6.0, noise=0.3)
+        res = motion.align_movie_large(jnp.asarray(frames), binning=2,
+                                       bfactor=200.0, dose_weighted=False)
+        expected = -(traj - traj.mean(axis=0))
+        err = np.abs(np.asarray(res.shifts) - expected)
+        assert err.max() < 1.0, (np.asarray(res.shifts), expected)
+        assert res.average.shape == base.shape  # full resolution output
+
+    def test_scan_average_matches_batch(self):
+        frames, traj, base = make_movie(n_frames=6, n=128)
+        shifts = jnp.asarray(-(traj - traj.mean(axis=0)))
+        doses = jnp.arange(1.0, 7.0)
+        a = motion._average_scan(jnp.asarray(frames), shifts, doses, 1.0, True)
+        b = motion.dose_weighted_average(jnp.asarray(frames), shifts, doses, 1.0)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
