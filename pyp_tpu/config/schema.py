@@ -128,12 +128,18 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("tomo_vir_method", str, "none", "virion detection", enum=("none", "template", "auto")),
         P("tomo_vir_rad", float, 500.0, "virion radius (Å)"),
         P("tomo_vir_detect_band", float, 800.0, "detection band (Å)"),
+        P("tomo_vir_detect_max", int, 8, "max virions per tomogram"),
+        P("tomo_vir_points", int, 200, "surface mesh points per virion"),
+        P("tomo_vir_lmax", int, 4, "spherical-harmonics degree for membrane refinement"),
     ],
     "tomo_spk": [
         P("tomo_spk_method", str, "none", "3D particle picking",
           enum=("none", "auto", "template", "surface", "import")),
         P("tomo_spk_rad", float, 100.0, "particle radius (Å)"),
         P("tomo_spk_max", int, 2048, "max picks per tomogram"),
+        P("tomo_spk_thresh", float, 0.0, "3D template-match score threshold"),
+        P("tomo_pick_ref", str, "", "3D template reference map (MRC)"),
+        P("tomo_pick_ang", float, 30.0, "3D template-match angular step (deg)"),
     ],
     # ------------------------------------------------------------------ class
     "class": [

@@ -229,6 +229,80 @@ def refine_virion_surface(tomogram, center, radius_px, n_points: int = 300,
     return points.astype(np.float32), normals, radii.astype(np.float32)
 
 
+def _sh_basis(normals, l_max: int):
+    """Real spherical-harmonics basis (N, (l_max+1)^2) at unit directions
+    (z, y, x), plus per-coefficient l(l+1) curvature weights."""
+    from scipy.special import sph_harm_y
+
+    z, y, x = normals[:, 0], normals[:, 1], normals[:, 2]
+    theta = np.arccos(np.clip(z, -1.0, 1.0))
+    phi = np.arctan2(y, x)
+    cols, curv = [], []
+    for l in range(l_max + 1):
+        for m in range(-l, l + 1):
+            ylm = sph_harm_y(l, abs(m), theta, phi)
+            if m < 0:
+                col = np.sqrt(2.0) * ylm.imag
+            elif m == 0:
+                col = ylm.real
+            else:
+                col = np.sqrt(2.0) * ylm.real
+            cols.append(col)
+            curv.append(float(l * (l + 1)))
+    return (np.stack(cols, axis=1).astype(np.float32),
+            np.asarray(curv, dtype=np.float32))
+
+
+def refine_surface_sh(tomogram, center, radius_px, n_points: int = 400,
+                      search: float = 0.3, l_max: int = 6,
+                      dark_membrane: bool = True, iters: int = 80,
+                      smoothness: float = 0.05, lr: float = 0.3):
+    """Level-set-grade closed-surface refinement: the radius field over the
+    sphere is parameterized by real spherical harmonics up to degree `l_max`
+    and the coefficients are optimized by autodiff to drive the surface onto
+    the membrane density (gradient descent on trilinear samples of the
+    tomogram), with an l(l+1) curvature penalty — the TPU-native equivalent
+    of the reference's level-set evolution (virus_segment_membrane,
+    detect/tomo/core.py:518): globally smooth by construction (band-limited
+    surface) instead of per-ray extrema + ad-hoc smoothing. Returns
+    (points (N, 3) (z, y, x), normals (N, 3), radii (N,)).
+    """
+    tomo = jnp.asarray(tomogram, dtype=jnp.float32)
+    tomo = (tomo - jnp.mean(tomo)) / (jnp.std(tomo) + 1e-8)
+    center = jnp.asarray(np.asarray(center, dtype=np.float32))
+    _, normals = sphere_surface_points(np.zeros(3), 1.0, n_points)
+    Y, curv = _sh_basis(normals, l_max)
+    # seed r0 from the robust ray-cast extremum (median over rays)
+    _, _, radii0 = refine_virion_surface(
+        tomogram, np.asarray(center), radius_px, n_points=n_points,
+        search=search, smooth_iters=0)
+    r0 = float(np.median(radii0))
+    Yj = jnp.asarray(Y)
+    nj = jnp.asarray(normals)
+    curvj = jnp.asarray(curv)
+    sign = 1.0 if dark_membrane else -1.0
+    lo, hi = radius_px * (1 - search), radius_px * (1 + search)
+
+    def loss(c):
+        r = jnp.clip(r0 + Yj @ c, lo, hi)  # (N,)
+        pts = center[None, :] + r[:, None] * nj
+        vals = jax.scipy.ndimage.map_coordinates(
+            tomo, [pts[:, 0], pts[:, 1], pts[:, 2]], order=1, mode="nearest")
+        return sign * jnp.mean(vals) + smoothness * jnp.mean(
+            curvj * c * c) / max(radius_px, 1.0)
+
+    grad = jax.jit(jax.value_and_grad(loss))
+    c = jnp.zeros(Y.shape[1], dtype=jnp.float32)
+    m = jnp.zeros_like(c)
+    for i in range(iters):
+        _, g = grad(c)
+        m = 0.9 * m + g
+        c = c - lr * m / (jnp.linalg.norm(g) + 1e-8)
+    radii = np.asarray(jnp.clip(r0 + Yj @ c, lo, hi))
+    points = np.asarray(center)[None, :] + radii[:, None] * normals
+    return points.astype(np.float32), normals, radii.astype(np.float32)
+
+
 def align_volumes(a, b, coarse_step: float = 30.0, iters: int = 60,
                   try_hand: bool = True):
     """Rigidly align volume `a` to volume `b` over rotations (+ optional

@@ -134,29 +134,112 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
 
     # ---- 3D particle picking ---------------------------------------------
     method = params.get("tomo_spk_method", "none")
-    if not meta.is_done("box") and method in ("auto",):
+    if not meta.is_done("box") and method in ("auto", "surface", "template"):
         with Timer("3D particle picking"):
             from pyp_tpu.io import mrc
 
             recon = mrc.read(f"{work_dir}/{name}.rec.mrc")
-            rad_px = max(2, int(float(params["tomo_spk_rad"]) / (pixel * binning * rec_bin)))
-            coords = []
-            for z in range(recon.shape[0]):
-                res = pick.pick_particles(
-                    jnp.asarray(recon[z]), particle_radius_px=rad_px,
-                    max_picks=64, threshold_sigma=4.0, edge_px=rad_px,
-                    invert=False,
-                )
-                valid = np.asarray(res.valid)
-                for (y, x), s in zip(np.asarray(res.coords)[valid],
-                                     np.asarray(res.scores)[valid]):
-                    coords.append((z, y, x, s))
-            meta["box"] = np.asarray(coords, dtype=np.float32).reshape(-1, 4)
-            summary["particles"] = len(coords)
+            box, vir = pick_particles_3d(recon, params,
+                                         pixel * binning * rec_bin)
+            meta["box"] = box
+            if vir is not None:
+                meta["vir"] = vir
+                summary["virions"] = len(vir)
+            summary["particles"] = len(box)
 
     meta.scalars.update({"pixel": pixel, "binning": binning * rec_bin})
     meta.save()
     return summary
+
+
+def pick_particles_3d(recon, params: dict, eff_pixel: float):
+    """3D picking dispatch on a reconstructed tomogram — the role of the
+    reference's detect/tomo/core.py mode switch (tomo_spk_method):
+
+    * "auto": per-slab intensity picking (size-based, detect/core.py style).
+    * "surface": Hough sphere detection -> spherical-harmonics membrane
+      refinement (`ops/template_match.refine_surface_sh`) -> surface points
+      as picks (virus_segment_membrane + detect_particles_from_surface).
+    * "template": exhaustive 3D template matching against a reference map
+      (TOMO Correlation3DNew).
+
+    Returns (box (N, 4) float32 rows (z, y, x, score),
+    vir (V, 5) rows (z, y, x, radius_px, score) or None).
+    """
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import pick
+    from pyp_tpu.ops import template_match as tm
+
+    method = params.get("tomo_spk_method", "auto")
+    rad_px = max(2, int(float(params["tomo_spk_rad"]) / eff_pixel))
+    recon = np.asarray(recon, dtype=np.float32)
+    coords = []
+    vir = None
+
+    if method == "surface":
+        vir_rad_px = max(4.0, float(params.get("tomo_vir_rad") or 0)
+                         / eff_pixel or 3.0 * rad_px)
+        radii = np.linspace(0.75 * vir_rad_px, 1.25 * vir_rad_px, 5)
+        centers, rads, scores, valid = tm.detect_spheres(
+            jnp.asarray(recon), radii,
+            n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+        centers, rads, scores = (np.asarray(centers), np.asarray(rads),
+                                 np.asarray(scores))
+        vir_rows = []
+        n_pts = int(params.get("tomo_vir_points") or 200)
+        margin = 2.0
+        for c, r, s, v in zip(centers, rads, scores, np.asarray(valid)):
+            if not v:
+                continue
+            # skip seeds whose search shell leaves the volume
+            if (np.any(c - 1.3 * r < margin)
+                    or np.any(c + 1.3 * r > np.asarray(recon.shape) - margin)):
+                continue
+            pts, normals, rr = tm.refine_surface_sh(
+                recon, c, float(r), n_points=n_pts,
+                l_max=int(params.get("tomo_vir_lmax") or 4))
+            vir_rows.append((*c, float(np.mean(rr)), float(s)))
+            for p in pts:
+                coords.append((p[0], p[1], p[2], float(s)))
+        vir = np.asarray(vir_rows, dtype=np.float32).reshape(-1, 5)
+    elif method == "template":
+        from pyp_tpu.io import mrc as _mrc
+        from pyp_tpu.ops.refine3d import make_directions
+
+        ref_path = params.get("tomo_pick_ref") or ""
+        if not ref_path:
+            raise ValueError(
+                "tomo_spk_method=template requires -tomo_pick_ref <map.mrc>")
+        template = np.asarray(_mrc.read(ref_path), dtype=np.float32)
+        step = float(params.get("tomo_pick_ang") or 30.0)
+        dirs = make_directions(step, params.get("particle_sym", "C1"))
+        psis = np.arange(0.0, 360.0, step, dtype=np.float32)
+        angles = np.array([(d[0], d[1], p) for d in dirs for p in psis],
+                          dtype=np.float32)
+        score, _ = tm.match_template_3d(jnp.asarray(recon),
+                                        jnp.asarray(template), angles)
+        pk, vals, valid = tm.pick_peaks_3d(
+            score, int(params.get("tomo_spk_max") or 200),
+            min_distance=rad_px,
+            threshold=float(params.get("tomo_spk_thresh") or 0.0))
+        for (z, y, x), s, v in zip(np.asarray(pk), np.asarray(vals),
+                                   np.asarray(valid)):
+            if v:
+                coords.append((z, y, x, float(s)))
+    else:  # "auto": slab-wise intensity picking
+        for z in range(recon.shape[0]):
+            res = pick.pick_particles(
+                jnp.asarray(recon[z]), particle_radius_px=rad_px,
+                max_picks=64, threshold_sigma=4.0, edge_px=rad_px,
+                invert=False,
+            )
+            valid = np.asarray(res.valid)
+            for (y, x), s in zip(np.asarray(res.coords)[valid],
+                                 np.asarray(res.scores)[valid]):
+                coords.append((z, y, x, s))
+    box = np.asarray(coords, dtype=np.float32).reshape(-1, 4)
+    return box, vir
 
 
 def tomo_merge(results: dict, missing: list, work_dir=".") -> dict:

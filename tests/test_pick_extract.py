@@ -134,3 +134,82 @@ class TestVirionSurface:
         xy_dirs = np.abs(normals[:, 0]) < 0.3
         assert abs(radii[z_dirs].mean() - 12.0) < 1.5, radii[z_dirs].mean()
         assert abs(radii[xy_dirs].mean() - 16.0) < 1.5, radii[xy_dirs].mean()
+
+    def test_sh_surface_recovers_ellipsoid_radii(self):
+        """Spherical-harmonics level-set refinement: per-direction radius
+        error against the true ellipsoid must be small everywhere (not just
+        averaged over direction bands) despite noise."""
+        from pyp_tpu.ops.template_match import refine_surface_sh
+
+        rng = np.random.RandomState(2)
+        n = 64
+        zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+        c = np.array([32.0, 32.0, 32.0])
+        a_z, a_xy = 12.0, 16.0
+        r_eff = np.sqrt(((zz - c[0]) / a_z) ** 2 + ((yy - c[1]) / a_xy) ** 2
+                        + ((xx - c[2]) / a_xy) ** 2)
+        tomo = 0.2 * rng.randn(n, n, n).astype(np.float32)
+        tomo -= np.exp(-0.5 * ((r_eff - 1.0) / 0.08) ** 2)
+        pts, normals, radii = refine_surface_sh(tomo, c, 14.0, n_points=300,
+                                                l_max=4)
+        # true ellipsoid radius along each direction
+        denom = np.sqrt((normals[:, 0] / a_z) ** 2
+                        + (normals[:, 1] / a_xy) ** 2
+                        + (normals[:, 2] / a_xy) ** 2)
+        r_true = 1.0 / denom
+        err = np.abs(radii - r_true)
+        assert np.median(err) < 1.0, np.median(err)
+        assert err.max() < 3.0, err.max()
+
+
+class TestPick3DDispatch:
+    """pipeline.tomo.pick_particles_3d — the detect/tomo/core.py mode
+    switch (auto / virions / template) on a reconstructed tomogram."""
+
+    def test_surface_mode_finds_shell_and_picks(self):
+        from pyp_tpu.pipeline.tomo import pick_particles_3d
+
+        rng = np.random.RandomState(3)
+        n = 64
+        zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+        c = np.array([32.0, 30.0, 34.0])
+        r = np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 + (xx - c[2]) ** 2)
+        tomo = 0.15 * rng.randn(n, n, n).astype(np.float32)
+        tomo -= np.exp(-0.5 * ((r - 12.0) / 1.5) ** 2)  # dark membrane r=12
+        params = {"tomo_spk_method": "surface", "tomo_spk_rad": 40.0,
+                  "tomo_vir_rad": 120.0, "tomo_vir_detect_max": 2,
+                  "tomo_vir_points": 100}
+        box, vir = pick_particles_3d(tomo, params, eff_pixel=10.0)
+        assert vir is not None and len(vir) >= 1, vir
+        assert np.linalg.norm(vir[0, :3] - c) < 3.0, vir[0]
+        assert abs(vir[0, 3] - 12.0) < 2.0, vir[0, 3]  # refined radius
+        # surface picks ~12 px from the center
+        d = np.linalg.norm(box[:, :3] - vir[0, :3], axis=1)
+        assert len(box) == 100 and np.median(np.abs(d - 12.0)) < 2.0
+
+    def test_template_mode_finds_planted_copies(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.pipeline.tomo import pick_particles_3d
+
+        rng = np.random.RandomState(4)
+        t = 12
+        g = np.mgrid[0:t, 0:t, 0:t].astype(np.float32) - t / 2
+        template = np.exp(-0.5 * (np.sum(g**2, 0)) / 4.0).astype(np.float32)
+        template[:, : t // 2, :] *= 0.3  # asymmetric so rotation matters
+        tomo = 0.1 * rng.randn(48, 48, 48).astype(np.float32)
+        spots = [(12, 14, 30), (32, 30, 12)]
+        for z, y, x in spots:
+            tomo[z - t // 2:z + t // 2, y - t // 2:y + t // 2,
+                 x - t // 2:x + t // 2] += template
+        ref = tmp_path / "ref.mrc"
+        mrc.write(template, str(ref), pixel_size=10.0)
+        params = {"tomo_spk_method": "template", "tomo_spk_rad": 60.0,
+                  "tomo_pick_ref": str(ref), "tomo_pick_ang": 90.0,
+                  "tomo_spk_max": 4, "tomo_spk_thresh": 0.5}
+        box, vir = pick_particles_3d(tomo, params, eff_pixel=10.0)
+        assert vir is None
+        assert len(box) >= 2, box
+        top2 = box[np.argsort(-box[:, 3])][:2, :3]
+        for s in spots:
+            dmin = np.min(np.linalg.norm(top2 - np.asarray(s), axis=1))
+            assert dmin < 2.0, (s, top2)
