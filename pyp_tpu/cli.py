@@ -36,11 +36,15 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
 
 def _project_params(argv, work_dir="."):
     overrides = cfg.parse_arguments(argv)
-    explicit = {}
+    # an argument is explicit iff its flag appears on the command line —
+    # value-vs-default comparison would let a stale saved project value
+    # silently override e.g. `-tomo_spk_method none` (the schema default)
+    given = {a.lstrip("-").split("=")[0] for a in argv if a.startswith("-")}
     defaults = cfg.defaults()
-    for k, v in overrides.items():
-        if defaults.get(k) != v:
-            explicit[k] = v
+    explicit = {
+        k: v for k, v in overrides.items()
+        if k in given or defaults.get(k) != v
+    }
     return cfg.update_parameters(work_dir, explicit)
 
 

@@ -123,6 +123,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("tomo_rec_filter_cutoff", float, 0.35, "ramp filter cutoff (cyc/px)"),
         P("tomo_rec_filter_falloff", float, 0.05, "ramp filter falloff"),
         P("tomo_rec_erase_fiducials", bool, False, "erase gold beads first"),
+        P("tomo_rec_gold_rad", float, 100.0, "gold bead radius for erasure (Å)"),
+        P("tomo_rec_dose_weighting", bool, False,
+          "dose-weight tilts by cumulative exposure before reconstruction"),
     ],
     "tomo_vir": [
         P("tomo_vir_method", str, "none", "virion detection", enum=("none", "template", "auto")),

@@ -128,9 +128,17 @@ def detect_spheres(tomogram, radii_px, n_peaks: int = 32, min_distance=None,
     tomo = jnp.asarray(tomogram, dtype=jnp.float32)
     if invert:
         tomo = -tomo
+    # a shell template larger than the tomogram cannot be correlated (and
+    # could not be a contained sphere anyway) — drop such radii up front
+    fit = [r for r in radii_px
+           if int(2 * (float(r) + 6.0) + 1) <= min(tomo.shape)]
+    if not fit:
+        coords = jnp.zeros((n_peaks, 3), dtype=jnp.int32)
+        zeros = jnp.zeros(n_peaks)
+        return coords, zeros, zeros, jnp.zeros(n_peaks, dtype=bool)
     best = jnp.full(tomo.shape, -jnp.inf)
     best_r = jnp.zeros(tomo.shape)
-    for r in radii_px:
+    for r in fit:
         shell = spherical_shell_template(float(r))
         score, _ = match_template_3d(tomo, shell, np.zeros((1, 3)),
                                      norm_size=shell.shape[0])
@@ -138,7 +146,7 @@ def detect_spheres(tomogram, radii_px, n_peaks: int = 32, min_distance=None,
         best = jnp.where(better, score, best)
         best_r = jnp.where(better, float(r), best_r)
     if min_distance is None:
-        min_distance = int(min(radii_px))
+        min_distance = int(min(fit))
     coords, vals, valid = pick_peaks_3d(best, n_peaks, min_distance)
     radii = best_r[coords[:, 0], coords[:, 1], coords[:, 2]]
     return coords, radii, vals, valid

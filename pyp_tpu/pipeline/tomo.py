@@ -114,6 +114,38 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                 np.asarray(bin_images(jnp.asarray(tilts_b), rec_bin))
                 if rec_bin > 1 else tilts_b
             )
+            # gold-fiducial erasure before backprojection (the reference's
+            # ccderaser pass, merge/core.py:251-320): bright/dark bead disks
+            # streak across the whole tomogram otherwise
+            if params.get("tomo_rec_erase_fiducials"):
+                rad_px = max(2.0, float(params.get("tomo_rec_gold_rad") or 100.0)
+                             / (pixel * binning * rec_bin))
+                erased = []
+                for t in t2:
+                    beads = pick.detect_gold_beads(
+                        jnp.asarray(t), bead_radius_px=max(2, int(rad_px)))
+                    erased.append(np.asarray(pick.erase_blobs(
+                        jnp.asarray(t), beads.coords, beads.valid,
+                        1.5 * rad_px)))
+                t2 = np.asarray(erased, dtype=np.float32)
+                summary["fiducials_erased"] = True
+            # cumulative-dose weighting per tilt (the reference's mtffilter
+            # dose filter, merge/core.py:219-249); acquisition order defaults
+            # to dose-symmetric (|angle| rank) when the item gives no order
+            if params.get("tomo_rec_dose_weighting"):
+                from pyp_tpu.core.ctf import dose_weight_2d
+
+                order = item.get("order")
+                if order is None:
+                    order = np.argsort(np.argsort(np.abs(angles)))
+                dose_per = float(params.get("scope_dose_rate") or 1.0)
+                cum = (np.asarray(order, dtype=np.float32) + 1.0) * dose_per
+                w = dose_weight_2d(t2.shape[-2:], pixel * binning * rec_bin,
+                                   jnp.asarray(cum))
+                t2 = np.asarray(jnp.fft.irfft2(
+                    jnp.fft.rfft2(jnp.asarray(t2)) * w, s=t2.shape[-2:]),
+                    dtype=np.float32)
+                summary["dose_weighted"] = True
             xf = meta["xf"] if meta.is_done("xf") else np.zeros((len(angles), 3))
             shifts_r = xf[:, :2] / (binning * rec_bin)
             recon = tomo.wbp_reconstruct(

@@ -44,6 +44,22 @@ class TestConfig:
         assert updated["refine_maxiter"] == 9
         assert cfg.load_parameters(tmp_path)["refine_maxiter"] == 9
 
+    def test_explicit_flag_overrides_saved_value(self, tmp_path, monkeypatch):
+        """Regression: a flag given on the command line must override the
+        saved project value even when it equals the schema default —
+        `-tomo_spk_method none` after a `surface` run must pick nothing."""
+        from pyp_tpu.cli import _project_params
+
+        monkeypatch.chdir(tmp_path)
+        p1 = _project_params(["-tomo_spk_method", "surface"])
+        assert p1["tomo_spk_method"] == "surface"
+        p2 = _project_params(["-tomo_spk_method", "none"])
+        assert p2["tomo_spk_method"] == "none"
+        # unmentioned flags still inherit the saved project state
+        p3 = _project_params(["-scope_pixel", "1.5"])
+        assert p3["tomo_spk_method"] == "none"
+        assert p3["scope_pixel"] == 1.5
+
 
 class TestJobGraph:
     def test_swarm_and_merge(self):

@@ -190,3 +190,73 @@ class TestTiltExclusion:
         assert len(meta["tlt"]) == 5  # 7 - 2 excluded
         assert meta["ctf"].shape[0] == 5
         assert out.get("excluded_tilts") == [0, 6]
+
+
+class TestReconstructionFilters:
+    """Pipeline wiring of gold erasure + dose weighting before WBP
+    (merge/core.py ccderaser :251-320 and mtffilter :219-249 roles)."""
+
+    def _params(self):
+        from pyp_tpu.config.params import defaults
+
+        params = defaults()
+        params.update({
+            "scope_pixel": 2.0, "tomo_ali_method": "skip",
+            "ctf_min_def": 8000, "ctf_max_def": 25000, "ctf_tile": 64,
+            "ctf_max_res": 9.0, "tomo_rec_thickness": 32,
+            "tomo_rec_binning": 1, "tomo_ali_bin": 1,
+            "tomo_spk_method": "none",
+        })
+        return params
+
+    def test_gold_erasure_removes_streaks(self, tmp_path):
+        from pyp_tpu.pipeline.tomo import process_tilt_series
+
+        rng = np.random.RandomState(4)
+        tilts = 0.1 * rng.randn(7, 128, 128).astype(np.float32)
+        tilts[:, 60:68, 60:68] = -50.0  # gold bead in every tilt
+        angles = np.linspace(-60, 60, 7)
+        params = self._params()
+        params["tomo_rec_erase_fiducials"] = True
+        params["tomo_rec_gold_rad"] = 8.0  # 4 px at 2 Å/px
+        out = process_tilt_series(
+            {"name": "au1", "tilts": tilts, "angles": angles},
+            params, tmp_path)
+        assert out.get("fiducials_erased")
+        from pyp_tpu.io import mrc
+
+        rec = mrc.read(f"{tmp_path}/au1.rec.mrc")
+        # without erasure the bead dominates the tomogram dynamic range
+        params2 = self._params()
+        out2 = process_tilt_series(
+            {"name": "au2", "tilts": tilts, "angles": angles},
+            params2, tmp_path)
+        rec2 = mrc.read(f"{tmp_path}/au2.rec.mrc")
+        assert np.abs(rec).max() < 0.2 * np.abs(rec2).max(), (
+            np.abs(rec).max(), np.abs(rec2).max())
+
+    def test_dose_weighting_attenuates_late_high_freq(self, tmp_path):
+        from pyp_tpu.pipeline.tomo import process_tilt_series
+
+        rng = np.random.RandomState(5)
+        tilts = rng.randn(7, 128, 128).astype(np.float32)
+        angles = np.linspace(-60, 60, 7)
+        params = self._params()
+        params["tomo_rec_dose_weighting"] = True
+        params["scope_dose_rate"] = 30.0  # heavy dose: strong filtering
+        out = process_tilt_series(
+            {"name": "dw1", "tilts": tilts, "angles": angles},
+            params, tmp_path)
+        assert out.get("dose_weighted")
+        from pyp_tpu.io import mrc
+
+        rec = mrc.read(f"{tmp_path}/dw1.rec.mrc")
+        params2 = self._params()
+        process_tilt_series(
+            {"name": "dw2", "tilts": tilts, "angles": angles},
+            params2, tmp_path)
+        rec2 = mrc.read(f"{tmp_path}/dw2.rec.mrc")
+        # weighting changes the reconstruction and reduces total power of
+        # white noise (high frequencies attenuated for late tilts)
+        assert not np.allclose(rec, rec2)
+        assert np.std(rec) < np.std(rec2)
