@@ -37,6 +37,12 @@ class SessionDaemon:
         self.summaries: list[dict] = []
         self._last_classify_count = 0
         self.class_result = None
+        from pyp_tpu.stream.params import ParamsWatcher
+
+        # live-retune protocol: the web platform (or operator) can drop/
+        # update a session params file; changes merge in between polls
+        # (streampyp/params.py role)
+        self._params_watcher = ParamsWatcher(work_dir)
 
     def scan(self):
         """New files, oldest first, skipping ones still being written
@@ -107,6 +113,13 @@ class SessionDaemon:
         idle = 0
         it = 0
         while True:
+            updates = self._params_watcher.refresh()
+            if updates:
+                self.params = {**self.params, **updates}
+                if "class_num" in updates:
+                    self.n_classes = int(updates["class_num"])
+                logger.info("stream: live params update (%d keys)",
+                            len(updates))
             new = self.scan()
             if new:
                 idle = 0

@@ -112,6 +112,45 @@ class TestSessionDaemon:
         names = sorted(s["name"] for s in out)
         assert names == ["s0", "s1", "s9"]
 
+    def test_live_params_update(self, tmp_path, monkeypatch):
+        """The web->daemon params-file protocol (streampyp/params.py role):
+        dropping/updating the session params file retunes a running daemon
+        between polls."""
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.stream.daemon import SessionDaemon
+        from pyp_tpu.stream import params as sparams
+
+        monkeypatch.chdir(tmp_path)
+        daemon = SessionDaemon(str(tmp_path / "in" / "*.mrc"), defaults(),
+                               tmp_path, poll_interval=0.01)
+        (tmp_path / "in").mkdir()
+        daemon.run(max_iterations=1, idle_exit=1)
+        assert daemon.params["detect_rad"] == defaults()["detect_rad"]
+
+        sparams.write_params_file(
+            {"detect_rad": 77.0, "class_num": 4, "unknown_key": "x"},
+            tmp_path)
+        daemon.run(max_iterations=1, idle_exit=1)
+        assert daemon.params["detect_rad"] == 77.0
+        assert daemon.n_classes == 4
+        assert daemon.params["unknown_key"] == "x"  # forward compat
+
+        # unchanged file -> no reload; updated file -> reload
+        w = sparams.ParamsWatcher(tmp_path)
+        assert w.refresh() is not None
+        assert w.refresh() is None
+
+    def test_params_file_toml_interop(self, tmp_path):
+        """Read-side TOML support for files written by the reference's web
+        server, with schema type coercion."""
+        from pyp_tpu.stream.params import parse_params_file
+
+        p = tmp_path / "session.toml"
+        p.write_text('detect_rad = 55\nclass_num = "8"\n')
+        out = parse_params_file(p)
+        assert out["detect_rad"] == 55.0 and isinstance(out["detect_rad"], float)
+        assert out["class_num"] == 8 and isinstance(out["class_num"], int)
+
 
 class TestStarCliModes:
     def test_import_export_roundtrip(self, tmp_path, monkeypatch):
