@@ -361,6 +361,11 @@ def main(argv=None) -> int:
     if mode not in MODES:
         print(f"unknown mode {mode!r}; available: {', '.join(MODES)}")
         return 2
+    # multi-host: join a jax.distributed cluster when the scheduler exported
+    # PYP_TPU_COORDINATOR/NUM_PROCS/PROC_ID (no-op for single-host runs)
+    from pyp_tpu.parallel import init_distributed
+
+    init_distributed()
     return globals()[f"mode_{mode}"](rest)
 
 

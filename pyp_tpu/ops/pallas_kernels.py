@@ -141,6 +141,9 @@ def shift_scored_match_xla(v, u, E, ninv):
         better = score > best
         return (jnp.where(better, score, best), jnp.where(better, s, idx)), None
 
-    init = (jnp.full(ninv.shape, -jnp.inf), jnp.zeros(ninv.shape, jnp.int32))
+    # derive the carry init from ninv so its sharding/varying type matches
+    # the body output under shard_map's varying-manual-axes check
+    init = (jnp.zeros_like(ninv) - jnp.inf,
+            jnp.zeros_like(ninv, dtype=jnp.int32))
     (best, idx), _ = jax.lax.scan(body, init, jnp.arange(S))
     return best, idx

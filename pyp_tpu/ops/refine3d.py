@@ -350,7 +350,9 @@ def local_refine(
             pose = pose + scale * decay * m
             return (pose, m), None
 
-        (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros(5)), jnp.arange(iters))
+        # zeros_like keeps the carry's sharding/varying type equal to pose0's
+        # (required under shard_map's varying-manual-axes check)
+        (pose, _), _ = jax.lax.scan(step, (pose0, jnp.zeros_like(pose0)), jnp.arange(iters))
         sc0 = score_cached(pose0, xc, c2, xnorm2)
         sc1 = score_cached(pose, xc, c2, xnorm2)
         better = sc1 >= sc0

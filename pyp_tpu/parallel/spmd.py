@@ -146,6 +146,216 @@ def sharded_refine_step(
     )
 
 
+# ---------------------------------------------------------------------------
+# pipeline-grade DP wrappers: the production refine/reconstruct kernels run
+# unchanged per particle shard, so multi-chip results match single-chip
+# results (reconstruction differs only by psum summation order)
+# ---------------------------------------------------------------------------
+
+
+def _dp_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding axis 0 over every mesh axis (pure DP)."""
+    return P(tuple(mesh.axis_names))
+
+
+def _mesh_size(mesh: Mesh) -> int:
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
+def _pad_batch(arr, ndev: int):
+    """Pad axis 0 to a multiple of ndev by repeating the last row."""
+    arr = np.asarray(arr)
+    padB = (-arr.shape[0]) % ndev
+    if padB == 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], padB, axis=0)])
+
+
+def sharded_refine_batch(
+    mesh: Mesh,
+    stack,
+    ctf_params,
+    ref_volume,
+    pixel_size: float,
+    init_poses=None,
+    shell_weights=None,
+    **kw,
+):
+    """`refine3d.refine_batch` sharded over the mesh (pure DP): each chip
+    runs the identical global+local kernels on its particle shard; outputs
+    concatenate. This is the production multi-chip path of
+    pipeline.refine.refinement_iteration (the reference's particle-range
+    splits, SURVEY §2.3.4, frealign.py:3014)."""
+    ndev = _mesh_size(mesh)
+    B = np.asarray(stack).shape[0]
+    stack_p = _pad_batch(stack, ndev)
+    ctf_p = _pad_batch(ctf_params, ndev)
+    spec = _dp_spec(mesh)
+    ref_j = jnp.asarray(np.asarray(ref_volume))
+    sw = None if shell_weights is None else jnp.asarray(np.asarray(shell_weights))
+
+    if init_poses is not None:
+        init_p = _pad_batch(init_poses, ndev)
+
+        def shard_fn(stack_s, ctf_s, init_s, ref_s):
+            return r3.refine_batch(
+                stack_s, ctf_s, ref_s, pixel_size,
+                init_poses=init_s, shell_weights=sw, **kw,
+            )
+
+        fn = shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(spec, spec, spec, P()), out_specs=spec,
+        )
+        res = jax.jit(fn)(
+            jnp.asarray(stack_p), jnp.asarray(ctf_p), jnp.asarray(init_p), ref_j
+        )
+    else:
+
+        def shard_fn(stack_s, ctf_s, ref_s):
+            return r3.refine_batch(
+                stack_s, ctf_s, ref_s, pixel_size,
+                init_poses=None, shell_weights=sw, **kw,
+            )
+
+        fn = shard_map(
+            shard_fn, mesh=mesh, in_specs=(spec, spec, P()), out_specs=spec,
+        )
+        res = jax.jit(fn)(jnp.asarray(stack_p), jnp.asarray(ctf_p), ref_j)
+    return r3.RefineResult(*(f[:B] for f in res))
+
+
+def sharded_accumulate(
+    mesh: Mesh,
+    stack, poses, ctf_params, subset, weights,
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    symmetry: str = "C1",
+    pad: int = 2,
+    prev=None,
+    doses=None,
+):
+    """`reconstruct.accumulate` sharded over the mesh with one psum merge —
+    the TPU-native local_merge3d+merge3d (frealign.py:1838,:1910). Padding
+    particles get weight 0, so the result equals the single-chip accumulate
+    up to summation order. Returns replicated Accumulators."""
+    ndev = _mesh_size(mesh)
+    B = np.asarray(stack).shape[0]
+    stack_p = _pad_batch(stack, ndev)
+    poses_p = _pad_batch(poses, ndev)
+    ctf_p = _pad_batch(ctf_params, ndev)
+    subset_p = _pad_batch(np.asarray(subset), ndev)
+    w_p = _pad_batch(np.asarray(weights, dtype=np.float32), ndev)
+    w_p[B:] = 0.0
+    dose_p = None if doses is None else _pad_batch(np.asarray(doses), ndev)
+    spec = _dp_spec(mesh)
+    axes = tuple(mesh.axis_names)
+
+    def shard_fn(stack_s, poses_s, ctf_s, subset_s, w_s, dose_s):
+        acc = rec.accumulate(
+            stack_s, poses_s, ctf_s, subset_s, w_s, n, pixel_size,
+            voltage_kv, cs_mm, amplitude_contrast, symmetry, pad,
+            doses=dose_s,
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
+
+    if dose_p is None:
+        def shard_fn2(stack_s, poses_s, ctf_s, subset_s, w_s):
+            return shard_fn(stack_s, poses_s, ctf_s, subset_s, w_s, None)
+
+        fn = shard_map(shard_fn2, mesh=mesh,
+                       in_specs=(spec,) * 5, out_specs=P())
+        acc = jax.jit(fn)(
+            jnp.asarray(stack_p), jnp.asarray(poses_p), jnp.asarray(ctf_p),
+            jnp.asarray(subset_p), jnp.asarray(w_p),
+        )
+    else:
+        fn = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(spec,) * 6, out_specs=P())
+        acc = jax.jit(fn)(
+            jnp.asarray(stack_p), jnp.asarray(poses_p), jnp.asarray(ctf_p),
+            jnp.asarray(subset_p), jnp.asarray(w_p), jnp.asarray(dose_p),
+        )
+    if prev is not None:
+        acc = rec.Accumulators(*(p + a for p, a in zip(prev, acc)))
+    return acc
+
+
+def sharded_accumulate_matrices(
+    mesh: Mesh,
+    windows, rotations, shifts, defoci, subset, weights,
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    pad: int = 2,
+    prev=None,
+):
+    """`reconstruct.accumulate_matrices` (the CSPT matrix-pose insertion,
+    SURVEY §3.4) sharded over the mesh with one psum merge."""
+    ndev = _mesh_size(mesh)
+    B = np.asarray(windows).shape[0]
+    win_p = _pad_batch(windows, ndev)
+    rot_p = _pad_batch(rotations, ndev)
+    sh_p = _pad_batch(shifts, ndev)
+    df_p = _pad_batch(defoci, ndev)
+    sub_p = _pad_batch(np.asarray(subset), ndev)
+    w_p = _pad_batch(np.asarray(weights, dtype=np.float32), ndev)
+    w_p[B:] = 0.0
+    spec = _dp_spec(mesh)
+    axes = tuple(mesh.axis_names)
+
+    def shard_fn(win_s, rot_s, sh_s, df_s, sub_s, w_s):
+        acc = rec.accumulate_matrices(
+            win_s, rot_s, sh_s, df_s, sub_s, w_s, n, pixel_size,
+            voltage_kv, cs_mm, amplitude_contrast, pad,
+        )
+        return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,) * 6, out_specs=P())
+    acc = jax.jit(fn)(
+        jnp.asarray(win_p), jnp.asarray(rot_p), jnp.asarray(sh_p),
+        jnp.asarray(df_p), jnp.asarray(sub_p), jnp.asarray(w_p),
+    )
+    if prev is not None:
+        acc = rec.Accumulators(*(p + a for p, a in zip(prev, acc)))
+    return acc
+
+
+def reconstruct_sharded(
+    mesh: Mesh,
+    stack, poses, ctf_params, pixel_size,
+    subset=None, weights=None, symmetry: str = "C1",
+    voltage_kv: float = 300.0, cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07, wiener: float = 0.5,
+    batch: int = 256, pad: int = 2,
+):
+    """Mesh-parallel mirror of `reconstruct.reconstruct`: superbatches of
+    batch*ndev particles accumulate with a psum merge, then finalize."""
+    n = np.asarray(stack).shape[-1]
+    B = np.asarray(stack).shape[0]
+    ndev = _mesh_size(mesh)
+    if subset is None:
+        subset = np.arange(B) % 2
+    if weights is None:
+        weights = np.ones(B, dtype=np.float32)
+    acc = None
+    step = batch * ndev
+    for i in range(0, B, step):
+        sl = slice(i, min(i + step, B))
+        acc = sharded_accumulate(
+            mesh, np.asarray(stack[sl]), np.asarray(poses[sl]),
+            np.asarray(ctf_params[sl]), np.asarray(subset[sl]),
+            np.asarray(weights[sl]), n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, symmetry, pad, prev=acc,
+        )
+    return rec.finalize(acc, n, pad, wiener)
+
+
 def sharded_reconstruct(
     mesh: Mesh,
     stack, poses, ctf_params,

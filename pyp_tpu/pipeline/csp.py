@@ -125,19 +125,39 @@ def csp_swarm_one(
             rows_sub.append(np.arange(P) % 2)
             rows_w.append(inb.astype(np.float32))
         windows = np.concatenate(wins)
-        acc = rec.accumulate_matrices(
-            jnp.asarray(windows),
-            jnp.asarray(np.concatenate(rows_R)),
-            jnp.asarray(np.concatenate(rows_shift).astype(np.float32)),
-            jnp.asarray(np.concatenate(rows_df).astype(np.float32)),
-            jnp.asarray(np.concatenate(rows_sub)),
-            jnp.asarray(np.concatenate(rows_w)),
-            box, pixel,
-            voltage_kv=float(params["scope_voltage"]),
-            cs_mm=float(params["scope_cs"]),
-            amplitude_contrast=float(params["scope_wgh"]),
-            prev=prev_acc,
-        )
+        from pyp_tpu.parallel import pipeline_mesh, sharded_accumulate_matrices
+
+        mesh = pipeline_mesh()
+        if mesh is not None:
+            # shard the (tilt x particle) projection rows across chips; one
+            # psum merges the accumulators (the cspmerge reduction, §3.4)
+            acc = sharded_accumulate_matrices(
+                mesh, windows,
+                np.concatenate(rows_R),
+                np.concatenate(rows_shift).astype(np.float32),
+                np.concatenate(rows_df).astype(np.float32),
+                np.concatenate(rows_sub),
+                np.concatenate(rows_w),
+                box, pixel,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                prev=prev_acc,
+            )
+        else:
+            acc = rec.accumulate_matrices(
+                jnp.asarray(windows),
+                jnp.asarray(np.concatenate(rows_R)),
+                jnp.asarray(np.concatenate(rows_shift).astype(np.float32)),
+                jnp.asarray(np.concatenate(rows_df).astype(np.float32)),
+                jnp.asarray(np.concatenate(rows_sub)),
+                jnp.asarray(np.concatenate(rows_w)),
+                box, pixel,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                prev=prev_acc,
+            )
 
     # persist refined geometry back to metadata (resume + interop)
     meta["xf"] = np.concatenate([

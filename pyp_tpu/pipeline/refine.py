@@ -81,31 +81,45 @@ def refinement_iteration(
         )
         shell_w = shell_weights_from_fsc(fsc_curve, rhref_pts, n_box)
 
+    from pyp_tpu.parallel import pipeline_mesh, reconstruct_sharded, sharded_refine_batch
+
+    mesh = pipeline_mesh()
+    rb_kwargs = dict(
+        angular_step=float(params["refine_dang"]),
+        psi_step=float(params["refine_psi_step"]),
+        low_res=float(params["refine_rlref"]),
+        high_res_search=max(rhref, 2.5 * pixel),
+        high_res_refine=max(rhref * 0.8, 2.1 * pixel),
+        shift_extent=float(params["refine_searchx"]),
+        symmetry=str(params["particle_sym"]),
+        mode="global" if global_search else "local",
+        topk=int(params.get("refine_topk") or 4),
+        local_iters=int(params.get("refine_local_iters") or 24),
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        amplitude_contrast=float(params["scope_wgh"]),
+    )
+    # superbatch size: `batch` particles per chip per dispatch
+    step = batch * (1 if mesh is None else int(np.prod(list(mesh.shape.values()))))
+
     results = []
     if not params.get("refine_skip"):
         with Timer(f"refinement iteration {iteration}"):
-            for lo in range(0, n_total, batch):
-                hi = min(lo + batch, n_total)
+            for lo in range(0, n_total, step):
+                hi = min(lo + step, n_total)
                 init = None if global_search else table_to_poses(table, pixel)[lo:hi]
-                res = refine3d.refine_batch(
-                    jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
-                    jnp.asarray(ref_volume), pixel,
-                    angular_step=float(params["refine_dang"]),
-                    psi_step=float(params["refine_psi_step"]),
-                    low_res=float(params["refine_rlref"]),
-                    high_res_search=max(rhref, 2.5 * pixel),
-                    high_res_refine=max(rhref * 0.8, 2.1 * pixel),
-                    shift_extent=float(params["refine_searchx"]),
-                    symmetry=str(params["particle_sym"]),
-                    mode="global" if global_search else "local",
-                    init_poses=init,
-                    topk=int(params.get("refine_topk") or 4),
-                    local_iters=int(params.get("refine_local_iters") or 24),
-                    shell_weights=shell_w,
-                    voltage_kv=float(params["scope_voltage"]),
-                    cs_mm=float(params["scope_cs"]),
-                    amplitude_contrast=float(params["scope_wgh"]),
-                )
+                if mesh is not None:
+                    res = sharded_refine_batch(
+                        mesh, np.asarray(stack[lo:hi]), ctf_params[lo:hi],
+                        np.asarray(ref_volume), pixel,
+                        init_poses=init, shell_weights=shell_w, **rb_kwargs,
+                    )
+                else:
+                    res = refine3d.refine_batch(
+                        jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                        jnp.asarray(ref_volume), pixel,
+                        init_poses=init, shell_weights=shell_w, **rb_kwargs,
+                    )
                 results.append(res)
             merged = refine3d.RefineResult(*(
                 jnp.concatenate([getattr(r, f) for r in results])
@@ -131,8 +145,7 @@ def refinement_iteration(
             sc = np.asarray(table["score"])
             z = (sc - sc.mean()) / (sc.std() + 1e-6)
             weights = weights * np.exp(np.clip(bsc * z, -4.0, 1.0))
-        out = rec.reconstruct(
-            np.asarray(stack), poses, ctf_params, pixel,
+        rc_kwargs = dict(
             subset=subset.astype(np.int32), weights=weights.astype(np.float32),
             symmetry=str(params["particle_sym"]),
             voltage_kv=float(params["scope_voltage"]),
@@ -141,6 +154,14 @@ def refinement_iteration(
             wiener=float(params.get("reconstruct_wiener") or 0.5),
             batch=batch,
         )
+        if mesh is not None:
+            out = reconstruct_sharded(
+                mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs
+            )
+        else:
+            out = rec.reconstruct(
+                np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs
+            )
     res_a = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
     logger.info("iteration %d: FSC(0.143) resolution %.2f Å", iteration, res_a)
     return table, out, res_a

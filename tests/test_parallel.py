@@ -60,3 +60,51 @@ class TestShardedRefine:
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(acc_s.num1), np.asarray(acc_r.num1),
                                    rtol=1e-3, atol=1e-2)
+
+
+class TestPipelineMeshDispatch:
+    """The production pipeline path must produce the same results through the
+    mesh-sharded wrappers as through the single-chip batch loop."""
+
+    def _problem(self):
+        from pyp_tpu.io import cistem
+
+        vol = make_volume()
+        imgs, ctf_params, truth = make_particles(vol, n_particles=16, noise=0.1)
+        rng = np.random.RandomState(3)
+        table = cistem.Table.zeros(16)
+        table["position_in_stack"] = np.arange(1, 17)
+        table["phi"] = truth["phi"] + rng.uniform(-4, 4, 16)
+        table["theta"] = truth["theta"] + rng.uniform(-4, 4, 16)
+        table["psi"] = truth["psi"] + rng.uniform(-4, 4, 16)
+        table["defocus_1"] = ctf_params[:, 0]
+        table["defocus_2"] = ctf_params[:, 1]
+        table["defocus_angle"] = ctf_params[:, 2]
+        table["occupancy"] = np.full(16, 100.0)
+        table["pixel_size"] = np.full(16, PIXEL)
+        params = {
+            "scope_pixel": PIXEL, "scope_voltage": 300.0, "scope_cs": 2.7,
+            "scope_wgh": 0.07, "refine_rhref": "8", "refine_rlref": 40.0,
+            "refine_mode": "local", "refine_dang": 30.0,
+            "refine_psi_step": 20.0, "refine_searchx": 4.0,
+            "particle_sym": "C1", "refine_topk": 2, "refine_local_iters": 6,
+        }
+        return vol, np.asarray(imgs), table, params
+
+    def test_refinement_iteration_mesh_matches_single(self, monkeypatch):
+        from pyp_tpu.pipeline.refine import refinement_iteration
+
+        vol, stack, table, params = self._problem()
+        assert len(jax.devices()) >= 8
+        t_mesh, out_mesh, res_mesh = refinement_iteration(
+            stack, table.copy(), vol, params, 2)
+        monkeypatch.setenv("PYP_TPU_DISABLE_SPMD", "1")
+        t_one, out_one, res_one = refinement_iteration(
+            stack, table.copy(), vol, params, 2)
+        np.testing.assert_allclose(t_mesh["phi"], t_one["phi"], atol=1e-2)
+        np.testing.assert_allclose(t_mesh["score"], t_one["score"], atol=0.1)
+        np.testing.assert_allclose(
+            np.asarray(out_mesh.volume), np.asarray(out_one.volume),
+            rtol=1e-3, atol=1e-3 * float(np.abs(np.asarray(out_one.volume)).max()),
+        )
+        assert abs(res_mesh - res_one) < 0.3
