@@ -112,6 +112,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("tomo_ali_bin", int, 4, "binning for alignment"),
         P("tomo_ali_patches", int, 12, "patches tracked for the model solve"),
         P("tomo_ali_patch_size", int, 64, "patch size (px, binned)"),
+        P("tomo_ali_fiducial", float, 0.0,
+          "gold fiducial diameter (nm); >0 selects bead tracking over patches "
+          "(reference tomo_ali_fiducial, align/core.py:5679)"),
+        P("tomo_ali_fiducial_n", int, 40, "max beads tracked"),
         P("tomo_ali_force", bool, False, "force re-run of tilt alignment"),
         P("tomo_ali_exclude", str, "", "tilt indices to exclude, colon-separated"),
     ],

@@ -211,6 +211,207 @@ def solve_projection_model(measured, tilt_angles, image_shape, iters: int = 5):
 
 
 # ---------------------------------------------------------------------------
+# gold-fiducial tracking + robust projection solve (RAPTOR + tiltalign role,
+# reference align/core.py:5679-5726 — the primary alignment path for
+# fiducialized series)
+# ---------------------------------------------------------------------------
+
+def _bead_template(box: int, radius_px: float):
+    """Zero-mean dark Gaussian disk matching a gold bead's appearance (the
+    same at every tilt, unlike specimen patches — that's why bead tracking
+    survives low-contrast specimens)."""
+    c = box // 2
+    yy, xx = np.meshgrid(
+        np.arange(box, dtype=np.float32) - c,
+        np.arange(box, dtype=np.float32) - c,
+        indexing="ij",
+    )
+    t = -np.exp(-(yy**2 + xx**2) / (2.0 * (radius_px / 1.5) ** 2))
+    t -= t.mean()
+    return jnp.asarray(t.astype(np.float32))
+
+
+def track_beads(tilts, shifts, tilt_angles, bead_yx, bead_radius_px: float = 8.0,
+                box: int | None = None):
+    """Track gold fiducials through the series by template matching.
+
+    bead_yx: (P, 2) bead centers on the lowest-|angle| tilt (pixel coords).
+    Returns (measured (T, P, 2) positions, confidence (T, P) normalized
+    correlation peaks in [−1, 1]).
+    """
+    from pyp_tpu.ops.extract import window_particles
+    from pyp_tpu.ops.motion import _subpixel_peak
+
+    tilts = jnp.asarray(tilts)
+    T, ny, nx = tilts.shape
+    angles = np.asarray(tilt_angles, dtype=np.float64)
+    ref_idx = int(np.argmin(np.abs(angles)))
+    centers = np.asarray(bead_yx, dtype=np.float32)
+    P = centers.shape[0]
+    if box is None:
+        box = int(max(32, 6 * bead_radius_px))
+    tpl = _bead_template(box, bead_radius_px)
+    c = np.array([ny // 2, nx // 2], dtype=np.float32)
+
+    @jax.jit
+    def match(windows):
+        W = windows - windows.mean(axis=(-2, -1), keepdims=True)
+        cc = jnp.fft.irfft2(
+            jnp.fft.rfft2(W) * jnp.conj(jnp.fft.rfft2(tpl))[None],
+            s=(box, box),
+        )
+        denom = jnp.sqrt(
+            (W**2).sum(axis=(-2, -1)) * (tpl**2).sum()
+        ) + 1e-6
+        d = _subpixel_peak(cc)
+        peak = cc.max(axis=(-2, -1)) / denom
+        return d, peak
+
+    measured = np.zeros((T, P, 2), dtype=np.float32)
+    conf = np.zeros((T, P), dtype=np.float32)
+    half = box // 2
+    for t in range(T):
+        cos_t = np.cos(np.radians(angles[t])) / np.cos(np.radians(angles[ref_idx]))
+        pred = centers.copy()
+        pred[:, 1] = (centers[:, 1] - c[1]) * cos_t + c[1]
+        pred = pred - np.asarray(shifts[t])
+        ci = np.round(pred).astype(np.int32)
+        wins = window_particles(tilts[t], jnp.asarray(ci), box)
+        d, pk = match(wins)
+        # window_particles clamps near edges: recover the actual window center
+        ci_eff = np.clip(ci - half, 0, [ny - box, nx - box]) + half
+        measured[t] = ci_eff + np.asarray(d)
+        conf[t] = np.asarray(pk)
+        # beads predicted off the image can't be measured
+        off = (pred[:, 0] < 0) | (pred[:, 0] > ny - 1) | \
+              (pred[:, 1] < 0) | (pred[:, 1] > nx - 1)
+        conf[t][off] = 0.0
+    return jnp.asarray(measured), jnp.asarray(conf)
+
+
+def _solve_alpha_weighted(m, th, w, alpha, n_inner: int = 4):
+    """Weighted inner solve of the single-axis projection model at fixed
+    axis angle: alternate (points | shifts) weighted least squares. m is
+    centered (T, P, 2); w (T, P) >= 0. Returns (weighted rms, points (P,3),
+    shifts (T,2), per-measurement residual norms (T,P))."""
+    T, P, _ = m.shape
+    ca, sa = np.cos(np.radians(alpha)), np.sin(np.radians(alpha))
+    A = np.stack([np.cos(th), np.sin(th)], axis=1)  # (T, 2)
+    d = np.zeros((T, 2))
+    pts = np.zeros((P, 3))
+    pred = np.zeros_like(m)
+    for _ in range(n_inner):
+        my = m[..., 0] + d[:, None, 0]
+        mx = m[..., 1] + d[:, None, 1]
+        yprime = ca * my - sa * mx   # R(-alpha) applied to (m + d)
+        xprime = ca * mx + sa * my
+        for p in range(P):
+            wp = w[:, p]
+            ws = max(wp.sum(), 1e-9)
+            Aw = A * wp[:, None]
+            sol, *_ = np.linalg.lstsq(Aw, xprime[:, p] * wp, rcond=None)
+            pts[p, 2], pts[p, 0] = sol
+            pts[p, 1] = (yprime[:, p] * wp).sum() / ws
+        # gauge: weighted point-cloud centroid at origin
+        wc = np.maximum(w.sum(axis=0), 1e-9)
+        pts -= (pts * wc[:, None]).sum(axis=0) / wc.sum()
+        xr = pts[None, :, 2] * np.cos(th)[:, None] + pts[None, :, 0] * np.sin(th)[:, None]
+        yr = np.broadcast_to(pts[None, :, 1], (T, P))
+        pred = np.stack([sa * xr + ca * yr, ca * xr - sa * yr], axis=-1)
+        wsum = np.maximum(w.sum(axis=1), 1e-9)
+        d = ((pred - m) * w[..., None]).sum(axis=1) / wsum[:, None]
+    r = pred - d[:, None, :] - m
+    rn = np.sqrt((r**2).sum(axis=-1))
+    rms = float(np.sqrt(((rn**2) * w).sum() / max(w.sum(), 1e-9)))
+    return rms, pts, d, rn
+
+
+def solve_projection_model_robust(measured, tilt_angles, image_shape,
+                                  confidence=None, rounds: int = 3):
+    """Projection-model solve with IRLS outlier rejection (tiltalign's robust
+    fitting role): Tukey-biweight reweighting of bead measurements on top of
+    the tracker's confidence, with the axis angle grid-searched outside the
+    weighted inner solve. Returns (ProjectionModel, final weights (T, P))."""
+    m = np.asarray(measured, dtype=np.float64).copy()
+    T, P, _ = m.shape
+    ny, nx = image_shape
+    m -= np.array([ny // 2, nx // 2], dtype=np.float64)
+    th = np.radians(np.asarray(tilt_angles, dtype=np.float64))
+    w0 = (
+        np.clip(np.asarray(confidence, dtype=np.float64), 0.0, None)
+        if confidence is not None else np.ones((T, P))
+    )
+    w = w0.copy()
+
+    def best_alpha(w, coarse):
+        grid = (np.arange(-10.0, 10.01, 1.0) if coarse
+                else np.arange(best[1] - 1.0, best[1] + 1.01, 0.1))
+        out = (1e18, 0.0)
+        for alpha in grid:
+            rms, *_ = _solve_alpha_weighted(m, th, w, alpha)
+            if rms < out[0]:
+                out = (rms, alpha)
+        return out
+
+    best = best_alpha(w, coarse=True)
+    best = best_alpha(w, coarse=False)
+    rms, pts, d, rn = _solve_alpha_weighted(m, th, w, best[1])
+    for _ in range(rounds):
+        active = w > 1e-6
+        sigma = 1.4826 * np.median(rn[active]) + 1e-6
+        cthr = 4.685 * sigma
+        wt = np.where(rn < cthr, (1.0 - (rn / cthr) ** 2) ** 2, 0.0)
+        w = w0 * wt
+        best = best_alpha(w, coarse=False)
+        rms, pts, d, rn = _solve_alpha_weighted(m, th, w, best[1])
+    # report the unweighted rms over surviving (inlier) measurements
+    inl = w > 0.2 * np.maximum(w0, 1e-9)
+    rms_in = float(np.sqrt((rn[inl] ** 2).mean())) if inl.any() else rms
+    model = ProjectionModel(
+        shifts=jnp.asarray(d.astype(np.float32)),
+        axis_angle=jnp.asarray(np.float32(best[1])),
+        points3d=jnp.asarray(pts.astype(np.float32)),
+        residual=jnp.asarray(np.float32(rms_in)),
+    )
+    return model, jnp.asarray(w.astype(np.float32))
+
+
+def align_tilt_series_fiducial(tilts, tilt_angles, bead_radius_px: float = 8.0,
+                               max_beads: int = 40, min_beads: int = 4):
+    """Full gold-fiducial alignment: xcorr prealign -> bead detection on the
+    zero-tilt image -> template tracking -> robust projection solve.
+
+    Returns (ProjectionModel, bead coords (P, 2), tracks (T, P, 2),
+    weights (T, P)). Raises ValueError when fewer than min_beads beads are
+    found (caller falls back to patch tracking)."""
+    from pyp_tpu.ops.pick import detect_gold_beads
+
+    tilts = jnp.asarray(tilts)
+    T, ny, nx = tilts.shape
+    angles = np.asarray(tilt_angles, dtype=np.float64)
+    ref_idx = int(np.argmin(np.abs(angles)))
+
+    shifts0 = prealign_tilt_series(tilts, angles)
+    picks = detect_gold_beads(
+        tilts[ref_idx], bead_radius_px=int(round(bead_radius_px)),
+        max_beads=max_beads, threshold_sigma=4.0,
+    )
+    valid = np.asarray(picks.valid)
+    coords = np.asarray(picks.coords)[valid].astype(np.float32)
+    if coords.shape[0] < min_beads:
+        raise ValueError(
+            f"only {coords.shape[0]} gold beads found (need >= {min_beads})"
+        )
+    measured, conf = track_beads(
+        tilts, shifts0, angles, coords, bead_radius_px=bead_radius_px
+    )
+    model, w = solve_projection_model_robust(
+        measured, angles, (ny, nx), confidence=np.asarray(conf)
+    )
+    return model, coords, measured, w
+
+
+# ---------------------------------------------------------------------------
 # weighted backprojection (the IMOD `tilt` equivalent)
 # ---------------------------------------------------------------------------
 

@@ -62,10 +62,33 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     if not meta.is_done("xf") and params.get("tomo_ali_method") != "skip":
         with Timer("tilt-series alignment"):
             shifts = tomo.prealign_tilt_series(jnp.asarray(tilts_b), angles)
+            # gold-fiducial path (primary when beads are present, reference
+            # align/core.py:5679-5726): bead tracking + robust model solve
+            fid_nm = float(params.get("tomo_ali_fiducial") or 0.0)
+            fid_done = False
+            axis_angle = 0.0
+            if fid_nm > 0:
+                bead_radius_px = max(2.0, fid_nm * 10.0 / (2.0 * pixel_b))
+                try:
+                    model, coords, tracks, w = tomo.align_tilt_series_fiducial(
+                        jnp.asarray(tilts_b), angles,
+                        bead_radius_px=bead_radius_px,
+                        max_beads=int(params.get("tomo_ali_fiducial_n") or 40),
+                    )
+                    shifts = -np.asarray(model.shifts)
+                    axis_angle = float(model.axis_angle)
+                    summary["align_residual_px"] = float(model.residual) * binning
+                    summary["align_beads"] = int(coords.shape[0])
+                    meta["fid"] = np.asarray(coords) * binning
+                    fid_done = True
+                except ValueError as e:
+                    logger.warning("%s: %s — falling back to patch tracking",
+                                   name, e)
             # patch-track + projection model refinement
             npatch = int(params.get("tomo_ali_patches") or 0)
-            axis_angle = 0.0
-            if npatch > 0:
+            if fid_done:
+                pass
+            elif npatch > 0:
                 ny, nx = tilts_b.shape[-2:]
                 ps = int(params.get("tomo_ali_patch_size") or 64)
                 g = max(2, int(np.sqrt(npatch)))

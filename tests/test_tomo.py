@@ -260,3 +260,92 @@ class TestReconstructionFilters:
         # white noise (high frequencies attenuated for late tilts)
         assert not np.allclose(rec, rec2)
         assert np.std(rec) < np.std(rec2)
+
+
+def make_fiducial_series(T=25, ny=192, nx=192, P=10, seed=0, axis_angle=3.0,
+                         specimen_contrast=0.3, noise=0.3, dropout_beads=0):
+    """Low-contrast specimen + gold beads rendered through the single-axis
+    projection model (the regime where patch tracking fails but bead
+    tracking must not)."""
+    rng = np.random.RandomState(seed)
+    angles = np.linspace(-60.0, 60.0, T)
+    th = np.radians(angles)
+    # rejection-sample bead positions with a minimum separation so projected
+    # beads never blend (physically: beads are dispersed on the support film)
+    pts = []
+    while len(pts) < P:
+        cand = np.array([
+            rng.uniform(-25, 25), rng.uniform(-55, 55), rng.uniform(-55, 55),
+        ])
+        if all(np.linalg.norm(cand[1:] - q[1:]) > 28.0 for q in pts):
+            pts.append(cand)
+    pts = np.asarray(pts)
+    d_true = rng.uniform(-6, 6, (T, 2))
+    ca, sa = np.cos(np.radians(axis_angle)), np.sin(np.radians(axis_angle))
+    xr = pts[None, :, 2] * np.cos(th)[:, None] + pts[None, :, 0] * np.sin(th)[:, None]
+    yr = np.broadcast_to(pts[None, :, 1], (T, P))
+    pos = np.stack([sa * xr + ca * yr, ca * xr - sa * yr], axis=-1)
+    pos = pos - d_true[:, None, :] + np.array([ny // 2, nx // 2])
+
+    # smooth, very low-contrast specimen background
+    from scipy.ndimage import gaussian_filter
+
+    bg = gaussian_filter(rng.randn(ny, nx), 8.0)
+    bg = specimen_contrast * bg / (bg.std() + 1e-9)
+
+    yy, xx = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    sig2 = 2.0 * (5.0 / 1.5) ** 2
+    tilts = np.zeros((T, ny, nx), dtype=np.float32)
+    for t in range(T):
+        img = bg.copy()
+        for p in range(P):
+            if dropout_beads and p < dropout_beads and t % 3 == 0:
+                continue  # bead invisible in a third of the tilts
+            dy2 = (yy - pos[t, p, 0]) ** 2 + (xx - pos[t, p, 1]) ** 2
+            img = img - 3.0 * np.exp(-dy2 / sig2)
+        img = img + noise * rng.randn(ny, nx)
+        tilts[t] = img
+    return tilts, angles, pts, d_true, pos
+
+
+class TestFiducialAlignment:
+    def test_recovers_model_on_low_contrast_specimen(self):
+        tilts, angles, pts, d_true, pos_true = make_fiducial_series()
+        model, coords, tracks, w = tomo.align_tilt_series_fiducial(
+            jnp.asarray(tilts), angles, bead_radius_px=5.0, max_beads=20)
+        assert float(model.residual) < 0.5
+        assert abs(float(model.axis_angle) - 3.0) < 0.75
+
+    def test_robust_to_vanishing_beads(self):
+        tilts, angles, pts, d_true, pos_true = make_fiducial_series(
+            dropout_beads=3, seed=1)
+        model, coords, tracks, w = tomo.align_tilt_series_fiducial(
+            jnp.asarray(tilts), angles, bead_radius_px=5.0, max_beads=20)
+        assert float(model.residual) < 0.6
+
+    def test_reprojection_matches_truth(self):
+        """The solved model must reproject beads onto their true positions
+        (not just fit its own tracks)."""
+        tilts, angles, pts, d_true, pos_true = make_fiducial_series(seed=2)
+        T, ny, nx = tilts.shape
+        model, coords, tracks, w = tomo.align_tilt_series_fiducial(
+            jnp.asarray(tilts), angles, bead_radius_px=5.0, max_beads=20)
+        # measured tracks of high-confidence beads sit on true projections
+        w = np.asarray(w)
+        tracks = np.asarray(tracks)
+        errs = []
+        for p in range(tracks.shape[1]):
+            if w[:, p].mean() < 0.1:
+                continue
+            # nearest true bead (detector order is arbitrary)
+            t0 = len(angles) // 2
+            d2 = ((pos_true[t0] - tracks[t0, p]) ** 2).sum(axis=1)
+            q = int(np.argmin(d2))
+            sel = w[:, p] > 0.3  # measurements the solve actually trusts
+            errs.extend(
+                np.abs(pos_true[:, q][sel] - tracks[:, p][sel]).max(axis=1)
+            )
+        errs = np.asarray(errs)
+        assert errs.size > 50
+        assert np.median(errs) < 0.5
+        assert np.percentile(errs, 90) < 1.5
