@@ -89,7 +89,11 @@ def mode_tomo(argv):
     from pyp_tpu.sched import JobGraph, LocalExecutor
 
     def load_item(item):
-        # tilt angles from a sidecar .tlt/.rawtlt file if present
+        if str(item["path"]).endswith(".mdoc"):
+            # raw-movie ingestion: per-tilt frame alignment + assembly
+            item.update(tomo_pipe.assemble_tilt_series(item["path"], params))
+            return tomo_pipe.process_tilt_series(item, params)
+        # pre-assembled stack; tilt angles from a sidecar .tlt/.rawtlt
         for ext in (".tlt", ".rawtlt"):
             tlt = Path(item["path"]).with_suffix(ext)
             if tlt.exists():

@@ -60,6 +60,8 @@ SCHEMA: dict[str, list[ParamDef]] = {
     "movie": [
         P("movie_ali", str, "tpu", "frame alignment engine",
           enum=("tpu", "skip")),
+        P("movie_eer_frames", int, 40,
+          "EER fractionation: raw event frames summed into this many groups"),
         P("movie_bfactor", float, 1500.0, "B-factor for frame xcorr weighting (Å²)"),
         P("movie_iters", int, 8, "alignment iterations"),
         P("movie_search", float, 48.0, "max shift search radius (px)"),

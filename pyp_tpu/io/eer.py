@@ -131,6 +131,55 @@ def encode_frame(counts: np.ndarray, compression: int = COMPRESSION_EER7,
     return writer.tobytes()
 
 
+def write(path, stack, compression: int = COMPRESSION_EER7):
+    """Write (F, n, n) electron-count frames as a minimal EER file (TIFF
+    container, one IFD per frame, single strip) readable by `read` — the
+    interop/test counterpart of the camera files (inout/image/core.py:913)."""
+    import io as _io
+    import struct
+    from pathlib import Path
+
+    stack = np.asarray(stack)
+    F, n, nx = stack.shape
+    if n != nx:
+        raise ValueError("EER frames are square")
+    blobs = [encode_frame(f, compression) for f in stack]
+
+    out = _io.BytesIO()
+    out.write(b"II*\x00")
+    out.write(struct.pack("<I", 0))  # first-IFD offset, patched below
+    offsets = []
+    for b in blobs:
+        offsets.append(out.tell())
+        out.write(b)
+        if out.tell() % 2:
+            out.write(b"\x00")
+    prev_ptr_pos = 4
+    for i, b in enumerate(blobs):
+        ifd_off = out.tell()
+        entries = (
+            (tiff_mod.TAG_WIDTH, 3, n),
+            (tiff_mod.TAG_HEIGHT, 3, n),
+            (tiff_mod.TAG_COMPRESSION, 3, compression),
+            (tiff_mod.TAG_STRIP_OFFSETS, 4, offsets[i]),
+            (tiff_mod.TAG_STRIP_COUNTS, 4, len(b)),
+        )
+        out.write(struct.pack("<H", len(entries)))
+        for tag, typ, val in entries:
+            out.write(struct.pack("<HHI", tag, typ, 1))
+            if typ == 3:
+                out.write(struct.pack("<H", val) + b"\x00\x00")
+            else:
+                out.write(struct.pack("<I", val))
+        next_ptr_pos = out.tell()
+        out.write(struct.pack("<I", 0))
+        buf = out.getbuffer()
+        struct.pack_into("<I", buf, prev_ptr_pos, ifd_off)
+        del buf
+        prev_ptr_pos = next_ptr_pos
+    Path(path).write_bytes(out.getvalue())
+
+
 def read(path, upsampling: int = 1, frame_groups: int | None = None):
     """Read an EER file -> (n_frames, n, n) uint16 counts (optionally summed
     into `frame_groups` groups — the usual fractionation step)."""

@@ -21,13 +21,26 @@ from pyp_tpu.utils import Timer, get_logger
 logger = get_logger("spr")
 
 
-def load_movie(path):
-    """Read a movie stack (MRC or TIFF) into (n_frames, ny, nx) float32."""
+def load_movie(path, params=None):
+    """Read a movie stack into (n_frames, ny, nx) float32. Dispatches every
+    camera format the io layer decodes — MRC, TIFF, EER, DM3/DM4 (reference
+    readMoviefileandsave, inout/image/core.py:913)."""
     path = str(path)
+    params = params or {}
     if path.endswith((".tif", ".tiff")):
         from pyp_tpu.io.tiff import read as tiff_read
 
         return np.asarray(tiff_read(path), dtype=np.float32)
+    if path.endswith(".eer"):
+        from pyp_tpu.io import eer
+
+        groups = int(params.get("movie_eer_frames") or 40)
+        return eer.read(path, frame_groups=groups).astype(np.float32)
+    if path.endswith((".dm3", ".dm4")):
+        from pyp_tpu.io import dm
+
+        data = np.asarray(dm.read(path), dtype=np.float32)
+        return data[None] if data.ndim == 2 else data
     data = mrc.read(path)
     if data.ndim == 2:
         data = data[None]
@@ -72,7 +85,7 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
         if frames is None:
             raw = item.get("frames")
             if raw is None:
-                raw = load_movie(item["path"])
+                raw = load_movie(item["path"], params)
             frames = apply_gain(np.asarray(raw, dtype=np.float32), params)
             if params.get("data_remove_xrays", True):
                 import jax.numpy as _jnp

@@ -16,6 +16,79 @@ from pyp_tpu.utils import Timer, get_logger
 logger = get_logger("tomo")
 
 
+def assemble_tilt_series(mdoc_path, params: dict) -> dict:
+    """Assemble a tilt series from raw per-tilt movies listed in a SerialEM
+    .mdoc (the reference's read_tilt_series preprocess/core.py:176 +
+    tomo_swarm per-tilt frame alignment, bin/run/pyp:1741-1756): each tilt
+    movie is frame-aligned with the motion kernel, averages are stacked in
+    tilt-angle order, and cumulative exposure follows acquisition (ZValue)
+    order. Returns an item dict for process_tilt_series:
+    {"name", "tilts", "angles", "doses", "order"}."""
+    import jax.numpy as jnp
+    from pathlib import Path
+
+    from pyp_tpu.io import mdoc as mdoc_io
+    from pyp_tpu.ops import motion
+    from pyp_tpu.pipeline.spr import apply_gain, load_movie
+
+    mdoc_path = Path(mdoc_path)
+    md = mdoc_io.read(mdoc_path)
+    angles = np.asarray(mdoc_io.tilt_angles(md), dtype=np.float32)
+    doses = np.asarray(mdoc_io.exposure_doses(md), dtype=np.float32)
+    if not doses.any():
+        doses = np.full(len(angles),
+                        float(params.get("scope_dose_rate") or 1.0),
+                        dtype=np.float32)
+    paths = mdoc_io.subframe_paths(md)
+    pixel = float(params["scope_pixel"])
+    base = mdoc_path.parent
+
+    avgs = []
+    for rel in paths:
+        f = None
+        for cand in (base / str(rel), base / Path(str(rel)).name):
+            if cand.exists():
+                f = cand
+                break
+        if f is None:
+            raise FileNotFoundError(
+                f"tilt movie {rel!r} from {mdoc_path.name} not found in {base}"
+            )
+        frames = apply_gain(load_movie(f, params), params)
+        if frames.shape[0] == 1:
+            avgs.append(frames[0].astype(np.float32))
+            continue
+        fj = jnp.asarray(frames)
+        if fj.size > 300_000_000:  # same HBM guard as the SPA path
+            res = motion.align_movie_large(
+                fj, pixel_size=pixel, binning=2,
+                bfactor=float(params.get("movie_bfactor") or 1500.0),
+                max_iters=int(params.get("movie_iters") or 8),
+                smooth_order=int(params.get("movie_smooth_order") or 3),
+            )
+        else:
+            res = motion.align_movie(
+                fj, pixel_size=pixel,
+                bfactor=float(params.get("movie_bfactor") or 1500.0),
+                max_iters=int(params.get("movie_iters") or 8),
+                search_radius=float(params.get("movie_search") or 48.0),
+                smooth_order=int(params.get("movie_smooth_order") or 3),
+            )
+        avgs.append(np.asarray(res.average, dtype=np.float32))
+
+    cum = np.cumsum(doses).astype(np.float32)  # acquisition order
+    order = np.argsort(angles, kind="stable")
+    return {
+        "name": mdoc_path.name.replace(".mrc.mdoc", "").replace(".mdoc", ""),
+        "tilts": np.stack(avgs)[order],
+        "angles": angles[order],
+        "doses": cum[order],
+        # acquisition rank per sorted tilt (for dose-symmetric bookkeeping):
+        # sorted tilt i came from acquisition index order[i]
+        "order": order.astype(np.int64),
+    }
+
+
 def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     """`item`: {"name", "tilts": (T, ny, nx) array or path, "angles": (T,)}"""
     import jax.numpy as jnp
@@ -49,6 +122,9 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
         keep = np.setdiff1d(np.arange(len(angles)), np.asarray(excl, dtype=int))
         tilts = tilts[keep]
         angles = angles[keep]
+        for k in ("doses", "order"):
+            if item.get(k) is not None:
+                item[k] = np.asarray(item[k])[keep]
         meta["exclude"] = np.asarray(excl, dtype=np.int64)
         summary["excluded_tilts"] = list(map(int, excl))
     meta["tlt"] = angles
@@ -158,11 +234,14 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             if params.get("tomo_rec_dose_weighting"):
                 from pyp_tpu.core.ctf import dose_weight_2d
 
-                order = item.get("order")
-                if order is None:
-                    order = np.argsort(np.argsort(np.abs(angles)))
-                dose_per = float(params.get("scope_dose_rate") or 1.0)
-                cum = (np.asarray(order, dtype=np.float32) + 1.0) * dose_per
+                cum = item.get("doses")  # true cumulative e/Å² (mdoc)
+                if cum is None:
+                    order = item.get("order")
+                    if order is None:
+                        order = np.argsort(np.argsort(np.abs(angles)))
+                    dose_per = float(params.get("scope_dose_rate") or 1.0)
+                    cum = (np.asarray(order, dtype=np.float32) + 1.0) * dose_per
+                cum = np.asarray(cum, dtype=np.float32)
                 w = dose_weight_2d(t2.shape[-2:], pixel * binning * rec_bin,
                                    jnp.asarray(cum))
                 t2 = np.asarray(jnp.fft.irfft2(
