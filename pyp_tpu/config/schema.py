@@ -189,6 +189,19 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("csp_OptimizerIters", int, 20, "gradient steps per mode"),
         P("csp_transreg", float, 0.1, "trajectory smoothness regularization"),
         P("csp_Grid", str, "1:1:1", "patch grid (x:y:z)"),
+        P("csp_GridSearch", bool, False,
+          "coarse discrete search before the gradient polish (csp_GS role)"),
+        P("csp_GridSearchSteps", int, 9, "grid points per searched axis"),
+        P("csp_ToleranceMicrographTiltAngles", float, 10.0,
+          "tilt-angle search tolerance (deg)"),
+        P("csp_ToleranceMicrographShifts", float, 20.0,
+          "micrograph-shift search tolerance (px)"),
+        P("csp_ToleranceMicrographDefocus1", float, 2000.0,
+          "per-tilt defocus search tolerance (Å)"),
+        P("csp_ToleranceParticlesPsi", float, 10.0,
+          "particle-angle search tolerance (deg)"),
+        P("csp_ToleranceParticlesShifts", float, 10.0,
+          "particle-shift search tolerance (voxels)"),
         P("csp_box", int, 64, "projection window size (px)"),
         P("csp_rlref", float, 60.0, "low-res limit (Å)"),
         P("csp_rhref", str, "12", "high-res limit schedule (Å)", schedule=True),

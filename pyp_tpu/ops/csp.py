@@ -74,8 +74,16 @@ MODE_BLOCKS = {
     3: ("tilt_shifts",),                        # micrograph shifts
     4: ("defocus_offsets",),                    # per-tilt defocus
     5: ("tilt_shifts",),                        # patch micrograph variant
-    6: ("particle_pos",),                       # patch particle variant
+    6: ("particle_pos",),                       # patch particle-shift variant
+    7: ("particle_eulers",),                    # patch particle-rotation variant
 }
+
+# which axis a mode's searched block varies over: per-tilt blocks reduce the
+# score over particles (and vice versa) so one full evaluation scores EVERY
+# tilt's (or particle's) candidate at once — the csp_GS exhaustive build
+# (align/core.py:696-701) becomes K batched evaluations
+MODE_AXIS = {0: "tilt", 3: "tilt", 4: "tilt", 5: "tilt",
+             1: "particle", 2: "particle", 6: "particle", 7: "particle"}
 
 
 def tilt_rotation(tilt_deg, axis_deg):
@@ -140,8 +148,20 @@ def csp_score(
     Perf: the window-spectrum gather is parameter-independent; the
     optimizer precomputes it once (xv_precomputed=True) so the gradient
     loop only re-gathers the reference slice."""
+    if xv_precomputed:
+        xv = windows_f  # already (T, P, G)
+    else:
+        xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    ncc = _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+                   n, pixel_size, voltage_kv, cs_mm, amplitude_contrast)
+    w = tilt_weights[:, None] * valid
+    return jnp.sum(ncc * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+             n, pixel_size, voltage_kv, cs_mm, amplitude_contrast):
+    """Per-(tilt, particle) CTF-weighted NCC map (T, P); xv precomputed."""
     vol_pad = Fref.shape[0] // n
-    T, P = windows_f.shape[0], windows_f.shape[1]
     R_eff = effective_rotations(params)  # (T, P, 3, 3)
     pred_pos = project_positions(params)  # (T, P, 2)
     depth = particle_depth(params)        # (T, P)
@@ -164,10 +184,6 @@ def csp_score(
         voltage_kv, cs_mm, amplitude_contrast, 0.0,
     )  # (T, P, G)
 
-    if xv_precomputed:
-        xv = windows_f  # already (T, P, G)
-    else:
-        xv = gather_2d_hermitian_batched(windows_f, mask)  # (T, P, G)
     # model window = projection whose content sits at +dshift from the
     # window center: M = u * exp(-2*pi*i g.dshift/n); num = Re<X, M>
     ph = -2.0 * jnp.pi * (
@@ -181,9 +197,7 @@ def csp_score(
         * jnp.sum(c * c * jnp.abs(u) ** 2, axis=-1)
         + 1e-12
     )
-    ncc = num / den  # (T, P)
-    w = tilt_weights[:, None] * valid
-    return jnp.sum(ncc * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return num / den  # (T, P)
 
 
 def gather_2d_hermitian_batched(F, pts):
@@ -197,6 +211,86 @@ def _smoothness_penalty(x):
     spline/Gaussian trajectory regularization, csp_transreg §A.3)."""
     d2 = x[2:] - 2 * x[1:-1] + x[:-2]
     return jnp.mean(d2 * d2)
+
+
+def _apply_mode_offset(params: CspParams, mode: int, off) -> CspParams:
+    """Add a candidate offset to the block a mode searches. `off` is (d,)
+    (same offset for every tilt/particle — used while scoring candidates) or
+    (E, d) (per-entity best offsets — used to apply the winners)."""
+    if mode in (0,):
+        return params._replace(tilt_angles=params.tilt_angles + off[..., 0])
+    if mode in (3, 5):
+        return params._replace(tilt_shifts=params.tilt_shifts + off[..., 0:2])
+    if mode in (4,):
+        return params._replace(
+            defocus_offsets=params.defocus_offsets + off[..., 0])
+    if mode in (1, 7):
+        return params._replace(
+            particle_eulers=params.particle_eulers + off[..., 0:3])
+    if mode in (2, 6):
+        return params._replace(particle_pos=params.particle_pos + off[..., 0:3])
+    raise ValueError(f"mode {mode} has no searchable block")
+
+
+def make_mode_offsets(mode: int, tol: float, steps: int = 9) -> np.ndarray:
+    """Candidate offset grid for a mode (the csp_GS uniform build,
+    pyp_config csp_GridSearch/csp_Tolerance*): (K, d) covering ±tol."""
+    ax = np.linspace(-tol, tol, steps, dtype=np.float32)
+    if mode in (0, 4):
+        return ax[:, None]
+    if mode in (3, 5):
+        g = np.stack(np.meshgrid(ax, ax, indexing="ij"), -1).reshape(-1, 2)
+        return g[(g**2).sum(1) <= tol**2 + 1e-6]
+    if mode in (1, 7):
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+        return g.reshape(-1, 3)
+    if mode in (2, 6):
+        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
+        return g[(g**2).sum(1) <= tol**2 + 1e-6]
+    raise ValueError(f"mode {mode} has no searchable block")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast"),
+)
+def csp_grid_search_mode(
+    params: CspParams,
+    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid,
+    offsets,             # (K, d) candidate offsets (make_mode_offsets)
+    mode: int,
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Exhaustive discrete search of one mode's block — the csp_GS role
+    (local_run.py:363-463, align/core.py:696-701). The score separates over
+    the searched axis (per-tilt blocks are independent given the rest, and
+    per-particle blocks likewise), so every candidate offset is scored for
+    ALL tilts (or particles) in one batched NCC evaluation; the per-entity
+    argmax picks each entity's winner. Escapes initialization errors larger
+    than the gradient basin; follow with csp_refine_mode to polish."""
+    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    axis = MODE_AXIS[mode]
+    w = tilt_weights[:, None] * valid  # (T, P)
+
+    def score_candidate(off):
+        p2 = _apply_mode_offset(params, mode, off)
+        ncc = _csp_ncc(p2, xv, window_centers, tilt_defocus, mask_pts, Fref,
+                       n, pixel_size, voltage_kv, cs_mm, amplitude_contrast)
+        if axis == "tilt":
+            return jnp.sum(ncc * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-6)
+        return jnp.sum(ncc * w, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-6)
+
+    # lax.map bounds peak memory to one candidate's evaluation
+    scores = jax.lax.map(score_candidate, jnp.asarray(offsets))  # (K, E)
+    best = jnp.argmax(scores, axis=0)                            # (E,)
+    off_best = jnp.asarray(offsets)[best]                        # (E, d)
+    return _apply_mode_offset(params, mode, off_best), jnp.max(scores, axis=0)
 
 
 @functools.partial(
@@ -287,10 +381,17 @@ def csp_refine(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    grid_tols: dict | None = None,
+    grid_steps: int = 9,
 ):
     """Full CSP pass on one tilt-series: extract windows at predicted
     positions, then refine each mode block in sequence (the reference runs
-    the same mode schedule, align/core.py:978-1005)."""
+    the same mode schedule, align/core.py:978-1005).
+
+    grid_tols: optional {mode: tolerance} — modes listed run a coarse
+    discrete search (csp_grid_search_mode, the csp_GS role) before the
+    gradient polish, recovering from initialization errors outside the
+    gradient basin (reference csp_GridSearch + csp_Tolerance*, §A.3)."""
     from pyp_tpu.ops.extract import window_particles
     from pyp_tpu.ops.fourier_slice import volume_to_fourier
 
@@ -324,6 +425,16 @@ def csp_refine(
 
     scores = []
     for mode in modes:
+        if grid_tols and mode in grid_tols and grid_tols[mode] > 0:
+            offsets = make_mode_offsets(mode, float(grid_tols[mode]), grid_steps)
+            params, _ = csp_grid_search_mode(
+                params, windows_f, jnp.asarray(w_centers),
+                jnp.asarray(tilt_defocus), mask_pts, Fref,
+                jnp.asarray(tilt_weights), jnp.asarray(valid),
+                jnp.asarray(offsets), mode, n, pixel_size,
+                voltage_kv=voltage_kv, cs_mm=cs_mm,
+                amplitude_contrast=amplitude_contrast,
+            )
         params, score = csp_refine_mode(
             params, windows_f, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
             mask_pts, Fref, jnp.asarray(tilt_weights), jnp.asarray(valid),

@@ -85,6 +85,20 @@ def csp_swarm_one(
     )
     rhref = float(param(params.get("csp_rhref") or "12", iteration))
 
+    # coarse discrete search (csp_GS role) ahead of each gradient mode
+    grid_tols = None
+    if params.get("csp_GridSearch"):
+        grid_tols = {
+            0: float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
+            3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
+            5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
+            4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
+            1: float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+            7: float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+            2: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
+            6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
+        }
+
     with Timer(f"csp refinement {name}"):
         refined, scores = csp_ops.csp_refine(
             cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
@@ -97,6 +111,8 @@ def csp_swarm_one(
             voltage_kv=float(params["scope_voltage"]),
             cs_mm=float(params["scope_cs"]),
             amplitude_contrast=float(params["scope_wgh"]),
+            grid_tols=grid_tols,
+            grid_steps=int(params.get("csp_GridSearchSteps") or 9),
         )
 
     # ---- insert projections into accumulators (per-series "dump") ---------
