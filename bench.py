@@ -1,16 +1,26 @@
-"""Benchmark: refine3d-equivalent particle throughput on one chip.
+"""Benchmarks: the three north-star metrics (BASELINE.md:26) on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "particles/sec/chip", "vs_baseline": N}
+Prints ONE JSON line. Headline (metric/value/unit/vs_baseline) is
+refine3d-equivalent local-refinement throughput; `extras` carries the other
+recorded metrics so every BASELINE.md north-star number lands in BENCH_r*.json:
 
-Workload: local pose refinement (the inner loop of every refinement
+  - refine3d_global_particles_per_sec_per_chip: full exhaustive global
+    search + top-K local polish at 128 px (the early-iteration bottleneck).
+    Baseline: cisTEM2 refine3d global mode ~0.5 particles/sec/core ≈ 8/node.
+  - preprocess_micrographs_per_min_per_chip: K3-size (40 x 4096^2) movie
+    motion correction (HBM-frugal binned+scan path) + CTF fit. Baseline:
+    reference GPU pipelines (MotionCor3 + CTFFIND4) ~4 micrographs/min.
+  - tomo_wbp_voxels_per_sec_per_chip: weighted backprojection of a 41-tilt
+    1024^2 series into a 256-slab tomogram. Baseline: IMOD `tilt` on a
+    16-core node ~5e7 voxels/sec.
+
+Headline workload: local pose refinement (the inner loop of every refinement
 iteration — SURVEY §3.3/§3.4) on a realistic SPA configuration: 128 px
 boxes, 1.0 Å/px, refinement band 25-4 Å, 16 gradient steps over
 (phi, theta, psi, sy, sx), plus CTF-weighted scoring. Baseline: the
 reference wraps cisTEM2 refine3d (CPU); measured throughput of its local
 refinement mode is ~2-4 particles/sec/core, i.e. ~40 particles/sec on a
 16-core SLURM node (no GPU path exists for refine3d in the reference).
-vs_baseline is computed against 40 particles/sec/node.
 """
 
 import json
@@ -18,12 +28,100 @@ import time
 
 import numpy as np
 
-BASELINE_PARTICLES_PER_SEC = 40.0  # reference cisTEM2 refine3d, 16-core node
+BASELINE_LOCAL_PPS = 40.0     # cisTEM2 refine3d local, 16-core node
+BASELINE_GLOBAL_PPS = 8.0     # cisTEM2 refine3d global, 16-core node
+BASELINE_PREPROC_MPM = 4.0    # MotionCor3+CTFFIND GPU pipeline, mics/min
+BASELINE_WBP_VPS = 5e7        # IMOD tilt, 16-core node, voxels/sec
 
 N = 128
 PIXEL = 1.0
 BATCH = 64   # per-dispatch batch: gather-buffer working set stays HBM-friendly
 ITERS = 16
+
+
+def _timed(fn, reps=3, inner=1):
+    """Best-of-`reps` wall time of `inner` calls (axon tunnel dispatch
+    latency is noisy; the min is the machine's actual speed)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(inner):
+            out = fn()
+        out.block_until_ready()
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
+
+
+def bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts):
+    def run():
+        _, scores = r3.local_refine(
+            stack, ctf_params, Fref, poses, mask_pts, N, PIXEL, iters=ITERS,
+        )
+        return scores
+
+    run().block_until_ready()  # compile
+    return BATCH / _timed(run, reps=3, inner=5)
+
+
+def bench_global(jax, jnp, r3, Fref, stack, ctf_params):
+    directions = jnp.asarray(r3.make_directions(15.0, "C1"))
+    psis = jnp.arange(0.0, 360.0, 10.0, dtype=jnp.float32)
+    pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 8.0))
+    shifts = jnp.asarray(r3.make_shift_grid(6.0, 2.0))
+
+    def run():
+        _, scores = r3.global_search(
+            stack, ctf_params, Fref, directions, psis, pts, shifts,
+            N, PIXEL, topk=4,
+        )
+        return scores
+
+    run().block_until_ready()
+    return BATCH / _timed(run, reps=2, inner=1)
+
+
+def bench_preprocess(jax, jnp):
+    from pyp_tpu.ops import motion
+    from pyp_tpu.ops.ctf_fit import fit_ctf_micrograph
+
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((40, 4096, 4096), dtype=np.float32)
+    frames = jax.device_put(frames)
+    frames.block_until_ready()
+
+    def run():
+        res = motion.align_movie_large(frames, pixel_size=PIXEL, binning=2)
+        return res.average
+
+    avg = run()
+    avg.block_until_ready()  # compile
+    dt_motion = _timed(run, reps=2, inner=1)
+    mic = np.asarray(avg)
+
+    t0 = time.perf_counter()
+    fit_ctf_micrograph(mic, PIXEL)
+    # includes compile; warm pass is the recorded one
+    t0 = time.perf_counter()
+    fit_ctf_micrograph(mic, PIXEL)
+    dt_ctf = time.perf_counter() - t0
+    return 60.0 / (dt_motion + dt_ctf)
+
+
+def bench_wbp(jax, jnp):
+    from pyp_tpu.ops.tomo import wbp_reconstruct
+
+    rng = np.random.default_rng(2)
+    T, ny, nx, thick = 41, 1024, 1024, 256
+    tilts = jax.device_put(rng.standard_normal((T, ny, nx), dtype=np.float32))
+    angles = jnp.linspace(-60.0, 60.0, T)
+
+    def run():
+        return wbp_reconstruct(tilts, angles, thickness=thick)
+
+    run().block_until_ready()
+    dt = _timed(run, reps=2, inner=1)
+    return thick * ny * nx / dt
 
 
 def main():
@@ -37,12 +135,12 @@ def main():
     vol = rng.randn(N, N, N).astype(np.float32)
     Fref = volume_to_fourier(jnp.asarray(vol))
 
-    stack = rng.randn(BATCH, N, N).astype(np.float32)
+    stack = jnp.asarray(rng.randn(BATCH, N, N).astype(np.float32))
     df = rng.uniform(10000, 25000, BATCH).astype(np.float32)
-    ctf_params = np.stack(
+    ctf_params = jnp.asarray(np.stack(
         [df + 300, df - 300, np.full(BATCH, 40.0), np.zeros(BATCH)], 1
-    ).astype(np.float32)
-    poses = np.stack(
+    ).astype(np.float32))
+    poses = jnp.asarray(np.stack(
         [
             rng.uniform(0, 360, BATCH),
             rng.uniform(0, 180, BATCH),
@@ -51,37 +149,43 @@ def main():
             np.zeros(BATCH),
         ],
         1,
-    ).astype(np.float32)
+    ).astype(np.float32))
+    mask_pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 4.0))
 
-    mask_pts = r3.make_mask_points(N, PIXEL, 25.0, 4.0)
+    local_pps = bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts)
 
-    def run():
-        out_poses, scores = r3.local_refine(
-            jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
-            jnp.asarray(poses), jnp.asarray(mask_pts), N, PIXEL,
-            iters=ITERS,
-        )
-        return scores
-
-    # warmup/compile
-    run().block_until_ready()
-    # best of 3 timed passes: dispatch through the axon tunnel has high
-    # run-to-run latency variance; the max is the machine's actual speed
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        reps = 5
-        for _ in range(reps):
-            out = run()
-        out.block_until_ready()
-        best_dt = min(best_dt, (time.perf_counter() - t0) / reps)
-    pps = BATCH / best_dt
+    extras = {}
+    try:
+        g = bench_global(jax, jnp, r3, Fref, stack, ctf_params)
+        extras["refine3d_global_particles_per_sec_per_chip"] = {
+            "value": round(g, 2), "unit": "particles/sec/chip",
+            "vs_baseline": round(g / BASELINE_GLOBAL_PPS, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["refine3d_global_particles_per_sec_per_chip"] = {"error": str(e)[:200]}
+    try:
+        m = bench_preprocess(jax, jnp)
+        extras["preprocess_micrographs_per_min_per_chip"] = {
+            "value": round(m, 2), "unit": "micrographs/min/chip",
+            "vs_baseline": round(m / BASELINE_PREPROC_MPM, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["preprocess_micrographs_per_min_per_chip"] = {"error": str(e)[:200]}
+    try:
+        v = bench_wbp(jax, jnp)
+        extras["tomo_wbp_voxels_per_sec_per_chip"] = {
+            "value": round(v, 0), "unit": "voxels/sec/chip",
+            "vs_baseline": round(v / BASELINE_WBP_VPS, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["tomo_wbp_voxels_per_sec_per_chip"] = {"error": str(e)[:200]}
 
     print(json.dumps({
         "metric": "refine3d_local_particles_per_sec_per_chip",
-        "value": round(pps, 2),
+        "value": round(local_pps, 2),
         "unit": "particles/sec/chip",
-        "vs_baseline": round(pps / BASELINE_PARTICLES_PER_SEC, 2),
+        "vs_baseline": round(local_pps / BASELINE_LOCAL_PPS, 2),
+        "extras": extras,
     }))
 
 

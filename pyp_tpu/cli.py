@@ -29,9 +29,9 @@ from pyp_tpu.utils import get_logger
 
 logger = get_logger("cli")
 
-MODES = ("spr", "tomo", "extract", "refine", "classify2d", "csp",
-         "polish", "postprocess", "import_star", "export_star", "clean",
-         "worker", "params")
+MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
+         "csp", "polish", "postprocess", "import_star", "export_star",
+         "clean", "worker", "params", "gain", "stream", "kselection")
 
 
 def _project_params(argv, work_dir="."):
@@ -339,6 +339,98 @@ def mode_clean(argv):
             shutil.rmtree("maps")
             removed.append("maps/")
     print(json.dumps({"removed": removed, "deep": deep}))
+    return 0
+
+
+def mode_classify3d(argv):
+    """K-class 3D classification over the extracted stack (the reference's
+    class3d driver role, bin/run/pyp classification branch)."""
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, mrc
+    from pyp_tpu.pipeline import classify3d as c3d
+
+    stack = mrc.read("stack.mrc").astype(np.float32)
+    table = cistem.read_parameters("stack.cistem")
+    init_path = Path("initial_model.mrc")
+    if init_path.exists():
+        initial = mrc.read(init_path).astype(np.float32)
+    else:
+        from pyp_tpu.core.filters import soft_spherical_mask
+
+        n = stack.shape[-1]
+        initial = np.asarray(soft_spherical_mask(n, n * 0.3, 5.0),
+                             dtype=np.float32)
+    dataset = params.get("data_set") or "dataset"
+    table, refs, occ, history = c3d.classify3d_loop(
+        stack, table, initial, params, dataset=dataset)
+    cistem.write_parameters(table, "stack.cistem")
+    print(json.dumps({"iterations": history}, default=str))
+    return 0
+
+
+def mode_gain(argv):
+    """Estimate a gain reference from raw counting movies (the reference's
+    pypgain driver, bin/run/pyp gain branch)."""
+    params = _project_params(argv)
+    from pyp_tpu.io import mrc
+    from pyp_tpu.pipeline.spr import estimate_gain
+
+    paths = sorted(glob.glob(params.get("data_path") or ""))
+    if not paths:
+        logger.error("no input files match data_path=%r", params.get("data_path"))
+        return 1
+    gain = estimate_gain(paths, max_movies=int(params.get("gain_movies") or 10))
+    out = params.get("gain_reference") or "gain.mrc"
+    mrc.write(gain, out)
+    print(json.dumps({"gain": out, "shape": list(gain.shape),
+                      "movies": min(len(paths), int(params.get("gain_movies") or 10))}))
+    return 0
+
+
+def mode_stream(argv):
+    """Launch the on-the-fly session daemon (streampyp role): watch
+    data_path for new movies, process each, incrementally re-classify."""
+    params = _project_params(argv)
+    from pyp_tpu.stream.daemon import SessionDaemon
+
+    pattern = params.get("data_path") or ""
+    if not pattern:
+        logger.error("stream needs -data_path <watch glob>")
+        return 1
+    daemon = SessionDaemon(
+        pattern, params,
+        poll_interval=float(params.get("stream_poll_interval") or 5.0),
+        classify_every=int(params.get("stream_classify_every") or 0),
+        n_classes=int(params.get("class_num") or 10),
+    )
+    max_iter = params.get("stream_max_iterations")
+    idle_exit = params.get("stream_idle_exit")
+    daemon.run(
+        max_iterations=int(max_iter) if max_iter else None,
+        idle_exit=int(idle_exit) if idle_exit else None,
+    )
+    print(json.dumps({"processed": len(daemon.processed),
+                      "classified": daemon.class_result is not None}))
+    return 0
+
+
+def mode_kselection(argv):
+    """Keep only particles in the given classes (the reference's kselection
+    driver): pyp_tpu kselection -keep_classes 1,3,5."""
+    params = _project_params(argv)
+    from pyp_tpu.analysis.scores import select_classes
+    from pyp_tpu.io import cistem
+
+    spec = str(params.get("keep_classes") or "")
+    if not spec:
+        logger.error("kselection needs -keep_classes <comma list>")
+        return 1
+    keep = {int(tok) for tok in spec.replace(",", " ").split()}
+    table = cistem.read_parameters("stack.cistem")
+    table, mask = select_classes(table, keep)
+    cistem.write_parameters(table, "stack.cistem")
+    print(json.dumps({"kept": int(mask.sum()), "total": int(len(mask)),
+                      "classes": sorted(keep)}))
     return 0
 
 

@@ -55,6 +55,19 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("gain_rotation", int, 0, "gain rotation (multiples of 90°)"),
         P("gain_fliph", bool, False, "flip gain horizontally"),
         P("gain_flipv", bool, False, "flip gain vertically"),
+        P("gain_movies", int, 10, "movies to average for gain estimation"),
+    ],
+    # ----------------------------------------------------------------- stream
+    "stream": [
+        P("stream_poll_interval", float, 5.0, "session daemon poll period (s)"),
+        P("stream_classify_every", int, 0,
+          "re-classify 2D after this many new micrographs (0 = off)"),
+        P("stream_max_iterations", int, 0, "bound daemon poll loop (0 = run forever)"),
+        P("stream_idle_exit", int, 0, "exit after N idle polls (0 = never)"),
+    ],
+    # ------------------------------------------------------------- selection
+    "select": [
+        P("keep_classes", str, "", "comma list of class ids to keep (kselection)"),
     ],
     # ------------------------------------------------------------------ movie
     "movie": [

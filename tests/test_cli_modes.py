@@ -1,0 +1,86 @@
+"""CLI completeness: gain / stream / kselection / classify3d modes
+(reference driver branches in bin/run/pyp: gain estimation, streampyp
+session daemon, kselection class filtering, 3D classification)."""
+
+import numpy as np
+import pytest
+
+from pyp_tpu.io import cistem, mrc
+
+
+@pytest.fixture()
+def project(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _write_stack_and_table(n_particles=16, box=32, seed=0):
+    rng = np.random.RandomState(seed)
+    mrc.write(rng.randn(n_particles, box, box).astype(np.float32), "stack.mrc")
+    t = cistem.Table.zeros(n_particles)
+    t["pixel_size"] = np.full(n_particles, 1.0)
+    t["defocus_1"] = np.full(n_particles, 15000.0)
+    t["defocus_2"] = np.full(n_particles, 14000.0)
+    t["best_2d_class"] = np.tile(np.arange(1, 5), n_particles // 4).astype(np.int64)
+    cistem.write_parameters(t, "stack.cistem")
+    return t
+
+
+def test_mode_gain(project, capsys):
+    from pyp_tpu.cli import main
+
+    rng = np.random.RandomState(1)
+    for i in range(3):
+        mrc.write((1.0 + 0.1 * rng.rand(4, 48, 48)).astype(np.float32),
+                  f"mov{i}.mrc")
+    assert main(["gain", "-data_path", "mov*.mrc", "-gain_movies", "2"]) == 0
+    gain = mrc.read("gain.mrc")
+    assert gain.shape == (48, 48)
+    # flat-field estimate: unit mean, strictly positive
+    np.testing.assert_allclose(1.0 / np.mean(1.0 / gain), 1.0, rtol=0.05)
+    assert (gain > 0).all()
+
+
+def test_mode_kselection(project, capsys):
+    from pyp_tpu.cli import main
+
+    _write_stack_and_table()
+    assert main(["kselection", "-keep_classes", "1,3"]) == 0
+    t = cistem.read_parameters("stack.cistem")
+    active = np.asarray(t["image_is_active"]).astype(bool)
+    cls = np.asarray(t["best_2d_class"]).astype(int)
+    assert active.sum() == 8
+    assert set(cls[active]) == {1, 3}
+    # without -keep_classes and no persisted value -> usage error
+    import os
+
+    os.remove(".pyp_tpu_config.toml")
+    assert main(["kselection"]) == 1
+
+
+def test_mode_stream_bounded(project, capsys):
+    from pyp_tpu.cli import main
+
+    rng = np.random.RandomState(2)
+    for i in range(2):
+        mrc.write(rng.randn(3, 64, 64).astype(np.float32), f"s{i}.mrc")
+    rc = main(["stream", "-data_path", "s*.mrc", "-stream_max_iterations", "2",
+               "-stream_poll_interval", "0.05", "-scope_pixel", "1.0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"processed": 2' in out
+
+
+@pytest.mark.slow
+def test_mode_classify3d(project):
+    from pyp_tpu.cli import main
+
+    _write_stack_and_table()
+    rng = np.random.RandomState(3)
+    mrc.write(rng.randn(32, 32, 32).astype(np.float32), "initial_model.mrc")
+    rc = main(["classify3d", "-class_num", "2", "-refine_maxiter", "2",
+               "-scope_pixel", "1.0", "-refine_rhref", "8"])
+    assert rc == 0
+    from pathlib import Path
+
+    assert len(list(Path("maps").glob("*_r0?_0?.mrc"))) >= 4
