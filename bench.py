@@ -39,16 +39,31 @@ BATCH = 64   # per-dispatch batch: gather-buffer working set stays HBM-friendly
 ITERS = 16
 
 
+def _sync(x):
+    """Force completion of the computation producing `x`.
+
+    block_until_ready() through the axon tunnel can return before the
+    program actually executes (measured: a 386 ms local_refine 'completes'
+    in 0.04 ms under block_until_ready but takes its full time under a
+    host readback) — so a 1-element readback is the only trustworthy
+    barrier. The readback itself costs one tunnel round-trip (~25 ms),
+    amortized over `inner` calls by the timing loop."""
+    import numpy as _np
+
+    _np.asarray(x.ravel()[0])
+
+
 def _timed(fn, reps=3, inner=1):
-    """Best-of-`reps` wall time of `inner` calls (axon tunnel dispatch
-    latency is noisy; the min is the machine's actual speed)."""
+    """Best-of-`reps` wall time of `inner` back-to-back calls followed by
+    one forced readback (device executes the queue serially, so the final
+    sync covers all `inner` dispatches)."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = None
         for _ in range(inner):
             out = fn()
-        out.block_until_ready()
+        _sync(out)
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
 
@@ -60,8 +75,8 @@ def bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts):
         )
         return scores
 
-    run().block_until_ready()  # compile
-    return BATCH / _timed(run, reps=3, inner=5)
+    _sync(run())  # compile
+    return BATCH / _timed(run, reps=3, inner=2)
 
 
 def bench_global(jax, jnp, r3, Fref, stack, ctf_params):
@@ -77,7 +92,7 @@ def bench_global(jax, jnp, r3, Fref, stack, ctf_params):
         )
         return scores
 
-    run().block_until_ready()
+    _sync(run())
     return BATCH / _timed(run, reps=2, inner=1)
 
 
@@ -95,7 +110,7 @@ def bench_preprocess(jax, jnp):
         return res.average
 
     avg = run()
-    avg.block_until_ready()  # compile
+    _sync(avg)  # compile
     dt_motion = _timed(run, reps=2, inner=1)
     mic = np.asarray(avg)
 
@@ -119,7 +134,7 @@ def bench_wbp(jax, jnp):
     def run():
         return wbp_reconstruct(tilts, angles, thickness=thick)
 
-    run().block_until_ready()
+    _sync(run())
     dt = _timed(run, reps=2, inner=1)
     return thick * ny * nx / dt
 

@@ -287,6 +287,9 @@ def csp_classify(
 
     accs = [None] * K
     occ_per_item = []
+    voltage = float(params["scope_voltage"])
+    cs = float(params["scope_cs"])
+    w_amp = float(params["scope_wgh"])
     for item in items_refined:
         cp = item["params"]
         tilts = np.asarray(item["tilts"], dtype=np.float32)
@@ -295,57 +298,62 @@ def csp_classify(
         P = cp.particle_pos.shape[0]
         pred = np.asarray(csp_ops.project_positions(cp))
         depth = np.asarray(csp_ops.particle_depth(cp))
+        R_eff = np.asarray(csp_ops.effective_rotations(cp))  # (T, P, 3, 3)
         center = np.array([ny // 2, nx // 2])
-        wins, w_centers, valid = [], np.zeros((T, P, 2), np.float32), np.ones((T, P), np.float32)
-        for t in range(T):
+
+        def tilt_geometry(t):
             ci = np.round(pred[t] + center).astype(np.int32)
             inb = ((ci[:, 0] >= box // 2) & (ci[:, 0] < ny - box // 2)
                    & (ci[:, 1] >= box // 2) & (ci[:, 1] < nx - box // 2))
-            valid[t] = inb.astype(np.float32)
             ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
-            wins.append(np.asarray(window_particles(jnp.asarray(tilts[t]),
-                                                    jnp.asarray(ci), box)))
-            w_centers[t] = ci - center
-        windows_f = image_to_fourier(jnp.asarray(np.stack(wins)))
-        xv = csp_ops.gather_2d_hermitian_batched(windows_f, mask_pts)
+            dshift = (pred[t] + center - ci).astype(np.float32)
+            df_t = (defocus[t, :2].mean() + np.asarray(cp.defocus_offsets)[t]
+                    + depth[t] * pixel).astype(np.float32)
+            return ci, inb.astype(np.float32), dshift, df_t
 
-        # per-particle per-class scores: reuse csp_score internals through
-        # per-class calls with per-particle reduction
-        logp = np.zeros((P, K))
-        tw = jnp.ones(T)
-        for k in range(K):
-            # per-(T,P) ncc, averaged over tilts per particle
-            score_map = _per_particle_scores(
-                cp, xv, jnp.asarray(w_centers), jnp.asarray(defocus),
-                mask_pts, Frefs[k], tw, jnp.asarray(valid), box, pixel,
-                float(params["scope_voltage"]), float(params["scope_cs"]),
-                float(params["scope_wgh"]),
-            )
-            logp[:, k] = np.asarray(score_map)
+        # ---- pass 1: per-particle per-class scores, streamed over tilts.
+        # HBM holds one tilt's windows at a time (the reference classifies
+        # EMPIAR-10304-scale sets: thousands of subtomos x 41 tilts do not
+        # fit as one (T*P, box, box) block).
+        num = np.zeros((P, K), np.float64)
+        den = np.zeros(P, np.float64)
+        for t in range(T):
+            ci, valid_t, dshift, df_t = tilt_geometry(t)
+            wins_t = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci),
+                                      box)
+            xv = _gather_windows(wins_t, mask_pts)  # (P, G)
+            for k in range(K):
+                ncc = _tilt_class_scores(
+                    xv, jnp.asarray(R_eff[t]), jnp.asarray(dshift),
+                    jnp.asarray(df_t), mask_pts, Frefs[k], box, pixel,
+                    voltage, cs, w_amp,
+                )
+                num[:, k] += np.asarray(ncc) * valid_t
+            den += valid_t
+        logp = num / np.maximum(den, 1.0)[:, None]
         G = mask_pts.shape[0]
         occ = occ_mod.occupancies_from_logp(logp * G * 0.5)  # sharpen by band size
         occ_per_item.append(occ)
 
-        R_eff = np.asarray(csp_ops.effective_rotations(cp))
-        for k in range(K):
-            rows_R = np.concatenate([R_eff[t] for t in range(T)])
-            rows_shift = np.concatenate([-(pred[t] + center
-                                           - np.round(pred[t] + center)) for t in range(T)])
-            rows_df = np.concatenate([defocus[t, :2].mean() + depth[t] * pixel
-                                      for t in range(T)]).reshape(-1)
-            rows_sub = np.concatenate([np.arange(P) % 2 for _ in range(T)])
-            rows_w = np.concatenate([valid[t] * occ[:, k] / 100.0 for t in range(T)])
-            accs[k] = rec.accumulate_matrices(
-                jnp.asarray(np.concatenate(wins)),
-                jnp.asarray(rows_R), jnp.asarray(rows_shift.astype(np.float32)),
-                jnp.asarray(rows_df.astype(np.float32)),
-                jnp.asarray(rows_sub), jnp.asarray(rows_w.astype(np.float32)),
-                box, pixel,
-                voltage_kv=float(params["scope_voltage"]),
-                cs_mm=float(params["scope_cs"]),
-                amplitude_contrast=float(params["scope_wgh"]),
-                prev=accs[k],
-            )
+        # ---- pass 2: occupancy-weighted reconstruction, streamed the same
+        # way (windows re-gathered per tilt; accumulators chain via prev=)
+        sub = np.arange(P) % 2
+        for t in range(T):
+            ci, valid_t, dshift, df_t = tilt_geometry(t)
+            wins_t = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci),
+                                      box)
+            for k in range(K):
+                accs[k] = rec.accumulate_matrices(
+                    wins_t,
+                    jnp.asarray(R_eff[t]),
+                    jnp.asarray(-dshift),
+                    jnp.asarray(df_t),
+                    jnp.asarray(sub),
+                    jnp.asarray(valid_t * occ[:, k].astype(np.float32) / 100.0),
+                    box, pixel,
+                    voltage_kv=voltage, cs_mm=cs, amplitude_contrast=w_amp,
+                    prev=accs[k],
+                )
 
     outs, resolutions = [], []
     for k in range(K):
@@ -356,34 +364,40 @@ def csp_classify(
     return outs, occ_per_item, resolutions
 
 
-def _per_particle_scores(cp, xv, w_centers, defocus, mask_pts, Fref, tw,
-                         valid, n, pixel, voltage, cs, w):
-    """Mean NCC per particle over tilts (helper for csp_classify)."""
+def _gather_windows(wins, mask_pts):
+    """(P, box, box) windows -> (P, G) spectrum samples at mask points."""
+    import jax
+
+    from pyp_tpu.ops.fourier_slice import (
+        gather_2d_hermitian, image_to_fourier,
+    )
+
+    F = image_to_fourier(wins)
+    return jax.vmap(lambda Fi: gather_2d_hermitian(Fi, mask_pts))(F)
+
+
+def _tilt_class_scores(xv, R_t, dshift_t, df_t, mask_pts, Fref, n, pixel,
+                       voltage, cs, w):
+    """Per-particle CTF-weighted NCC against one class reference for one
+    tilt: xv (P, G) window samples, R_t (P, 3, 3) effective rotations,
+    dshift_t (P, 2) residual shifts, df_t (P,) defocus. Returns (P,)."""
     import jax
     import jax.numpy as jnp
 
-    from pyp_tpu.ops import csp as csp_ops
     from pyp_tpu.ops.fourier_slice import gather_3d_hermitian
     from pyp_tpu.ops.refine3d import _ctf_at_points
 
     vol_pad = Fref.shape[0] // n
-    R_eff = csp_ops.effective_rotations(cp)
-    pred = csp_ops.project_positions(cp)
-    depth = csp_ops.particle_depth(cp)
-    dshift = pred - w_centers
     mask = jnp.asarray(mask_pts)
-    q = (mask[None, None, :, 1, None] * R_eff[..., None, 0, :]
-         + mask[None, None, :, 0, None] * R_eff[..., None, 1, :])
+    q = (mask[None, :, 1, None] * R_t[:, None, 0, :]
+         + mask[None, :, 0, None] * R_t[:, None, 1, :])        # (P, G, 3)
     u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
-    df = defocus[:, None, 0] + cp.defocus_offsets[:, None] + depth * pixel
-    c = _ctf_at_points(mask[None, None], n, pixel, df[..., None],
-                       df[..., None], 0.0, voltage, cs, w, 0.0)
-    ph = -2.0 * jnp.pi * (mask[None, None, :, 0] * dshift[..., 0:1]
-                          + mask[None, None, :, 1] * dshift[..., 1:2]) / n
+    c = _ctf_at_points(mask[None], n, pixel, df_t[:, None], df_t[:, None],
+                       0.0, voltage, cs, w, 0.0)               # (P, G)
+    ph = -2.0 * jnp.pi * (mask[None, :, 0] * dshift_t[:, 0:1]
+                          + mask[None, :, 1] * dshift_t[:, 1:2]) / n
     phasor = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
     num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * c * u), axis=-1)
     den = jnp.sqrt(jnp.sum(jnp.abs(xv) ** 2, -1)
                    * jnp.sum(c * c * jnp.abs(u) ** 2, -1) + 1e-12)
-    ncc = num / den  # (T, P)
-    wgt = tw[:, None] * valid
-    return jnp.sum(ncc * wgt, axis=0) / jnp.maximum(jnp.sum(wgt, axis=0), 1.0)
+    return num / den

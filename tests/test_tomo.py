@@ -112,6 +112,39 @@ class TestCtfCorrect:
         assert out.shape == tilts.shape
         assert np.isfinite(np.asarray(out)).all()
 
+    def test_matches_numpy_band_loop(self):
+        """The jitted scan kernel must reproduce the per-band phase-flip
+        semantics (IMOD ctfphaseflip strips) computed directly in numpy."""
+        from pyp_tpu.core import ctf as cm
+
+        rng = np.random.RandomState(3)
+        pixel, n_bands = 2.0, 8
+        tilts = rng.randn(2, 48, 64).astype(np.float32)
+        angles = [35.0, -25.0]
+        defoci = [18000.0, 22000.0]
+        out = np.asarray(tomo.ctf_correct_tilts(
+            tilts, angles, defoci, pixel, n_bands=n_bands))
+
+        T, ny, nx = tilts.shape
+        want = np.zeros_like(tilts)
+        for t in range(T):
+            theta = np.radians(angles[t])
+            xs = (np.arange(nx) - nx // 2) * pixel
+            df_col = defoci[t] + xs * np.tan(theta)
+            lo, hi = df_col.min(), df_col.max() + 1.0
+            edges = lo + (hi - lo) * np.arange(n_bands + 1) / n_bands
+            band_of_col = np.clip(
+                ((df_col - lo) / (hi - lo) * n_bands).astype(int),
+                0, n_bands - 1)
+            F = np.fft.rfft2(tilts[t])
+            for b in range(n_bands):
+                df_mid = 0.5 * (edges[b] + edges[b + 1])
+                c = np.asarray(cm.ctf_2d((ny, nx), pixel, df_mid, df_mid,
+                                         0.0, 300.0, 2.7))
+                flipped = np.fft.irfft2(F * np.sign(c), s=(ny, nx))
+                want[t][:, band_of_col == b] = flipped[:, band_of_col == b]
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+
 
 class TestHandedness:
     def test_detects_planted_gradient(self):
