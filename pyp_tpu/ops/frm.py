@@ -1,0 +1,552 @@
+"""FRM-style projection matching: MXU-shaped orientation search.
+
+This is the TPU speed-of-light redesign of the refine3d scoring core
+(reference role: wrapped cisTEM2 refine3d, frealign.py:3916-4010). The
+per-pose Fourier-slice gather that dominates the gather-based path
+(ops/refine3d.py) runs at only a few million points/sec on TPU — XLA
+lowers random gathers to scalar loads, and the hardware has no vector
+gather. This module removes per-pose-evaluation gathers entirely:
+
+  1. **Polar resampling as a dense matmul.** Each particle spectrum is
+     resampled onto rings (r, psi) by ONE fixed interpolation matrix
+     applied on the MXU. Because the matrix is dense anyway, it uses the
+     exact Dirichlet (periodic-sinc) kernel — exact interpolation of a
+     finite-support image's spectrum, strictly more accurate than the
+     2x-padded trilinear interpolation the gather path (and cisTEM) use.
+  2. **Direction bank.** Reference central slices for a direction lattice
+     are gathered once per refinement iteration (amortized over every
+     particle in the dataset) and stored in the same polar layout.
+  3. **CTF restored on the grid, not modeled off-grid.** The particle's
+     samples are (CTF x slice); interpolating that product between samples
+     is wrong wherever the CTF oscillates near the sampling rate. So the
+     CTF is Wiener-divided out on the Cartesian grid BEFORE resampling
+     (every interpolation stays on the data side), the model is the
+     CTF-free slice, and the restored-band confidence C^2/(C^2+w) enters
+     as per-particle ring weights.
+  4. **All in-plane rotations at once.** With both sides polar, an
+     in-plane rotation is a circular shift along psi, so the score for
+     ALL psi values is a cross-correlation along the ring angle —
+     computed by FFT along psi and a ring-contraction einsum (batched
+     matmul on the MXU). With radial weights the NCC denominator is
+     psi-independent (full-circle power sums are roll-invariant): one
+     small matmul, no second correlation.
+  5. Shifts: the first match marginalizes over a coarse shift grid (max
+     over joint (shift, direction, psi)), then a per-particle fine grid is
+     scored at the matched orientation via one batched (rings*psi, shifts)
+     contraction, alternating with orientation rounds.
+
+Cost per batch: O(B * D * R * n_psi) MXU flops — for 1024 particles
+against a 7.5-degree lattice (~750 directions x 256 psis) about 50 TFLOP,
+a fraction of a second — versus minutes for the per-pose gather loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core import ctf as ctf_model
+from pyp_tpu.core.geometry import euler_to_matrix
+from pyp_tpu.ops.fourier_slice import gather_3d_hermitian
+
+
+# ---------------------------------------------------------------------------
+# geometry (host-side constants)
+# ---------------------------------------------------------------------------
+
+def make_rings(n: int, pixel_size: float, low_res: float, high_res: float):
+    """Integer ring radii (unpadded wavenumber units) inside the band."""
+    r_min = max(2, int(np.ceil(n * pixel_size / low_res)))
+    r_max = min(n // 2 - 2, int(np.floor(n * pixel_size / high_res)))
+    if r_max < r_min:
+        raise ValueError(f"empty band: rings [{r_min}, {r_max}]")
+    return np.arange(r_min, r_max + 1, dtype=np.float32)
+
+
+def default_n_psi(radii) -> int:
+    """Power-of-two psi count >= the outer ring's Nyquist rate (2*pi*r)."""
+    need = 2.0 * np.pi * float(np.max(radii))
+    return int(2 ** np.ceil(np.log2(max(need, 32.0))))
+
+
+def ring_weights(radii) -> np.ndarray:
+    """Per-ring quadrature weights: ring area element ~ r (so the ring sum
+    approximates the 2D band integral the gather path's annulus mask uses)."""
+    r = np.asarray(radii, dtype=np.float32)
+    return r / r.sum()
+
+
+def _dirichlet_kernel(t, n):
+    """Exact interpolation kernel for a centered n-support image spectrum:
+    X(g) = sum_k X[k] K(k - g) with
+    K(t) = (1/n) sin(pi t)/sin(pi t / n) * exp(-i pi t / n)
+    (derived from DFT inversion over the sample window m - n/2, m in
+    [0, n)). |t| < n always holds here (grid nodes and polar points live
+    inside one period), so the only removable singularity is t = 0."""
+    t = np.asarray(t, dtype=np.float64)
+    small = np.abs(t) < 1e-9
+    denom = np.where(small, 1.0, np.sin(np.pi * t / n))
+    mag = np.where(small, 1.0, np.sin(np.pi * t) / (n * denom))
+    return mag * np.exp(-1j * np.pi * t / n)
+
+
+def polar_matrix(n: int, radii, n_psi: int):
+    """Dense complex interpolation matrix W (R*P, n*n): polar samples of a
+    centered full-grid spectrum, X_polar = W @ vec(X_full).
+
+    Polar point p = (ring r, angle a_j = 2*pi*j/n_psi) samples the spectrum
+    at (gy, gx) = r*(sin a, cos a). Exact (Dirichlet kernel) for n-support
+    images. Returns (W_re, W_im) float32 of shape (R*P, n*n); columns in
+    full-fft layout ((ky-major) with ky, kx in np.fft.fftfreq order).
+    """
+    radii = np.asarray(radii, dtype=np.float64)
+    R, P = len(radii), n_psi
+    ang = 2.0 * np.pi * np.arange(P) / P
+    gy = radii[:, None] * np.sin(ang)[None, :]   # (R, P)
+    gx = radii[:, None] * np.cos(ang)[None, :]
+    ky = np.fft.fftfreq(n) * n                   # (n,)
+    kx = np.fft.fftfreq(n) * n
+    Ky = _dirichlet_kernel(ky[None, :] - gy.reshape(-1)[:, None], n)  # (RP, n)
+    Kx = _dirichlet_kernel(kx[None, :] - gx.reshape(-1)[:, None], n)  # (RP, n)
+    W = Ky[:, :, None] * Kx[:, None, :]          # (RP, n, n) complex
+    W = W.reshape(R * P, n * n)
+    return (np.ascontiguousarray(W.real.astype(np.float32)),
+            np.ascontiguousarray(W.imag.astype(np.float32)))
+
+
+def image_to_fourier_full(imgs):
+    """Centered FULL-grid 2D spectra (..., n, n) complex (cf.
+    fourier_slice.image_to_fourier which returns the rfft half grid)."""
+    n = imgs.shape[-1]
+    i = np.add.outer(np.arange(n), np.arange(n))
+    cb = jnp.asarray(np.where(i % 2 == 0, 1.0, -1.0).astype(np.float32))
+    return jnp.fft.fft2(imgs) * cb
+
+
+@functools.partial(jax.jit, static_argnames=())
+def polar_transform(stack, W_re, W_im):
+    """(B, n, n) real images -> (B, R*P) complex polar spectrum samples,
+    via 4 real matmuls on the MXU (W complex, X complex)."""
+    X = image_to_fourier_full(stack)
+    B = X.shape[0]
+    Xr = jnp.real(X).reshape(B, -1)
+    Xi = jnp.imag(X).reshape(B, -1)
+    out_re = Xr @ W_re.T - Xi @ W_im.T
+    out_im = Xr @ W_im.T + Xi @ W_re.T
+    return jax.lax.complex(out_re, out_im)
+
+
+# ---------------------------------------------------------------------------
+# polar-domain physics factors
+# ---------------------------------------------------------------------------
+
+def polar_points(radii, n_psi):
+    """(R, P, 2) float32 (gy, gx) wavenumber coordinates of the polar grid."""
+    radii = np.asarray(radii, dtype=np.float32)
+    ang = 2.0 * np.pi * np.arange(n_psi, dtype=np.float32) / n_psi
+    gy = radii[:, None] * np.sin(ang)[None, :]
+    gx = radii[:, None] * np.cos(ang)[None, :]
+    return np.stack([gy, gx], axis=-1)
+
+
+def ctf_polar(ctf_params, pts, n, pixel_size, voltage_kv=300.0, cs_mm=2.7,
+              w=0.07):
+    """CTF at polar points for each particle: (B, R, P)."""
+    gy = pts[..., 0] / (n * pixel_size)
+    gx = pts[..., 1] / (n * pixel_size)
+    g = jnp.sqrt(gy * gy + gx * gx)
+    azim = jnp.arctan2(gy, gx)
+    df1 = ctf_params[:, 0, None, None]
+    df2 = ctf_params[:, 1, None, None]
+    ang = ctf_params[:, 2, None, None]
+    phase = ctf_params[:, 3, None, None]
+    df = ctf_model.defocus_at_azimuth(df1, df2, ang, azim[None])
+    x = ctf_model.chi(g[None], df, voltage_kv, cs_mm, phase)
+    amp = jnp.arctan2(w, jnp.sqrt(max(1.0 - w * w, 0.0)))
+    return -jnp.sin(x + amp)
+
+
+def shift_phasor_polar(pts, shifts, n):
+    """exp(+2 pi i (gy sy + gx sx) / n) at polar points: (B, R, P) complex
+    for shifts (B, 2) = (sy, sx)."""
+    ph = (2.0 * jnp.pi / n) * (
+        pts[None, ..., 0] * shifts[:, 0, None, None]
+        + pts[None, ..., 1] * shifts[:, 1, None, None]
+    )
+    return jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+
+
+# ---------------------------------------------------------------------------
+# direction bank
+# ---------------------------------------------------------------------------
+
+def direction_bank(Fref, directions, radii, n_psi: int, n: int):
+    """Central-slice ring values for every lattice direction: (D, R, P)
+    complex. U[d, r, j] = F_vol(r cos(a_j) ex0(d) + r sin(a_j) ey0(d))
+    with ex0/ey0 the in-plane axes of R(phi, theta, psi=0). Gathered once
+    per refinement iteration (trilinear from the 2x-oversampled volume)."""
+    directions = jnp.asarray(directions)
+    D = directions.shape[0]
+    vol_pad = Fref.shape[0] // n
+    R0 = euler_to_matrix(directions[:, 0], directions[:, 1],
+                         jnp.zeros(D))                       # (D, 3, 3)
+    ex = R0[:, 0, :]
+    ey = R0[:, 1, :]
+    pts = jnp.asarray(polar_points(radii, n_psi))            # (R, P, 2)
+    q = (pts[None, ..., 1, None] * ex[:, None, None, :]
+         + pts[None, ..., 0, None] * ey[:, None, None, :])   # (D, R, P, 3) xyz
+    return gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+
+
+class FrmBank:
+    """Per-(reference, iteration) scoring tables, all built inside one jit
+    (eager complex ops are unsupported through the axon TPU tunnel)."""
+
+    def __init__(self, Fref, directions, radii, n_psi: int, n: int):
+        self.directions = np.asarray(directions, dtype=np.float32)
+        self.radii = np.asarray(radii, dtype=np.float32)
+        self.n_psi = int(n_psi)
+        self.n = int(n)
+        pts = jnp.asarray(polar_points(radii, n_psi))
+        self.U, self.FUc, self.u2sum = _bank_tables(
+            Fref, jnp.asarray(self.directions), pts, n)
+        R0 = euler_to_matrix(self.directions[:, 0], self.directions[:, 1],
+                             np.zeros(len(self.directions)))
+        self.axes = np.asarray(R0[:, 2, :])                    # (D, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _bank_tables(Fref, directions, pts, n: int):
+    """U (D, R, P) ring values + the FFT table for the psi correlation
+    s(j) = sum_a A(a) B(a-j) = ifft_j[ fft(A)_k * conj(fft(conj(B)))_k ]
+    + per-ring power sums (the NCC denominator: psi-independent because a
+    full-circle sum is invariant under circular shifts)."""
+    D = directions.shape[0]
+    vol_pad = Fref.shape[0] // n
+    R0 = euler_to_matrix(directions[:, 0], directions[:, 1], jnp.zeros(D))
+    ex = R0[:, 0, :]
+    ey = R0[:, 1, :]
+    q = (pts[None, ..., 1, None] * ex[:, None, None, :]
+         + pts[None, ..., 0, None] * ey[:, None, None, :])   # (D, R, P, 3) xyz
+    U = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+    FUc = jnp.conj(jnp.fft.fft(jnp.conj(U), axis=-1))        # (D, R, K)
+    u2sum = jnp.sum(jnp.abs(U) ** 2, axis=-1)                # (D, R)
+    return U, FUc, u2sum
+
+
+# ---------------------------------------------------------------------------
+# matching + shifts (single jitted round)
+# ---------------------------------------------------------------------------
+
+def _upsampled_ifft(h, upsample: int):
+    """Real part of the inverse fft along psi, trigonometrically
+    interpolated onto an `upsample`-times finer psi grid."""
+    if upsample == 1:
+        return jnp.real(jnp.fft.ifft(h, axis=-1))
+    K = h.shape[-1]
+    lo = h[..., : K // 2]
+    hi = h[..., K // 2:]
+    mid = jnp.zeros(h.shape[:-1] + (K * (upsample - 1),), dtype=h.dtype)
+    return jnp.real(jnp.fft.ifft(
+        jnp.concatenate([lo, mid, hi], axis=-1), axis=-1)) * upsample
+
+
+def _match(Xp_shift_cands, ring_w, FUc, u2sum, dir_mask, d_block: int,
+           upsample: int):
+    """Best (shift candidate, direction, psi) per particle.
+
+    Xp_shift_cands: (S, B, R, P) — CTF-restored particle polar spectra with
+    each of S candidate shift phasors applied (shift marginalization:
+    orientation scoring takes the max over the joint (s, d, psi) grid, as
+    the gather path's global search does over its shift disk).
+    ring_w: (B, R) per-particle ring weights (quadrature x restored-CTF
+    confidence). The NCC denominator is both shift- and psi-independent
+    (|phasor| = 1; full-circle power sums are roll-invariant), so it is one
+    small matmul and only the num einsum repeats per candidate.
+
+    Returns (score, shift cand idx, dir idx, psi idx on the upsampled
+    grid), each (B,)."""
+    A = jnp.conj(Xp_shift_cands) * ring_w[None, :, :, None]
+    FA = jnp.fft.fft(A, axis=-1)                      # (S, B, R, K)
+    xnorm2 = jnp.sum(ring_w[:, :, None]
+                     * jnp.abs(Xp_shift_cands[0]) ** 2, axis=(1, 2))
+    return _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block,
+                       upsample)
+
+
+def _match_harmonics(FA, ring_w, Xp0, FUc, u2sum, dir_mask, d_block: int,
+                     upsample: int):
+    """_match with a precomputed (possibly harmonic-truncated) FA
+    (S, B, R, K'); Xp0 supplies the (shift-invariant) data norm."""
+    xnorm2 = jnp.sum(ring_w[:, :, None] * jnp.abs(Xp0) ** 2, axis=(1, 2))
+    return _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block,
+                       upsample)
+
+
+def _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block: int,
+                upsample: int):
+    S, B, R, K = FA.shape
+    D = FUc.shape[0]
+    Ku = K * upsample
+
+    def one_block(d0):
+        fu = jax.lax.dynamic_slice_in_dim(FUc, d0, d_block, axis=0)
+        u2 = jax.lax.dynamic_slice_in_dim(u2sum, d0, d_block, axis=0)
+        m = jax.lax.dynamic_slice_in_dim(dir_mask, d0, d_block, axis=1)
+        # psi-independent NCC denominator: full-circle power sums
+        den = jnp.sqrt(jnp.maximum(ring_w @ u2.T, 1e-20)
+                       * xnorm2[:, None])             # (B, d)
+        best = jnp.full((B,), -jnp.inf)
+        idx = jnp.zeros((B,), jnp.int32)
+        for s in range(S):  # static unroll; running max bounds memory
+            num = _upsampled_ifft(
+                jnp.einsum("brk,drk->bdk", FA[s], fu), upsample)
+            v = ((num / den[..., None]) + m[..., None]).reshape(B, -1)
+            i = jnp.argmax(v, axis=1)
+            val = jnp.take_along_axis(v, i[:, None], 1)[:, 0]
+            upd = val > best
+            idx = jnp.where(upd, s * (d_block * Ku) + i, idx)
+            best = jnp.maximum(best, val)
+        return best, idx
+
+    n_blocks = D // d_block
+    scores, idxs = jax.lax.map(
+        lambda i: one_block(i * d_block), jnp.arange(n_blocks))
+    blk = jnp.argmax(scores, axis=0)                      # (B,)
+    best = jnp.take_along_axis(scores, blk[None], 0)[0]
+    flat = jnp.take_along_axis(idxs, blk[None], 0)[0]
+    s_idx = flat // (d_block * Ku)
+    rem = flat % (d_block * Ku)
+    return best, s_idx, blk * d_block + rem // Ku, rem % Ku
+
+
+def _roll_psi(U, psi_deg):
+    """out(a) = U(a - psi): continuous circular shift along the psi axis
+    via harmonic phases."""
+    K = U.shape[-1]
+    k = jnp.asarray(np.fft.fftfreq(K) * K, dtype=jnp.float32)
+    ph = -2.0 * jnp.pi * k[None, None, :] * (psi_deg[:, None, None] / 360.0)
+    rot = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    return jnp.fft.ifft(jnp.fft.fft(U, axis=-1) * rot, axis=-1)
+
+
+def _refine_shifts(Xp_raw, ring_w, U_best, u2_best, psi_deg, pts,
+                   shift_grids, n: int):
+    """Best absolute shift per particle at the matched (direction, psi):
+    a batched (R*P) x (S) contraction over per-particle candidate grids
+    shift_grids (B, S, 2) (centered on each particle's current estimate).
+    ring_w: (B, R); u2_best: (B, R) ring power sums of the matched U."""
+    w = ring_w[:, :, None]
+    M = _roll_psi(U_best, psi_deg)                        # (B, R, P)
+    A = jnp.conj(Xp_raw) * M * w
+    B_ = A.shape[0]
+    # content shifted by +s carries spectrum phase e^{-2 pi i g.s / n}
+    # (empirically matched against reconstruct._shift_correct): removing it
+    # multiplies conj(Xp) by e^{-i ph}, so num = Re(A)cos(ph) + Im(A)sin(ph)
+    gy = pts[..., 0].reshape(-1)
+    gx = pts[..., 1].reshape(-1)
+    ph = (2.0 * jnp.pi / n) * (
+        gy[None, :, None] * shift_grids[:, None, :, 0]
+        + gx[None, :, None] * shift_grids[:, None, :, 1])  # (B, RP, S)
+    num = (jnp.einsum("bg,bgs->bs", jnp.real(A).reshape(B_, -1), jnp.cos(ph))
+           + jnp.einsum("bg,bgs->bs", jnp.imag(A).reshape(B_, -1),
+                        jnp.sin(ph)))                      # (B, S)
+    den = jnp.sqrt(
+        jnp.sum(w * jnp.abs(Xp_raw) ** 2, axis=(1, 2))
+        * jnp.sum(ring_w * u2_best, axis=1) + 1e-20)
+    s = num / den[:, None]
+    idx = jnp.argmax(s, axis=1)
+    best_shift = jnp.take_along_axis(
+        shift_grids, idx[:, None, None], axis=1)[:, 0]
+    return best_shift, jnp.take_along_axis(s, idx[:, None], 1)[:, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_psi", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "rounds", "d_block", "upsample",
+                     "cone_deg", "coarse_step", "wiener"),
+)
+def _frm_refine_jit(
+    stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, U, dir_table,
+    bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes,
+    n: int, n_psi: int, pixel_size: float, voltage_kv: float, cs_mm: float,
+    amplitude_contrast: float, rounds: int, d_block: int, upsample: int,
+    cone_deg, coarse_step: float = 0.0, wiener: float = 0.1,
+):
+    B = stack.shape[0]
+    R = pts.shape[0]
+    # --- CTF restoration on the sampled grid -----------------------------
+    # The particle spectrum samples are (CTF * slice); interpolating that
+    # product between samples does NOT equal CTF(g) * slice(g) where the
+    # CTF oscillates near the sampling rate. Wiener-dividing the CTF out
+    # ON THE GRID keeps every interpolation on the data side consistent,
+    # and the model side becomes the CTF-free slice U. The restored-band
+    # confidence C^2/(C^2+wiener) enters as per-particle ring weights.
+    X = image_to_fourier_full(stack)                       # (B, n, n)
+    Cg = ctf_model.ctf_2d(
+        (n, n), pixel_size, ctf_params[:, 0], ctf_params[:, 1],
+        ctf_params[:, 2], voltage_kv, cs_mm, w=amplitude_contrast,
+        phase_shift_rad=ctf_params[:, 3], rfft=False)      # (B, n, n)
+    conf = Cg * Cg / (Cg * Cg + wiener)
+    Xw = X * (Cg / (Cg * Cg + wiener))
+    Xr = jnp.real(Xw).reshape(B, -1)
+    Xi = jnp.imag(Xw).reshape(B, -1)
+    Xp = jax.lax.complex(
+        Xr @ W_re.T - Xi @ W_im.T,
+        Xr @ W_im.T + Xi @ W_re.T).reshape(B, R, n_psi)
+    # per-particle ring weights: quadrature x ring-mean restored confidence
+    # (real part of the complex-kernel interpolation of a real array)
+    conf_rings = (conf.reshape(B, -1) @ W_re.T).reshape(B, R, n_psi)
+    wr = ring_w[None, :] * jnp.clip(jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
+
+    D = FUc.shape[0]
+    if cone_deg is None:
+        dir_mask = jnp.zeros((B, D))
+    else:
+        cosim = init_axes @ bank_axes.T
+        dir_mask = jnp.where(
+            cosim >= np.cos(np.radians(cone_deg)), 0.0, -jnp.inf)
+    pad = (-D) % d_block
+    if pad:
+        FUc = jnp.pad(FUc, ((0, pad), (0, 0), (0, 0)))
+        u2sum = jnp.pad(u2sum, ((0, pad), (0, 0)))
+        dir_mask = jnp.pad(dir_mask, ((0, 0), (0, pad)),
+                           constant_values=-jnp.inf)
+
+    shifts = init_shifts
+    scores = d_idx = psi_deg = None
+    radii_dev = pts[:, 0, 1]  # (R,) ring radii (gx at angle 0)
+    # low-harmonic tables for the coarse round: a ring of radius r only
+    # carries ~2*pi*r meaningful psi harmonics, and the damped coarse match
+    # doesn't use the outer rings' detail — truncating the psi spectrum
+    # cuts the (S x D)-sized round-0 einsum several-fold
+    k0 = min(n_psi, 64)
+    FUc0 = jnp.concatenate([FUc[..., : k0 // 2], FUc[..., -k0 // 2:]],
+                           axis=-1)
+    for rnd in range(rounds):
+        if rnd == 0:
+            # unknown shift: marginalize the match over a coarse absolute
+            # shift grid (exactly what the gather path's global search does
+            # over its shift disk) + mild ring damping for the residual
+            # within one coarse cell
+            cand = coarse_shifts[:, None, :] + shifts[None]     # (S, B, 2)
+            step = max(float(coarse_step), 1e-3)
+            damp = jnp.exp(-0.5 * (2.0 * jnp.pi * radii_dev
+                                   * (step / 2.0) / n) ** 2)
+            w_round = wr * jnp.maximum(damp, 1e-4)[None, :]
+            fuc, k_round, up_round = FUc0, k0, 1
+        else:
+            cand = shifts[None]                                 # (1, B, 2)
+            w_round = wr
+            fuc, k_round, up_round = FUc, n_psi, upsample
+        # content shift s puts phase e^{-2 pi i g.s/n} on the spectrum;
+        # multiply by the +phasor to undo each candidate
+        phas = jax.vmap(lambda s: shift_phasor_polar(pts, s, n))(cand)
+        Xc = Xp[None] * phas
+        if k_round < n_psi:
+            FX = jnp.fft.fft(jnp.conj(Xc) * w_round[None, :, :, None],
+                             axis=-1)
+            FA = jnp.concatenate(
+                [FX[..., : k_round // 2], FX[..., -k_round // 2:]], axis=-1)
+            scores, s_idx, d_idx, psi_idx = _match_harmonics(
+                FA, w_round, Xc[0], fuc, u2sum, dir_mask, d_block, up_round)
+        else:
+            scores, s_idx, d_idx, psi_idx = _match(
+                Xc, w_round, fuc, u2sum, dir_mask, d_block, up_round)
+        shifts = jnp.take_along_axis(
+            cand, s_idx[None, :, None], axis=0)[0]              # (B, 2)
+        psi_deg = psi_idx.astype(jnp.float32) * (360.0 / (k_round * up_round))
+        shifts, scores = _refine_shifts(
+            Xp, wr, U[d_idx], u2sum[d_idx], psi_deg, pts,
+            shift_grid[None] + shifts[:, None, :], n)
+    dirs = dir_table[d_idx]                               # (B, 2)
+    poses = jnp.stack([
+        dirs[:, 0], dirs[:, 1], psi_deg, shifts[:, 0], shifts[:, 1],
+    ], axis=-1)
+    return poses, scores
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+class FrmConfig:
+    """Static search geometry + the (cached) polar interpolation matrix."""
+
+    def __init__(self, n, pixel_size, low_res=25.0, high_res=8.0,
+                 angular_step=7.5, symmetry="C1", n_psi=None,
+                 shift_extent=6.0, shift_step=1.0, rounds=3,
+                 voltage_kv=300.0, cs_mm=2.7, amplitude_contrast=0.07,
+                 upsample=4, wiener=0.1):
+        from pyp_tpu.ops.refine3d import make_directions, make_shift_grid
+
+        self.n = int(n)
+        self.pixel_size = float(pixel_size)
+        self.radii = make_rings(n, pixel_size, low_res, high_res)
+        self.n_psi = int(n_psi or default_n_psi(self.radii))
+        self.ring_w = jnp.asarray(ring_weights(self.radii))
+        self.directions = np.asarray(make_directions(angular_step, symmetry),
+                                     dtype=np.float32)
+        self.shift_grid = jnp.asarray(make_shift_grid(shift_extent, shift_step))
+        self.rounds = int(rounds)
+        self.upsample = int(upsample)
+        # coarse shift-marginalization grid for the first match round
+        self.coarse_step = max(float(shift_step), float(shift_extent) / 3.0)
+        self.coarse_shifts = jnp.asarray(
+            make_shift_grid(shift_extent, self.coarse_step))
+        self.wiener = float(wiener)
+        self.voltage_kv = float(voltage_kv)
+        self.cs_mm = float(cs_mm)
+        self.amplitude_contrast = float(amplitude_contrast)
+        W_re, W_im = polar_matrix(n, self.radii, self.n_psi)
+        self.W_re = jnp.asarray(W_re)
+        self.W_im = jnp.asarray(W_im)
+        self.pts = jnp.asarray(polar_points(self.radii, self.n_psi))
+
+    def bank(self, Fref) -> FrmBank:
+        return FrmBank(Fref, self.directions, self.radii, self.n_psi, self.n)
+
+
+def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
+               init_poses=None, prior_cone_deg=None, d_block: int = None):
+    """Full orientation + shift search for one particle batch.
+
+    Returns (poses (B, 5) = (phi, theta, psi, sy, sx), scores (B,)).
+    Alternates exhaustive orientation matching (all directions x all psi,
+    MXU) with grid shift refinement. With init_poses + prior_cone_deg this
+    is the 'local' mode (the reference's refine3d local search); without,
+    the exhaustive global mode. The bank should be built once per
+    refinement iteration and reused across batches."""
+    if bank is None:
+        bank = cfg.bank(Fref)
+    stack = jnp.asarray(stack)
+    B = stack.shape[0]
+    if d_block is None:
+        # bound the (B, d_block, K*upsample) score block to ~64 MB
+        budget = 16 * 2 ** 20
+        d_block = max(8, min(64, budget // max(1, B * cfg.n_psi
+                                               * cfg.upsample // 4)))
+    if init_poses is not None:
+        init_poses = jnp.asarray(init_poses)
+        init_shifts = init_poses[:, 3:5]
+        R_i = euler_to_matrix(init_poses[:, 0], init_poses[:, 1],
+                              init_poses[:, 2])
+        init_axes = R_i[:, 2, :]
+        cone = float(prior_cone_deg) if prior_cone_deg is not None else None
+    else:
+        init_shifts = jnp.zeros((B, 2))
+        init_axes = jnp.zeros((B, 3))
+        cone = None
+    return _frm_refine_jit(
+        stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
+        cfg.ring_w, bank.FUc, bank.u2sum, bank.U,
+        jnp.asarray(bank.directions), jnp.asarray(bank.axes),
+        cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes,
+        cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
+        cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
+        cone, cfg.coarse_step, cfg.wiener,
+    )

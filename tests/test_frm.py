@@ -1,0 +1,137 @@
+"""FRM (polar matmul) projection matching: exactness + closed-loop recovery.
+
+The FRM engine must (a) interpolate spectra exactly (Dirichlet matrix),
+(b) honor the same pose/shift conventions as the gather path, and
+(c) recover ground-truth poses on the same synthetic data the gather-based
+refine3d tests use (test_refine3d.make_particles)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pyp_tpu.core.geometry import euler_to_matrix
+from pyp_tpu.ops import frm
+from pyp_tpu.ops import fourier_slice as fs
+
+from test_refine3d import N, PIXEL, make_particles, make_volume, rotation_error_deg
+
+
+class TestPolarMatrix:
+    def test_exact_interpolation(self):
+        """Matrix polar samples == brute-force NUDFT of the image."""
+        n = 24
+        rng = np.random.RandomState(0)
+        img = rng.randn(n, n).astype(np.float32)
+        radii = np.array([3.0, 5.0, 8.5])
+        n_psi = 16
+        Xp = np.asarray(frm.polar_transform(
+            jnp.asarray(img[None]),
+            *[jnp.asarray(w) for w in frm.polar_matrix(n, radii, n_psi)],
+        ))[0].reshape(len(radii), n_psi)
+
+        # brute force: X(g) = sum_m img[m] exp(-2pi i g.(m - c)/n), c = n//2
+        ys, xs = np.mgrid[0:n, 0:n]
+        pts = frm.polar_points(radii, n_psi)
+        want = np.zeros((len(radii), n_psi), dtype=np.complex128)
+        for i in range(len(radii)):
+            for j in range(n_psi):
+                gy, gx = pts[i, j]
+                ph = -2j * np.pi * (gy * (ys - n // 2) + gx * (xs - n // 2)) / n
+                want[i, j] = np.sum(img * np.exp(ph))
+        np.testing.assert_allclose(Xp, want, rtol=2e-4, atol=2e-3)
+
+    def test_bank_matches_projection_spectrum(self):
+        """U_d ring values must equal the polar transform of the projection
+        at (phi, theta, psi=0) — the two sides of the score see the same
+        function (bank: trilinear 3D gather; particle: Dirichlet matrix)."""
+        vol = make_volume()
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        radii = np.array([3.0, 6.0, 9.0])
+        n_psi = 32
+        d = np.array([[40.0, 70.0]], dtype=np.float32)
+        U = np.asarray(frm.direction_bank(Fv, d, radii, n_psi, N))[0]
+
+        proj = np.asarray(fs.fourier_to_image(
+            fs.project(Fv, euler_to_matrix(40.0, 70.0, 0.0)[None], N), N))
+        Xp = np.asarray(frm.polar_transform(
+            jnp.asarray(proj),
+            *[jnp.asarray(w) for w in frm.polar_matrix(N, radii, n_psi)],
+        ))[0].reshape(len(radii), n_psi)
+        # trilinear (bank) vs exact (particle): interpolation-limited
+        # agreement — pad-2 trilinear at N=32 carries ~7% median error
+        # (shrinks with box size; both score sides see the same function)
+        err = np.abs(U - Xp) / (np.abs(Xp).mean() + 1e-9)
+        assert np.median(err) < 0.12, np.median(err)
+
+
+class TestFrmRecovery:
+    def _cfg(self, **kw):
+        kw.setdefault("low_res", 30.0)
+        kw.setdefault("high_res", 6.0)
+        kw.setdefault("angular_step", 11.0)
+        kw.setdefault("shift_extent", 3.0)
+        kw.setdefault("shift_step", 0.5)
+        return frm.FrmConfig(N, PIXEL, **kw)
+
+    def test_global_recovery(self):
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=12,
+                                                  noise=0.1)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        cfg = self._cfg()
+        poses, scores = frm.frm_refine(stack, ctf_params, Fv, cfg)
+        poses = np.asarray(poses)
+        errs, shift_errs = [], []
+        for b in range(poses.shape[0]):
+            Rf = np.asarray(euler_to_matrix(*poses[b, :3]))
+            errs.append(rotation_error_deg(Rf, truth["R"][b]))
+            shift_errs.append(np.abs(poses[b, 3:5] - truth["shifts"][b]).max())
+        errs = np.array(errs)
+        # lattice step 11 deg -> every particle within ~1.2 lattice steps
+        assert np.median(errs) < 9.0, errs
+        assert (errs < 14.0).mean() >= 0.8, errs
+        assert np.median(shift_errs) < 1.0, shift_errs
+
+    def test_local_mode_prior(self):
+        """With a warm pose + cone prior the search stays near the init and
+        still refines shifts."""
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=8,
+                                                  noise=0.1)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        cfg = self._cfg(angular_step=6.0)
+        init = np.stack([truth["phi"], truth["theta"], truth["psi"],
+                         np.zeros(8), np.zeros(8)], axis=1).astype(np.float32)
+        poses, scores = frm.frm_refine(stack, ctf_params, Fv, cfg,
+                                       init_poses=init, prior_cone_deg=10.0)
+        poses = np.asarray(poses)
+        errs = [rotation_error_deg(np.asarray(euler_to_matrix(*poses[b, :3])),
+                                   truth["R"][b]) for b in range(8)]
+        assert np.median(errs) < 7.0, errs
+
+    def test_beats_or_matches_gather_path(self):
+        """Same data, FRM vs the gather-based global search + local refine:
+        median angular error must be no worse than 1.5x the gather path."""
+        from pyp_tpu.ops import refine3d
+
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=10,
+                                                  noise=0.15)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        cfg = self._cfg()
+        poses_f, _ = frm.frm_refine(stack, ctf_params, Fv, cfg)
+        res_g = refine3d.refine_batch(
+            stack, ctf_params, jnp.asarray(vol), PIXEL,
+            angular_step=11.0, psi_step=10.0, low_res=30.0,
+            high_res_search=6.0, high_res_refine=6.0,
+            shift_extent=3.0, shift_step=1.0, local_iters=12,
+        )
+        poses_f = np.asarray(poses_f)
+        e_f, e_g = [], []
+        for b in range(10):
+            e_f.append(rotation_error_deg(
+                np.asarray(euler_to_matrix(*poses_f[b, :3])), truth["R"][b]))
+            Rg = np.asarray(euler_to_matrix(
+                float(res_g.phi[b]), float(res_g.theta[b]),
+                float(res_g.psi[b])))
+            e_g.append(rotation_error_deg(Rg, truth["R"][b]))
+        assert np.median(e_f) <= max(1.5 * np.median(e_g), 9.0), (e_f, e_g)
