@@ -4,9 +4,10 @@ Prints ONE JSON line. Headline (metric/value/unit/vs_baseline) is
 refine3d-equivalent local-refinement throughput; `extras` carries the other
 recorded metrics so every BASELINE.md north-star number lands in BENCH_r*.json:
 
-  - refine3d_global_particles_per_sec_per_chip: full exhaustive global
-    search + top-K local polish at 128 px (the early-iteration bottleneck).
-    Baseline: cisTEM2 refine3d global mode ~0.5 particles/sec/core ≈ 8/node.
+  - refine3d_local_gather_particles_per_sec_per_chip: the gather-based
+    autodiff local-refinement path (ops/refine3d.local_refine), kept for
+    transparency — XLA random gathers cap it at a few hundred p/s.
+    Baseline: cisTEM2 refine3d local ~40 particles/sec on a 16-core node.
   - preprocess_micrographs_per_min_per_chip: K3-size (40 x 4096^2) movie
     motion correction (HBM-frugal binned+scan path) + CTF fit. Baseline:
     reference GPU pipelines (MotionCor3 + CTFFIND4) ~4 micrographs/min.
@@ -14,13 +15,16 @@ recorded metrics so every BASELINE.md north-star number lands in BENCH_r*.json:
     1024^2 series into a 256-slab tomogram. Baseline: IMOD `tilt` on a
     16-core node ~5e7 voxels/sec.
 
-Headline workload: local pose refinement (the inner loop of every refinement
-iteration — SURVEY §3.3/§3.4) on a realistic SPA configuration: 128 px
-boxes, 1.0 Å/px, refinement band 25-4 Å, 16 gradient steps over
-(phi, theta, psi, sy, sx), plus CTF-weighted scoring. Baseline: the
-reference wraps cisTEM2 refine3d (CPU); measured throughput of its local
-refinement mode is ~2-4 particles/sec/core, i.e. ~40 particles/sec on a
-16-core SLURM node (no GPU path exists for refine3d in the reference).
+Headline workload: the FRM engine (ops/frm.py) running a FULL exhaustive
+orientation + shift search per particle — 7.5 deg direction lattice x 256
+in-plane angles x 29 coarse shifts + fine shift grid, 25-4 Å band, 128 px
+boxes — the refine3d-equivalent global mode (SURVEY §3.3/§A.1). Baseline:
+the reference wraps cisTEM2 refine3d (CPU); its global mode runs
+~0.5 particles/sec/core ≈ 8 particles/sec on a 16-core SLURM node.
+
+NOTE on round-1 numbers: BENCH_r01 values were recorded with
+block_until_ready(), which does NOT wait for execution through the axon
+tunnel; every timing here syncs with a host readback (_sync).
 """
 
 import json
@@ -28,8 +32,8 @@ import time
 
 import numpy as np
 
-BASELINE_LOCAL_PPS = 40.0     # cisTEM2 refine3d local, 16-core node
-BASELINE_GLOBAL_PPS = 8.0     # cisTEM2 refine3d global, 16-core node
+BASELINE_GLOBAL_PPS = 8.0     # cisTEM2 refine3d global mode, 16-core node
+BASELINE_LOCAL_PPS = 40.0     # cisTEM2 refine3d local mode, 16-core node
 BASELINE_PREPROC_MPM = 4.0    # MotionCor3+CTFFIND GPU pipeline, mics/min
 BASELINE_WBP_VPS = 5e7        # IMOD tilt, 16-core node, voxels/sec
 
@@ -68,7 +72,32 @@ def _timed(fn, reps=3, inner=1):
     return best
 
 
-def bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts):
+def bench_frm(jax, jnp, Fref):
+    """Headline: FRM full exhaustive search, B=256."""
+    from pyp_tpu.ops import frm
+
+    B = 256
+    rng = np.random.RandomState(3)
+    stack = jnp.asarray(rng.randn(B, N, N).astype(np.float32))
+    df = rng.uniform(10000, 25000, B).astype(np.float32)
+    ctf = jnp.asarray(np.stack(
+        [df + 300, df - 300, np.full(B, 40.0), np.zeros(B)], 1
+    ).astype(np.float32))
+    cfg = frm.FrmConfig(N, PIXEL, low_res=25.0, high_res=4.0,
+                        angular_step=7.5, shift_extent=6.0, shift_step=1.0,
+                        rounds=2)
+    bank = cfg.bank(Fref)
+    _sync(bank.u2sum)
+
+    def run():
+        _, scores = frm.frm_refine(stack, ctf, None, cfg, bank=bank)
+        return scores
+
+    _sync(run())  # compile
+    return B / _timed(run, reps=2, inner=1)
+
+
+def bench_local_gather(jnp, r3, Fref, stack, ctf_params, poses, mask_pts):
     def run():
         _, scores = r3.local_refine(
             stack, ctf_params, Fref, poses, mask_pts, N, PIXEL, iters=ITERS,
@@ -76,23 +105,6 @@ def bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts):
         return scores
 
     _sync(run())  # compile
-    return BATCH / _timed(run, reps=3, inner=2)
-
-
-def bench_global(jax, jnp, r3, Fref, stack, ctf_params):
-    directions = jnp.asarray(r3.make_directions(15.0, "C1"))
-    psis = jnp.arange(0.0, 360.0, 10.0, dtype=jnp.float32)
-    pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 8.0))
-    shifts = jnp.asarray(r3.make_shift_grid(6.0, 2.0))
-
-    def run():
-        _, scores = r3.global_search(
-            stack, ctf_params, Fref, directions, psis, pts, shifts,
-            N, PIXEL, topk=4,
-        )
-        return scores
-
-    _sync(run())
     return BATCH / _timed(run, reps=2, inner=1)
 
 
@@ -167,17 +179,18 @@ def main():
     ).astype(np.float32))
     mask_pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 4.0))
 
-    local_pps = bench_local(jnp, r3, Fref, stack, ctf_params, poses, mask_pts)
+    frm_pps = bench_frm(jax, jnp, Fref)
 
     extras = {}
     try:
-        g = bench_global(jax, jnp, r3, Fref, stack, ctf_params)
-        extras["refine3d_global_particles_per_sec_per_chip"] = {
+        g = bench_local_gather(jnp, r3, Fref, stack, ctf_params, poses,
+                               mask_pts)
+        extras["refine3d_local_gather_particles_per_sec_per_chip"] = {
             "value": round(g, 2), "unit": "particles/sec/chip",
-            "vs_baseline": round(g / BASELINE_GLOBAL_PPS, 2),
+            "vs_baseline": round(g / BASELINE_LOCAL_PPS, 2),
         }
     except Exception as e:  # noqa: BLE001
-        extras["refine3d_global_particles_per_sec_per_chip"] = {"error": str(e)[:200]}
+        extras["refine3d_local_gather_particles_per_sec_per_chip"] = {"error": str(e)[:200]}
     try:
         m = bench_preprocess(jax, jnp)
         extras["preprocess_micrographs_per_min_per_chip"] = {
@@ -196,10 +209,10 @@ def main():
         extras["tomo_wbp_voxels_per_sec_per_chip"] = {"error": str(e)[:200]}
 
     print(json.dumps({
-        "metric": "refine3d_local_particles_per_sec_per_chip",
-        "value": round(local_pps, 2),
+        "metric": "refine3d_full_search_particles_per_sec_per_chip",
+        "value": round(frm_pps, 2),
         "unit": "particles/sec/chip",
-        "vs_baseline": round(local_pps / BASELINE_LOCAL_PPS, 2),
+        "vs_baseline": round(frm_pps / BASELINE_GLOBAL_PPS, 2),
         "extras": extras,
     }))
 

@@ -174,6 +174,11 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("refine_maxiter", int, 5, "number of refinement iterations"),
         P("refine_iter", int, 2, "first iteration (resume point)"),
         P("refine_mode", str, "local", "search mode", enum=("global", "local")),
+        P("refine_engine", str, "frm", "pose-search engine: frm (polar "
+          "matmul, MXU) or gather (per-pose Fourier-slice gathers)",
+          enum=("frm", "gather")),
+        P("refine_frm_cone", float, 20.0,
+          "frm local mode: direction prior cone around the current pose (deg)"),
         P("refine_rlref", float, 100.0, "low-res limit (Å)"),
         P("refine_rhref", str, "8:7:6:4:3", "high-res limit schedule (Å)",
           schedule=True),

@@ -113,6 +113,151 @@ def ab_initio(
     return vol, poses
 
 
+def ab_initio_frm(
+    stack,
+    ctf_params,
+    pixel_size: float,
+    n_rounds: int = 10,
+    start_res: float = 40.0,
+    end_res: float = 12.0,
+    symmetry: str = "C1",
+    angular_step: float = 15.0,
+    top_t: int = 8,
+    beta0: float = 20.0,
+    beta_growth: float = 1.4,
+    hard_rounds: int = 3,
+    hard_end_res: float = None,
+    seed: int = 0,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Marginalized ab initio on the FRM engine (the cryoSPARC-style
+    branch-and-bound role, reference frealign.py:4552): each round scores
+    EVERY particle against EVERY direction of the lattice (ops/frm — cheap
+    on the MXU), converts scores to a tempered posterior over orientations,
+    and reconstructs with each particle inserted at its top-T directions
+    weighted by that posterior. Soft assignment is what prevents the
+    self-consistent wrong minima that hard-argmax ab initio collapses into
+    (STATUS round 1); the inverse temperature beta anneals upward so the
+    posterior sharpens as the model improves, alongside the usual
+    resolution ladder. Returns (volume, hard poses (B, 5))."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+    from pyp_tpu.ops import frm
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+    stack = np.asarray(stack, dtype=np.float32)
+    ctf_params = np.asarray(ctf_params, dtype=np.float32)
+    B, n, _ = stack.shape
+    rng = np.random.RandomState(seed)
+    mask = np.asarray(soft_spherical_mask(n, n * 0.4, 4.0))
+    res_ladder = np.geomspace(start_res, end_res, n_rounds)
+
+    # lumpy asymmetric seed: a few particles at random poses
+    seed_idx = rng.choice(B, size=min(8, B), replace=False)
+    poses0 = np.stack([
+        rng.uniform(0, 360, len(seed_idx)),
+        np.degrees(np.arccos(rng.uniform(-1, 1, len(seed_idx)))),
+        rng.uniform(0, 360, len(seed_idx)),
+        np.zeros(len(seed_idx)), np.zeros(len(seed_idx)),
+    ], axis=1).astype(np.float32)
+    out = rec.reconstruct(stack[seed_idx], jnp.asarray(poses0),
+                          jnp.asarray(ctf_params[seed_idx]), pixel_size,
+                          symmetry=symmetry, voltage_kv=voltage_kv,
+                          cs_mm=cs_mm, amplitude_contrast=amplitude_contrast)
+    vol = np.array(lowpass_filter_3d(
+        jnp.asarray(np.asarray(out.volume) * mask), pixel_size,
+        float(res_ladder[0])), dtype=np.float32)
+
+    subset = np.arange(B) % 2
+    beta = beta0
+    poses_hard = None
+    for r in range(n_rounds):
+        res = float(res_ladder[r])
+        cfg = frm.get_config(
+            n, pixel_size, low_res=min(300.0, n * pixel_size),
+            high_res=max(res, 2.5 * pixel_size),
+            angular_step=angular_step, symmetry=symmetry,
+            shift_extent=max(2.0, n * 0.05), shift_step=2.0,
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast)
+        with Timer(f"ab-initio(frm) round {r + 1}/{n_rounds} @ {res:.0f} Å "
+                   f"(beta={beta:.0f})"):
+            bank = cfg.bank(volume_to_fourier(jnp.asarray(vol)))
+            scores, psis = frm.frm_score_directions(
+                stack, ctf_params, cfg, bank)           # (B, D)
+            scores = np.asarray(scores)
+            psis = np.asarray(psis)
+            D = scores.shape[1]
+            T = min(top_t, D)
+            top = np.argpartition(-scores, T - 1, axis=1)[:, :T]   # (B, T)
+            s_top = np.take_along_axis(scores, top, axis=1)
+            p_top = np.take_along_axis(psis, top, axis=1)
+            w = np.exp(beta * (s_top - s_top.max(axis=1, keepdims=True)))
+            w /= w.sum(axis=1, keepdims=True)
+            dirs = bank.directions[top]                  # (B, T, 2)
+            poses_soft = np.concatenate([
+                dirs, p_top[..., None],
+                np.zeros((B, T, 2), np.float32),
+            ], axis=2).reshape(B * T, 5).astype(np.float32)
+            rows = np.repeat(np.arange(B), T)
+            out = rec.reconstruct(
+                stack[rows], jnp.asarray(poses_soft),
+                jnp.asarray(ctf_params[rows]), pixel_size,
+                subset=subset[rows].astype(np.int32),
+                weights=w.reshape(-1).astype(np.float32),
+                symmetry=symmetry, voltage_kv=voltage_kv, cs_mm=cs_mm,
+                amplitude_contrast=amplitude_contrast,
+            )
+            vol = np.array(lowpass_filter_3d(
+                jnp.asarray(np.asarray(out.volume) * mask), pixel_size,
+                res), dtype=np.float32)
+            hard = np.argmax(s_top, axis=1)
+            poses_hard = poses_soft.reshape(B, T, 5)[np.arange(B), hard]
+            logger.info(
+                "round %d: posterior entropy %.2f bits (of %.2f), "
+                "mean best score %.3f", r + 1,
+                float(np.mean(-np.sum(w * np.log2(w + 1e-12), axis=1))),
+                float(np.log2(T)), float(s_top.max(axis=1).mean()))
+        beta *= beta_growth
+
+    # --- hard phase: the soft posterior lands the model in the right
+    # basin (measured cc ~0.6 vs ground truth on the 256-particle control);
+    # a few standard exhaustive-refinement rounds at a finer lattice push
+    # it to convergence (cc ~0.9 on the same control)
+    hard_end = float(hard_end_res if hard_end_res is not None
+                     else max(end_res * 0.75, 2.5 * pixel_size))
+    hard_ladder = np.geomspace(res_ladder[-1], hard_end, max(hard_rounds, 1))
+    for r in range(hard_rounds):
+        res = float(hard_ladder[r])
+        cfg = frm.get_config(
+            n, pixel_size, low_res=min(60.0, n * pixel_size),
+            high_res=max(res, 2.5 * pixel_size),
+            angular_step=max(angular_step * 0.6, 7.5), symmetry=symmetry,
+            shift_extent=max(2.0, n * 0.05), shift_step=1.0,
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast)
+        with Timer(f"ab-initio(frm) hard round {r + 1}/{hard_rounds} "
+                   f"@ {res:.0f} Å"):
+            bank = cfg.bank(volume_to_fourier(jnp.asarray(vol)))
+            poses_hard, _scores = frm.frm_refine(
+                stack, ctf_params, None, cfg, bank=bank)
+            poses_hard = np.asarray(poses_hard)
+            out = rec.reconstruct(
+                stack, jnp.asarray(poses_hard), jnp.asarray(ctf_params),
+                pixel_size, subset=subset.astype(np.int32),
+                symmetry=symmetry, voltage_kv=voltage_kv, cs_mm=cs_mm,
+                amplitude_contrast=amplitude_contrast,
+            )
+            vol = np.array(lowpass_filter_3d(
+                jnp.asarray(np.asarray(out.volume) * mask), pixel_size,
+                res), dtype=np.float32)
+    return vol, poses_hard
+
+
 def mean_particle_score(stack, ctf_params, poses, volume, pixel_size,
                         res: float, voltage_kv=300.0, cs_mm=2.7, w=0.07):
     """Mean CTF-weighted NCC of the stack against a model at given poses —

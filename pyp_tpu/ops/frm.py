@@ -372,7 +372,7 @@ def _refine_shifts(Xp_raw, ring_w, U_best, u2_best, psi_deg, pts,
 )
 def _frm_refine_jit(
     stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, U, dir_table,
-    bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes,
+    bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes, ring_cref,
     n: int, n_psi: int, pixel_size: float, voltage_kv: float, cs_mm: float,
     amplitude_contrast: float, rounds: int, d_block: int, upsample: int,
     cone_deg, coarse_step: float = 0.0, wiener: float = 0.1,
@@ -401,7 +401,8 @@ def _frm_refine_jit(
     # per-particle ring weights: quadrature x ring-mean restored confidence
     # (real part of the complex-kernel interpolation of a real array)
     conf_rings = (conf.reshape(B, -1) @ W_re.T).reshape(B, R, n_psi)
-    wr = ring_w[None, :] * jnp.clip(jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
+    wr = (ring_w * ring_cref)[None, :] * jnp.clip(
+        jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
 
     D = FUc.shape[0]
     if cone_deg is None:
@@ -512,7 +513,8 @@ class FrmConfig:
 
 
 def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
-               init_poses=None, prior_cone_deg=None, d_block: int = None):
+               init_poses=None, prior_cone_deg=None, d_block: int = None,
+               fsc_curve=None):
     """Full orientation + shift search for one particle batch.
 
     Returns (poses (B, 5) = (phi, theta, psi, sy, sx), scores (B,)).
@@ -520,7 +522,8 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
     MXU) with grid shift refinement. With init_poses + prior_cone_deg this
     is the 'local' mode (the reference's refine3d local search); without,
     the exhaustive global mode. The bank should be built once per
-    refinement iteration and reused across batches."""
+    refinement iteration and reused across batches. fsc_curve (optional)
+    applies Cref SSNR ring weighting."""
     if bank is None:
         bank = cfg.bank(Fref)
     stack = jnp.asarray(stack)
@@ -541,12 +544,154 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         init_shifts = jnp.zeros((B, 2))
         init_axes = jnp.zeros((B, 3))
         cone = None
+    if fsc_curve is not None:
+        ring_cref = jnp.asarray(
+            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))
+    else:
+        ring_cref = jnp.ones(len(cfg.radii), dtype=jnp.float32)
     return _frm_refine_jit(
         stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
         cfg.ring_w, bank.FUc, bank.u2sum, bank.U,
         jnp.asarray(bank.directions), jnp.asarray(bank.axes),
-        cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes,
+        cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes, ring_cref,
         cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("d_block",))
+def _score_directions_jit(Xp, wr, FUc, u2sum, d_block: int):
+    """Per-(particle, direction) best-over-psi scores: returns
+    (scores (B, D), psi_idx (B, D)) — the full marginal score matrix the
+    soft-assignment (ab initio / classification) paths consume."""
+    B = Xp.shape[0]
+    A = jnp.conj(Xp) * wr[:, :, None]
+    FA = jnp.fft.fft(A, axis=-1)
+    xnorm2 = jnp.sum(wr[:, :, None] * jnp.abs(Xp) ** 2, axis=(1, 2))
+    D = FUc.shape[0]
+
+    def one_block(d0):
+        fu = jax.lax.dynamic_slice_in_dim(FUc, d0, d_block, axis=0)
+        u2 = jax.lax.dynamic_slice_in_dim(u2sum, d0, d_block, axis=0)
+        den = jnp.sqrt(jnp.maximum(wr @ u2.T, 1e-20) * xnorm2[:, None])
+        num = jnp.real(jnp.fft.ifft(
+            jnp.einsum("brk,drk->bdk", FA, fu), axis=-1))    # (B, d, K)
+        s = num / den[..., None]
+        pidx = jnp.argmax(s, axis=-1)
+        return (jnp.take_along_axis(s, pidx[..., None], -1)[..., 0],
+                pidx.astype(jnp.int32))
+
+    n_blocks = D // d_block
+    scores, psis = jax.lax.map(
+        lambda i: one_block(i * d_block), jnp.arange(n_blocks))
+    # (n_blocks, B, d_block) -> (B, D)
+    scores = jnp.moveaxis(scores, 0, 1).reshape(B, D)
+    psis = jnp.moveaxis(psis, 0, 1).reshape(B, D)
+    return scores, psis
+
+
+def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
+                         shifts=None, fsc_curve=None, d_block: int = 64):
+    """Score every particle against every bank direction (best psi each):
+    (scores (B, D), psi_deg (B, D)). The soft-assignment primitive for
+    marginalized ab initio and classification."""
+    stack = jnp.asarray(stack)
+    B = stack.shape[0]
+    D = bank.FUc.shape[0]
+    Xp, wr = _restore_polar(
+        stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.ring_w,
+        cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
+        cfg.amplitude_contrast, cfg.wiener)
+    if fsc_curve is not None:
+        wr = wr * jnp.asarray(
+            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))[None]
+    if shifts is not None:
+        Xp = Xp * shift_phasor_polar(cfg.pts, jnp.asarray(shifts), cfg.n)
+    d_block = min(d_block, D)
+    pad = (-D) % d_block
+    FUc, u2sum = bank.FUc, bank.u2sum
+    if pad:
+        FUc = jnp.pad(FUc, ((0, pad), (0, 0), (0, 0)))
+        u2sum = jnp.pad(u2sum, ((0, pad), (0, 0)))
+    scores, psis = _score_directions_jit(Xp, wr, FUc, u2sum, d_block)
+    return (scores[:, :D],
+            psis[:, :D].astype(jnp.float32) * (360.0 / cfg.n_psi))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "n_psi", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "wiener"),
+)
+def _restore_polar(stack, ctf_params, W_re, W_im, ring_w, n: int,
+                   n_psi: int, pixel_size: float, voltage_kv: float,
+                   cs_mm: float, amplitude_contrast: float, wiener: float):
+    """Wiener-restored polar spectra + per-particle ring weights (the
+    shared front half of _frm_refine_jit, exposed for the scoring path)."""
+    B = stack.shape[0]
+    X = image_to_fourier_full(stack)
+    Cg = ctf_model.ctf_2d(
+        (n, n), pixel_size, ctf_params[:, 0], ctf_params[:, 1],
+        ctf_params[:, 2], voltage_kv, cs_mm, w=amplitude_contrast,
+        phase_shift_rad=ctf_params[:, 3], rfft=False)
+    conf = Cg * Cg / (Cg * Cg + wiener)
+    Xw = X * (Cg / (Cg * Cg + wiener))
+    Xr = jnp.real(Xw).reshape(B, -1)
+    Xi = jnp.imag(Xw).reshape(B, -1)
+    R = ring_w.shape[0]
+    Xp = jax.lax.complex(
+        Xr @ W_re.T - Xi @ W_im.T,
+        Xr @ W_im.T + Xi @ W_re.T).reshape(B, R, n_psi)
+    conf_rings = (conf.reshape(B, -1) @ W_re.T).reshape(B, R, n_psi)
+    wr = ring_w[None, :] * jnp.clip(jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
+    return Xp, wr
+
+
+def ring_weights_from_fsc(fsc_curve, radii, n: int):
+    """Cref = sqrt(2C/(1+C)) SSNR weights at the ring radii (FREALIGN's
+    statistics weighting, the polar analog of
+    refine3d.shell_weights_from_fsc)."""
+    curve = np.clip(np.asarray(fsc_curve, dtype=np.float64), 0.0, 1.0)
+    n_bins = len(curve)
+    r = np.asarray(radii, dtype=np.float64) / n  # cycles/px
+    idx = np.clip((r / 0.5 * n_bins).astype(int), 0, n_bins - 1)
+    cref = np.sqrt(2.0 * curve / (1.0 + curve))
+    return cref[idx].astype(np.float32)
+
+
+_CFG_CACHE: dict = {}
+
+
+def get_config(n, pixel_size, **kw) -> FrmConfig:
+    """FrmConfig factory with caching — the polar matrix build is an
+    O(n^2 * R * n_psi) host computation worth reusing across refinement
+    iterations with the same geometry."""
+    key = (int(n), float(pixel_size),
+           tuple(sorted((k, float(v) if isinstance(v, (int, float)) else v)
+                        for k, v in kw.items())))
+    if key not in _CFG_CACHE:
+        if len(_CFG_CACHE) > 8:  # bound host+device memory
+            _CFG_CACHE.clear()
+        _CFG_CACHE[key] = FrmConfig(n, pixel_size, **kw)
+    return _CFG_CACHE[key]
+
+
+def to_refine_result(poses, scores, n_band_points: int = 1024):
+    """Adapt (poses, scores) to the RefineResult record the table layer
+    consumes (FREALIGN-compatible SCORE/LOGP/SIGMA columns)."""
+    from pyp_tpu.ops.refine3d import RefineResult
+
+    scores = jnp.clip(scores, -1.0, 1.0)
+    sigma = jnp.sqrt(jnp.maximum(1.0 - scores**2, 1e-6))
+    logp = -0.5 * n_band_points * jnp.log(jnp.maximum(sigma, 1e-6))
+    return RefineResult(
+        phi=jnp.mod(poses[:, 0], 360.0),
+        theta=jnp.mod(poses[:, 1], 360.0),
+        psi=jnp.mod(poses[:, 2], 360.0),
+        shift_y=poses[:, 3],
+        shift_x=poses[:, 4],
+        score=scores * 100.0,
+        logp=logp,
+        sigma=sigma,
     )

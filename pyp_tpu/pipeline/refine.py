@@ -84,6 +84,7 @@ def refinement_iteration(
     from pyp_tpu.parallel import pipeline_mesh, reconstruct_sharded, sharded_refine_batch
 
     mesh = pipeline_mesh()
+    engine = str(params.get("refine_engine") or "frm")
     rb_kwargs = dict(
         angular_step=float(params["refine_dang"]),
         psi_step=float(params["refine_psi_step"]),
@@ -105,22 +106,87 @@ def refinement_iteration(
     results = []
     if not params.get("refine_skip"):
         with Timer(f"refinement iteration {iteration}"):
-            for lo in range(0, n_total, step):
-                hi = min(lo + step, n_total)
-                init = None if global_search else table_to_poses(table, pixel)[lo:hi]
-                if mesh is not None:
-                    res = sharded_refine_batch(
-                        mesh, np.asarray(stack[lo:hi]), ctf_params[lo:hi],
-                        np.asarray(ref_volume), pixel,
-                        init_poses=init, shell_weights=shell_w, **rb_kwargs,
+            if engine == "frm":
+                # MXU engine (ops/frm.py): direction bank built once per
+                # iteration, shared across all particle batches
+                from pyp_tpu.ops import frm
+                from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+                n_box = stack.shape[-1]
+                cfg = frm.get_config(
+                    n_box, pixel,
+                    low_res=float(params["refine_rlref"]),
+                    high_res=max(rhref * 0.8, 2.1 * pixel),
+                    angular_step=float(params["refine_dang"]),
+                    symmetry=str(params["particle_sym"]),
+                    shift_extent=float(params["refine_searchx"]),
+                    shift_step=max(0.5, float(params["refine_searchx"]) / 12.0),
+                    voltage_kv=float(params["scope_voltage"]),
+                    cs_mm=float(params["scope_cs"]),
+                    amplitude_contrast=float(params["scope_wgh"]),
+                )
+                bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume)))
+                cone = (None if global_search
+                        else float(params.get("refine_frm_cone") or 20.0))
+                G_pts = len(cfg.radii) * cfg.n_psi
+                ndev = (1 if mesh is None
+                        else int(np.prod(list(mesh.shape.values()))))
+                for lo in range(0, n_total, step):
+                    hi = min(lo + step, n_total)
+                    xs = np.asarray(stack[lo:hi])
+                    cp = ctf_params[lo:hi]
+                    init = (None if global_search
+                            else table_to_poses(table, pixel)[lo:hi])
+                    b0 = hi - lo
+                    padb = (-b0) % ndev
+                    if padb:  # pad so the batch shards evenly; trim after
+                        xs = np.concatenate([xs, xs[-1:].repeat(padb, 0)])
+                        cp = np.concatenate([cp, cp[-1:].repeat(padb, 0)])
+                        if init is not None:
+                            init = np.concatenate(
+                                [init, init[-1:].repeat(padb, 0)])
+                    if mesh is not None:
+                        # pure data parallelism: shard the batch over every
+                        # mesh axis; GSPMD partitions the jitted engine
+                        import jax
+                        from jax.sharding import NamedSharding, PartitionSpec
+
+                        sh = NamedSharding(
+                            mesh, PartitionSpec(tuple(mesh.axis_names)))
+                        xs = jax.device_put(xs, sh)
+                        cp = jax.device_put(cp.astype(np.float32), sh)
+                        if init is not None:
+                            init = jax.device_put(
+                                init.astype(np.float32), sh)
+                    poses, scores = frm.frm_refine(
+                        xs, cp, None, cfg, bank=bank,
+                        init_poses=init, prior_cone_deg=cone,
+                        fsc_curve=fsc_curve,
                     )
-                else:
-                    res = refine3d.refine_batch(
-                        jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
-                        jnp.asarray(ref_volume), pixel,
-                        init_poses=init, shell_weights=shell_w, **rb_kwargs,
-                    )
-                results.append(res)
+                    res = frm.to_refine_result(
+                        poses, scores, n_band_points=G_pts)
+                    if padb:
+                        res = refine3d.RefineResult(
+                            *(getattr(res, f)[:b0]
+                              for f in refine3d.RefineResult._fields))
+                    results.append(res)
+            else:
+                for lo in range(0, n_total, step):
+                    hi = min(lo + step, n_total)
+                    init = None if global_search else table_to_poses(table, pixel)[lo:hi]
+                    if mesh is not None:
+                        res = sharded_refine_batch(
+                            mesh, np.asarray(stack[lo:hi]), ctf_params[lo:hi],
+                            np.asarray(ref_volume), pixel,
+                            init_poses=init, shell_weights=shell_w, **rb_kwargs,
+                        )
+                    else:
+                        res = refine3d.refine_batch(
+                            jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                            jnp.asarray(ref_volume), pixel,
+                            init_poses=init, shell_weights=shell_w, **rb_kwargs,
+                        )
+                    results.append(res)
             merged = refine3d.RefineResult(*(
                 jnp.concatenate([getattr(r, f) for r in results])
                 for f in refine3d.RefineResult._fields

@@ -19,6 +19,28 @@ from tests.test_refine3d import make_particles, make_volume, N, PIXEL
 
 
 @pytest.mark.slow
+class TestAbInitioFrm:
+    def test_from_scratch_recovery(self):
+        """Marginalized ab initio (FRM soft posterior + hard rounds) must
+        recover the true structure from scratch — the scenario hard-argmax
+        ab initio collapses on (round-1 STATUS: cc ~0.09). Acceptance per
+        VERDICT round 1: aligned cc > 0.8 vs ground truth."""
+        from pyp_tpu.ops.template_match import align_volumes
+
+        vol = make_volume()
+        imgs, ctf_params, _ = make_particles(
+            vol, n_particles=256, noise=0.2, shift_max=0.0, seed=3)
+        out, poses = ab_initio.ab_initio_frm(
+            np.asarray(imgs), np.asarray(ctf_params), PIXEL,
+            n_rounds=8, start_res=24.0, end_res=8.0, angular_step=12.0,
+            hard_rounds=3, hard_end_res=6.0, seed=1,
+        )
+        cc, _ang, _flipped, _aligned = align_volumes(
+            jnp.asarray(out), jnp.asarray(vol))
+        assert float(cc) > 0.8, float(cc)
+
+
+@pytest.mark.slow
 class TestAbInitio:
     def test_mechanics_and_score_improvement(self):
         vol = make_volume()
