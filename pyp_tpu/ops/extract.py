@@ -38,7 +38,8 @@ def window_particles(micrograph, coords, boxsize: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("boxsize", "downsample_to", "invert", "normalize"),
+    static_argnames=("boxsize", "downsample_to", "invert", "normalize",
+                     "subpixel"),
 )
 def extract_particles(
     micrograph,
@@ -47,14 +48,30 @@ def extract_particles(
     downsample_to: int | None = None,
     invert: bool = True,
     normalize: bool = True,
+    subpixel: bool = False,
 ):
     """Extract, (optionally) Fourier-bin, normalize, and sign-flip particles.
 
     Normalization: zero mean / unit variance estimated from the corner
     background region outside the particle-radius circle (cisTEM semantics).
+    With subpixel=True, float coords are honored: the window is cut at the
+    rounded position and the fractional remainder is removed by a Fourier
+    phase shift, so the particle lands exactly on the box center (the
+    reference's sub-pixel re-extraction, extract/core.py:360-676).
     Returns (N, s, s) float32 where s = downsample_to or boxsize.
     """
-    stack = window_particles(micrograph, coords, boxsize)
+    if subpixel:
+        coords_f = jnp.asarray(coords, dtype=jnp.float32)
+        ci = jnp.round(coords_f).astype(jnp.int32)
+        frac = coords_f - ci
+        stack = window_particles(micrograph, ci, boxsize)
+        from pyp_tpu.core.fft import shift_images
+
+        # content sits at +frac from the box center; shift it back
+        stack = shift_images(stack, -frac)
+    else:
+        stack = window_particles(micrograph, jnp.asarray(coords).astype(jnp.int32),
+                                 boxsize)
     if downsample_to is not None and downsample_to != boxsize:
         stack = fourier_crop(stack, (downsample_to, downsample_to))
         s = downsample_to

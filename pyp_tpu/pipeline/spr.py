@@ -243,13 +243,14 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
         meta = ItemMetadata(name, work_dir, mode="spr").load()
         if not (meta.is_done("box") and meta.is_done("average")):
             continue
-        coords = meta["box"][:, :2].astype(np.int32)
+        coords = meta["box"][:, :2].astype(np.float32)
         if len(coords) == 0:
             film += 1
             continue
         stack = ex.extract_particles(
             jnp.asarray(meta["average"]), jnp.asarray(coords), box,
             invert=bool(params.get("extract_inv", True)),
+            subpixel=True,
         )
         all_imgs.append(np.asarray(stack, dtype=np.float32))
         ctf_vec = meta["ctf"] if meta.is_done("ctf") else np.zeros(6)

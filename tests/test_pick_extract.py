@@ -213,3 +213,39 @@ class TestPick3DDispatch:
         for s in spots:
             dmin = np.min(np.linalg.norm(top2 - np.asarray(s), axis=1))
             assert dmin < 2.0, (s, top2)
+
+
+class TestSubpixelExtraction:
+    def test_fractional_coordinate_centers_particle(self):
+        """A blob at a fractional position must land on the box center with
+        subpixel=True (Fourier-shift residual), and be ~half a pixel off
+        without it."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.ops import extract as ex
+
+        ny = nx = 96
+        yy, xx = np.mgrid[0:ny, 0:nx].astype(np.float32)
+        cy, cx = 48.4, 47.6  # deliberately half-pixel-ish fractions
+        mic = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0**2))
+        coords = jnp.asarray(np.array([[cy, cx]], dtype=np.float32))
+
+        def centroid(img):
+            img = np.maximum(np.asarray(img), 0)
+            ys, xs = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+            s = img.sum()
+            return float((img * ys).sum() / s), float((img * xs).sum() / s)
+
+        box = 32
+        sub = ex.extract_particles(jnp.asarray(mic), coords, box,
+                                   invert=False, normalize=False,
+                                   subpixel=True)
+        y1, x1 = centroid(sub[0])
+        assert abs(y1 - box // 2) < 0.05 and abs(x1 - box // 2) < 0.05, (y1, x1)
+
+        hard = ex.extract_particles(jnp.asarray(mic),
+                                    coords, box,
+                                    invert=False, normalize=False)
+        y0, x0 = centroid(hard[0])
+        # integer windowing leaves the fractional offset in place
+        assert abs(y0 - box // 2) > 0.2 or abs(x0 - box // 2) > 0.2, (y0, x0)

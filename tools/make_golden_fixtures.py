@@ -145,9 +145,25 @@ def make_imod():
     print("wrote ref_series.xf / .tlt (+ .npy)")
 
 
+def make_lzw():
+    # libtiff (via Pillow) is the authoritative external LZW encoder
+    from PIL import Image
+
+    rng = np.random.RandomState(11)
+    arr = np.concatenate([
+        np.tile(np.arange(256, dtype=np.uint8), (32, 2)),
+        rng.randint(0, 255, (32, 512), dtype=np.uint8),
+    ])
+    Image.fromarray(arr).save(str(OUT / "ref_lzw.tif"), format="TIFF",
+                              compression="tiff_lzw")
+    np.save(OUT / "ref_lzw_data.npy", arr)
+    print("wrote ref_lzw.tif (+ .npy)")
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     _stub_reference_deps()
     make_cistem()
     make_par()
     make_imod()
+    make_lzw()
