@@ -128,3 +128,74 @@ def select_classes(table, keep_classes):
     logger.info("class selection: %d/%d particles kept (classes %s)",
                 int(keep.sum()), len(keep), sorted(keep_classes))
     return table, keep
+
+
+def assign_angular_defocus_groups(table, n_angles: int = 25,
+                                  n_defocuses: int = 25):
+    """Partition particles into (angular, defocus) bins (the reference's
+    assign_angular_defocus_groups, analysis/scores.py:208): theta is binned
+    modulo 180 into `n_angles` groups; defocus_1 is min-max binned into
+    `n_defocuses` groups. Returns (angular_group (B,), defocus_group (B,))."""
+    theta = np.asarray(table["theta"], dtype=np.float64)
+    df1 = np.asarray(table["defocus_1"], dtype=np.float64)
+    angular = np.floor(np.mod(theta, 180.0) * n_angles / 180.0).astype(int)
+    angular = np.clip(angular, 0, n_angles - 1)
+    lo, hi = float(np.floor(df1.min())), float(np.ceil(df1.max()))
+    if hi == lo:
+        defocus = np.zeros(len(df1), dtype=int)
+    else:
+        defocus = np.round((df1 - lo) / (hi - lo) * (n_defocuses - 1)).astype(int)
+    return angular, defocus
+
+
+def shape_scores(
+    table,
+    n_angles: int = 25,
+    n_defocuses: int = 25,
+    threshold: float = 1.0,
+    min_defocus: float = None,
+    max_defocus: float = None,
+    min_score: float = None,
+    max_score: float = None,
+    reverse: bool = False,
+):
+    """Per-(angular, defocus)-group score shaping (the reference's
+    shape_phase_residuals role, analysis/scores.py:300): inside each group,
+    keep the `threshold` fraction of best-scoring particles — group-local
+    cutoffs prevent views/defoci with systematically lower scores from being
+    purged wholesale — then apply absolute defocus/score windows. Rejected
+    particles get occupancy 0 (and image_is_active 0). Returns (table,
+    keep mask)."""
+    scores = np.asarray(table["score"], dtype=np.float64)
+    df1 = np.asarray(table["defocus_1"], dtype=np.float64)
+    ang_g, def_g = assign_angular_defocus_groups(table, n_angles, n_defocuses)
+    keep = np.ones(len(scores), dtype=bool)
+
+    if 0.0 < threshold < 1.0:
+        group_key = ang_g * n_defocuses + def_g
+        for g in np.unique(group_key):
+            sel = group_key == g
+            cut = np.quantile(scores[sel], 1.0 - threshold)
+            bad = sel & ((scores > cut) if reverse else (scores < cut))
+            keep[bad] = False
+    if min_defocus is not None:
+        keep &= df1 >= min_defocus
+    if max_defocus is not None:
+        keep &= df1 <= max_defocus
+    if min_score is not None:
+        keep &= scores >= min_score
+    if max_score is not None:
+        keep &= scores <= max_score
+
+    if "occupancy" in table:
+        occ = np.asarray(table["occupancy"]).copy()
+        occ[~keep] = 0.0
+        table["occupancy"] = occ
+    if "image_is_active" in table:
+        active = np.asarray(table["image_is_active"]).copy()
+        active[~keep] = 0
+        table["image_is_active"] = active
+    logger.info("score shaping: kept %d/%d particles "
+                "(%d angular x %d defocus groups)",
+                int(keep.sum()), len(keep), n_angles, n_defocuses)
+    return table, keep

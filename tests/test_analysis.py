@@ -187,3 +187,61 @@ class TestAlignVolumes:
         # hand-flipped copy is recognized as flipped
         cc2, _, flip2, _ = align_volumes(rot[::-1], vol)
         assert cc2 > 0.9 and flip2
+
+
+class TestScoreShaping:
+    def _table(self, B=200, seed=0):
+        from pyp_tpu.io import cistem
+
+        rng = np.random.RandomState(seed)
+        t = cistem.Table.zeros(B)
+        t["theta"] = rng.uniform(0, 180, B)
+        t["defocus_1"] = rng.uniform(10000, 30000, B)
+        t["score"] = rng.normal(20, 5, B)
+        t["occupancy"] = np.full(B, 100.0)
+        t["image_is_active"] = np.ones(B, dtype=np.int64)
+        return t
+
+    def test_angular_defocus_groups(self):
+        from pyp_tpu.analysis.scores import assign_angular_defocus_groups
+
+        t = self._table()
+        ang, dfg = assign_angular_defocus_groups(t, 10, 5)
+        assert ang.min() >= 0 and ang.max() <= 9
+        assert dfg.min() >= 0 and dfg.max() <= 4
+        # binning follows theta: theta near 0 -> group 0, near 179 -> last
+        t2 = self._table()
+        t2["theta"] = np.array([1.0] * 100 + [179.0] * 100)
+        ang2, _ = assign_angular_defocus_groups(t2, 10, 5)
+        assert (ang2[:100] == 0).all() and (ang2[100:] == 9).all()
+
+    def test_group_local_threshold(self):
+        """A view group with systematically low scores must NOT be purged
+        wholesale: group-local cutoffs keep its best half."""
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=400, seed=1)
+        theta = np.array([30.0] * 200 + [120.0] * 200)
+        t["theta"] = theta
+        scores = np.concatenate([
+            np.random.RandomState(2).normal(30, 2, 200),   # good view
+            np.random.RandomState(3).normal(10, 2, 200),   # weak view
+        ])
+        t["score"] = scores
+        t, keep = shape_scores(t, n_angles=6, n_defocuses=1, threshold=0.5)
+        weak_kept = keep[200:].mean()
+        assert 0.4 < weak_kept < 0.6, weak_kept  # half of the weak view kept
+        occ = np.asarray(t["occupancy"])
+        assert (occ[~keep] == 0).all() and (occ[keep] == 100).all()
+
+    def test_absolute_windows(self):
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=100, seed=4)
+        t, keep = shape_scores(t, threshold=1.0, min_defocus=15000,
+                               max_defocus=25000, min_score=15)
+        df = np.asarray(t["defocus_1"])
+        sc = np.asarray(t["score"])
+        assert ((df[keep] >= 15000) & (df[keep] <= 25000)).all()
+        assert (sc[keep] >= 15).all()
+        assert (~keep).sum() > 0
