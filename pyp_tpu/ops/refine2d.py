@@ -146,6 +146,107 @@ def align_to_classes(
     return k_best, psi, jnp.stack([sy, sx], 1), best_score
 
 
+class Polar2D:
+    """Cached polar-matching tables for 2D classification (the 2D analog of
+    ops/frm: exact-kernel polar resampling on the MXU + psi-FFT correlation
+    — no per-(particle, psi) spectrum gathers in the E-step)."""
+
+    _CACHE: dict = {}
+
+    def __init__(self, n, pixel_size, low_res, high_res, shift_extent,
+                 shift_step, voltage_kv, cs_mm, amplitude_contrast,
+                 wiener: float = 0.1):
+        from pyp_tpu.ops import frm
+        from pyp_tpu.ops.refine3d import make_shift_grid
+
+        self.n = int(n)
+        self.pixel_size = float(pixel_size)
+        self.radii = frm.make_rings(n, pixel_size, low_res, high_res)
+        self.n_psi = frm.default_n_psi(self.radii)
+        self.ring_w = jnp.asarray(frm.ring_weights(self.radii))
+        W_re, W_im = frm.polar_matrix(n, self.radii, self.n_psi)
+        self.W_re = jnp.asarray(W_re)
+        self.W_im = jnp.asarray(W_im)
+        self.pts = jnp.asarray(frm.polar_points(self.radii, self.n_psi))
+        self.coarse_step = max(float(shift_step), float(shift_extent) / 3.0)
+        self.coarse_shifts = jnp.asarray(
+            make_shift_grid(shift_extent, self.coarse_step))
+        self.fine_shifts = jnp.asarray(
+            make_shift_grid(self.coarse_step, float(shift_step)))
+        self.voltage_kv = float(voltage_kv)
+        self.cs_mm = float(cs_mm)
+        self.amplitude_contrast = float(amplitude_contrast)
+        self.wiener = float(wiener)
+
+    @classmethod
+    def get(cls, *key):
+        if key not in cls._CACHE:
+            if len(cls._CACHE) > 8:
+                cls._CACHE.clear()
+            cls._CACHE[key] = cls(*key)
+        return cls._CACHE[key]
+
+    def restore(self, stack, ctf_params):
+        """Wiener CTF-restored polar spectra + ring weights — computed ONCE
+        per classification (class averages change per iteration, particles don't)."""
+        from pyp_tpu.ops import frm
+
+        return frm._restore_polar(
+            jnp.asarray(stack), jnp.asarray(ctf_params), self.W_re,
+            self.W_im, self.ring_w, self.n, self.n_psi, self.pixel_size,
+            self.voltage_kv, self.cs_mm, self.amplitude_contrast,
+            self.wiener)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rings",))
+def _class_polar_tables(class_avgs, W_re, W_im, n_rings: int):
+    """Polar tables of the (CTF-free) class averages: FUc for the psi
+    correlation + per-ring power sums."""
+    from pyp_tpu.ops.frm import image_to_fourier_full
+
+    K = class_avgs.shape[0]
+    Xa = image_to_fourier_full(class_avgs)
+    Xr = jnp.real(Xa).reshape(K, -1)
+    Xi = jnp.imag(Xa).reshape(K, -1)
+    Up = jax.lax.complex(
+        Xr @ W_re.T - Xi @ W_im.T,
+        Xr @ W_im.T + Xi @ W_re.T).reshape(K, n_rings, -1)
+    FUc = jnp.conj(jnp.fft.fft(jnp.conj(Up), axis=-1))
+    u2sum = jnp.sum(jnp.abs(Up) ** 2, axis=-1)
+    return Up, FUc, u2sum
+
+
+def align_to_classes_polar(Xp, wr, class_avgs, p2d: Polar2D):
+    """E-step on the polar machinery: all (class, psi, shift) at once.
+
+    Xp/wr from Polar2D.restore (particle side, computed once per
+    classification). Returns (assignment, psi_deg, shifts (B, 2), score)
+    in the same conventions as align_to_classes."""
+    from pyp_tpu.ops import frm
+
+    B = Xp.shape[0]
+    Up, FUc, u2sum = _class_polar_tables(
+        jnp.asarray(class_avgs), p2d.W_re, p2d.W_im, len(p2d.radii))
+    K = Up.shape[0]
+    d_block = K  # class counts are small; one block
+    # coarse shift marginalization (same scheme as frm round 0)
+    cand = jnp.broadcast_to(p2d.coarse_shifts[:, None, :],
+                            (p2d.coarse_shifts.shape[0], B, 2))
+    phas = jax.vmap(lambda s: frm.shift_phasor_polar(p2d.pts, s, p2d.n))(cand)
+    scores, s_idx, k_idx, psi_idx = frm._match(
+        Xp[None] * phas, wr, FUc, u2sum, jnp.zeros((B, K)), d_block,
+        upsample=4)
+    shifts = jnp.take_along_axis(cand, s_idx[None, :, None], axis=0)[0]
+    psi_deg = psi_idx.astype(jnp.float32) * (360.0 / (p2d.n_psi * 4))
+    # fine shift grid around the coarse winner
+    shifts, scores = frm._refine_shifts(
+        Xp, wr, Up[k_idx], u2sum[k_idx], psi_deg, p2d.pts,
+        p2d.fine_shifts[None] + shifts[:, None, :], p2d.n)
+    # frm's shift is the content displacement; the M-step's _shift_correct
+    # expects the correction to APPLY, i.e. the negation
+    return k_idx, psi_deg, -shifts, scores
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n", "n_classes", "pixel_size", "voltage_kv", "cs_mm",
@@ -183,8 +284,14 @@ def classify2d(
     shift_extent: float = 5.0, shift_step: float = 2.0,
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, seed: int = 0,
+    engine: str = "polar",
 ) -> Classify2DResult:
-    """Full 2D classification: random init -> alternating E/M steps."""
+    """Full 2D classification: random init -> alternating E/M steps.
+
+    engine="polar" (default) runs the E-step on the MXU polar machinery
+    (particle polar transform once, class tables per iteration, all psi by
+    FFT correlation); engine="gather" keeps the per-(particle, psi)
+    spectrum-gather path."""
     stack = jnp.asarray(stack)
     ctf_params = jnp.asarray(ctf_params)
     B, n, _ = stack.shape
@@ -214,11 +321,20 @@ def classify2d(
     psi = jnp.zeros(B)
     shifts = jnp.zeros((B, 2))
     scores = jnp.zeros(B)
+    if engine == "polar":
+        p2d = Polar2D.get(n, pixel_size, low_res, high_res, shift_extent,
+                          shift_step, voltage_kv, cs_mm, amplitude_contrast)
+        Xp, wr = p2d.restore(stack, ctf_params)
     for _ in range(iters):
-        assign, psi, shifts, scores = align_to_classes(
-            stack, ctf_params, avgs, jnp.asarray(psis), mask_pts,
-            shift_grid, n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
-        )
+        if engine == "polar":
+            assign, psi, shifts, scores = align_to_classes_polar(
+                Xp, wr, avgs, p2d)
+        else:
+            assign, psi, shifts, scores = align_to_classes(
+                stack, ctf_params, avgs, jnp.asarray(psis), mask_pts,
+                shift_grid, n, pixel_size, voltage_kv, cs_mm,
+                amplitude_contrast,
+            )
         avgs, occ = update_class_averages(
             stack, ctf_params, assign, psi, shifts, weights, n, n_classes,
             pixel_size, voltage_kv, cs_mm, amplitude_contrast,
