@@ -142,6 +142,18 @@ def mode_refine(argv):
     init_path = Path("initial_model.mrc")
     if init_path.exists():
         initial = mrc.read(init_path).astype(np.float32)
+    elif params.get("refine_abinit"):
+        # marginalized ab initio from scratch (create_initial_model role)
+        from pyp_tpu.ops.ab_initio import ab_initio_frm
+        from pyp_tpu.pipeline.refine import table_to_ctf_params
+
+        logger.info("no initial_model.mrc: running marginalized ab initio")
+        initial, _poses = ab_initio_frm(
+            stack, table_to_ctf_params(table), float(params["scope_pixel"]),
+            symmetry=str(params["particle_sym"]),
+        )
+        mrc.write(initial, "initial_model.mrc",
+                  pixel_size=float(params["scope_pixel"]))
     else:
         # featureless sphere initial model (the reference's fallback)
         from pyp_tpu.core.filters import soft_spherical_mask

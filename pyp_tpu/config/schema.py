@@ -179,6 +179,8 @@ SCHEMA: dict[str, list[ParamDef]] = {
           enum=("frm", "gather")),
         P("refine_frm_cone", float, 20.0,
           "frm local mode: direction prior cone around the current pose (deg)"),
+        P("refine_abinit", bool, False,
+          "no initial model: generate one by marginalized ab initio"),
         P("refine_rlref", float, 100.0, "low-res limit (Å)"),
         P("refine_rhref", str, "8:7:6:4:3", "high-res limit schedule (Å)",
           schedule=True),

@@ -106,14 +106,50 @@ class LocalExecutor:
         return graph
 
 
+def get_total_seconds(walltime: str) -> int:
+    """'D-HH:MM:SS' / 'HH:MM:SS' / 'MM:SS' -> seconds (the reference's
+    slurm.get_total_seconds, system/slurm.py:576)."""
+    days = 0
+    if "-" in walltime:
+        d, walltime = walltime.split("-", 1)
+        days = int(d)
+    parts = [int(p) for p in walltime.split(":")]
+    while len(parts) < 3:
+        parts.insert(0, 0)
+    h, m, s = parts
+    return ((days * 24 + h) * 60 + m) * 60 + s
+
+
+def format_walltime(seconds: int) -> str:
+    seconds = int(seconds)
+    d, rem = divmod(seconds, 86400)
+    h, rem = divmod(rem, 3600)
+    m, s = divmod(rem, 60)
+    return (f"{d}-{h:02d}:{m:02d}:{s:02d}" if d else f"{h:02d}:{m:02d}:{s:02d}")
+
+
+def scale_walltime(base: str, n_items: int, bundle: int = 1,
+                   safety: float = 1.5) -> str:
+    """Per-array-element walltime: base covers one item; elements run
+    `bundle` items serially (the reference scales its csp/swarm launch
+    tiers the same way, system/slurm.py:446-540)."""
+    per_item = get_total_seconds(base)
+    return format_walltime(max(60, int(per_item * bundle * safety)))
+
+
 class SlurmExecutor:
     """Emit (and optionally submit) sbatch scripts reproducing the
     reference's array-with-bundling shape. Python jobs are exported as
-    `python -m pyp_tpu.cli worker <payload.json>` invocations."""
+    `python -m pyp_tpu.cli worker <payload.json>` invocations.
+
+    submit_via: 'local' runs sbatch here; 'ssh' wraps it in
+    `ssh <host> "bash --login -c ..."` (the reference's container-escape
+    submission, system/singularity.py:73-133)."""
 
     def __init__(self, script_dir="swarm", queue="", walltime="24:00:00",
                  tasks: int = 1, memory_gb: int = 16, bundle: int = 1,
-                 submit: bool = False):
+                 submit: bool = False, gres: str = "",
+                 submit_via: str = "local", host: str = ""):
         self.script_dir = Path(script_dir)
         self.queue = queue
         self.walltime = walltime
@@ -121,6 +157,9 @@ class SlurmExecutor:
         self.memory_gb = memory_gb
         self.bundle = bundle
         self.submit = submit
+        self.gres = gres
+        self.submit_via = submit_via
+        self.host = host
 
     def write_array_script(self, stage: str, commands: list[str],
                            dependency: str | None = None) -> Path:
@@ -142,6 +181,8 @@ class SlurmExecutor:
         ]
         if self.queue:
             lines.append(f"#SBATCH --partition={self.queue}")
+        if self.gres:
+            lines.append(f"#SBATCH --gres={self.gres}")
         if dependency:
             lines.append(f"#SBATCH --dependency=afterany:{dependency}")
         lines += [
@@ -156,18 +197,25 @@ class SlurmExecutor:
         path.write_text("\n".join(lines) + "\n")
         return path
 
+    def submit_command(self, script: Path) -> list[str]:
+        """argv for the configured submission backend."""
+        if self.submit_via == "ssh" and self.host:
+            inner = f"sbatch --parsable {script.resolve()}"
+            return ["ssh", self.host, f"bash --login -c '{inner}'"]
+        return ["sbatch", "--parsable", str(script)]
+
     def sbatch(self, script: Path) -> str | None:
         """Submit and return the job id (None when sbatch is unavailable)."""
         if not self.submit:
             return None
         try:
             out = subprocess.run(
-                ["sbatch", "--parsable", str(script)],
+                self.submit_command(script),
                 capture_output=True, text=True, check=True,
             )
             return out.stdout.strip().split(";")[0]
         except (FileNotFoundError, subprocess.CalledProcessError) as e:
-            logger.warning("sbatch failed (%s); scripts left in %s", e,
+            logger.warning("submission failed (%s); scripts left in %s", e,
                            self.script_dir)
             return None
 

@@ -364,3 +364,70 @@ class TestFaultInjection:
         # with 5 retries at 40% fault rate, everything should complete
         assert done == 10 and missing == [], (done, missing)
         assert runs["n"] >= 10  # some retries actually happened via faults
+
+
+class TestWalltimeAndSubmission:
+    def test_walltime_math(self):
+        from pyp_tpu.sched.executor import (
+            format_walltime, get_total_seconds, scale_walltime,
+        )
+
+        assert get_total_seconds("01:30:00") == 5400
+        assert get_total_seconds("2-00:00:00") == 172800
+        assert get_total_seconds("05:00") == 300
+        assert format_walltime(5400) == "01:30:00"
+        assert format_walltime(172800) == "2-00:00:00"
+        # 10-item bundles at 10 min/item * 1.5 safety = 2.5 h
+        assert get_total_seconds(scale_walltime("00:10:00", 100, bundle=10)) \
+            == int(600 * 10 * 1.5)
+
+    def test_gres_and_ssh_backend(self, tmp_path):
+        ex = SlurmExecutor(script_dir=tmp_path, gres="tpu:1",
+                           submit_via="ssh", host="login.cluster")
+        script = ex.write_array_script("s", ["echo 1"])
+        assert "--gres=tpu:1" in script.read_text()
+        argv = ex.submit_command(script)
+        assert argv[0] == "ssh" and argv[1] == "login.cluster"
+        assert "sbatch --parsable" in argv[2]
+
+
+class TestNotify:
+    def test_mongo_spool_fallback(self, tmp_path):
+        import logging as _logging
+
+        from pyp_tpu.utils.notify import attach_mongo_sink
+
+        spool = tmp_path / "mongo.jsonl"
+        sink = attach_mongo_sink(str(spool), webid="web-42")
+        try:
+            from pyp_tpu.utils import get_logger
+
+            get_logger("notify-test").info("hello %s", "world")
+        finally:
+            _logging.getLogger("pyp_tpu").removeHandler(sink)
+        docs = [json.loads(line) for line in spool.read_text().splitlines()]
+        assert docs and docs[-1]["message"] == "hello world"
+        assert docs[-1]["webid"] == "web-42"
+        assert docs[-1]["level"] == "INFO"
+
+    def test_email_via_injected_smtp(self):
+        from pyp_tpu.utils.notify import send_email
+
+        sent = []
+
+        class FakeSMTP:
+            def __init__(self, host):
+                self.host = host
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def send_message(self, msg):
+                sent.append((msg["To"], msg["Subject"]))
+
+        ok = send_email("user@site", "refinement done", "3.1 A",
+                        smtp_factory=FakeSMTP)
+        assert ok and sent == [("user@site", "refinement done")]
