@@ -151,6 +151,17 @@ def mode_refine(argv):
         initial, _poses = ab_initio_frm(
             stack, table_to_ctf_params(table), float(params["scope_pixel"]),
             symmetry=str(params["particle_sym"]),
+            n_rounds=int(params.get("abinit_rounds") or 10),
+            start_res=float(params.get("abinit_start_res") or 40.0),
+            end_res=float(params.get("abinit_end_res") or 12.0),
+            angular_step=float(params.get("abinit_angular_step") or 15.0),
+            top_t=int(params.get("abinit_top_t") or 8),
+            beta0=float(params.get("abinit_beta0") or 20.0),
+            beta_growth=float(params.get("abinit_beta_growth") or 1.4),
+            hard_rounds=int(params.get("abinit_hard_rounds") or 3),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
         )
         mrc.write(initial, "initial_model.mrc",
                   pixel_size=float(params["scope_pixel"]))
@@ -181,6 +192,12 @@ def mode_classify2d(argv):
         float(params["scope_pixel"]),
         iters=int(params.get("class_2d_iters") or 10),
         high_res=float(params.get("class_rhcls") or 10.0),
+        low_res=float(params.get("class_rlcls") or 100.0),
+        shift_extent=float(params.get("class_shift") or 5.0),
+        engine=str(params.get("class_engine") or "polar"),
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        amplitude_contrast=float(params["scope_wgh"]),
     )
     mrc.write(np.asarray(res.class_avgs), "classes_2d.mrc",
               pixel_size=float(params["scope_pixel"]))
@@ -474,7 +491,22 @@ def main(argv=None) -> int:
     from pyp_tpu.parallel import init_distributed
 
     init_distributed()
-    return globals()[f"mode_{mode}"](rest)
+    # observability (notify tab): mongo-style log mirroring + completion mail
+    saved = cfg.load_parameters(".") or {}
+    mongo_uri = str(saved.get("notify_mongo_uri") or "")
+    if mongo_uri:
+        from pyp_tpu.utils.notify import attach_mongo_sink
+
+        attach_mongo_sink(mongo_uri, webid=str(saved.get("notify_webid") or ""))
+    rc = globals()[f"mode_{mode}"](rest)
+    email = str(saved.get("notify_email") or "")
+    if email and mode in ("spr", "tomo", "refine", "csp", "classify3d"):
+        from pyp_tpu.utils.notify import send_email
+
+        send_email(email, f"pyp_tpu {mode} {'done' if rc == 0 else 'FAILED'}",
+                   f"mode={mode} rc={rc} cwd={Path.cwd()}",
+                   smtp_host=str(saved.get("notify_smtp") or "localhost"))
+    return rc
 
 
 if __name__ == "__main__":

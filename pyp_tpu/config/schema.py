@@ -44,6 +44,7 @@ SCHEMA: dict[str, list[ParamDef]] = {
     # ------------------------------------------------------------------- data
     "data": [
         P("data_mode", str, "spr", "processing mode", enum=("spr", "tomo")),
+        P("model_path", str, "", "initial/reference model path (MRC)"),
         P("data_path", str, "", "glob for raw movies / tilt series"),
         P("data_set", str, "", "dataset name"),
         P("data_bin", int, 1, "binning applied on import"),
@@ -167,7 +168,11 @@ SCHEMA: dict[str, list[ParamDef]] = {
     "class": [
         P("class_num", int, 1, "number of classes"),
         P("class_rhcls", float, 10.0, "classification high-res limit (Å)"),
+        P("class_rlcls", float, 100.0, "classification low-res limit (Å)"),
         P("class_2d_iters", int, 10, "2D classification iterations"),
+        P("class_shift", float, 5.0, "2D alignment shift extent (px)"),
+        P("class_engine", str, "polar", "2D E-step engine",
+          enum=("polar", "gather")),
     ],
     # ----------------------------------------------------------------- refine
     "refine": [
@@ -192,6 +197,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("refine_local_iters", int, 24, "local refinement gradient steps"),
         P("refine_skip", bool, False, "reconstruction-only iteration"),
         P("refine_bsc", float, 0.0, "score-based particle weighting factor"),
+        P("refine_frm_wiener", float, 0.1,
+          "frm engine: CTF Wiener restoration constant"),
+        P("refine_frm_rounds", int, 3, "frm engine: match/shift rounds"),
+        P("refine_frm_npsi", int, 0, "frm engine: psi samples (0 = auto)"),
     ],
     # ------------------------------------------------------------ reconstruct
     "reconstruct": [
@@ -231,9 +240,54 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("slurm_tasks", int, 1, "tasks per swarm job"),
         P("slurm_memory", int, 16, "memory per task (GB)"),
         P("slurm_walltime", str, "24:00:00", "walltime"),
+        P("slurm_merge_walltime", str, "48:00:00", "merge job walltime"),
         P("slurm_queue", str, "", "partition/queue"),
         P("slurm_merge_retries", int, 2, "merge retry budget for missing items"),
         P("slurm_bundle", int, 1, "array-task bundling factor"),
+        P("slurm_gres", str, "", "generic resources, e.g. tpu:1"),
+        P("slurm_host", str, "", "submission host (submit via ssh when set)"),
+        P("slurm_submit", bool, False, "actually sbatch the emitted scripts"),
+    ],
+    # ---------------------------------------------------------------- abinit
+    "abinit": [
+        P("abinit_rounds", int, 10, "marginalized (soft) ab-initio rounds"),
+        P("abinit_start_res", float, 40.0, "resolution ladder start (Å)"),
+        P("abinit_end_res", float, 12.0, "resolution ladder end (Å)"),
+        P("abinit_angular_step", float, 15.0, "direction lattice step (deg)"),
+        P("abinit_top_t", int, 8, "poses per particle in soft reconstruction"),
+        P("abinit_beta0", float, 20.0, "initial posterior inverse temperature"),
+        P("abinit_beta_growth", float, 1.4, "beta growth per round"),
+        P("abinit_hard_rounds", int, 3, "hard refinement rounds after the ladder"),
+    ],
+    # ----------------------------------------------------------------- polish
+    "polish": [
+        P("polish_iters", int, 30, "trajectory refinement gradient steps"),
+        P("polish_spatial_sigma", float, 500.0,
+          "spatial coherence scale of particle trajectories (Å)"),
+        P("polish_reg", float, 0.1, "temporal smoothness regularization"),
+    ],
+    # ---------------------------------------------------------------- sharpen
+    "sharpen": [
+        P("sharpen_bfactor", float, 0.0, "B-factor (0 = automatic Guinier fit)"),
+        P("sharpen_mask_lowpass", float, 15.0, "auto-mask lowpass (Å)"),
+        P("sharpen_mask_threshold", float, 1.0, "auto-mask threshold (sigma)"),
+        P("sharpen_mask_dilation", int, 3, "auto-mask dilation (px)"),
+        P("sharpen_mask_soft", int, 6, "auto-mask soft edge (px)"),
+    ],
+    # ---------------------------------------------------------------- denoise
+    "denoise": [
+        P("denoise_method", str, "none", "tomogram denoising",
+          enum=("none", "n2n", "wedge")),
+        P("denoise_epochs", int, 60, "denoiser training epochs"),
+        P("denoise_lr", float, 1e-3, "denoiser learning rate"),
+    ],
+    # ----------------------------------------------------------------- notify
+    "notify": [
+        P("notify_email", str, "", "email address for completion/failure mail"),
+        P("notify_smtp", str, "localhost", "SMTP host for notifications"),
+        P("notify_mongo_uri", str, "",
+          "mongo URI (or JSONL spool path) mirroring all log records"),
+        P("notify_webid", str, "", "web session id attached to log documents"),
     ],
 }
 

@@ -266,6 +266,41 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             meta["rec_done"] = np.array([1])
             summary["tomogram"] = rec_path
 
+            # optional denoising (cryoCARE/IsoNet roles, native models):
+            # n2n trains on even/odd-tilt half tomograms of THIS series
+            method_dn = str(params.get("denoise_method") or "none")
+            if method_dn != "none":
+                with Timer(f"tomogram denoising ({method_dn})"):
+                    from pyp_tpu.models import denoise as dn
+
+                    steps = int(params.get("denoise_epochs") or 60)
+                    lr = float(params.get("denoise_lr") or 1e-3)
+                    if method_dn == "n2n":
+                        h1, h2 = tomo.wbp_reconstruct_halves(
+                            jnp.asarray(t2), jnp.asarray(angles),
+                            shifts=jnp.asarray(shifts_r.astype(np.float32)),
+                            thickness=thickness, slab=min(16, thickness),
+                        )
+                        model = dn.train_denoiser(
+                            [np.asarray(h1)], [np.asarray(h2)],
+                            steps=steps, lr=lr,
+                            patch=min(64, thickness,
+                                      int(t2.shape[-1])),
+                        )
+                        den = dn.denoise_tomogram(model, np.asarray(recon))
+                    else:  # missing-wedge restoration
+                        model = dn.train_wedge_restorer(
+                            [np.asarray(recon)],
+                            tilt_max_deg=float(np.abs(angles).max()),
+                            steps=steps, lr=lr,
+                            patch=min(32, thickness),
+                        )
+                        den = dn.restore_wedge(model, np.asarray(recon))
+                    den_path = f"{work_dir}/{name}.den.mrc"
+                    mrc.write(np.asarray(den, dtype=np.float32), den_path,
+                              pixel_size=pixel * binning * rec_bin)
+                    summary["denoised"] = den_path
+
     # ---- 3D particle picking ---------------------------------------------
     method = params.get("tomo_spk_method", "none")
     if not meta.is_done("box") and method in ("auto", "surface", "template"):

@@ -138,11 +138,19 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
     half1 = mrc.read(h1p).astype(np.float32)
     half2 = mrc.read(h2p).astype(np.float32)
     pixel = mrc.read_header(h1p).pixel_size
-    mask = auto_mask(half1 + half2, pixel_size=pixel)
+    mask = auto_mask(
+        half1 + half2, pixel_size=pixel,
+        lowpass_a=float(params.get("sharpen_mask_lowpass") or 15.0),
+        threshold_sigmas=float(params.get("sharpen_mask_threshold") or 1.0),
+        dilation_px=int(params.get("sharpen_mask_dilation") or 3),
+        soft_px=int(params.get("sharpen_mask_soft") or 6),
+    )
     freqs, curve = masked_fsc(half1, half2, mask, pixel)
     res = float(fsc_mod.resolution_at_threshold(freqs, curve, pixel, 0.143))
     combined = (half1 + half2) * 0.5
-    sharp, bfac = sharpen_map(combined, pixel, resolution=res, fsc_curve=curve)
+    bfac_user = float(params.get("sharpen_bfactor") or 0.0)
+    sharp, bfac = sharpen_map(combined, pixel, resolution=res, fsc_curve=curve,
+                              bfactor=bfac_user if bfac_user else None)
     out_map = maps_dir / f"{dataset}_sharpened.mrc"
     mrc.write(np.asarray(sharp * mask, dtype=np.float32), out_map, pixel_size=pixel)
     np.savetxt(
