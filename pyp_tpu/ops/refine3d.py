@@ -511,3 +511,92 @@ def refine_defocus(
     d_best, scores = jax.vmap(particle_sweep)(poses, X, ctf_params)
     new_cp = ctf_params.at[:, 0].add(d_best).at[:, 1].add(d_best)
     return new_cp, scores
+
+
+# ---------------------------------------------------------------------------
+# beam tilt (refine_ctf parity: the cisTEM beam-tilt axis)
+# ---------------------------------------------------------------------------
+
+def beam_tilt_phase(n: int, pixel_size: float, tilt_x: float, tilt_y: float,
+                    voltage_kv: float = 300.0, cs_mm: float = 2.7):
+    """Beam-tilt phase field on the rfft grid (radians):
+
+        dphi(g) = 2 pi * Cs * lambda^2 * |g|^2 * (gx tx + gy ty)
+
+    with g in 1/Å, Cs in Å, lambda in Å, and (tx, ty) the beam tilt in
+    radians — the antisymmetric coma term cisTEM's refine_ctf estimates
+    (SURVEY §2.2 refine_ctf row; axis previously unimplemented here)."""
+    lam = ctf_model.wavelength(voltage_kv)
+    cs_A = cs_mm * 1e7
+    gy = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(n // 2 + 1, dtype=jnp.float32)[None, :]
+    gy = gy / (n * pixel_size)
+    gx = gx / (n * pixel_size)
+    g2 = gx * gx + gy * gy
+    return (2.0 * jnp.pi * cs_A * lam * lam) * g2 * (gx * tilt_x + gy * tilt_y)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast", "low_res", "high_res"),
+)
+def estimate_beam_tilt(
+    stack, ctf_params, Fref, poses,
+    n: int, pixel_size: float,
+    voltage_kv: float = 300.0, cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    low_res: float = 20.0, high_res: float = 4.0,
+):
+    """Estimate (tilt_x, tilt_y) in radians from the dataset-averaged
+    cross-phase between data and model projections.
+
+    D(g) = sum_b conj(CTF_b * slice_b * phasor_b) * X_b accumulates the
+    residual phase; where |D| is significant, arg D(g) ~ dphi(g). The
+    antisymmetric cubic model is linear in (tx, ty), so a |D|-weighted
+    least-squares on sin(arg D) solves a 2x2 system (cisTEM refine_ctf's
+    beam-tilt search role, frealign.py:4350)."""
+    from pyp_tpu.ops import reconstruct as rec
+
+    X = image_to_fourier(stack)
+    R = euler_to_matrix(poses[:, 0], poses[:, 1], poses[:, 2])
+    from pyp_tpu.ops.fourier_slice import project
+
+    U = project(Fref, R, n)                               # (B, n, nxf)
+    ctfs = rec._ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm,
+                          amplitude_contrast)
+    U = rec._shift_correct(U * ctfs, poses[:, 3:5], n)
+    D = jnp.sum(jnp.conj(U) * X, axis=0)                  # (n, nxf)
+
+    gy = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(n // 2 + 1, dtype=jnp.float32)[None, :]
+    gphys = jnp.sqrt(gy * gy + gx * gx) / (n * pixel_size)
+    band = ((gphys >= 1.0 / low_res) & (gphys <= 1.0 / high_res))
+    wgt = jnp.abs(D) * band
+    # small-angle: sin(arg D) ~ dphi; basis fields per unit tilt
+    ph_x = beam_tilt_phase(n, pixel_size, 1.0, 0.0, voltage_kv, cs_mm)
+    ph_y = beam_tilt_phase(n, pixel_size, 0.0, 1.0, voltage_kv, cs_mm)
+    s = jnp.imag(D) / jnp.maximum(jnp.abs(D), 1e-12)      # sin(arg D)
+    # weighted normal equations for s = tx*ph_x + ty*ph_y
+    axx = jnp.sum(wgt * ph_x * ph_x)
+    axy = jnp.sum(wgt * ph_x * ph_y)
+    ayy = jnp.sum(wgt * ph_y * ph_y)
+    bx = jnp.sum(wgt * ph_x * s)
+    by = jnp.sum(wgt * ph_y * s)
+    det = axx * ayy - axy * axy
+    tx = jnp.where(jnp.abs(det) > 1e-20, (bx * ayy - by * axy) / det, 0.0)
+    ty = jnp.where(jnp.abs(det) > 1e-20, (by * axx - bx * axy) / det, 0.0)
+    return tx, ty
+
+
+def correct_beam_tilt(stack, tilt_x: float, tilt_y: float, pixel_size: float,
+                      voltage_kv: float = 300.0, cs_mm: float = 2.7):
+    """Remove an estimated beam tilt from a particle stack (multiply the
+    spectra by e^{-i dphi})."""
+    n = stack.shape[-1]
+    ph = beam_tilt_phase(n, pixel_size, tilt_x, tilt_y, voltage_kv, cs_mm)
+    X = image_to_fourier(jnp.asarray(stack))
+    corr = jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    from pyp_tpu.ops.fourier_slice import fourier_to_image
+
+    return fourier_to_image(X * corr, n)

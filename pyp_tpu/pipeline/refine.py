@@ -257,9 +257,40 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
 
     history = []
     fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
+    beam_tilt_done = False
     for it in range(start, maxiter + 2):
         table, recon, res_a = refinement_iteration(
             stack, table, ref, params, it, fsc_curve=fsc_curve)
+        if params.get("refine_beamtilt") and not beam_tilt_done and it > start:
+            # one-shot dataset beam-tilt estimate once poses are warm
+            # (cisTEM refine_ctf beam-tilt axis); corrects the working stack
+            import jax.numpy as jnp
+
+            from pyp_tpu.ops import refine3d as r3
+            from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+            rhref = float(param(params["refine_rhref"], it))
+            tx, ty = r3.estimate_beam_tilt(
+                jnp.asarray(np.asarray(stack)),
+                jnp.asarray(table_to_ctf_params(table)),
+                volume_to_fourier(jnp.asarray(np.asarray(recon.volume,
+                                                         dtype=np.float32))),
+                jnp.asarray(table_to_poses(table, pixel)),
+                stack.shape[-1], pixel,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                high_res=max(rhref, 2.5 * pixel),
+            )
+            stack = np.asarray(r3.correct_beam_tilt(
+                np.asarray(stack), float(tx), float(ty), pixel,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"])), dtype=np.float32)
+            table["beam_tilt_x"] = np.full(table.n_rows, float(tx))
+            table["beam_tilt_y"] = np.full(table.n_rows, float(ty))
+            beam_tilt_done = True
+            logger.info("beam tilt: (%.2e, %.2e) rad estimated and corrected",
+                        float(tx), float(ty))
         fsc_curve = np.asarray(recon.fsc)
         ref = np.asarray(recon.volume, dtype=np.float32)
         mrc.write(ref, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc", pixel_size=pixel)

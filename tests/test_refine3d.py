@@ -226,3 +226,49 @@ class TestShellWeights:
                                        jnp.asarray(pts), N, PIXEL, iters=0)
         # weighted scores emphasize the reliable low-res band -> higher NCC
         assert float(jnp.mean(s_w)) >= float(jnp.mean(s_u)) - 0.05
+
+
+class TestBeamTilt:
+    def test_recover_planted_tilt(self):
+        """Particles synthesized with a known beam-tilt phase: the estimator
+        must recover (tx, ty) and correction must restore scores."""
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=24,
+                                                  noise=0.05, shift_max=0.0)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        poses = np.stack([truth["phi"], truth["theta"], truth["psi"],
+                          truth["shifts"][:, 0], truth["shifts"][:, 1]],
+                         axis=1).astype(np.float32)
+        t_true = (4e-4, -2.5e-4)  # radians (~0.4 / -0.25 mrad)
+        ph = refine3d.beam_tilt_phase(N, PIXEL, *t_true)
+        X = fs.image_to_fourier(stack)
+        tilted = fs.fourier_to_image(
+            X * jax.lax.complex(jnp.cos(ph), jnp.sin(ph)), N)
+
+        tx, ty = refine3d.estimate_beam_tilt(
+            tilted, ctf_params, Fv, jnp.asarray(poses), N, PIXEL,
+            low_res=40.0, high_res=2.5 * PIXEL)
+        assert abs(float(tx) - t_true[0]) < 0.3 * abs(t_true[0]), (
+            float(tx), t_true)
+        assert abs(float(ty) - t_true[1]) < 0.3 * abs(t_true[1]), (
+            float(ty), t_true)
+
+        # correction restores the untilted stack
+        fixed = refine3d.correct_beam_tilt(tilted, float(tx), float(ty), PIXEL)
+        err_before = float(jnp.abs(tilted - stack).mean())
+        err_after = float(jnp.abs(fixed - stack).mean())
+        assert err_after < 0.5 * err_before, (err_before, err_after)
+
+    def test_zero_tilt_is_stable(self):
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=16,
+                                                  noise=0.05, shift_max=0.0)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        poses = np.stack([truth["phi"], truth["theta"], truth["psi"],
+                          truth["shifts"][:, 0], truth["shifts"][:, 1]],
+                         axis=1).astype(np.float32)
+        tx, ty = refine3d.estimate_beam_tilt(
+            stack, ctf_params, Fv, jnp.asarray(poses), N, PIXEL,
+            low_res=40.0, high_res=2.5 * PIXEL)
+        # magnitude well under the planted-tilt scale of the other test
+        assert abs(float(tx)) < 1e-4 and abs(float(ty)) < 1e-4, (tx, ty)
