@@ -210,15 +210,49 @@ def mode_classify2d(argv):
     return 0
 
 
-def mode_csp(argv):
-    """CSPT refinement over preprocessed tilt-series: uses each series'
-    metadata bundle (tlt/xf/ctf + 3D picks) and a reference map."""
-    params = _project_params(argv)
-    import numpy as np
-
+def _csp_one_series(item, params, ref):
+    """cspswarm element: one tilt-series refinement + accumulator dump to
+    disk (the reference's per-series csp job writing dump files that
+    cspmerge later sums, SURVEY §3.4)."""
     from pyp_tpu.io import mrc
     from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.ops.reconstruct import save_accumulators
     from pyp_tpu.pipeline import csp as csp_pipe
+
+    meta = ItemMetadata(item["name"], ".", mode="tomo").load()
+    if not (meta.exists() and "box" in meta and "tlt" in meta):
+        logger.warning("skipping %s: no tomo metadata/picks", item["name"])
+        return None
+    tilts = mrc.read(item["path"]).astype(np.float32)
+    binning = float(meta.scalars.get("binning", 1.0))
+    picks = meta["box"][:, :3] * binning  # unbinned voxel coords (z, y, x)
+    nz = float(params.get("tomo_rec_thickness") or tilts.shape[-1])
+    center = np.array([nz / 2, tilts.shape[-2] / 2, tilts.shape[-1] / 2])
+    coords = picks - center
+    rng = np.random.RandomState(abs(hash(item["name"])) % (2**31))
+    eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
+    item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
+             "eulers": eulers, "angles": meta["tlt"]}
+    refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")
+    dump = Path("swarm") / f"{item['name']}.acc.npz"
+    dump.parent.mkdir(exist_ok=True)
+    save_accumulators(acc, dump)
+    logger.info("csp %s: scores %s", item["name"],
+                [round(s, 3) for s in scores])
+    return {"name": item["name"], "dump": str(dump),
+            "particles": int(len(coords))}
+
+
+def mode_csp(argv):
+    """CSPT refinement over preprocessed tilt-series: the cspswarm ->
+    cspmerge job graph (per-series refinement + accumulator dumps, then one
+    merge summing the dumps — the reference's split/swarm/merge shape with
+    retries and missing-item tolerance)."""
+    params = _project_params(argv)
+    from pyp_tpu.io import mrc
+    from pyp_tpu.ops.reconstruct import load_accumulators
+    from pyp_tpu.pipeline import csp as csp_pipe
+    from pyp_tpu.sched import JobGraph, LocalExecutor
 
     items = _discover_items(params)
     ref_path = Path("initial_model.mrc")
@@ -227,34 +261,27 @@ def mode_csp(argv):
         return 1
     ref = mrc.read(ref_path).astype(np.float32)
     box = int(params.get("csp_box") or ref.shape[-1])
-    rng = np.random.RandomState(0)
-    accs = []
-    for item in items:
-        meta = ItemMetadata(item["name"], ".", mode="tomo").load()
-        if not (meta.exists() and "box" in meta and "tlt" in meta):
-            logger.warning("skipping %s: no tomo metadata/picks", item["name"])
-            continue
-        tilts = mrc.read(item["path"]).astype(np.float32)
-        binning = float(meta.scalars.get("binning", 1.0))
-        picks = meta["box"][:, :3] * binning  # unbinned voxel coords (z, y, x)
-        # center: tomogram frame -> centered coords
-        nz = float(params.get("tomo_rec_thickness") or tilts.shape[-1])
-        center = np.array([nz / 2, tilts.shape[-2] / 2, tilts.shape[-1] / 2])
-        coords = picks - center
-        eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
-        item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
-                 "eulers": eulers, "angles": meta["tlt"]}
-        refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")
-        accs.append(acc)
-        logger.info("csp %s: scores %s", item["name"],
-                    [round(s, 3) for s in scores])
-    if not accs:
-        logger.error("no tilt-series with picks found")
-        return 1
-    out, res = csp_pipe.csp_merge(accs, box, params, ".",
-                                  params.get("data_set") or "dataset")
-    print(json.dumps({"resolution": res, "series": len(accs)}))
-    return 0
+
+    def merge_fn(results, missing):
+        # results: dict[job_name -> per-series summary (or None if skipped)]
+        accs = [load_accumulators(r["dump"]) for r in results.values() if r]
+        if not accs:
+            raise RuntimeError("no tilt-series with picks found")
+        out, res = csp_pipe.csp_merge(accs, box, params, ".",
+                                      params.get("data_set") or "dataset")
+        return {"resolution": res, "series": len(accs), "missing": missing}
+
+    graph = JobGraph("csp")
+    graph.swarm(
+        "cspswarm", items,
+        work_fn=lambda item: _csp_one_series(item, params, ref),
+        merge_fn=merge_fn,
+        max_retries=int(params.get("slurm_merge_retries") or 2),
+    )
+    LocalExecutor().run(graph)
+    merge = graph.jobs["cspswarm.merge"]
+    print(json.dumps(merge.result, indent=1, default=str))
+    return 0 if merge.status == "done" else 1
 
 
 def mode_polish(argv):
