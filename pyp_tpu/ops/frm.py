@@ -152,23 +152,6 @@ def polar_points(radii, n_psi):
     return np.stack([gy, gx], axis=-1)
 
 
-def ctf_polar(ctf_params, pts, n, pixel_size, voltage_kv=300.0, cs_mm=2.7,
-              w=0.07):
-    """CTF at polar points for each particle: (B, R, P)."""
-    gy = pts[..., 0] / (n * pixel_size)
-    gx = pts[..., 1] / (n * pixel_size)
-    g = jnp.sqrt(gy * gy + gx * gx)
-    azim = jnp.arctan2(gy, gx)
-    df1 = ctf_params[:, 0, None, None]
-    df2 = ctf_params[:, 1, None, None]
-    ang = ctf_params[:, 2, None, None]
-    phase = ctf_params[:, 3, None, None]
-    df = ctf_model.defocus_at_azimuth(df1, df2, ang, azim[None])
-    x = ctf_model.chi(g[None], df, voltage_kv, cs_mm, phase)
-    amp = jnp.arctan2(w, jnp.sqrt(max(1.0 - w * w, 0.0)))
-    return -jnp.sin(x + amp)
-
-
 def shift_phasor_polar(pts, shifts, n):
     """exp(+2 pi i (gy sy + gx sx) / n) at polar points: (B, R, P) complex
     for shifts (B, 2) = (sy, sx)."""

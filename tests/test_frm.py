@@ -7,6 +7,7 @@ refine3d tests use (test_refine3d.make_particles)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.core.geometry import euler_to_matrix
 from pyp_tpu.ops import frm
@@ -108,6 +109,7 @@ class TestFrmRecovery:
                                    truth["R"][b]) for b in range(8)]
         assert np.median(errs) < 7.0, errs
 
+    @pytest.mark.slow
     def test_beats_or_matches_gather_path(self):
         """Same data, FRM vs the gather-based global search + local refine:
         median angular error must be no worse than 1.5x the gather path."""

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.core.filters import apply_bandpass, soft_circular_mask
 from pyp_tpu.ops import refine2d
@@ -60,6 +61,7 @@ def cluster_purity(assign, labels, K):
 
 
 class TestClassify2D:
+    @pytest.mark.slow
     def test_separates_classes(self):
         classes = make_class_images(3)
         imgs, ctf, labels = make_dataset(classes, per_class=12, noise=0.3)

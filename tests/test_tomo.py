@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pyp_tpu.core.filters import lowpass_filter_3d
 from pyp_tpu.core.geometry import euler_to_matrix
@@ -199,6 +200,7 @@ class TestHalves:
         assert 0.3 < cc < 0.999
 
 
+@pytest.mark.slow
 class TestTiltExclusion:
     def test_excluded_tilts_dropped(self, tmp_path):
         from pyp_tpu.config.params import defaults
@@ -225,6 +227,7 @@ class TestTiltExclusion:
         assert out.get("excluded_tilts") == [0, 6]
 
 
+@pytest.mark.slow
 class TestReconstructionFilters:
     """Pipeline wiring of gold erasure + dose weighting before WBP
     (merge/core.py ccderaser :251-320 and mtffilter :219-249 roles)."""
