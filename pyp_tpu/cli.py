@@ -72,7 +72,8 @@ def mode_spr(argv):
         merge_fn=lambda results, missing: spr.spr_merge(results, missing),
         max_retries=int(params.get("slurm_merge_retries") or 2),
     )
-    LocalExecutor().run(graph)
+    # intra-node worker pool (the reference's joblib-over-cpus, mpi.py:44)
+    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["sprswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
@@ -109,7 +110,7 @@ def mode_tomo(argv):
         "tomoswarm", items, work_fn=load_item,
         merge_fn=lambda results, missing: tomo_pipe.tomo_merge(results, missing),
     )
-    LocalExecutor().run(graph)
+    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["tomoswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
@@ -278,7 +279,7 @@ def mode_csp(argv):
         merge_fn=merge_fn,
         max_retries=int(params.get("slurm_merge_retries") or 2),
     )
-    LocalExecutor().run(graph)
+    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["cspswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1

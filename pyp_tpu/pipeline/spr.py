@@ -24,9 +24,24 @@ logger = get_logger("spr")
 def load_movie(path, params=None):
     """Read a movie stack into (n_frames, ny, nx) float32. Dispatches every
     camera format the io layer decodes — MRC, TIFF, EER, DM3/DM4 (reference
-    readMoviefileandsave, inout/image/core.py:913)."""
+    readMoviefileandsave, inout/image/core.py:913) — including bz2/gz
+    compressed variants (the reference's pbzip2 transfer compression,
+    inout/image/core.py:1338)."""
     path = str(path)
     params = params or {}
+    if path.endswith((".bz2", ".gz")):
+        import bz2
+        import gzip
+        import tempfile
+
+        opener = bz2.open if path.endswith(".bz2") else gzip.open
+        inner = path.rsplit(".", 1)[0]
+        suffix = "." + inner.rsplit(".", 1)[-1]
+        with opener(path, "rb") as f, tempfile.NamedTemporaryFile(
+                suffix=suffix) as tmp:
+            tmp.write(f.read())
+            tmp.flush()
+            return load_movie(tmp.name, params)
     if path.endswith((".tif", ".tiff")):
         from pyp_tpu.io.tiff import read as tiff_read
 

@@ -210,3 +210,25 @@ class TestCistemByteLayout:
         assert (cid1, tc1) == (4, 3)   # PSI, FLOAT
         v0, p0 = struct.unpack_from("<If", raw, 26)
         assert v0 == 7 and abs(p0 - 1.25) < 1e-6
+
+
+class TestCompressedMovies:
+    def test_bz2_and_gz_movie_roundtrip(self, tmp_path):
+        """The transfer-compression layer (reference pbzip2 role): movies
+        arriving as .mrc.bz2/.tif.gz load identically."""
+        import bz2
+        import gzip
+
+        from pyp_tpu.io import mrc
+        from pyp_tpu.pipeline.spr import load_movie
+
+        rng = np.random.RandomState(0)
+        frames = rng.rand(3, 24, 24).astype(np.float32)
+        raw = tmp_path / "m.mrc"
+        mrc.write(frames, raw)
+        bz = tmp_path / "m.mrc.bz2"
+        bz.write_bytes(bz2.compress(raw.read_bytes()))
+        gz = tmp_path / "m.mrc.gz"
+        gz.write_bytes(gzip.compress(raw.read_bytes()))
+        np.testing.assert_allclose(load_movie(bz), frames, rtol=1e-6)
+        np.testing.assert_allclose(load_movie(gz), frames, rtol=1e-6)
