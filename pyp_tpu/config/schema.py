@@ -65,6 +65,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "re-classify 2D after this many new micrographs (0 = off)"),
         P("stream_max_iterations", int, 0, "bound daemon poll loop (0 = run forever)"),
         P("stream_idle_exit", int, 0, "exit after N idle polls (0 = never)"),
+        P("stream_metadb", str, "",
+          "metadb store: mongodb:// uri or a JSON file path (metadb role)"),
+        P("stream_group", str, "group", "metadb group id"),
     ],
     # ------------------------------------------------------------- selection
     "select": [

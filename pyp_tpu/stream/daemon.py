@@ -43,6 +43,18 @@ class SessionDaemon:
         # update a session params file; changes merge in between polls
         # (streampyp/params.py role)
         self._params_watcher = ParamsWatcher(work_dir)
+        # session metadata store (streampyp metadb daemon role)
+        self.metadb = None
+        self._db_ids = (str(params.get("stream_group") or "group"),
+                        str(params.get("data_set") or "session"))
+        uri = str(params.get("stream_metadb") or "")
+        if uri:
+            from pyp_tpu.stream.metadb import MetaDB
+
+            self.metadb = MetaDB(uri)
+            self.metadb.write_session(*self._db_ids, {
+                "pattern": watch_pattern, "status": "running",
+            })
 
     def scan(self):
         """New files, oldest first, skipping ones still being written
@@ -70,6 +82,11 @@ class SessionDaemon:
         summary = spr.process_micrograph(item, self.params, self.work_dir)
         self.processed.add(path)
         self.summaries.append(summary)
+        if self.metadb is not None:
+            self.metadb.write_micrograph(*self._db_ids, item["name"], {
+                k: v for k, v in summary.items()
+                if isinstance(v, (int, float, str, bool))
+            })
         logger.info("stream: processed %s (%d particles)", item["name"],
                     summary.get("particles", 0))
         return summary
@@ -103,6 +120,12 @@ class SessionDaemon:
         class_montage(np.asarray(res.class_avgs),
                       self.work_dir / "stream_classes.png",
                       occupancy=np.asarray(res.occupancy))
+        if self.metadb is not None:
+            self.metadb.write_twod_classes(*self._db_ids, {
+                "n_classes": int(self.n_classes),
+                "occupancy": np.asarray(res.occupancy).tolist(),
+                "particles": int(len(stack)),
+            })
         logger.info("stream: updated %d classes from %d particles",
                     self.n_classes, len(stack))
         return res

@@ -104,3 +104,48 @@ class TestEER:
         up = eer.decode_frame(raw, eer.COMPRESSION_EER7, size, upsampling=2)
         assert up.shape == (256, 256)
         assert up.sum() == frame.sum()
+
+
+class TestMetaDB:
+    def test_file_store_crud(self, tmp_path):
+        from pyp_tpu.stream.metadb import MetaDB
+
+        db = MetaDB(str(tmp_path / "meta.json"))
+        db.write_session("g", "s1", {"status": "running"})
+        assert db.get_session("g", "s1")["status"] == "running"
+        db.write_micrograph("g", "s1", "m001", {"particles": 42, "ctf": 3.2})
+        db.write_micrograph("g", "s1", "m002", {"particles": 7})
+        db.write_micrograph("g", "s2", "m001", {"particles": 1})
+        assert db.count_micrographs("g", "s1") == 2
+        assert [m["particles"] for m in db.micrographs("g", "s1")] == [42, 7]
+        db.write_twod_classes("g", "s1", {"n_classes": 10, "occupancy": [1.0]})
+        assert db.get_twod_classes("g", "s1")["n_classes"] == 10
+        db.delete_micrographs("g", "s1")
+        assert db.count_micrographs("g", "s1") == 0
+        assert db.count_micrographs("g", "s2") == 1
+        # persistence across re-open
+        db2 = MetaDB(str(tmp_path / "meta.json"))
+        assert db2.get_session("g", "s1")["status"] == "running"
+
+    def test_daemon_pushes_to_metadb(self, tmp_path, monkeypatch):
+        import numpy as np
+
+        from pyp_tpu.io import mrc
+        from pyp_tpu.stream.daemon import SessionDaemon
+        from pyp_tpu.stream.metadb import MetaDB
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.RandomState(0)
+        mrc.write(rng.randn(3, 64, 64).astype(np.float32), "a.mrc")
+        from pyp_tpu.config.params import defaults
+
+        params = defaults()
+        params.update({"scope_pixel": 1.0,
+                       "stream_metadb": str(tmp_path / "db.json"),
+                       "data_set": "sess1", "ctf_tile": 64,
+                       "detect_max": 8, "extract_box": 16})
+        d = SessionDaemon("*.mrc", params, work_dir=".")
+        d.run(max_iterations=1)
+        db = MetaDB(str(tmp_path / "db.json"))
+        assert db.count_micrographs("group", "sess1") == 1
+        assert db.get_session("group", "sess1")["status"] == "running"
