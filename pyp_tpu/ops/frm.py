@@ -459,7 +459,15 @@ def _frm_refine_jit(
 # ---------------------------------------------------------------------------
 
 class FrmConfig:
-    """Static search geometry + the (cached) polar interpolation matrix."""
+    """Static search geometry + the (cached) polar interpolation matrix.
+
+    Band-limited auto-crop: the search band only needs wavenumbers up to
+    r_max, so particles are Fourier-cropped to n_crop ~ 2 (r_max + margin)
+    before the polar transform — integer wavenumbers (and hence the ring
+    radii) are preserved by the crop, the polar matrix is built on the
+    cropped grid (without this a 256-px box needs a ~14 GB matrix), and
+    shifts convert by n_crop/n. The reference volume stays full size (the
+    bank gathers by wavenumber)."""
 
     def __init__(self, n, pixel_size, low_res=25.0, high_res=8.0,
                  angular_step=7.5, symmetry="C1", n_psi=None,
@@ -468,31 +476,51 @@ class FrmConfig:
                  upsample=4, wiener=0.1):
         from pyp_tpu.ops.refine3d import make_directions, make_shift_grid
 
-        self.n = int(n)
-        self.pixel_size = float(pixel_size)
+        self.n_data = int(n)
         self.radii = make_rings(n, pixel_size, low_res, high_res)
+        r_max = int(np.max(self.radii))
+        self.n = min(int(n), int(np.ceil((2 * r_max + 8) / 16.0)) * 16)
+        self.crop = self.n / float(n)          # shift scale: data px -> crop px
+        self.pixel_size = float(pixel_size) / self.crop
         self.n_psi = int(n_psi or default_n_psi(self.radii))
         self.ring_w = jnp.asarray(ring_weights(self.radii))
         self.directions = np.asarray(make_directions(angular_step, symmetry),
                                      dtype=np.float32)
-        self.shift_grid = jnp.asarray(make_shift_grid(shift_extent, shift_step))
+        self.shift_grid = jnp.asarray(
+            make_shift_grid(shift_extent, shift_step) * self.crop)
         self.rounds = int(rounds)
         self.upsample = int(upsample)
         # coarse shift-marginalization grid for the first match round
-        self.coarse_step = max(float(shift_step), float(shift_extent) / 3.0)
+        self.coarse_step = max(float(shift_step), float(shift_extent) / 3.0)             * self.crop
         self.coarse_shifts = jnp.asarray(
-            make_shift_grid(shift_extent, self.coarse_step))
+            make_shift_grid(shift_extent, self.coarse_step / self.crop)
+            * self.crop)
         self.wiener = float(wiener)
         self.voltage_kv = float(voltage_kv)
         self.cs_mm = float(cs_mm)
         self.amplitude_contrast = float(amplitude_contrast)
-        W_re, W_im = polar_matrix(n, self.radii, self.n_psi)
+        W_re, W_im = polar_matrix(self.n, self.radii, self.n_psi)
         self.W_re = jnp.asarray(W_re)
         self.W_im = jnp.asarray(W_im)
         self.pts = jnp.asarray(polar_points(self.radii, self.n_psi))
 
+    def crop_stack(self, stack):
+        """Fourier-crop data images to the band-limited internal box."""
+        if self.n == self.n_data:
+            return jnp.asarray(stack)
+        return _crop_jit(jnp.asarray(stack), self.n)
+
     def bank(self, Fref) -> FrmBank:
-        return FrmBank(Fref, self.directions, self.radii, self.n_psi, self.n)
+        # vol_pad inside the bank derives from the FULL volume box
+        return FrmBank(Fref, self.directions, self.radii, self.n_psi,
+                       self.n_data)
+
+
+@functools.partial(jax.jit, static_argnames=("n_out",))
+def _crop_jit(stack, n_out: int):
+    from pyp_tpu.core.fft import fourier_crop
+
+    return fourier_crop(stack, (n_out, n_out))
 
 
 def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
@@ -509,7 +537,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
     applies Cref SSNR ring weighting."""
     if bank is None:
         bank = cfg.bank(Fref)
-    stack = jnp.asarray(stack)
+    stack = cfg.crop_stack(stack)
     B = stack.shape[0]
     if d_block is None:
         # bound the (B, d_block, K*upsample) score block to ~64 MB
@@ -518,7 +546,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
                                                * cfg.upsample // 4)))
     if init_poses is not None:
         init_poses = jnp.asarray(init_poses)
-        init_shifts = init_poses[:, 3:5]
+        init_shifts = init_poses[:, 3:5] * cfg.crop
         R_i = euler_to_matrix(init_poses[:, 0], init_poses[:, 1],
                               init_poses[:, 2])
         init_axes = R_i[:, 2, :]
@@ -532,7 +560,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))
     else:
         ring_cref = jnp.ones(len(cfg.radii), dtype=jnp.float32)
-    return _frm_refine_jit(
+    poses, scores = _frm_refine_jit(
         stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
         cfg.ring_w, bank.FUc, bank.u2sum, bank.U,
         jnp.asarray(bank.directions), jnp.asarray(bank.axes),
@@ -541,6 +569,9 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,
     )
+    if cfg.crop != 1.0:  # shifts back to data pixels
+        poses = poses.at[:, 3:5].divide(cfg.crop)
+    return poses, scores
 
 
 @functools.partial(jax.jit, static_argnames=("d_block",))
@@ -579,7 +610,7 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
     """Score every particle against every bank direction (best psi each):
     (scores (B, D), psi_deg (B, D)). The soft-assignment primitive for
     marginalized ab initio and classification."""
-    stack = jnp.asarray(stack)
+    stack = cfg.crop_stack(stack)
     B = stack.shape[0]
     D = bank.FUc.shape[0]
     Xp, wr = _restore_polar(
@@ -590,7 +621,8 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
         wr = wr * jnp.asarray(
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))[None]
     if shifts is not None:
-        Xp = Xp * shift_phasor_polar(cfg.pts, jnp.asarray(shifts), cfg.n)
+        Xp = Xp * shift_phasor_polar(cfg.pts, jnp.asarray(shifts) * cfg.crop,
+                                     cfg.n)
     d_block = min(d_block, D)
     pad = (-D) % d_block
     FUc, u2sum = bank.FUc, bank.u2sum

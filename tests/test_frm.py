@@ -137,3 +137,50 @@ class TestFrmRecovery:
                 float(res_g.psi[b])))
             e_g.append(rotation_error_deg(Rg, truth["R"][b]))
         assert np.median(e_f) <= max(1.5 * np.median(e_g), 9.0), (e_f, e_g)
+
+
+class TestBandLimitedCrop:
+    def test_large_box_autocrops_and_recovers(self):
+        """A 64-px box searched to 6 A must internally crop (wavenumbers are
+        preserved by Fourier cropping) and still recover poses + shifts in
+        DATA pixels."""
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.ops import reconstruct as rec
+
+        n, pixel = 64, 1.5
+        rng = np.random.RandomState(4)
+        vol = rng.randn(n, n, n).astype(np.float32)
+        vol *= np.asarray(soft_spherical_mask(n, n * 0.35, 3.0))
+        vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel,
+                                         3.0 * pixel)) * 10
+        B = 8
+        phi = rng.uniform(0, 360, B).astype(np.float32)
+        theta = np.degrees(np.arccos(rng.uniform(-1, 1, B))).astype(np.float32)
+        psi = rng.uniform(0, 360, B).astype(np.float32)
+        shifts = rng.uniform(-3, 3, (B, 2)).astype(np.float32)
+        df = rng.uniform(12000, 22000, B).astype(np.float32)
+        ctf_params = np.stack([df, df, np.zeros(B), np.zeros(B)], 1)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        R = euler_to_matrix(jnp.asarray(phi), jnp.asarray(theta),
+                            jnp.asarray(psi))
+        F = fs.project(Fv, R, n)
+        ctfs = rec._ctf_grids(n, pixel, jnp.asarray(ctf_params), 300.0, 2.7,
+                              0.07)
+        F = rec._shift_correct(F * ctfs, jnp.asarray(shifts), n)
+        imgs = np.array(fs.fourier_to_image(F, n))
+        imgs += 0.05 * np.abs(imgs).max() * rng.randn(*imgs.shape).astype(
+            np.float32)
+
+        cfg = frm.FrmConfig(n, pixel, low_res=40.0, high_res=9.0,
+                            angular_step=11.0, shift_extent=4.0,
+                            shift_step=0.5, rounds=2)
+        assert cfg.n < n, (cfg.n, n)  # the crop actually engaged
+        poses, scores = frm.frm_refine(jnp.asarray(imgs),
+                                       jnp.asarray(ctf_params), Fv, cfg)
+        poses = np.asarray(poses)
+        R_true = np.asarray(R)
+        errs = [rotation_error_deg(np.asarray(euler_to_matrix(*poses[b, :3])),
+                                   R_true[b]) for b in range(B)]
+        sh_err = np.abs(poses[:, 3:5] - shifts).max(axis=1)
+        assert np.median(errs) < 9.0, errs
+        assert np.median(sh_err) < 1.0, (poses[:, 3:5], shifts)
