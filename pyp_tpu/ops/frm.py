@@ -269,6 +269,24 @@ def _match_harmonics(FA, ring_w, Xp0, FUc, u2sum, dir_mask, d_block: int,
                        upsample)
 
 
+def _num_hat(FA_s, fu):
+    """Ring-contraction einsum num[b,d,k] = sum_r FA[b,r,k] fu[d,r,k].
+
+    The contraction dominates the engine's FLOPs; scores are NCCs in
+    [-1, 1] selected by argmax, so bf16 inputs with f32 accumulation
+    (preferred_element_type) trade ~4e-3 score noise for ~2x MXU rate —
+    split into the four real einsums to stay on the bf16 MXU path."""
+    ar, ai = jnp.real(FA_s).astype(jnp.bfloat16), jnp.imag(FA_s).astype(jnp.bfloat16)
+    br, bi = jnp.real(fu).astype(jnp.bfloat16), jnp.imag(fu).astype(jnp.bfloat16)
+
+    def ein(a, b):
+        return jnp.einsum("brk,drk->bdk", a, b,
+                          preferred_element_type=jnp.float32)
+
+    return jax.lax.complex(ein(ar, br) - ein(ai, bi),
+                           ein(ar, bi) + ein(ai, br))
+
+
 def _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block: int,
                 upsample: int):
     S, B, R, K = FA.shape
@@ -285,8 +303,7 @@ def _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block: int,
         best = jnp.full((B,), -jnp.inf)
         idx = jnp.zeros((B,), jnp.int32)
         for s in range(S):  # static unroll; running max bounds memory
-            num = _upsampled_ifft(
-                jnp.einsum("brk,drk->bdk", FA[s], fu), upsample)
+            num = _upsampled_ifft(_num_hat(FA[s], fu), upsample)
             v = ((num / den[..., None]) + m[..., None]).reshape(B, -1)
             i = jnp.argmax(v, axis=1)
             val = jnp.take_along_axis(v, i[:, None], 1)[:, 0]
