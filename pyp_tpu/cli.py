@@ -31,7 +31,7 @@ logger = get_logger("cli")
 
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
-         "clean", "worker", "params", "gain", "stream", "kselection")
+         "clean", "worker", "params", "gain", "stream", "kselection", "byp")
 
 
 def _project_params(argv, work_dir="."):
@@ -138,9 +138,11 @@ def mode_refine(argv):
 
     stack = mrc.read("stack.mrc").astype(np.float32)
     table = cistem.read_parameters("stack.cistem")
-    model_path = params.get("model_path") or ""
     n = stack.shape[-1]
-    init_path = Path("initial_model.mrc")
+    # initial reference: -model_path, then project-local initial_model.mrc,
+    # then ab initio / featureless sphere (the reference's precedence)
+    model_path = Path(params.get("model_path") or "initial_model.mrc")
+    init_path = model_path if model_path.exists() else Path("initial_model.mrc")
     if init_path.exists():
         initial = mrc.read(init_path).astype(np.float32)
     elif params.get("refine_abinit"):
@@ -489,6 +491,66 @@ def mode_kselection(argv):
     print(json.dumps({"kept": int(mask.sum()), "total": int(len(mask)),
                       "classes": sorted(keep)}))
     return 0
+
+
+def mode_byp(argv):
+    """Box/model interop utilities (the bin/run/byp driver): dispatch on the
+    input file's extension like the reference does.
+
+      byp picks.mod -extract_box 128      # mod2box: IMOD picks -> .box
+      byp mic.boxx                        # box2mod: .box/.boxx -> IMOD .mod
+      byp particles.star                  # relion2box: star -> .box per film
+    """
+    if not argv or argv[0].startswith("-"):
+        logger.error("usage: byp <file.mod|.box|.boxx|.star> [params]")
+        return 2
+    src = Path(argv[0])
+    params = _project_params(argv[1:])
+    box = int(params.get("extract_box") or 128)
+    from pyp_tpu.io import boxfiles, imod
+
+    if src.suffix == ".mod":
+        pts = imod.read_points(src)            # (N, 3) x, y, z
+        coords_yx = np.stack([pts[:, 1], pts[:, 0]], axis=1)
+        out = src.with_suffix(".box")
+        boxfiles.write_box(coords_yx, box, out)
+        print(json.dumps({"mode": "mod2box", "picks": int(len(pts)),
+                          "box": str(out)}))
+        return 0
+    if src.suffix in (".box", ".boxx"):
+        if src.suffix == ".boxx":
+            coords_yx, boxsize, inside, kept = boxfiles.read_boxx(src)
+            sel = np.asarray(kept, dtype=bool)
+            coords_yx = np.asarray(coords_yx)[sel]
+        else:
+            coords_yx, boxsize = boxfiles.read_box(src)
+            coords_yx = np.asarray(coords_yx)
+        pts = np.stack([coords_yx[:, 1], coords_yx[:, 0],
+                        np.zeros(len(coords_yx))], axis=1)
+        out = src.with_suffix(".mod")
+        imod.write_point_model(out, pts)
+        print(json.dumps({"mode": "box2mod", "picks": int(len(pts)),
+                          "mod": str(out)}))
+        return 0
+    if src.suffix == ".star":
+        from pyp_tpu.io import relion
+
+        table, _optics = relion.import_star(str(src))
+        films = np.asarray(table["particle_group"]).astype(int) \
+            if "particle_group" in table else np.zeros(table.n_rows, int)
+        n_files = 0
+        for f in np.unique(films):
+            sel = films == f
+            coords_yx = np.stack([
+                np.asarray(table["original_y_position"])[sel],
+                np.asarray(table["original_x_position"])[sel]], axis=1)
+            boxfiles.write_box(coords_yx, box, src.parent / f"film{f:04d}.box")
+            n_files += 1
+        print(json.dumps({"mode": "relion2box", "films": n_files,
+                          "particles": int(table.n_rows)}))
+        return 0
+    logger.error("byp: unsupported input %s", src.suffix)
+    return 2
 
 
 def mode_worker(argv):

@@ -99,3 +99,29 @@ class TestImodGolden:
         A = xf[:, :4].reshape(-1, 2, 2)
         np.testing.assert_allclose(
             np.linalg.det(A), np.ones(len(A)), atol=1e-5)
+
+
+class TestImodModelGolden:
+    def test_reads_imod_written_model(self):
+        """Parse a model written by IMOD itself (template from the
+        reference tree): header fields + chunk walk must succeed."""
+        from pyp_tpu.io import imod
+
+        objects, header = imod.read_model(GOLDEN / "ref_imod.mod")
+        assert header["xmax"] == 1080 and header["ymax"] == 360
+        assert header["zmax"] == 20 and header["objsize"] == 1
+        assert header["name"] == "IMOD-NewModel"
+        assert len(objects) == 1 and objects[0] == []  # empty template
+
+    def test_point_model_roundtrip(self, tmp_path):
+        from pyp_tpu.io import imod
+
+        rng = np.random.RandomState(0)
+        pts = (rng.rand(25, 3) * [1024, 1024, 60]).astype(np.float32)
+        p = tmp_path / "picks.mod"
+        imod.write_point_model(p, pts, shape_xyz=(1024, 1024, 60))
+        back = imod.read_points(p)
+        np.testing.assert_allclose(back, pts, atol=1e-4)
+        objs, header = imod.read_model(p)
+        assert header["xmax"] == 1024 and header["objsize"] == 1
+        assert len(objs[0]) == 25  # one contour per scattered point

@@ -1,0 +1,139 @@
+"""Dataset-scale SPA refinement benchmark on one TPU chip.
+
+The honest synthetic stand-in for the EMPIAR-10025 north star (BASELINE.md):
+a T20S-scale problem — thousands of CTF-modulated, noisy projections of a
+known volume with random poses/shifts — run through the PRODUCTION
+refinement path (pipeline.refine.refinement_iteration: FRM global search,
+FSC-weighted local iterations, half-map reconstruction, postprocess), timed
+end-to-end with host-readback syncs. Reports wall time per stage, final
+FSC(0.143) resolution against the half-maps, and correlation against the
+ground-truth volume.
+
+Run:  python tools/benchmark_e2e_spa.py [n_particles] [box]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(n_particles=4096, box=128):
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+    from pyp_tpu.core.geometry import euler_to_matrix
+    from pyp_tpu.io import cistem
+    from pyp_tpu.ops import fourier_slice as fs
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.pipeline.refine import refinement_iteration
+
+    pixel = 1.0
+    rng = np.random.RandomState(0)
+    t_all = time.perf_counter()
+
+    # ---- ground truth + synthetic dataset ---------------------------------
+    t0 = time.perf_counter()
+    vol = rng.randn(box, box, box).astype(np.float32)
+    vol *= np.asarray(soft_spherical_mask(box, box * 0.35, 4.0))
+    vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 5.0)) * 10.0
+
+    Fvol = fs.volume_to_fourier(jnp.asarray(vol))
+    phi = rng.uniform(0, 360, n_particles).astype(np.float32)
+    theta = np.degrees(np.arccos(rng.uniform(-1, 1, n_particles))).astype(np.float32)
+    psi = rng.uniform(0, 360, n_particles).astype(np.float32)
+    shifts = rng.uniform(-4, 4, (n_particles, 2)).astype(np.float32)
+    df = rng.uniform(8000, 28000, n_particles).astype(np.float32)
+    ctf_params = np.stack(
+        [df + 400, df - 400, rng.uniform(0, 180, n_particles),
+         np.zeros(n_particles)], 1).astype(np.float32)
+
+    @jax.jit
+    def make_batch(Fvol, phi, theta, psi, sh, cp, key):
+        # Fvol passed as an argument: a complex closure constant would be
+        # materialized via a host readback at jit-lowering time, which the
+        # axon tunnel cannot do (.claude/skills/verify/SKILL.md)
+        R = euler_to_matrix(phi, theta, psi)
+        F = fs.project(Fvol, R, box)
+        ctfs = rec._ctf_grids(box, pixel, cp, 300.0, 2.7, 0.07)
+        F = rec._shift_correct(F * ctfs, sh, box)
+        imgs = fs.fourier_to_image(F, box)
+        noise = jax.random.normal(key, imgs.shape) * 3.0 * jnp.std(imgs)
+        return imgs + noise
+
+    stack = np.empty((n_particles, box, box), dtype=np.float32)
+    bs = 512
+    key = jax.random.PRNGKey(1)
+    for lo in range(0, n_particles, bs):
+        hi = min(lo + bs, n_particles)
+        key, sub = jax.random.split(key)
+        stack[lo:hi] = np.asarray(make_batch(
+            Fvol, jnp.asarray(phi[lo:hi]), jnp.asarray(theta[lo:hi]),
+            jnp.asarray(psi[lo:hi]), jnp.asarray(shifts[lo:hi]),
+            jnp.asarray(ctf_params[lo:hi]), sub))
+    t_synth = time.perf_counter() - t0
+
+    # ---- production refinement: global iteration + local iterations -------
+    table = cistem.Table.zeros(n_particles)
+    table["position_in_stack"] = np.arange(1, n_particles + 1)
+    table["pixel_size"] = np.full(n_particles, pixel)
+    table["defocus_1"] = ctf_params[:, 0]
+    table["defocus_2"] = ctf_params[:, 1]
+    table["defocus_angle"] = ctf_params[:, 2]
+    table["occupancy"] = np.full(n_particles, 100.0)
+
+    params = {
+        "scope_pixel": pixel, "scope_voltage": 300.0, "scope_cs": 2.7,
+        "scope_wgh": 0.07, "refine_rlref": 50.0,
+        "refine_rhref": "12:8:6:5", "refine_dang": 7.5,
+        "refine_psi_step": 5.0, "refine_searchx": 6.0, "refine_searchy": 6.0,
+        "particle_sym": "C1", "refine_mode": "global",
+        "refine_engine": "frm", "refine_frm_cone": 15.0,
+        "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
+    }
+    # featureless start: global search must bootstrap everything
+    ref = np.asarray(soft_spherical_mask(box, box * 0.3, 5.0),
+                     dtype=np.float32)
+    stages = []
+    fsc_curve = None
+    for it, mode in [(2, "global"), (3, "local"), (4, "local"), (5, "local")]:
+        params["refine_mode"] = mode
+        t0 = time.perf_counter()
+        table, out, res_a = refinement_iteration(
+            stack, table, ref, params, it, batch=512, fsc_curve=fsc_curve)
+        ref = np.asarray(out.volume, dtype=np.float32)
+        fsc_curve = np.asarray(out.fsc)
+        dt = time.perf_counter() - t0
+        stages.append({"iteration": it, "mode": mode,
+                       "seconds": round(dt, 1),
+                       "fsc143_A": round(res_a, 2)})
+        print(f"iter {it} ({mode}): {dt:.1f} s, half-map FSC(0.143) = "
+              f"{res_a:.2f} A", flush=True)
+
+    # ---- ground-truth validation ------------------------------------------
+    cc = float(np.corrcoef(ref.ravel(), vol.ravel())[0, 1])
+    total = time.perf_counter() - t_all
+
+    report = {
+        "n_particles": n_particles, "box": box, "pixel_A": pixel,
+        "synth_seconds": round(t_synth, 1),
+        "stages": stages,
+        "total_seconds": round(total, 1),
+        "particles_refined_per_sec_overall": round(
+            n_particles * len(stages) / sum(s["seconds"] for s in stages), 1),
+        "cc_vs_ground_truth": round(cc, 4),
+    }
+    print(json.dumps(report, indent=1))
+    return report
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    main(n, b)
