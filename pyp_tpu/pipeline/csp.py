@@ -401,3 +401,73 @@ def _tilt_class_scores(xv, R_t, dshift_t, df_t, mask_pts, Fref, n, pixel,
     den = jnp.sqrt(jnp.sum(jnp.abs(xv) ** 2, -1)
                    * jnp.sum(c * c * jnp.abs(u) ** 2, -1) + 1e-12)
     return num / den
+
+
+def csp_polish_frames(tilt_movies, cp, defocus, ref_volume, params,
+                      doses=None):
+    """Per-tilt movie-frame refinement — the reference's CSPT frame axis
+    (FIND column, cistem_star_file.py:70; csp frame mode local_run.py:363):
+    for each tilt movie, window every particle from every raw frame at its
+    CSP-projected position, jointly refine per-(particle, frame) 2D
+    trajectories against CTF-weighted projections of the reference at the
+    CSP effective rotations (ops.polish.refine_trajectories), and rebuild
+    dose-weighted particle windows.
+
+    tilt_movies: list of T arrays (F_t, ny, nx) raw frames per tilt;
+    cp: refined CspParams; defocus: (T, 2). Returns (windows (T, P, box,
+    box) polished, trajectories list of (P, F_t, 2))."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.geometry import matrix_to_euler
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops import polish as polish_ops
+    from pyp_tpu.ops.extract import extract_from_frames
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+    from pyp_tpu.ops.refine3d import make_mask_points
+
+    pixel = float(params["scope_pixel"])
+    box = int(params.get("csp_box") or 64)
+    Fref = volume_to_fourier(jnp.asarray(ref_volume))
+    mask_pts = jnp.asarray(make_mask_points(
+        box, pixel, float(params.get("csp_rlref") or 60.0),
+        max(float(param(params.get("csp_rhref") or "12", 2)), 2.5 * pixel)))
+
+    R_eff = np.asarray(csp_ops.effective_rotations(cp))   # (T, P, 3, 3)
+    pred = np.asarray(csp_ops.project_positions(cp))      # (T, P, 2)
+    depth = np.asarray(csp_ops.particle_depth(cp))        # (T, P)
+    T = len(tilt_movies)
+    P = pred.shape[1]
+    out_windows = []
+    out_traj = []
+    for t in range(T):
+        frames = np.asarray(tilt_movies[t], dtype=np.float32)
+        F_t, ny, nx = frames.shape
+        center = np.array([ny // 2, nx // 2])
+        ci = np.round(pred[t] + center).astype(np.int32)
+        ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+        windows = extract_from_frames(jnp.asarray(frames), jnp.asarray(ci),
+                                      box, invert=False, normalize=False)
+        phi, theta, psi = matrix_to_euler(jnp.asarray(R_eff[t]))
+        dsh = (pred[t] + center - ci).astype(np.float32)
+        poses = jnp.stack([
+            jnp.asarray(phi), jnp.asarray(theta), jnp.asarray(psi),
+            jnp.asarray(dsh[:, 0]), jnp.asarray(dsh[:, 1]),
+        ], axis=1)
+        df_t = (defocus[t, :2].mean() + depth[t] * pixel).astype(np.float32)
+        ctf_t = np.stack([df_t, df_t, np.zeros(P), np.zeros(P)],
+                         axis=1).astype(np.float32)
+        traj, _score = polish_ops.refine_trajectories(
+            windows, poses, jnp.asarray(ctf_t), Fref, mask_pts, box, pixel,
+            iters=int(params.get("polish_iters") or 30),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+        )
+        d = (jnp.asarray(doses[t]) if doses is not None
+             else jnp.arange(1, F_t + 1, dtype=jnp.float32))
+        out_windows.append(np.asarray(polish_ops.polished_average(
+            windows, traj, d, pixel)))
+        out_traj.append(np.asarray(traj))
+        logger.info("csp frame refinement tilt %d: %d particles x %d frames",
+                    t, P, F_t)
+    return np.stack(out_windows), out_traj

@@ -91,3 +91,74 @@ class TestCspClassify:
         ccAB = np.corrcoef(np.asarray(outs[0].volume).ravel(), volB.ravel())[0, 1]
         assert ccAA > ccAB, (ccAA, ccAB)
         assert ccBB > 0.3
+
+
+class TestCspFrameRefinement:
+    @pytest.mark.slow
+    def test_recovers_per_frame_drift(self):
+        """CSPT frame axis: per-tilt movies with planted per-frame drift —
+        the refined trajectories must recover it and the polished windows
+        must beat the naive frame sum."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.fft import shift_images
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.core.geometry import euler_to_matrix
+        from pyp_tpu.ops import csp as csp_ops
+        from pyp_tpu.ops import fourier_slice as fs
+        from pyp_tpu.pipeline.csp import csp_polish_frames
+
+        rng = np.random.RandomState(0)
+        box, ny, nx, T, F, P = 32, 128, 128, 3, 6, 4
+        vol = rng.randn(box, box, box).astype(np.float32)
+        vol *= np.asarray(soft_spherical_mask(box, box * 0.35, 3.0))
+        vol = np.array(lowpass_filter_3d(jnp.asarray(vol), 2.0, 6.0)) * 20
+
+        angles = np.array([-30.0, 0.0, 30.0], np.float32)
+        coords = np.stack([
+            np.zeros(P), rng.uniform(-30, 30, P), rng.uniform(-30, 30, P),
+        ], 1).astype(np.float32)
+        eulers = rng.uniform(0, 360, (P, 3)).astype(np.float32)
+        cp = csp_ops.make_params(angles, np.zeros(T, np.float32),
+                                 np.zeros((T, 2), np.float32), eulers, coords)
+        R_eff = np.asarray(csp_ops.effective_rotations(cp))
+        pred = np.asarray(csp_ops.project_positions(cp))
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+
+        drift = np.cumsum(rng.uniform(-0.7, 0.7, (T, F, 2)), axis=1).astype(
+            np.float32)
+        movies, doses = [], []
+        for t in range(T):
+            frames = rng.randn(F, ny, nx).astype(np.float32) * 0.3
+            proj = np.asarray(fs.fourier_to_image(
+                fs.project(Fv, jnp.asarray(R_eff[t]), box), box))
+            for f in range(F):
+                canvas = np.zeros((ny, nx), np.float32)
+                for p in range(P):
+                    cy = int(round(pred[t, p, 0])) + ny // 2
+                    cx = int(round(pred[t, p, 1])) + nx // 2
+                    sh = np.asarray(shift_images(
+                        jnp.asarray(proj[p])[None],
+                        jnp.asarray(drift[t, f])[None]))[0]
+                    canvas[cy - box // 2:cy + box // 2,
+                           cx - box // 2:cx + box // 2] += sh
+                frames[f] += canvas
+            movies.append(frames)
+            doses.append(np.arange(1, F + 1, dtype=np.float32))
+
+        params = {"scope_pixel": 2.0, "scope_voltage": 300.0,
+                  "scope_cs": 2.7, "scope_wgh": 0.07, "csp_box": box,
+                  "csp_rlref": 60.0, "csp_rhref": "8", "polish_iters": 40}
+        defocus = np.full((T, 2), 15000.0, np.float32)
+        polished, trajs = csp_polish_frames(movies, cp, defocus, vol, params,
+                                            doses=doses)
+        assert polished.shape == (T, P, box, box)
+        # recovered trajectory should correlate with planted drift deltas
+        # (gauge: trajectories are relative to the per-tilt mean)
+        errs = []
+        for t in range(T):
+            tr = trajs[t]                       # (P, F, 2)
+            want = drift[t] - drift[t].mean(0)  # (F, 2), gauge-fixed
+            got = tr.mean(axis=0) - tr.mean(axis=(0, 1))
+            errs.append(np.abs(got - want).mean())
+        assert np.mean(errs) < 0.5, errs
