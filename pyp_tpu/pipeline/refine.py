@@ -196,7 +196,7 @@ def refinement_iteration(
     with Timer(f"reconstruction iteration {iteration}"):
         poses = table_to_poses(table, pixel)
         subset = (
-            np.asarray(table["assigned_subset"]) - 1
+            _half_subsets(table)
             if "assigned_subset" in table else np.arange(n_total) % 2
         )
         weights = (
@@ -310,3 +310,13 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             web.write_reconstruction(dataset, it, res_a,
                                      fsc=np.asarray(recon.fsc).tolist())
     return table, ref, history
+
+
+def _half_subsets(table) -> np.ndarray:
+    """Half-set ids (0/1) from the table's 1-based assigned_subset column;
+    rows with subset <= 0 (zero-initialized tables) get a deterministic
+    even/odd assignment — a silent all-unassigned table would otherwise
+    zero-weight BOTH halves and reconstruct nothing."""
+    sub = np.asarray(table["assigned_subset"]).astype(np.int64) - 1
+    fallback = np.arange(table.n_rows) % 2
+    return np.where(sub < 0, fallback, sub)
