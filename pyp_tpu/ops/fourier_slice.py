@@ -293,10 +293,9 @@ def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
                          pad: int = DEFAULT_PAD, gridding: str = "trilinear"):
     """insert_slices for both half-sets in ONE scatter pass: the half id
     offsets the flat index into a doubled buffer, so the even/odd split
-    costs nothing extra. gridding="nearest" rounds to the closest node of
-    the oversampled grid (cisTEM's nearest-neighbour reconstruct3d option:
-    ~8x fewer scatter points for ~0.5/pad px of positional jitter).
-    Returns (num1, den1, num2, den2)."""
+    costs nothing extra. (A nearest-neighbour kernel was measured and
+    rejected: ~8x fewer scatter points but visibly worse truth recovery at
+    sparse coverage.) Returns (num1, den1, num2, den2)."""
     pn = pad * n
     nxf = pn // 2 + 1
     q = slice_coords(R, n) * pad
@@ -305,18 +304,13 @@ def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
     flip = q[..., 2] < 0
     qs = jnp.where(flip[..., None], -q, q)
     vals = jnp.where(flip, jnp.conj(vals), vals)
-    if gridding == "nearest":
-        q0 = jnp.round(qs)
-        frac = jnp.zeros_like(qs)  # weight collapses onto the (0,0,0) corner
-    else:
-        q0 = jnp.floor(qs)
-        frac = qs - q0
+    q0 = jnp.floor(qs)
+    frac = qs - q0
     q0 = q0.astype(jnp.int32)
     in_sphere = jnp.sum(q * q, axis=-1) <= (pn // 2) ** 2
 
-    idx, wre, wim, wc2 = _corner_lists(
-        qs, vals, c2, q0, frac, in_sphere, pn, nxf,
-        corners=((0, 0, 0),) if gridding == "nearest" else None)
+    idx, wre, wim, wc2 = _corner_lists(qs, vals, c2, q0, frac, in_sphere,
+                                       pn, nxf)
     size = pn * pn * nxf
     B = F_parts.shape[0]
     per = idx.shape[0] // (8 * B)
@@ -330,24 +324,27 @@ def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
     return num[0], den[0], num[1], den[1]
 
 
-def gridding_correction(n: int, pad: int = DEFAULT_PAD):
-    """Real-space correction over the cropped n-box for the trilinear kernel
-    on the padded grid: divide by sinc^2((x - c)/pn) per axis."""
+def gridding_correction(n: int, pad: int = DEFAULT_PAD, power: int = 2):
+    """Real-space correction over the cropped n-box for the gridding kernel
+    on the padded grid: divide by sinc^power((x - c)/pn) per axis
+    (power=2 for the trilinear kernel, power=1 for nearest/box)."""
     pn = n * pad
     ax = (np.arange(n) - n // 2) / pn
-    s = np.sinc(ax) ** 2
+    s = np.sinc(ax) ** power
     c = s[:, None, None] * s[None, :, None] * s[None, None, :]
     return jnp.asarray(np.maximum(c, 1e-3).astype(np.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "pad"))
+@functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"))
 def reconstruct_from_accumulators(num, den, n: int, pad: int = DEFAULT_PAD,
-                                  wiener: float = 1.0):
+                                  wiener: float = 1.0,
+                                  gridding: str = "trilinear"):
     """num/den -> real-space n-box map with Wiener-style regularization and
-    gridding correction."""
+    kernel-matched gridding correction."""
     vol_f = num / (den + wiener)
     vol = fourier_to_volume(vol_f, n, pad)
     # padded irfftn spreads the inverse-transform normalization over pn^3
     # samples; rescale so amplitudes match the unpadded convention
     vol = vol * (pad ** 3)
-    return vol / gridding_correction(n, pad)
+    return vol / gridding_correction(
+        n, pad, power=1 if gridding == "nearest" else 2)

@@ -76,7 +76,7 @@ def _shift_correct(X, shifts, n):
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast", "symmetry", "pad"),
+                     "amplitude_contrast", "symmetry", "pad", "gridding"),
 )
 def accumulate(
     stack,               # (B, n, n) particle images
@@ -93,6 +93,7 @@ def accumulate(
     pad: int = DEFAULT_PAD,
     prev: Accumulators | None = None,
     doses=None,
+    gridding: str = "trilinear",
 ) -> Accumulators:
     """Insert a batch of particles into (possibly pre-existing) accumulators.
 
@@ -128,7 +129,7 @@ def accumulate(
     for k in range(n_sym):
         Rk = R @ sym_mats[k][None]
         a1, b1, a2, b2 = insert_slices_halves(
-            X, ctfs, Rk, subset, weights, n, pad=pad)
+            X, ctfs, Rk, subset, weights, n, pad=pad, gridding=gridding)
         num1, den1 = num1 + a1, den1 + b1
         num2, den2 = num2 + a2, den2 + b2
     return Accumulators(num1, den1, num2, den2)
@@ -142,15 +143,18 @@ def merge_accumulators(accs) -> Accumulators:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n", "pad"))
+@functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"))
 def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
-             wiener: float = 0.5) -> Reconstruction:
+             wiener: float = 0.5,
+             gridding: str = "trilinear") -> Reconstruction:
     """Accumulators -> half maps, FSC-filtered combined map, FSC curve."""
-    half1 = reconstruct_from_accumulators(acc.num1, acc.den1, n, pad, wiener)
-    half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener)
+    half1 = reconstruct_from_accumulators(acc.num1, acc.den1, n, pad, wiener,
+                                          gridding)
+    half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener,
+                                          gridding)
     freqs, curve = fsc_mod.fsc(half1, half2)
     combined = reconstruct_from_accumulators(
-        acc.num1 + acc.num2, acc.den1 + acc.den2, n, pad, wiener
+        acc.num1 + acc.num2, acc.den1 + acc.den2, n, pad, wiener, gridding
     )
     combined = fsc_mod.apply_fsc_filter(combined, jnp.clip(curve, 0.0, 1.0))
     return Reconstruction(volume=combined, half1=half1, half2=half2,
@@ -162,7 +166,7 @@ def reconstruct(
     subset=None, weights=None, symmetry: str = "C1",
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
-    batch: int = 256, pad: int = DEFAULT_PAD,
+    batch: int = 256, pad: int = DEFAULT_PAD, gridding: str = "trilinear",
 ) -> Reconstruction:
     """Single-call reconstruction of a full particle stack (batched insert)."""
     n = stack.shape[-1]
@@ -178,9 +182,9 @@ def reconstruct(
             jnp.asarray(stack[sl]), jnp.asarray(poses[sl]),
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
             jnp.asarray(weights[sl]), n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast, symmetry, pad, prev=acc,
+            amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
         )
-    return finalize(acc, n, pad, wiener)
+    return finalize(acc, n, pad, wiener, gridding)
 
 
 def save_accumulators(acc: Accumulators, path):
