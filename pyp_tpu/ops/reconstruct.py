@@ -27,7 +27,6 @@ from pyp_tpu.core.geometry import apply_symmetry_matrices, euler_to_matrix
 from pyp_tpu.ops.fourier_slice import (
     DEFAULT_PAD,
     image_to_fourier,
-    insert_slices,
     reconstruct_from_accumulators,
 )
 from pyp_tpu.ops.refine3d import _ctf_at_points  # CTF on arbitrary points

@@ -32,7 +32,6 @@ from pyp_tpu.ops.fourier_slice import (
     gather_2d_hermitian,
     gather_3d_hermitian,
     image_to_fourier,
-    insert_slices,
 )
 
 
