@@ -51,10 +51,15 @@ def poses_into_table(table: cistem.Table, result, pixel: float):
 
 def refinement_iteration(
     stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
-    batch: int = 256, fsc_curve=None,
+    batch: int = 256, fsc_curve=None, ref_halves=None,
 ):
     """One iteration: refine poses (batched over particle ranges), then
-    reconstruct half maps + FSC. Returns (table, Reconstruction)."""
+    reconstruct half maps + FSC. Returns (table, Reconstruction).
+
+    ref_halves: optional (half1, half2) maps from the previous iteration —
+    with refine_goldstandard, each half-set's particles align only against
+    their own half map (RELION/cisTEM gold-standard separation, which keeps
+    the FSC free of alignment model bias)."""
     import jax.numpy as jnp
 
     from pyp_tpu.core import fsc as fsc_mod
@@ -124,13 +129,21 @@ def refinement_iteration(
                     voltage_kv=float(params["scope_voltage"]),
                     cs_mm=float(params["scope_cs"]),
                     amplitude_contrast=float(params["scope_wgh"]),
+                    wiener=float(params.get("refine_frm_wiener") or 0.1),
                 )
-                bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume)))
+                gold = bool(params.get("refine_goldstandard")) and \
+                    ref_halves is not None
+                if gold:
+                    banks = [cfg.bank(volume_to_fourier(jnp.asarray(h)))
+                             for h in ref_halves]
+                else:
+                    bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume)))
                 cone = (None if global_search
                         else float(params.get("refine_frm_cone") or 20.0))
                 G_pts = len(cfg.radii) * cfg.n_psi
                 ndev = (1 if mesh is None
                         else int(np.prod(list(mesh.shape.values()))))
+                halves_now = _half_subsets(table) if gold else None
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
                     xs = np.asarray(stack[lo:hi])
@@ -158,11 +171,29 @@ def refinement_iteration(
                         if init is not None:
                             init = jax.device_put(
                                 init.astype(np.float32), sh)
-                    poses, scores = frm.frm_refine(
-                        xs, cp, None, cfg, bank=bank,
-                        init_poses=init, prior_cone_deg=cone,
-                        fsc_curve=fsc_curve,
-                    )
+                    if gold:
+                        # gold standard: each half aligns against its own
+                        # half map; run the batch through both banks and
+                        # select per row (both runs share all compiled
+                        # machinery, so cost is 2x matmuls, no recompiles)
+                        outs = [frm.frm_refine(
+                            xs, cp, None, cfg, bank=b, init_poses=init,
+                            prior_cone_deg=cone, fsc_curve=fsc_curve)
+                            for b in banks]
+                        hsel = halves_now[lo:hi]
+                        if padb:
+                            hsel = np.concatenate(
+                                [hsel, hsel[-1:].repeat(padb, 0)])
+                        hs = jnp.asarray(hsel)[:, None]
+                        poses = jnp.where(hs == 0, outs[0][0], outs[1][0])
+                        scores = jnp.where(hs[:, 0] == 0, outs[0][1],
+                                           outs[1][1])
+                    else:
+                        poses, scores = frm.frm_refine(
+                            xs, cp, None, cfg, bank=bank,
+                            init_poses=init, prior_cone_deg=cone,
+                            fsc_curve=fsc_curve,
+                        )
                     res = frm.to_refine_result(
                         poses, scores, n_band_points=G_pts)
                     if padb:
@@ -257,10 +288,14 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
 
     history = []
     fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
+    ref_halves = None
     beam_tilt_done = False
     for it in range(start, maxiter + 2):
         table, recon, res_a = refinement_iteration(
-            stack, table, ref, params, it, fsc_curve=fsc_curve)
+            stack, table, ref, params, it, fsc_curve=fsc_curve,
+            ref_halves=ref_halves)
+        ref_halves = (np.asarray(recon.half1, dtype=np.float32),
+                      np.asarray(recon.half2, dtype=np.float32))
         if params.get("refine_beamtilt") and not beam_tilt_done and it > start:
             # one-shot dataset beam-tilt estimate once poses are warm
             # (cisTEM refine_ctf beam-tilt axis); corrects the working stack

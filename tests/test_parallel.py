@@ -108,3 +108,55 @@ class TestPipelineMeshDispatch:
             rtol=1e-3, atol=1e-3 * float(np.abs(np.asarray(out_one.volume)).max()),
         )
         assert abs(res_mesh - res_one) < 0.3
+
+
+class TestGoldStandard:
+    def test_halfset_separated_refinement_runs(self, monkeypatch):
+        """Gold-standard mode: each half aligns against its own half map;
+        results stay sane and at least match the shared-map mode on
+        synthetic data (same machinery, different banks)."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from test_refine3d import make_particles, make_volume, PIXEL
+
+        from pyp_tpu.io import cistem
+        from pyp_tpu.pipeline.refine import refine_loop
+
+        monkeypatch.setenv("PYP_TPU_DISABLE_SPMD", "1")
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=24,
+                                                  noise=0.2)
+        B = 24
+        table = cistem.Table.zeros(B)
+        table["pixel_size"] = np.full(B, PIXEL)
+        table["defocus_1"] = np.asarray(ctf_params)[:, 0]
+        table["defocus_2"] = np.asarray(ctf_params)[:, 1]
+        table["defocus_angle"] = np.asarray(ctf_params)[:, 2]
+        table["occupancy"] = np.full(B, 100.0)
+        table["assigned_subset"] = np.arange(B) % 2 + 1
+        params = {"scope_pixel": PIXEL, "scope_voltage": 300.0,
+                  "scope_cs": 2.7, "scope_wgh": 0.07, "refine_rlref": 40.0,
+                  "refine_rhref": "10:8", "refine_dang": 12.0,
+                  "refine_psi_step": 10.0, "refine_searchx": 4.0,
+                  "refine_searchy": 4.0, "particle_sym": "C1",
+                  "refine_mode": "global", "refine_engine": "frm",
+                  "refine_maxiter": 2, "refine_goldstandard": True,
+                  "reconstruct_wiener": 0.5}
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            table, ref, history = refine_loop(
+                np.asarray(stack), table, vol * 0 + np.asarray(vol), params,
+                work_dir=d, dataset="gs")
+        assert np.isfinite(ref).all()
+        assert history and history[-1]["resolution"] < 100.0
+        # poses still track truth reasonably (same data as other tests)
+        from pyp_tpu.core.geometry import euler_to_matrix
+        from test_refine3d import rotation_error_deg
+
+        errs = [rotation_error_deg(
+            np.asarray(euler_to_matrix(float(table["phi"][b]),
+                                       float(table["theta"][b]),
+                                       float(table["psi"][b]))),
+            truth["R"][b]) for b in range(B)]
+        assert np.median(errs) < 10.0, errs

@@ -22,7 +22,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main(n_particles=4096, box=128):
+def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
+         n_iters=4):
     import jax
     import jax.numpy as jnp
 
@@ -64,7 +65,7 @@ def main(n_particles=4096, box=128):
         ctfs = rec._ctf_grids(box, pixel, cp, 300.0, 2.7, 0.07)
         F = rec._shift_correct(F * ctfs, sh, box)
         imgs = fs.fourier_to_image(F, box)
-        noise = jax.random.normal(key, imgs.shape) * 3.0 * jnp.std(imgs)
+        noise = jax.random.normal(key, imgs.shape) * noise_x * jnp.std(imgs)
         return imgs + noise
 
     stack = np.empty((n_particles, box, box), dtype=np.float32)
@@ -95,6 +96,7 @@ def main(n_particles=4096, box=128):
         "refine_psi_step": 5.0, "refine_searchx": 6.0, "refine_searchy": 6.0,
         "particle_sym": "C1", "refine_mode": "global",
         "refine_engine": "frm", "refine_frm_cone": 15.0,
+        "refine_frm_wiener": frm_wiener,
         "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
     }
     # start from a 20 A lowpass of the true map — the realistic scenario
@@ -105,7 +107,8 @@ def main(n_particles=4096, box=128):
                    dtype=np.float32)
     stages = []
     fsc_curve = None
-    for it, mode in [(2, "global"), (3, "local"), (4, "local"), (5, "local")]:
+    schedule = [(2, "global")] + [(i, "local") for i in range(3, 2 + n_iters)]
+    for it, mode in schedule:
         params["refine_mode"] = mode
         t0 = time.perf_counter()
         table, out, res_a = refinement_iteration(
@@ -120,6 +123,18 @@ def main(n_particles=4096, box=128):
               f"{res_a:.2f} A", flush=True)
 
     # ---- ground-truth validation ------------------------------------------
+    from pyp_tpu.core.geometry import euler_to_matrix as _e2m
+
+    R_true = np.asarray(_e2m(jnp.asarray(phi), jnp.asarray(theta),
+                             jnp.asarray(psi)))
+    R_ref = np.asarray(_e2m(jnp.asarray(np.asarray(table["phi"])),
+                            jnp.asarray(np.asarray(table["theta"])),
+                            jnp.asarray(np.asarray(table["psi"]))))
+    tr = np.einsum("bij,bij->b", R_ref, R_true)
+    ang_err = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+    sh_ref = np.stack([np.asarray(table["y_shift"]),
+                       np.asarray(table["x_shift"])], 1) / pixel
+    sh_err = np.abs(sh_ref - shifts).max(axis=1)
     cc = float(np.corrcoef(ref.ravel(), vol.ravel())[0, 1])
     total = time.perf_counter() - t_all
 
@@ -131,6 +146,9 @@ def main(n_particles=4096, box=128):
         "particles_refined_per_sec_overall": round(
             n_particles * len(stages) / sum(s["seconds"] for s in stages), 1),
         "cc_vs_ground_truth": round(cc, 4),
+        "median_angular_error_deg": round(float(np.median(ang_err)), 2),
+        "frac_within_5deg": round(float((ang_err < 5).mean()), 3),
+        "median_shift_error_px": round(float(np.median(sh_err)), 2),
     }
     print(json.dumps(report, indent=1))
     return report
