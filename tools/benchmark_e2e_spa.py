@@ -135,7 +135,13 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     sh_ref = np.stack([np.asarray(table["y_shift"]),
                        np.asarray(table["x_shift"])], 1) / pixel
     sh_err = np.abs(sh_ref - shifts).max(axis=1)
-    cc = float(np.corrcoef(ref.ravel(), vol.ravel())[0, 1])
+    # band-limited masked correlation: raw-voxel cc is dominated by the
+    # spectral weighting differences between the FSC-filtered map and the
+    # raw phantom; compare where the signal lives
+    lp_ref = np.array(lowpass_filter_3d(jnp.asarray(ref), pixel, 10.0))
+    lp_vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 10.0))
+    m = np.asarray(soft_spherical_mask(box, box * 0.35, 4.0)) > 0.5
+    cc = float(np.corrcoef(lp_ref[m].ravel(), lp_vol[m].ravel())[0, 1])
     total = time.perf_counter() - t_all
 
     report = {
