@@ -204,6 +204,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "frm engine: CTF Wiener restoration constant"),
         P("refine_frm_rounds", int, 3, "frm engine: match/shift rounds"),
         P("refine_frm_npsi", int, 0, "frm engine: psi samples (0 = auto)"),
+        P("refine_frm_polish", str, "final",
+          "sub-lattice gradient polish after FRM: never/final/always",
+          enum=("never", "final", "always")),
         P("refine_goldstandard", bool, False,
           "align each half-set only against its own half map (unbiased FSC)"),
         P("refine_beamtilt", bool, False,

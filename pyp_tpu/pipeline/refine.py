@@ -144,6 +144,25 @@ def refinement_iteration(
                 ndev = (1 if mesh is None
                         else int(np.prod(list(mesh.shape.values()))))
                 halves_now = _half_subsets(table) if gold else None
+                # sub-lattice polish: FRM directions snap to the lattice
+                # (~step/2 quantization); a short autodiff gradient polish
+                # (the gather engine's continuous refiner) removes it where
+                # precision matters — default on the final iteration only
+                # (the gather pass is ~10x the FRM cost per particle)
+                polish_when = str(params.get("refine_frm_polish") or "final")
+                do_polish = polish_when == "always" or (
+                    polish_when == "final"
+                    and iteration >= int(params["refine_maxiter"]) + 1)
+                if do_polish:
+                    polish_pts = jnp.asarray(refine3d.make_mask_points(
+                        stack.shape[-1], pixel, float(params["refine_rlref"]),
+                        max(rhref * 0.8, 2.1 * pixel)))
+                    if gold:
+                        polish_refs = [volume_to_fourier(jnp.asarray(h))
+                                       for h in ref_halves]
+                    else:
+                        polish_refs = [volume_to_fourier(
+                            jnp.asarray(ref_volume))]
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
                     xs = np.asarray(stack[lo:hi])
@@ -194,6 +213,22 @@ def refinement_iteration(
                             init_poses=init, prior_cone_deg=cone,
                             fsc_curve=fsc_curve,
                         )
+                    if do_polish:
+                        pol = [refine3d.local_refine(
+                            jnp.asarray(xs), jnp.asarray(cp), F,
+                            jnp.asarray(poses), polish_pts,
+                            stack.shape[-1], pixel,
+                            voltage_kv=float(params["scope_voltage"]),
+                            cs_mm=float(params["scope_cs"]),
+                            amplitude_contrast=float(params["scope_wgh"]),
+                            iters=int(params.get("refine_local_iters") or 24),
+                            weights=shell_w) for F in polish_refs]
+                        if gold:
+                            poses = jnp.where(hs == 0, pol[0][0], pol[1][0])
+                            scores = jnp.where(hs[:, 0] == 0, pol[0][1],
+                                               pol[1][1])
+                        else:
+                            poses, scores = pol[0]
                     res = frm.to_refine_result(
                         poses, scores, n_band_points=G_pts)
                     if padb:

@@ -184,3 +184,47 @@ class TestBandLimitedCrop:
         sh_err = np.abs(poses[:, 3:5] - shifts).max(axis=1)
         assert np.median(errs) < 9.0, errs
         assert np.median(sh_err) < 1.0, (poses[:, 3:5], shifts)
+
+
+class TestSubLatticePolish:
+    def test_final_iteration_polish_beats_lattice_snap(self, monkeypatch):
+        """refine_frm_polish=final: the last iteration's gradient polish
+        must cut the FRM lattice-quantization error."""
+        from pyp_tpu.io import cistem
+        from pyp_tpu.pipeline.refine import refinement_iteration
+
+        monkeypatch.setenv("PYP_TPU_DISABLE_SPMD", "1")
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=16,
+                                                  noise=0.1)
+        B = 16
+        table = cistem.Table.zeros(B)
+        table["pixel_size"] = np.full(B, PIXEL)
+        table["defocus_1"] = np.asarray(ctf_params)[:, 0]
+        table["defocus_2"] = np.asarray(ctf_params)[:, 1]
+        table["defocus_angle"] = np.asarray(ctf_params)[:, 2]
+        table["occupancy"] = np.full(B, 100.0)
+        params = {"scope_pixel": PIXEL, "scope_voltage": 300.0,
+                  "scope_cs": 2.7, "scope_wgh": 0.07, "refine_rlref": 40.0,
+                  "refine_rhref": "8", "refine_dang": 12.0,
+                  "refine_psi_step": 10.0, "refine_searchx": 4.0,
+                  "refine_searchy": 4.0, "particle_sym": "C1",
+                  "refine_mode": "global", "refine_engine": "frm",
+                  "refine_maxiter": 1, "reconstruct_wiener": 0.5}
+
+        def run(polish):
+            p = dict(params, refine_frm_polish=polish)
+            t, _out, _res = refinement_iteration(
+                np.asarray(stack), table.copy(), np.asarray(vol), p, 2)
+            errs = [rotation_error_deg(
+                np.asarray(euler_to_matrix(float(t["phi"][b]),
+                                           float(t["theta"][b]),
+                                           float(t["psi"][b]))),
+                truth["R"][b]) for b in range(B)]
+            return float(np.median(errs))
+
+        # iteration 2 == maxiter+1 here, so "final" triggers the polish
+        err_snap = run("never")
+        err_pol = run("final")
+        assert err_pol < err_snap, (err_pol, err_snap)
+        assert err_pol < 4.0, err_pol

@@ -92,11 +92,11 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     params = {
         "scope_pixel": pixel, "scope_voltage": 300.0, "scope_cs": 2.7,
         "scope_wgh": 0.07, "refine_rlref": 50.0,
-        "refine_rhref": "12:8:6:5", "refine_dang": 7.5,
+        "refine_rhref": "12:10:8:7:6:5", "refine_dang": 7.5,
         "refine_psi_step": 5.0, "refine_searchx": 6.0, "refine_searchy": 6.0,
         "particle_sym": "C1", "refine_mode": "global",
         "refine_engine": "frm", "refine_frm_cone": 15.0,
-        "refine_frm_wiener": frm_wiener,
+        "refine_frm_wiener": frm_wiener, "refine_goldstandard": True,
         "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
     }
     # start from a 20 A lowpass of the true map — the realistic scenario
