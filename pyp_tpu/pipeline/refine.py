@@ -151,7 +151,7 @@ def refinement_iteration(
                 # (the gather pass is ~10x the FRM cost per particle)
                 polish_when = str(params.get("refine_frm_polish") or "final")
                 do_polish = polish_when == "always" or (
-                    polish_when == "final"
+                    polish_when == "final" and "refine_maxiter" in params
                     and iteration >= int(params["refine_maxiter"]) + 1)
                 if do_polish:
                     polish_pts = jnp.asarray(refine3d.make_mask_points(

@@ -97,6 +97,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         "particle_sym": "C1", "refine_mode": "global",
         "refine_engine": "frm", "refine_frm_cone": 15.0,
         "refine_frm_wiener": frm_wiener, "refine_goldstandard": True,
+        "refine_maxiter": n_iters,  # final-iteration sub-lattice polish
         "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
     }
     # start from a 20 A lowpass of the true map — the realistic scenario
