@@ -108,13 +108,17 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
                    dtype=np.float32)
     stages = []
     fsc_curve = None
+    ref_halves = None
     schedule = [(2, "global")] + [(i, "local") for i in range(3, 2 + n_iters)]
     for it, mode in schedule:
         params["refine_mode"] = mode
         t0 = time.perf_counter()
         table, out, res_a = refinement_iteration(
-            stack, table, ref, params, it, batch=512, fsc_curve=fsc_curve)
+            stack, table, ref, params, it, batch=512, fsc_curve=fsc_curve,
+            ref_halves=ref_halves)
         ref = np.asarray(out.volume, dtype=np.float32)
+        ref_halves = (np.asarray(out.half1, dtype=np.float32),
+                      np.asarray(out.half2, dtype=np.float32))
         fsc_curve = np.asarray(out.fsc)
         dt = time.perf_counter() - t0
         stages.append({"iteration": it, "mode": mode,
