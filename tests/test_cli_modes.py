@@ -84,3 +84,22 @@ def test_mode_classify3d(project):
     from pathlib import Path
 
     assert len(list(Path("maps").glob("*_r0?_0?.mrc"))) >= 4
+
+
+def test_mode_byp_roundtrip(project):
+    from pyp_tpu.cli import main
+    from pyp_tpu.io import imod
+
+    pts = (np.random.RandomState(0).rand(10, 3) * [256, 256, 1]).astype(
+        np.float32)
+    imod.write_point_model("picks.mod", pts)
+    assert main(["byp", "picks.mod", "-extract_box", "64"]) == 0
+    from pyp_tpu.io import boxfiles
+
+    coords_yx, boxsize = boxfiles.read_box("picks.box")
+    assert len(coords_yx) == 10 and boxsize == 64
+    np.testing.assert_allclose(np.asarray(coords_yx)[:, 1], pts[:, 0],
+                               atol=1.0)  # x column
+    assert main(["byp", "picks.box"]) == 0
+    back = imod.read_points("picks.mod")
+    np.testing.assert_allclose(back[:, 0], pts[:, 0], atol=1.0)
