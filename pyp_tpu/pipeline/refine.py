@@ -329,8 +329,11 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
         table, recon, res_a = refinement_iteration(
             stack, table, ref, params, it, fsc_curve=fsc_curve,
             ref_halves=ref_halves)
-        ref_halves = (np.asarray(recon.half1, dtype=np.float32),
-                      np.asarray(recon.half2, dtype=np.float32))
+        # keep the next iteration's references DEVICE-resident: a host
+        # round-trip of three maps per iteration costs real wall time
+        # (brutally so through the axon tunnel); numpy copies are made only
+        # where the durable files are written below
+        ref_halves = (recon.half1, recon.half2)
         if params.get("refine_beamtilt") and not beam_tilt_done and it > start:
             # one-shot dataset beam-tilt estimate once poses are warm
             # (cisTEM refine_ctf beam-tilt axis); corrects the working stack
@@ -362,8 +365,9 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             logger.info("beam tilt: (%.2e, %.2e) rad estimated and corrected",
                         float(tx), float(ty))
         fsc_curve = np.asarray(recon.fsc)
-        ref = np.asarray(recon.volume, dtype=np.float32)
-        mrc.write(ref, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc", pixel_size=pixel)
+        ref = recon.volume
+        mrc.write(np.asarray(ref, dtype=np.float32),
+                  maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc", pixel_size=pixel)
         mrc.write(np.asarray(recon.half1), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half1.mrc", pixel_size=pixel)
         mrc.write(np.asarray(recon.half2), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half2.mrc", pixel_size=pixel)
         cistem.write_parameters(table, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.cistem")

@@ -116,9 +116,10 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         table, out, res_a = refinement_iteration(
             stack, table, ref, params, it, batch=512, fsc_curve=fsc_curve,
             ref_halves=ref_halves)
-        ref = np.asarray(out.volume, dtype=np.float32)
-        ref_halves = (np.asarray(out.half1, dtype=np.float32),
-                      np.asarray(out.half2, dtype=np.float32))
+        # keep maps device-resident between iterations (tunnel transfers
+        # of 8 MB maps cost tens of seconds each)
+        ref = out.volume
+        ref_halves = (out.half1, out.half2)
         fsc_curve = np.asarray(out.fsc)
         dt = time.perf_counter() - t0
         stages.append({"iteration": it, "mode": mode,
@@ -143,6 +144,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     # band-limited masked correlation: raw-voxel cc is dominated by the
     # spectral weighting differences between the FSC-filtered map and the
     # raw phantom; compare where the signal lives
+    ref = np.asarray(ref, dtype=np.float32)
     lp_ref = np.array(lowpass_filter_3d(jnp.asarray(ref), pixel, 10.0))
     lp_vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 10.0))
     m = np.asarray(soft_spherical_mask(box, box * 0.35, 4.0)) > 0.5
