@@ -192,7 +192,8 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("refine_rlref", float, 100.0, "low-res limit (Å)"),
         P("refine_rhref", str, "8:7:6:4:3", "high-res limit schedule (Å)",
           schedule=True),
-        P("refine_dang", float, 15.0, "global angular step (deg)"),
+        P("refine_dang", str, "15", "angular lattice step schedule (deg)",
+          schedule=True),
         P("refine_psi_step", float, 10.0, "in-plane angular step (deg)"),
         P("refine_searchx", float, 6.0, "shift search extent x (px)"),
         P("refine_searchy", float, 6.0, "shift search extent y (px)"),

@@ -90,8 +90,9 @@ def refinement_iteration(
 
     mesh = pipeline_mesh()
     engine = str(params.get("refine_engine") or "frm")
+    dang = float(param(params["refine_dang"], iteration))
     rb_kwargs = dict(
-        angular_step=float(params["refine_dang"]),
+        angular_step=dang,
         psi_step=float(params["refine_psi_step"]),
         low_res=float(params["refine_rlref"]),
         high_res_search=max(rhref, 2.5 * pixel),
@@ -122,7 +123,7 @@ def refinement_iteration(
                     n_box, pixel,
                     low_res=float(params["refine_rlref"]),
                     high_res=max(rhref * 0.8, 2.1 * pixel),
-                    angular_step=float(params["refine_dang"]),
+                    angular_step=dang,
                     symmetry=str(params["particle_sym"]),
                     shift_extent=float(params["refine_searchx"]),
                     shift_step=max(0.5, float(params["refine_searchx"]) / 12.0),
