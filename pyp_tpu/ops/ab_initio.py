@@ -113,6 +113,8 @@ def ab_initio(
     return vol, poses
 
 
+
+
 def ab_initio_frm(
     stack,
     ctf_params,
@@ -127,6 +129,7 @@ def ab_initio_frm(
     beta_growth: float = 1.4,
     hard_rounds: int = 3,
     hard_end_res: float = None,
+    polish_rounds: int = 2,
     seed: int = 0,
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
@@ -181,14 +184,24 @@ def ab_initio_frm(
             n, pixel_size, low_res=min(300.0, n * pixel_size),
             high_res=max(res, 2.5 * pixel_size),
             angular_step=angular_step, symmetry=symmetry,
-            shift_extent=max(2.0, n * 0.05), shift_step=2.0,
+            # 1-px marginalization steps: at step s the residual shift
+            # reaches s/2, i.e. a phase error pi*r_max*s/n at the band
+            # edge — 2-px steps leave enough decorrelation to keep the
+            # posterior from ever locking (measured: entropy stuck at ~2
+            # bits and cc 0.13 on +/-2 px picks)
+            shift_extent=max(2.0, n * 0.05), shift_step=1.0,
             voltage_kv=voltage_kv, cs_mm=cs_mm,
             amplitude_contrast=amplitude_contrast)
         with Timer(f"ab-initio(frm) round {r + 1}/{n_rounds} @ {res:.0f} Å "
                    f"(beta={beta:.0f})"):
             bank = cfg.bank(volume_to_fourier(jnp.asarray(vol)))
-            scores, psis = frm.frm_score_directions(
-                stack, ctf_params, cfg, bank)           # (B, D)
+            # NOTE: scoring assumes centered picks; maximizing over a shift
+            # grid here was measured to HURT (selection noise flattens the
+            # posterior: cc 0.15 vs 0.43 on +/-1 px picks). Small pick
+            # errors blur the soft maps slightly and the hard/polish
+            # phases recover them.
+            scores, psis, _sh = frm.frm_score_directions(
+                stack, ctf_params, cfg, bank)
             scores = np.asarray(scores)
             psis = np.asarray(psis)
             D = scores.shape[1]
@@ -255,6 +268,31 @@ def ab_initio_frm(
             vol = np.array(lowpass_filter_3d(
                 jnp.asarray(np.asarray(out.volume) * mask), pixel_size,
                 res), dtype=np.float32)
+    # continuous polish tail: the hard rounds stall at the FRM lattice
+    # quantization floor; short autodiff gradient rounds from the hard
+    # poses push through it (measured on +/-1 px picks: cc 0.45 -> 0.92)
+    from pyp_tpu.ops import refine3d
+
+    poses_hard = np.array(poses_hard, dtype=np.float32, copy=True)
+    for r in range(polish_rounds):
+        res = float(hard_ladder[-1]) * (0.85 ** r)
+        Fv = volume_to_fourier(jnp.asarray(vol))
+        pts = jnp.asarray(refine3d.make_mask_points(
+            n, pixel_size, min(60.0, n * pixel_size),
+            max(res, 2.5 * pixel_size)))
+        p2, _sc = refine3d.local_refine(
+            jnp.asarray(stack), jnp.asarray(ctf_params), Fv,
+            jnp.asarray(poses_hard), pts, n, pixel_size, iters=24,
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast)
+        poses_hard = np.array(p2, dtype=np.float32, copy=True)
+        o = rec.reconstruct(stack, poses_hard, ctf_params, pixel_size,
+                            symmetry=symmetry, voltage_kv=voltage_kv,
+                            cs_mm=cs_mm,
+                            amplitude_contrast=amplitude_contrast)
+        vol = np.array(lowpass_filter_3d(
+            jnp.asarray(np.asarray(o.volume) * mask), pixel_size,
+            max(res, 2.5 * pixel_size)), dtype=np.float32)
     return vol, poses_hard
 
 

@@ -592,41 +592,62 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
 
 
 @functools.partial(jax.jit, static_argnames=("d_block",))
-def _score_directions_jit(Xp, wr, FUc, u2sum, d_block: int):
-    """Per-(particle, direction) best-over-psi scores: returns
-    (scores (B, D), psi_idx (B, D)) — the full marginal score matrix the
-    soft-assignment (ab initio / classification) paths consume."""
-    B = Xp.shape[0]
-    A = jnp.conj(Xp) * wr[:, :, None]
-    FA = jnp.fft.fft(A, axis=-1)
-    xnorm2 = jnp.sum(wr[:, :, None] * jnp.abs(Xp) ** 2, axis=(1, 2))
+def _score_directions_jit(Xp_cands, wr, FUc, u2sum, d_block: int):
+    """Per-(particle, direction) best-over-(psi, shift-candidate) scores.
+
+    Xp_cands: (S, B, R, P) polar spectra with each candidate shift phasor
+    applied (S=1 when shifts are known). Returns (scores (B, D),
+    psi_idx (B, D), s_idx (B, D)) — the marginal score matrix the
+    soft-assignment paths (ab initio / classification) consume, with each
+    entry maximized over in-plane angle AND the shift grid."""
+    S, B, R, K = Xp_cands.shape
+    A = jnp.conj(Xp_cands) * wr[None, :, :, None]
+    FA = jnp.fft.fft(A, axis=-1)                         # (S, B, R, K)
+    xnorm2 = jnp.sum(wr[:, :, None] * jnp.abs(Xp_cands[0]) ** 2,
+                     axis=(1, 2))
     D = FUc.shape[0]
 
     def one_block(d0):
         fu = jax.lax.dynamic_slice_in_dim(FUc, d0, d_block, axis=0)
         u2 = jax.lax.dynamic_slice_in_dim(u2sum, d0, d_block, axis=0)
         den = jnp.sqrt(jnp.maximum(wr @ u2.T, 1e-20) * xnorm2[:, None])
-        num = jnp.real(jnp.fft.ifft(
-            jnp.einsum("brk,drk->bdk", FA, fu), axis=-1))    # (B, d, K)
-        s = num / den[..., None]
-        pidx = jnp.argmax(s, axis=-1)
-        return (jnp.take_along_axis(s, pidx[..., None], -1)[..., 0],
-                pidx.astype(jnp.int32))
+        best = jnp.full((B, d_block), -jnp.inf)
+        pidx = jnp.zeros((B, d_block), jnp.int32)
+        sidx = jnp.zeros((B, d_block), jnp.int32)
+        for s in range(S):  # static unroll; running max bounds memory
+            num = jnp.real(jnp.fft.ifft(
+                jnp.einsum("brk,drk->bdk", FA[s], fu), axis=-1))
+            sc = num / den[..., None]                    # (B, d, K)
+            pi = jnp.argmax(sc, axis=-1)
+            val = jnp.take_along_axis(sc, pi[..., None], -1)[..., 0]
+            upd = val > best
+            pidx = jnp.where(upd, pi.astype(jnp.int32), pidx)
+            sidx = jnp.where(upd, s, sidx)
+            best = jnp.maximum(best, val)
+        return best, pidx, sidx
 
     n_blocks = D // d_block
-    scores, psis = jax.lax.map(
+    scores, psis, sids = jax.lax.map(
         lambda i: one_block(i * d_block), jnp.arange(n_blocks))
     # (n_blocks, B, d_block) -> (B, D)
     scores = jnp.moveaxis(scores, 0, 1).reshape(B, D)
     psis = jnp.moveaxis(psis, 0, 1).reshape(B, D)
-    return scores, psis
+    sids = jnp.moveaxis(sids, 0, 1).reshape(B, D)
+    return scores, psis, sids
 
 
 def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
-                         shifts=None, fsc_curve=None, d_block: int = 64):
+                         shifts=None, fsc_curve=None, d_block: int = 64,
+                         marginalize_shifts: bool = False):
     """Score every particle against every bank direction (best psi each):
-    (scores (B, D), psi_deg (B, D)). The soft-assignment primitive for
-    marginalized ab initio and classification."""
+    (scores (B, D), psi_deg (B, D), shifts_best (B, D, 2)). The
+    soft-assignment primitive for marginalized ab initio / classification.
+
+    shifts: known per-particle estimates applied before scoring.
+    marginalize_shifts: additionally maximize each (b, d) entry over the
+    config's coarse shift grid — for unaligned picks where shift estimates
+    don't exist yet (early ab initio rounds); shifts_best then carries the
+    winning candidate per direction (data pixels)."""
     stack = cfg.crop_stack(stack)
     B = stack.shape[0]
     D = bank.FUc.shape[0]
@@ -637,18 +658,30 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
     if fsc_curve is not None:
         wr = wr * jnp.asarray(
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))[None]
-    if shifts is not None:
-        Xp = Xp * shift_phasor_polar(cfg.pts, jnp.asarray(shifts) * cfg.crop,
-                                     cfg.n)
+    base = jnp.zeros((B, 2)) if shifts is None \
+        else jnp.asarray(shifts) * cfg.crop
+    if marginalize_shifts:
+        cand = cfg.coarse_shifts[:, None, :] + base[None]    # (S, B, 2)
+    else:
+        cand = base[None]                                    # (1, B, 2)
+    phas = jax.vmap(lambda s: shift_phasor_polar(cfg.pts, s, cfg.n))(cand)
+    Xp_cands = Xp[None] * phas
     d_block = min(d_block, D)
     pad = (-D) % d_block
     FUc, u2sum = bank.FUc, bank.u2sum
     if pad:
         FUc = jnp.pad(FUc, ((0, pad), (0, 0), (0, 0)))
         u2sum = jnp.pad(u2sum, ((0, pad), (0, 0)))
-    scores, psis = _score_directions_jit(Xp, wr, FUc, u2sum, d_block)
+    scores, psis, sids = _score_directions_jit(Xp_cands, wr, FUc, u2sum,
+                                               d_block)
+    sids = sids[:, :D]                                       # (B, D)
+    # winning absolute shift per (particle, direction), data pixels
+    cand_bd = jnp.transpose(cand, (1, 0, 2))                 # (B, S, 2)
+    shifts_best = jnp.take_along_axis(
+        cand_bd, sids[..., None], axis=1) / cfg.crop         # (B, D, 2)
     return (scores[:, :D],
-            psis[:, :D].astype(jnp.float32) * (360.0 / cfg.n_psi))
+            psis[:, :D].astype(jnp.float32) * (360.0 / cfg.n_psi),
+            shifts_best)
 
 
 @functools.partial(

@@ -28,8 +28,11 @@ class TestAbInitioFrm:
         from pyp_tpu.ops.template_match import align_volumes
 
         vol = make_volume()
+        # +/-1 px pick error: the accuracy of a decent picker. (+/-2 px
+        # breaks the soft posterior — documented limitation; pre-align or
+        # re-pick in that regime.)
         imgs, ctf_params, _ = make_particles(
-            vol, n_particles=256, noise=0.2, shift_max=0.0, seed=3)
+            vol, n_particles=256, noise=0.2, shift_max=1.0, seed=3)
         out, poses = ab_initio.ab_initio_frm(
             np.asarray(imgs), np.asarray(ctf_params), PIXEL,
             n_rounds=8, start_res=24.0, end_res=8.0, angular_step=12.0,
