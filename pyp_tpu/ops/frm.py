@@ -238,7 +238,7 @@ def _upsampled_ifft(h, upsample: int):
 
 
 def _match(Xp_shift_cands, ring_w, FUc, u2sum, dir_mask, d_block: int,
-           upsample: int):
+           upsample: int, psi_mask=None):
     """Best (shift candidate, direction, psi) per particle.
 
     Xp_shift_cands: (S, B, R, P) — CTF-restored particle polar spectra with
@@ -257,16 +257,16 @@ def _match(Xp_shift_cands, ring_w, FUc, u2sum, dir_mask, d_block: int,
     xnorm2 = jnp.sum(ring_w[:, :, None]
                      * jnp.abs(Xp_shift_cands[0]) ** 2, axis=(1, 2))
     return _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block,
-                       upsample)
+                       upsample, psi_mask)
 
 
 def _match_harmonics(FA, ring_w, Xp0, FUc, u2sum, dir_mask, d_block: int,
-                     upsample: int):
+                     upsample: int, psi_mask=None):
     """_match with a precomputed (possibly harmonic-truncated) FA
     (S, B, R, K'); Xp0 supplies the (shift-invariant) data norm."""
     xnorm2 = jnp.sum(ring_w[:, :, None] * jnp.abs(Xp0) ** 2, axis=(1, 2))
     return _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block,
-                       upsample)
+                       upsample, psi_mask)
 
 
 def _num_hat(FA_s, fu):
@@ -288,7 +288,7 @@ def _num_hat(FA_s, fu):
 
 
 def _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block: int,
-                upsample: int):
+                upsample: int, psi_mask=None):
     S, B, R, K = FA.shape
     D = FUc.shape[0]
     Ku = K * upsample
@@ -304,7 +304,10 @@ def _match_core(FA, xnorm2, ring_w, FUc, u2sum, dir_mask, d_block: int,
         idx = jnp.zeros((B,), jnp.int32)
         for s in range(S):  # static unroll; running max bounds memory
             num = _upsampled_ifft(_num_hat(FA[s], fu), upsample)
-            v = ((num / den[..., None]) + m[..., None]).reshape(B, -1)
+            v = (num / den[..., None]) + m[..., None]
+            if psi_mask is not None:  # local mode: psi prior (B, Ku)
+                v = v + psi_mask[:, None, :]
+            v = v.reshape(B, -1)
             i = jnp.argmax(v, axis=1)
             val = jnp.take_along_axis(v, i[:, None], 1)[:, 0]
             upd = val > best
@@ -372,7 +375,8 @@ def _refine_shifts(Xp_raw, ring_w, U_best, u2_best, psi_deg, pts,
 )
 def _frm_refine_jit(
     stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, U, dir_table,
-    bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes, ring_cref,
+    bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes,
+    init_psi_deg, ring_cref,
     n: int, n_psi: int, pixel_size: float, voltage_kv: float, cs_mm: float,
     amplitude_contrast: float, rounds: int, d_block: int, upsample: int,
     cone_deg, coarse_step: float = 0.0, wiener: float = 0.1,
@@ -411,6 +415,18 @@ def _frm_refine_jit(
         cosim = init_axes @ bank_axes.T
         dir_mask = jnp.where(
             cosim >= np.cos(np.radians(cone_deg)), 0.0, -jnp.inf)
+
+    def psi_prior(Ku):
+        # local mode restricts psi too: the full-360 in-plane search would
+        # let a spurious rotation overfit (breaks 3D classification, where
+        # the per-class score must be a LOCAL fit quality; the gather
+        # engine's gradient search has this locality built in)
+        if cone_deg is None:
+            return None
+        win = max(float(cone_deg), 2.0 * 360.0 / Ku)
+        ang = jnp.arange(Ku, dtype=jnp.float32) * (360.0 / Ku)
+        d = (ang[None, :] - init_psi_deg[:, None] + 180.0) % 360.0 - 180.0
+        return jnp.where(jnp.abs(d) <= win, 0.0, -jnp.inf)
     pad = (-D) % d_block
     if pad:
         FUc = jnp.pad(FUc, ((0, pad), (0, 0), (0, 0)))
@@ -454,10 +470,12 @@ def _frm_refine_jit(
             FA = jnp.concatenate(
                 [FX[..., : k_round // 2], FX[..., -k_round // 2:]], axis=-1)
             scores, s_idx, d_idx, psi_idx = _match_harmonics(
-                FA, w_round, Xc[0], fuc, u2sum, dir_mask, d_block, up_round)
+                FA, w_round, Xc[0], fuc, u2sum, dir_mask, d_block, up_round,
+                psi_prior(k_round * up_round))
         else:
             scores, s_idx, d_idx, psi_idx = _match(
-                Xc, w_round, fuc, u2sum, dir_mask, d_block, up_round)
+                Xc, w_round, fuc, u2sum, dir_mask, d_block, up_round,
+                psi_prior(k_round * up_round))
         shifts = jnp.take_along_axis(
             cand, s_idx[None, :, None], axis=0)[0]              # (B, 2)
         psi_deg = psi_idx.astype(jnp.float32) * (360.0 / (k_round * up_round))
@@ -567,10 +585,12 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         R_i = euler_to_matrix(init_poses[:, 0], init_poses[:, 1],
                               init_poses[:, 2])
         init_axes = R_i[:, 2, :]
+        init_psi_deg = init_poses[:, 2]  # pose angles are degrees
         cone = float(prior_cone_deg) if prior_cone_deg is not None else None
     else:
         init_shifts = jnp.zeros((B, 2))
         init_axes = jnp.zeros((B, 3))
+        init_psi_deg = jnp.zeros((B,))
         cone = None
     if fsc_curve is not None:
         ring_cref = jnp.asarray(
@@ -581,7 +601,8 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
         cfg.ring_w, bank.FUc, bank.u2sum, bank.U,
         jnp.asarray(bank.directions), jnp.asarray(bank.axes),
-        cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes, ring_cref,
+        cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes,
+        init_psi_deg, ring_cref,
         cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,

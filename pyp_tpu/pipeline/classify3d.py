@@ -49,32 +49,73 @@ def classify3d_iteration(
     ctf_params = table_to_ctf_params(table)
     init_poses = table_to_poses(table, pixel)
 
-    # --- refine against each class ----------------------------------------
+    # --- refine against each class (FRM engine by default: one bank per
+    # class, shared across all particle batches; the per-pose gather path
+    # stays selectable with refine_engine=gather) ---------------------------
+    engine = str(params.get("refine_engine") or "frm")
     per_class = []
     with Timer(f"classification iteration {iteration} ({K} classes)"):
-        for k in range(K):
-            res_parts = []
-            for lo in range(0, B, batch):
-                hi = min(lo + batch, B)
-                res = refine3d.refine_batch(
-                    jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
-                    jnp.asarray(references[k]), pixel,
-                    mode="local", init_poses=init_poses[lo:hi],
-                    low_res=float(params["refine_rlref"]),
-                    high_res_refine=max(
-                        float(params.get("class_rhcls") or rhref), 2.1 * pixel),
-                    local_iters=int(params.get("refine_local_iters") or 16),
-                    symmetry=str(params["particle_sym"]),
-                    voltage_kv=float(params["scope_voltage"]),
-                    cs_mm=float(params["scope_cs"]),
-                    amplitude_contrast=float(params["scope_wgh"]),
-                )
-                res_parts.append(res)
-            merged = refine3d.RefineResult(*(
-                jnp.concatenate([getattr(r, f) for r in res_parts])
-                for f in refine3d.RefineResult._fields
-            ))
-            per_class.append(merged)
+        if engine == "frm":
+            from pyp_tpu.ops import frm
+            from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+            n_box = stack.shape[-1]
+            cfg = frm.get_config(
+                n_box, pixel,
+                low_res=float(params["refine_rlref"]),
+                high_res=max(float(params.get("class_rhcls") or rhref),
+                             2.1 * pixel),
+                angular_step=float(param(
+                    params.get("refine_dang") or 15.0, iteration)),
+                symmetry=str(params["particle_sym"]),
+                shift_extent=float(params.get("refine_searchx") or 6.0),
+                shift_step=1.0,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                wiener=float(params.get("refine_frm_wiener") or 0.1),
+            )
+            has_poses = bool(np.any(np.abs(init_poses[:, :3]) > 1e-6))
+            cone = (float(params.get("refine_frm_cone") or 20.0)
+                    if has_poses else None)
+            G_pts = len(cfg.radii) * cfg.n_psi
+            for k in range(K):
+                bank = cfg.bank(volume_to_fourier(jnp.asarray(references[k])))
+                res_parts = []
+                for lo in range(0, B, batch):
+                    hi = min(lo + batch, B)
+                    poses_k, scores_k = frm.frm_refine(
+                        np.asarray(stack[lo:hi]), ctf_params[lo:hi], None,
+                        cfg, bank=bank,
+                        init_poses=init_poses[lo:hi] if has_poses else None,
+                        prior_cone_deg=cone)
+                    res_parts.append(frm.to_refine_result(
+                        poses_k, scores_k, n_band_points=G_pts))
+                per_class.append(refine3d.RefineResult(*(
+                    jnp.concatenate([getattr(r, f) for r in res_parts])
+                    for f in refine3d.RefineResult._fields)))
+        else:
+            for k in range(K):
+                res_parts = []
+                for lo in range(0, B, batch):
+                    hi = min(lo + batch, B)
+                    res = refine3d.refine_batch(
+                        jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                        jnp.asarray(references[k]), pixel,
+                        mode="local", init_poses=init_poses[lo:hi],
+                        low_res=float(params["refine_rlref"]),
+                        high_res_refine=max(
+                            float(params.get("class_rhcls") or rhref), 2.1 * pixel),
+                        local_iters=int(params.get("refine_local_iters") or 16),
+                        symmetry=str(params["particle_sym"]),
+                        voltage_kv=float(params["scope_voltage"]),
+                        cs_mm=float(params["scope_cs"]),
+                        amplitude_contrast=float(params["scope_wgh"]),
+                    )
+                    res_parts.append(res)
+                per_class.append(refine3d.RefineResult(*(
+                    jnp.concatenate([getattr(r, f) for r in res_parts])
+                    for f in refine3d.RefineResult._fields)))
 
     # --- occupancies from per-class log-likelihood proxies -----------------
     logp = np.stack([np.asarray(r.logp) for r in per_class], axis=1)  # (B, K)
@@ -132,12 +173,37 @@ def classify3d_loop(stack, table, initial_model, params, work_dir=".",
     start = int(params.get("refine_iter") or 2)
 
     occ = occ_mod.classification_initialization(B, K, seed=0)
-    # seed class references: occupancy-jittered reconstructions around the
-    # initial model (classification_initialization semantics)
-    refs = [np.asarray(initial_model, dtype=np.float32)] * K
-    rng = np.random.RandomState(1)
-    refs = [r + rng.normal(0, 0.02 * (np.abs(r).max() + 1e-6), r.shape).astype(np.float32)
-            for r in refs]
+    # seed class references with occupancy-jittered weighted reconstructions
+    # (classification_initialization semantics, occupancies.py:324): each
+    # seed is biased toward a random particle subset, so the seeds differ
+    # exactly where the underlying states differ — structured symmetry
+    # breaking the E-step can amplify. (Voxel-noise jitter does not work:
+    # with near-identical references the per-class scores tie and the
+    # occupancy feedback loop never engages.)
+    from pyp_tpu.pipeline.refine import table_to_ctf_params, table_to_poses
+
+    init_poses = table_to_poses(table, pixel)
+    if np.any(np.abs(init_poses[:, :3]) > 1e-6):
+        from pyp_tpu.ops import reconstruct as rec
+
+        ctf_params = table_to_ctf_params(table)
+        refs = []
+        for k in range(K):
+            out = rec.reconstruct(
+                np.asarray(stack), init_poses, ctf_params, pixel,
+                weights=(occ[:, k] / 100.0).astype(np.float32),
+                symmetry=str(params["particle_sym"]),
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+            )
+            refs.append(np.asarray(out.volume, dtype=np.float32))
+    else:  # no consensus alignment: fall back to jittered initial model
+        rng = np.random.RandomState(1)
+        r0 = np.asarray(initial_model, dtype=np.float32)
+        refs = [r0 + rng.normal(0, 0.02 * (np.abs(r0).max() + 1e-6),
+                                r0.shape).astype(np.float32)
+                for _ in range(K)]
 
     history = []
     for it in range(start, maxiter + 2):
