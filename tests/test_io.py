@@ -232,3 +232,30 @@ class TestCompressedMovies:
         gz.write_bytes(gzip.compress(raw.read_bytes()))
         np.testing.assert_allclose(load_movie(bz), frames, rtol=1e-6)
         np.testing.assert_allclose(load_movie(gz), frames, rtol=1e-6)
+
+
+class TestWarpInterop:
+    def test_tomostar_roundtrip(self, tmp_path):
+        from pyp_tpu.io import warp
+
+        names = [f"ts1_{t:03d}.mrc" for t in range(5)]
+        angles = np.linspace(-60, 60, 5)
+        warp.write_tomostar(tmp_path / "ts1.tomostar", names, angles,
+                            axis_angles=85.3, doses=np.arange(5) * 3.0)
+        got = warp.read_tomostar(tmp_path / "ts1.tomostar")
+        assert got["movie_names"] == names
+        np.testing.assert_allclose(got["tilt_angles"], angles, atol=1e-4)
+        np.testing.assert_allclose(got["axis_angles"], 85.3, atol=1e-4)
+        np.testing.assert_allclose(got["doses"], np.arange(5) * 3.0, atol=1e-4)
+
+    def test_export_from_metadata(self, tmp_path):
+        from pyp_tpu.io import warp
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        meta = ItemMetadata("tsA", tmp_path, mode="tomo")
+        meta["tlt"] = np.linspace(-30, 30, 3).astype(np.float32)
+        meta["xf"] = np.array([[1.0, 2.0, 84.0]] * 3, np.float32)
+        paths = warp.export_tomostar_dir({"tsA": meta}, tmp_path / "tomostar")
+        assert paths[0].name == "tsA.tomostar"
+        got = warp.read_tomostar(paths[0])
+        np.testing.assert_allclose(got["axis_angles"], 84.0, atol=1e-4)
