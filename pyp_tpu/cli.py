@@ -397,7 +397,9 @@ def mode_clean(argv):
         if Path("maps").is_dir():
             shutil.rmtree("maps")
             removed.append("maps/")
-    print(json.dumps({"removed": removed, "deep": deep}))
+    usage = shutil.disk_usage(".")  # free-space report (bin/run/pyp:4281)
+    print(json.dumps({"removed": removed, "deep": deep,
+                      "free_gb": round(usage.free / 2**30, 1)}))
     return 0
 
 
@@ -576,6 +578,16 @@ def main(argv=None) -> int:
     if mode not in MODES:
         print(f"unknown mode {mode!r}; available: {', '.join(MODES)}")
         return 2
+    profile = "-profile" in rest  # cProfile wrapper (bin/run/pyp:4260)
+    rest = [a for a in rest if a != "-profile"]
+    try:  # invocation audit trail (the reference's .pyp_history)
+        import time as _time
+
+        with open(".pyp_history", "a") as f:
+            f.write(_time.strftime("%Y-%m-%d %H:%M:%S ")
+                    + " ".join([mode] + rest) + "\n")
+    except OSError:
+        pass
     # multi-host: join a jax.distributed cluster when the scheduler exported
     # PYP_TPU_COORDINATOR/NUM_PROCS/PROC_ID (no-op for single-host runs)
     from pyp_tpu.parallel import init_distributed
@@ -588,7 +600,16 @@ def main(argv=None) -> int:
         from pyp_tpu.utils.notify import attach_mongo_sink
 
         attach_mongo_sink(mongo_uri, webid=str(saved.get("notify_webid") or ""))
-    rc = globals()[f"mode_{mode}"](rest)
+    if profile:
+        import cProfile
+        import pstats
+
+        prof = cProfile.Profile()
+        rc = prof.runcall(globals()[f"mode_{mode}"], rest)
+        prof.dump_stats(f"profile_{mode}.prof")
+        pstats.Stats(prof).sort_stats("cumulative").print_stats(15)
+    else:
+        rc = globals()[f"mode_{mode}"](rest)
     email = str(saved.get("notify_email") or "")
     if email and mode in ("spr", "tomo", "refine", "csp", "classify3d"):
         from pyp_tpu.utils.notify import send_email

@@ -327,6 +327,15 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
     ref_halves = None
     beam_tilt_done = False
     for it in range(start, maxiter + 2):
+        if (maps_dir / "wait").exists():
+            # interactive pause (frealign.py:1425): drop a `wait` file in
+            # maps/ to hold the loop between iterations; remove to resume
+            import time as _time
+
+            logger.info("maps/wait present: pausing before iteration %d", it)
+            while (maps_dir / "wait").exists():
+                _time.sleep(5.0)
+            logger.info("maps/wait removed: resuming")
         table, recon, res_a = refinement_iteration(
             stack, table, ref, params, it, fsc_curve=fsc_curve,
             ref_halves=ref_halves)

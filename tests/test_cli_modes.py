@@ -103,3 +103,57 @@ def test_mode_byp_roundtrip(project):
     assert main(["byp", "picks.box"]) == 0
     back = imod.read_points("picks.mod")
     np.testing.assert_allclose(back[:, 0], pts[:, 0], atol=1.0)
+
+
+class TestAuxSubsystems:
+    def test_history_and_profile_and_free_space(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+
+        rc = cli.main(["clean", "-profile"])
+        assert rc == 0
+        hist = (tmp_path / ".pyp_history").read_text()
+        assert "clean" in hist
+        assert (tmp_path / "profile_clean.prof").exists()
+
+    def test_refine_loop_wait_file_pauses(self, tmp_path, monkeypatch):
+        """The wait file must hold refine_loop between iterations and
+        release when removed (frealign.py:1425 parity)."""
+        import threading
+        import time
+        from types import SimpleNamespace
+
+        import numpy as np
+
+        from pyp_tpu.io import cistem
+        from pyp_tpu.pipeline import refine as ref_pipe
+
+        n = 8
+        table = cistem.Table.zeros(4)
+        table["pixel_size"] = np.full(4, 1.0)
+        vol = np.zeros((n, n, n), np.float32)
+        recon = SimpleNamespace(
+            volume=vol, half1=vol, half2=vol,
+            fsc=np.ones(n // 2, np.float32),
+            freqs=np.linspace(0, 0.5, n // 2).astype(np.float32))
+        monkeypatch.setattr(
+            ref_pipe, "refinement_iteration",
+            lambda stack, t, ref, params, it, **kw: (t, recon, 10.0))
+        params = {"refine_maxiter": 1, "refine_iter": 2, "scope_pixel": 1.0}
+        maps_dir = tmp_path / "maps"
+        maps_dir.mkdir()
+        (maps_dir / "wait").touch()
+
+        def release():
+            time.sleep(1.2)
+            (maps_dir / "wait").unlink()
+
+        th = threading.Thread(target=release)
+        th.start()
+        t0 = time.perf_counter()
+        ref_pipe.refine_loop(
+            np.zeros((4, n, n), np.float32), table, vol, params,
+            work_dir=tmp_path, dataset="w")
+        elapsed = time.perf_counter() - t0
+        th.join()
+        assert elapsed >= 1.0, elapsed
