@@ -225,7 +225,7 @@ SCHEMA: dict[str, list[ParamDef]] = {
     "csp": [
         P("csp_UseImagesForRefinementMin", int, 0, "first tilt used"),
         P("csp_UseImagesForRefinementMax", int, -1, "last tilt used (-1=all)"),
-        P("csp_refine_modes", str, "3:0:1:2", "mode schedule per pass"),
+        P("csp_refine_modes", str, "3:0:2:1", "mode schedule per pass (positions before angles: measured, angle refinement against stale positions absorbs the position error into the eulers)"),
         P("csp_OptimizerIters", int, 20, "gradient steps per mode"),
         P("csp_transreg", float, 0.1, "trajectory smoothness regularization"),
         P("csp_Grid", str, "1:1:1", "patch grid (x:y:z)"),

@@ -7,7 +7,7 @@ at known 3D positions/orientations inside a virtual tomogram, rendered with
 tilt geometry + depth-dependent CTF + noise. The benchmark PERTURBS the
 geometry (tilt angles, micrograph shifts, particle eulers/positions) and
 runs the PRODUCTION pipeline (pipeline.csp.csp_swarm_one per series: grid
-search + gradient modes 3:0:1:2, per-series reconstruction dumps ->
+search + gradient modes 3:0:2:1, per-series reconstruction dumps ->
 csp_merge global merge, SURVEY §3.4), timed end-to-end with host-readback
 syncs. Reports per-stage wall time, geometry recovery (before/after), and
 correlation + FSC of the subtomogram average against ground truth.
@@ -127,7 +127,7 @@ def main(n_series=4, n_particles=32, box=48, force_cpu=False):
     params.update({
         "scope_pixel": pixel, "csp_box": box, "csp_rlref": 60.0,
         "csp_rhref": "7", "csp_OptimizerIters": 20, "csp_transreg": 0.05,
-        "csp_refine_modes": "3:0:1:2", "csp_GridSearch": True,
+        "csp_refine_modes": "3:0:2:1", "csp_GridSearch": True,
         "csp_ToleranceMicrographShifts": 6.0,
         "csp_ToleranceMicrographTiltAngles": 3.0,
         "csp_ToleranceParticlesPsi": 8.0, "csp_ToleranceParticlesShifts": 5.0,
