@@ -162,6 +162,7 @@ def mode_refine(argv):
             beta0=float(params.get("abinit_beta0") or 20.0),
             beta_growth=float(params.get("abinit_beta_growth") or 1.4),
             hard_rounds=int(params.get("abinit_hard_rounds") or 3),
+            soft_shifts=str(params.get("abinit_soft_shifts") or "zero"),
             voltage_kv=float(params["scope_voltage"]),
             cs_mm=float(params["scope_cs"]),
             amplitude_contrast=float(params["scope_wgh"]),

@@ -268,6 +268,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("abinit_top_t", int, 8, "poses per particle in soft reconstruction"),
         P("abinit_beta0", float, 20.0, "initial posterior inverse temperature"),
         P("abinit_beta_growth", float, 1.4, "beta growth per round"),
+        P("abinit_soft_shifts", str, "zero",
+          "soft-round shift handling: zero (centered picks) | track "
+          "(marginalize around running estimate + insert at winning shift; "
+          "for picks off by >1 px)"),
         P("abinit_hard_rounds", int, 3, "hard refinement rounds after the ladder"),
     ],
     # ----------------------------------------------------------------- polish

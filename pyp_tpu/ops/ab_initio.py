@@ -134,6 +134,7 @@ def ab_initio_frm(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    soft_shifts: str = "zero",
 ):
     """Marginalized ab initio on the FRM engine (the cryoSPARC-style
     branch-and-bound role, reference frealign.py:4552): each round scores
@@ -178,6 +179,7 @@ def ab_initio_frm(
     subset = np.arange(B) % 2
     beta = beta0
     poses_hard = None
+    cur_shifts = np.zeros((B, 2), dtype=np.float32)
     for r in range(n_rounds):
         res = float(res_ladder[r])
         cfg = frm.get_config(
@@ -195,13 +197,28 @@ def ab_initio_frm(
         with Timer(f"ab-initio(frm) round {r + 1}/{n_rounds} @ {res:.0f} Å "
                    f"(beta={beta:.0f})"):
             bank = cfg.bank(volume_to_fourier(jnp.asarray(vol)))
-            # NOTE: scoring assumes centered picks; maximizing over a shift
-            # grid here was measured to HURT (selection noise flattens the
-            # posterior: cc 0.15 vs 0.43 on +/-1 px picks). Small pick
-            # errors blur the soft maps slightly and the hard/polish
-            # phases recover them.
-            scores, psis, _sh = frm.frm_score_directions(
-                stack, ctf_params, cfg, bank)
+            # soft_shifts="zero": scoring assumes centered picks; maximizing
+            # over a shift grid ALONE was measured to HURT (selection noise
+            # flattens the posterior: cc 0.15 vs 0.43 on +/-1 px picks) —
+            # small pick errors blur the soft maps slightly and the
+            # hard/polish phases recover them.
+            # soft_shifts="marginalize"/"track": marginalize the score
+            # over the coarse shift grid ("track" additionally centers the
+            # grid on a running estimate) and insert every top-T direction
+            # at its winning shift. MEASURED on the 256-particle control at
+            # +/-2 px picks: none of zero/marginalize/track bootstraps
+            # (cc 0.11-0.26 vs 0.92 at +/-1 px) — selection noise plus the
+            # tiny box's 4-ring 24 A band; the practical route for bad
+            # picks remains re-picking or classify2d centering. Knobs kept
+            # for larger-box regimes where the band has room.
+            # "marginalize" = fresh full-grid marginalization every round
+            # (no carryover: a wrong early estimate cannot feed back)
+            track = soft_shifts == "track"
+            marg = track or soft_shifts == "marginalize"
+            scores, psis, sh_bd = frm.frm_score_directions(
+                stack, ctf_params, cfg, bank,
+                shifts=(cur_shifts if track else None),
+                marginalize_shifts=marg)
             scores = np.asarray(scores)
             psis = np.asarray(psis)
             D = scores.shape[1]
@@ -212,9 +229,13 @@ def ab_initio_frm(
             w = np.exp(beta * (s_top - s_top.max(axis=1, keepdims=True)))
             w /= w.sum(axis=1, keepdims=True)
             dirs = bank.directions[top]                  # (B, T, 2)
+            if marg:
+                sh_top = np.take_along_axis(
+                    np.asarray(sh_bd), top[..., None], axis=1)  # (B, T, 2)
+            else:
+                sh_top = np.zeros((B, T, 2), np.float32)
             poses_soft = np.concatenate([
-                dirs, p_top[..., None],
-                np.zeros((B, T, 2), np.float32),
+                dirs, p_top[..., None], sh_top,
             ], axis=2).reshape(B * T, 5).astype(np.float32)
             rows = np.repeat(np.arange(B), T)
             out = rec.reconstruct(
@@ -230,6 +251,8 @@ def ab_initio_frm(
                 res), dtype=np.float32)
             hard = np.argmax(s_top, axis=1)
             poses_hard = poses_soft.reshape(B, T, 5)[np.arange(B), hard]
+            if track:
+                cur_shifts = poses_hard[:, 3:5].astype(np.float32)
             logger.info(
                 "round %d: posterior entropy %.2f bits (of %.2f), "
                 "mean best score %.3f", r + 1,
