@@ -157,3 +157,53 @@ class TestNnPickingPipeline:
         hits = sum(1 for y, x in test_coords[0]
                    if np.abs(found - [y, x]).sum(axis=1).min() < 8)
         assert hits >= len(test_coords[0]) * 0.6, hits
+
+
+@pytest.mark.slow
+class TestMiner:
+    def test_two_species_separate(self):
+        """MiLoPYP-role miner: two distinct planted species in a synthetic
+        tomogram must land in different clusters (label purity over planted
+        sites), with exemplars on actual particle positions."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.models import miner
+
+        rng = np.random.RandomState(0)
+        p = 16
+
+        def species(seed):
+            v = np.random.RandomState(seed).randn(p, p, p).astype(np.float32)
+            v *= np.asarray(soft_spherical_mask(p, p * 0.35, 2.0))
+            return np.array(lowpass_filter_3d(jnp.asarray(v), 1.0, 4.0)) * 8.0
+
+        volA, volB = species(1), species(2)
+        nz, ny, nx = 48, 96, 96
+        tomo = rng.randn(nz, ny, nx).astype(np.float32) * 0.3
+        sites = []
+        for i in range(24):
+            z0 = rng.randint(0, nz - p)
+            y0 = rng.randint(0, ny - p)
+            x0 = rng.randint(0, nx - p)
+            which = i % 2
+            tomo[z0:z0 + p, y0:y0 + p, x0:x0 + p] += volA if which == 0 else volB
+            sites.append((z0 + p // 2, y0 + p // 2, x0 + p // 2, which))
+
+        model = miner.train_miner([tomo], patch=p, n_steps=120, batch=48,
+                                  seed=0)
+        # embed the exact planted windows; species must separate
+        wins = np.stack([
+            tomo[z - p // 2:z + p // 2, y - p // 2:y + p // 2,
+                 x - p // 2:x + p // 2] for z, y, x, _ in sites])
+        z = miner.embed_patches(model, wins)
+        labels, _ = miner.kmeans(z, 2, seed=1)
+        truth = np.array([w for *_xyz, w in sites])
+        agree = (labels == truth).mean()
+        purity = max(agree, 1 - agree)
+        assert purity > 0.85, (purity, labels, truth)
+
+        clusters, all_labels, coords = miner.mine_tomogram(
+            model, tomo, n_clusters=4, stride=p // 2)
+        assert sum(c["size"] for c in clusters) == len(coords)
+        assert any(len(c["exemplars"]) > 0 for c in clusters)
