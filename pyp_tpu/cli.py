@@ -31,7 +31,8 @@ logger = get_logger("cli")
 
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
-         "clean", "worker", "params", "gain", "stream", "kselection", "byp")
+         "clean", "worker", "params", "gain", "stream", "kselection",
+         "byp", "mine")
 
 
 def _project_params(argv, work_dir="."):
@@ -401,6 +402,48 @@ def mode_clean(argv):
     usage = shutil.disk_usage(".")  # free-space report (bin/run/pyp:4281)
     print(json.dumps({"removed": removed, "deep": deep,
                       "free_gb": round(usage.free / 2**30, 1)}))
+    return 0
+
+
+def mode_mine(argv):
+    """Label-free tomogram pattern mining (the reference's milotrain/
+    miloeval modes, detect/joint.py:640/:1011): train the contrastive
+    miner on the project's tomogram volumes, cluster a dense sweep of each,
+    and write per-cluster coordinates (<name>_cluster<k>.spk) + a JSON
+    gallery so the user can pick the clusters that look like the target."""
+    params = _project_params(argv)
+    from pyp_tpu.io import boxfiles, mrc
+    from pyp_tpu.models import miner
+
+    recs = sorted(Path(".").glob("*.rec.mrc")) or sorted(
+        Path("mrc").glob("*.mrc")) if Path("mrc").is_dir() else sorted(
+        Path(".").glob("*.rec.mrc"))
+    if not recs:
+        logger.error("no tomogram volumes (*.rec.mrc or mrc/*.mrc) found")
+        return 1
+    vols = [mrc.read(p).astype(np.float32) for p in recs]
+    patch = int(params.get("mine_patch") or 16)
+    model = miner.train_miner(
+        vols, patch=patch,
+        n_steps=int(params.get("mine_steps") or 300),
+        embed_dim=int(params.get("mine_embed_dim") or 32),
+        seed=0)
+    gallery = {}
+    K = int(params.get("mine_clusters") or 8)
+    for p, vol in zip(recs, vols):
+        name = p.name.replace(".rec.mrc", "").replace(".mrc", "")
+        clusters, _labels, _coords = miner.mine_tomogram(
+            model, vol, n_clusters=K)
+        entry = []
+        for k, c in enumerate(clusters):
+            if c["size"]:
+                boxfiles.write_spk(c["coords"], f"{name}_cluster{k:02d}.spk")
+            entry.append({"cluster": k, "size": c["size"],
+                          "exemplars": np.asarray(c["exemplars"]).tolist()})
+        gallery[name] = entry
+    Path("mine_gallery.json").write_text(json.dumps(gallery, indent=1))
+    print(json.dumps({"tomograms": len(recs), "clusters": K,
+                      "gallery": "mine_gallery.json"}))
     return 0
 
 

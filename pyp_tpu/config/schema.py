@@ -159,6 +159,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("tomo_vir_lmax", int, 4, "spherical-harmonics degree for membrane refinement"),
     ],
     "tomo_spk": [
+        P("mine_patch", int, 16, "miner subvolume size (voxels)"),
+        P("mine_steps", int, 300, "miner contrastive training steps"),
+        P("mine_clusters", int, 8, "miner k-means clusters"),
+        P("mine_embed_dim", int, 32, "miner embedding dimension"),
         P("tomo_spk_method", str, "none", "3D particle picking",
           enum=("none", "auto", "template", "surface", "import")),
         P("tomo_spk_rad", float, 100.0, "particle radius (Å)"),

@@ -2,6 +2,8 @@
 (reference driver branches in bin/run/pyp: gain estimation, streampyp
 session daemon, kselection class filtering, 3D classification)."""
 
+import json
+
 import numpy as np
 import pytest
 
@@ -157,3 +159,34 @@ class TestAuxSubsystems:
         elapsed = time.perf_counter() - t0
         th.join()
         assert elapsed >= 1.0, elapsed
+
+
+class TestMineMode:
+    def test_mine_writes_gallery_and_spk(self, tmp_path, monkeypatch):
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.io import boxfiles, mrc
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.RandomState(0)
+        p = 16
+        v = rng.randn(p, p, p).astype(np.float32)
+        v *= np.asarray(soft_spherical_mask(p, p * 0.35, 2.0))
+        v = np.array(lowpass_filter_3d(jnp.asarray(v), 1.0, 4.0)) * 8.0
+        tomo = rng.randn(40, 80, 80).astype(np.float32) * 0.3
+        for _ in range(10):
+            z0, y0, x0 = rng.randint(0, 24), rng.randint(0, 64), rng.randint(0, 64)
+            tomo[z0:z0 + p, y0:y0 + p, x0:x0 + p] += v
+        mrc.write(tomo, "ts1.rec.mrc", pixel_size=10.0)
+
+        from pyp_tpu import cli
+
+        rc = cli.main(["mine", "-mine_steps", "30", "-mine_clusters", "3"])
+        assert rc == 0
+        gallery = json.loads((tmp_path / "mine_gallery.json").read_text())
+        assert "ts1" in gallery and len(gallery["ts1"]) == 3
+        spks = list(tmp_path.glob("ts1_cluster*.spk"))
+        assert spks
+        coords = boxfiles.read_spk(spks[0])
+        assert coords.shape[1] == 3

@@ -54,33 +54,42 @@ def make_series(vol, box, pixel, n_tilts, n_particles, ny, nx, noise, seed):
             rng.uniform(-(nx // 2 - box), nx // 2 - box, n_particles),
         ], 1).astype(np.float32),
     )
-    Fv = fs.volume_to_fourier(jnp.asarray(vol))
-    R_eff = csp_ops.effective_rotations(true)
+    R_eff = np.asarray(csp_ops.effective_rotations(true))
     pos = np.asarray(csp_ops.project_positions(true))
     depth = np.asarray(csp_ops.particle_depth(true))
 
     defocus = (20000.0 + 3000.0 * np.sin(np.radians(angles))).astype(np.float32)
     ky = (np.fft.fftfreq(box) * box).astype(np.float32)
     kx = np.arange(box // 2 + 1, dtype=np.float32)
-    grid_pts = jnp.asarray(np.stack(np.meshgrid(ky, kx, indexing="ij"), -1))
+    grid_pts = np.stack(np.meshgrid(ky, kx, indexing="ij"), -1)
+
+    import jax
+
+    @jax.jit
+    def render_tilt(vol_r, R, df, frac):
+        # everything complex stays INSIDE jit (the axon tunnel cannot run
+        # eager complex ops or transfer complex arrays, SKILL.md); one
+        # fused program per tilt: FFT -> slice -> CTF -> image -> shift
+        Fv = fs.volume_to_fourier(vol_r)
+        F = fs.project(Fv, R, box)
+        ctf = _ctf_at_points(jnp.asarray(grid_pts)[None], box, pixel,
+                             df[:, None, None], df[:, None, None],
+                             0.0, 300.0, 2.7, 0.07, 0.0)
+        return shift_images(fs.fourier_to_image(F * ctf, box), frac)
 
     images = rng.randn(n_tilts, ny, nx).astype(np.float32) * noise
     half = box // 2
+    vol_r = jnp.asarray(vol)
     for t in range(n_tilts):
-        F = fs.project(Fv, R_eff[t], box)
         df = defocus[t] + depth[t] * pixel
-        ctf = _ctf_at_points(grid_pts[None], box, pixel,
-                             jnp.asarray(df)[:, None, None],
-                             jnp.asarray(df)[:, None, None],
-                             0.0, 300.0, 2.7, 0.07, 0.0)
-        projs = np.array(fs.fourier_to_image(F * ctf, box))
+        cyx = pos[t] + np.array([ny // 2, nx // 2])
+        iyx = np.round(cyx).astype(np.int64)
+        frac = (cyx - iyx).astype(np.float32)
+        wins = np.array(render_tilt(vol_r, jnp.asarray(R_eff[t]),
+                                    jnp.asarray(df), jnp.asarray(frac)))
         for p in range(n_particles):
-            cy, cx = pos[t, p] + np.array([ny // 2, nx // 2])
-            iy, ix = int(round(cy)), int(round(cx))
-            fy, fx = cy - iy, cx - ix
-            win = np.array(shift_images(jnp.asarray(projs[p])[None],
-                                        jnp.asarray([[fy, fx]]))[0])
-            images[t, iy - half:iy + half, ix - half:ix + half] += win
+            iy, ix = iyx[p]
+            images[t, iy - half:iy + half, ix - half:ix + half] += wins[p]
     return true, images, np.stack([defocus, defocus], 1)
 
 
