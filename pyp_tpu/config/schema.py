@@ -295,6 +295,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
     ],
     # ---------------------------------------------------------------- denoise
     "denoise": [
+        P("denoise_spr", str, "none",
+          "micrograph denoising for picking: none | n2n (noise2noise on "
+          "aligned even/odd frame averages, model shared per process)"),
         P("denoise_method", str, "none", "tomogram denoising",
           enum=("none", "n2n", "wedge")),
         P("denoise_epochs", int, 60, "denoiser training epochs"),

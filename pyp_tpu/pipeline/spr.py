@@ -20,6 +20,9 @@ from pyp_tpu.utils import Timer, get_logger
 
 logger = get_logger("spr")
 
+# per-process n2n model reuse across micrographs (see denoise_spr)
+_spr_denoiser_cache: dict = {}
+
 
 def load_movie(path, params=None):
     """Read a movie stack into (n_frames, ny, nx) float32. Dispatches every
@@ -155,6 +158,40 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
     average = meta["average"]
     summary["drift_px"] = float(np.abs(np.diff(meta["drift"], axis=0)).sum())
 
+    # ---- micrograph denoising (the topaz-denoise/cryoCARE SPR role) ------
+    # noise2noise on aligned even/odd frame averages; one model per process
+    # (train on the first micrograph, reuse for the rest — the reference
+    # trains once per dataset, then applies everywhere). The denoised image
+    # feeds PICKING only; CTF and extraction stay on the raw average.
+    pick_image = average
+    if (str(params.get("denoise_spr") or "none") == "n2n"
+            and "drift" in meta and meta["drift"].shape[0] >= 4):
+        import jax.numpy as jnp
+
+        from pyp_tpu.models import denoise as dn
+
+        if not meta.is_done("denoised"):
+            with Timer("micrograph denoise"):
+                f = jnp.asarray(get_frames())
+                sh = jnp.asarray(meta["drift"])
+                F = jnp.fft.rfft2(f) * motion._phase_ramp(
+                    sh, f.shape[1], f.shape[2])
+                aligned = jnp.fft.irfft2(F, s=f.shape[1:])
+                even = np.asarray(aligned[0::2].mean(axis=0))
+                odd = np.asarray(aligned[1::2].mean(axis=0))
+                model = _spr_denoiser_cache.get("model")
+                if model is None:
+                    model = dn.train_denoiser(
+                        [even], [odd],
+                        steps=int(params.get("denoise_epochs") or 60),
+                        features=(16, 32))
+                    _spr_denoiser_cache["model"] = model
+                meta["denoised"] = np.asarray(
+                    dn.denoise_image(model, average, features=(16, 32)),
+                    dtype=np.float32)
+        pick_image = meta["denoised"]
+        summary["denoised"] = True
+
     # ---- CTF estimation ---------------------------------------------------
     if not meta.is_done("ctf"):
         with Timer("CTF estimation"):
@@ -205,7 +242,7 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             model = nn_picker.PickerModel(params=weights,
                                           patch=int(meta_np.get("patch", patch)),
                                           radius_px=radius_px)
-            heat = nn_picker.infer_heatmap(model, average, features=(8, 16, 32))
+            heat = nn_picker.infer_heatmap(model, pick_image, features=(8, 16, 32))
             coords, vals, valid = nn_picker.pick_from_heatmap(
                 heat, radius_px, threshold=0.3,
                 max_picks=int(params["detect_max"]))
@@ -217,7 +254,7 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
 
             radius_px = max(4, int(float(params["detect_rad"]) / pixel))
             res = pick.pick_particles(
-                jnp.asarray(average),
+                jnp.asarray(pick_image),
                 particle_radius_px=radius_px,
                 max_picks=int(params["detect_max"]),
                 min_distance_px=int(float(params["detect_dist"]) or radius_px),

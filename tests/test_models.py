@@ -207,3 +207,56 @@ class TestMiner:
             model, tomo, n_clusters=4, stride=p // 2)
         assert sum(c["size"] for c in clusters) == len(coords)
         assert any(len(c["exemplars"]) > 0 for c in clusters)
+
+
+@pytest.mark.slow
+class TestSprDenoise:
+    def test_n2n_micrograph_denoising_improves_pick_image(self, tmp_path):
+        """denoise_spr=n2n: the denoised pick image must correlate with the
+        clean signal better than the raw average does, and picking must
+        still find the planted particles."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.pipeline import spr as spr_pipe
+        from pyp_tpu.pipeline.spr import process_micrograph
+
+        rng = np.random.RandomState(0)
+        ny = nx = 256
+        p = 24
+        blob = rng.randn(p, p, p).astype(np.float32)
+        blob *= np.asarray(soft_spherical_mask(p, p * 0.3, 2.0))
+        proj = np.array(lowpass_filter_3d(jnp.asarray(blob), 1.0, 5.0)).sum(0)
+        clean = np.zeros((ny, nx), np.float32)
+        coords = []
+        for _ in range(12):
+            y0 = rng.randint(p, ny - 2 * p)
+            x0 = rng.randint(p, nx - 2 * p)
+            clean[y0:y0 + p, x0:x0 + p] += proj * 8.0
+            coords.append((y0 + p // 2, x0 + p // 2))
+        frames = clean[None] / 8 + rng.randn(8, ny, nx).astype(np.float32) * 1.5
+
+        spr_pipe._spr_denoiser_cache.clear()
+        params = defaults()
+        params.update({
+            "scope_pixel": 1.0, "movie_ali": "skip", "denoise_spr": "n2n",
+            "denoise_epochs": 200, "ctf_tile": 128, "ctf_min_def": 8000,
+            "ctf_max_def": 30000, "ctf_max_res": 8.0, "extract_box": 32,
+            "detect_rad": 10, "detect_thresh": 1.0,
+        })
+        out = process_micrograph(
+            {"name": "denmic", "frames": frames}, params, tmp_path)
+        meta = ItemMetadata("denmic", tmp_path, mode="spr").load()
+        assert "denoised" in meta
+        avg = meta["average"]
+        den = meta["denoised"]
+
+        def cc(a):
+            return np.corrcoef(a.ravel(), clean.ravel())[0, 1]
+
+        assert cc(den) > cc(avg) + 0.05, (cc(den), cc(avg))
+        assert out["particles"] > 0
+        # model reused from cache on a second micrograph
+        assert "model" in spr_pipe._spr_denoiser_cache
