@@ -594,7 +594,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         cone = None
     if fsc_curve is not None:
         ring_cref = jnp.asarray(
-            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))
+            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n_data))
     else:
         ring_cref = jnp.ones(len(cfg.radii), dtype=jnp.float32)
     poses, scores = _frm_refine_jit(
@@ -678,7 +678,7 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
         cfg.amplitude_contrast, cfg.wiener)
     if fsc_curve is not None:
         wr = wr * jnp.asarray(
-            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n))[None]
+            ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n_data))[None]
     base = jnp.zeros((B, 2)) if shifts is None \
         else jnp.asarray(shifts) * cfg.crop
     if marginalize_shifts:
@@ -737,7 +737,13 @@ def _restore_polar(stack, ctf_params, W_re, W_im, ring_w, n: int,
 def ring_weights_from_fsc(fsc_curve, radii, n: int):
     """Cref = sqrt(2C/(1+C)) SSNR weights at the ring radii (FREALIGN's
     statistics weighting, the polar analog of
-    refine3d.shell_weights_from_fsc)."""
+    refine3d.shell_weights_from_fsc).
+
+    n MUST be the grid the curve was measured on (the DATA box, not the
+    auto-crop box): ring radii are data wavenumbers — preserved by Fourier
+    crop — so indexing the curve as a fraction of the crop grid read shells
+    a crop-factor too high (measured: in-band rings got Cref 0.24 instead
+    of 1.0 at 256 -> 80 crop)."""
     curve = np.clip(np.asarray(fsc_curve, dtype=np.float64), 0.0, 1.0)
     n_bins = len(curve)
     r = np.asarray(radii, dtype=np.float64) / n  # cycles/px

@@ -228,3 +228,20 @@ class TestSubLatticePolish:
         err_pol = run("final")
         assert err_pol < err_snap, (err_pol, err_snap)
         assert err_pol < 4.0, err_pol
+
+
+class TestRingWeightsFromFsc:
+    def test_data_wavenumber_indexing_under_crop(self):
+        """Ring radii are DATA wavenumbers (Fourier crop preserves them):
+        a full-grid FSC cliff at shell 20 must map to exactly the rings
+        with radius < 20, independent of the auto-crop factor."""
+        cfg = frm.get_config(256, 1.0, low_res=100.0, high_res=8.0,
+                             angular_step=15.0, symmetry="C1",
+                             shift_extent=4.0, shift_step=1.0)
+        assert cfg.n < cfg.n_data  # auto-crop active
+        curve = np.zeros(128)
+        curve[:20] = 1.0
+        w = frm.ring_weights_from_fsc(curve, cfg.radii, cfg.n_data)
+        r = np.asarray(cfg.radii)
+        assert np.all(w[r < 20] == 1.0), w[r < 20]
+        assert np.all(w[r >= 20] == 0.0), w[r >= 20]
