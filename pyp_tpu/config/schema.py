@@ -219,6 +219,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
     ],
     # ------------------------------------------------------------ reconstruct
     "reconstruct": [
+        P("reconstruct_crop", bool, True,
+          "band-limited intermediate reconstructions (Fourier-crop to the "
+          "matching band; final iteration always full-size)"),
         P("reconstruct_rrec", float, 0.0, "reconstruction res limit (Å, 0=Nyquist)"),
         P("reconstruct_wiener", float, 0.5, "Wiener regularization constant"),
         P("reconstruct_pad", int, 2, "Fourier oversampling factor"),

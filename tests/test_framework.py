@@ -431,3 +431,69 @@ class TestNotify:
         ok = send_email("user@site", "refinement done", "3.1 A",
                         smtp_factory=FakeSMTP)
         assert ok and sent == [("user@site", "refinement done")]
+
+
+@pytest.mark.slow
+class TestBandLimitedReconstruction:
+    def test_cropped_matches_full_in_band(self):
+        """reconstruct_crop: intermediate reconstruction on the band-limited
+        grid must match the full-size reconstruction inside the matching
+        band (Fourier-pad upsample back to the data box)."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.core.geometry import euler_to_matrix
+        from pyp_tpu.io import cistem
+        from pyp_tpu.ops import fourier_slice as fs
+        from pyp_tpu.ops import reconstruct as rec
+        from pyp_tpu.pipeline.refine import refinement_iteration
+
+        N, PIXEL, B = 96, 1.0, 64
+        rng = np.random.RandomState(0)
+        vol = rng.randn(N, N, N).astype(np.float32)
+        vol *= np.asarray(soft_spherical_mask(N, N * 0.35, 4.0))
+        vol = np.array(lowpass_filter_3d(jnp.asarray(vol), PIXEL, 5.0)) * 10.0
+        phi = rng.uniform(0, 360, B).astype(np.float32)
+        theta = np.degrees(np.arccos(rng.uniform(-1, 1, B))).astype(np.float32)
+        psi = rng.uniform(0, 360, B).astype(np.float32)
+        shifts = rng.uniform(-2, 2, (B, 2)).astype(np.float32)
+        df = rng.uniform(10000, 25000, B).astype(np.float32)
+        cp = np.stack([df + 300, df - 300, np.full(B, 20.0),
+                       np.zeros(B)], 1).astype(np.float32)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        R = euler_to_matrix(jnp.asarray(phi), jnp.asarray(theta),
+                            jnp.asarray(psi))
+        F = fs.project(Fv, R, N)
+        ctfs = rec._ctf_grids(N, PIXEL, jnp.asarray(cp), 300.0, 2.7, 0.07)
+        F = rec._shift_correct(F * ctfs, jnp.asarray(shifts), N)
+        imgs = np.array(fs.fourier_to_image(F, N))
+        imgs += 0.5 * np.abs(imgs).max() * rng.randn(*imgs.shape).astype(
+            np.float32)
+
+        def run(crop):
+            table = cistem.Table.zeros(B)
+            table["position_in_stack"] = np.arange(1, B + 1)
+            table["pixel_size"] = np.full(B, PIXEL)
+            table["defocus_1"], table["defocus_2"] = cp[:, 0], cp[:, 1]
+            table["defocus_angle"] = cp[:, 2]
+            table["occupancy"] = np.full(B, 100.0)
+            table["assigned_subset"] = np.arange(B) % 2 + 1
+            table["phi"], table["theta"], table["psi"] = phi, theta, psi
+            table["y_shift"] = shifts[:, 0] * PIXEL
+            table["x_shift"] = shifts[:, 1] * PIXEL
+            params = defaults()
+            params.update({
+                "scope_pixel": PIXEL, "refine_rlref": 50.0,
+                "refine_rhref": "10", "refine_dang": 10.0,
+                "particle_sym": "C1", "refine_maxiter": 5, "refine_iter": 2,
+                "refine_skip": True, "reconstruct_crop": crop,
+            })
+            table, out, res = refinement_iteration(imgs, table, vol, params, 3)
+            assert np.asarray(out.volume).shape == (N, N, N)
+            return np.asarray(out.volume)
+
+        v_full, v_crop = run(False), run(True)
+        lp = lambda v: np.array(lowpass_filter_3d(jnp.asarray(v), PIXEL, 10.0))
+        cc = np.corrcoef(lp(v_full).ravel(), lp(v_crop).ravel())[0, 1]
+        assert cc > 0.98, cc
