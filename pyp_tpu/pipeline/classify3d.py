@@ -138,16 +138,26 @@ def classify3d_iteration(
         _half_subsets(table)
         if "assigned_subset" in table else np.arange(B) % 2
     )
+    from pyp_tpu.pipeline.refine import reconstruct_banded
+
     new_refs, resolutions = [], []
     for k in range(K):
-        out = rec.reconstruct(
+        # band-limited per-class maps (reconstruct_banded): classification
+        # only matches up to class_rhcls, and the class axis multiplies the
+        # scatter-bound insertion cost K-fold
+        out = reconstruct_banded(
             np.asarray(stack), poses, ctf_params, pixel,
-            subset=subset.astype(np.int32),
-            weights=(occ[:, k] / 100.0).astype(np.float32),
-            symmetry=str(params["particle_sym"]),
-            voltage_kv=float(params["scope_voltage"]),
-            cs_mm=float(params["scope_cs"]),
-            amplitude_contrast=float(params["scope_wgh"]),
+            (max(float(params.get("class_rhcls") or rhref) * 0.8, 2.0 * pixel)
+             if bool(params.get("reconstruct_crop", True)) else 2.0 * pixel),
+            dict(
+                subset=subset.astype(np.int32),
+                weights=(occ[:, k] / 100.0).astype(np.float32),
+                symmetry=str(params["particle_sym"]),
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+                batch=batch,
+            ),
             batch=batch,
         )
         new_refs.append(np.asarray(out.volume, dtype=np.float32))

@@ -49,6 +49,66 @@ def poses_into_table(table: cistem.Table, result, pixel: float):
     return table
 
 
+def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
+                       mesh=None, batch: int = 256):
+    """Reconstruction on the band-limited auto-crop grid (wavenumbers
+    preserved, same rule as the FRM matcher), Fourier-padded back to the
+    data box with the FSC remapped shell-for-shell onto the data axis.
+
+    Fourier insertion is scatter-bound (points ~ box^2 per slice); an
+    intermediate map only needs fidelity to the matching band `high_res`,
+    so cropping cuts the scatter work by (n_rec/n)^2. Returns a
+    Reconstruction whose maps live on the data box."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.parallel import reconstruct_sharded
+
+    n_data = int(stack.shape[-1])
+    n_total = len(stack)
+    r_max = n_data * pixel / max(high_res, 2.0 * pixel)
+    n_rec = min(n_data, int(np.ceil((2.0 * r_max + 8.0) / 16.0)) * 16)
+    if n_rec >= n_data:
+        if mesh is not None:
+            return reconstruct_sharded(
+                mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
+        return rec.reconstruct(
+            np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
+
+    from pyp_tpu.core.fft import fourier_crop_3d
+    from pyp_tpu.ops.frm import _crop_jit
+
+    ratio = n_rec / float(n_data)
+    stack_rec = np.empty((n_total, n_rec, n_rec), dtype=np.float32)
+    for lo in range(0, n_total, batch):
+        hi = min(lo + batch, n_total)
+        stack_rec[lo:hi] = np.asarray(_crop_jit(
+            jnp.asarray(np.asarray(stack[lo:hi])), n_rec))
+    poses_rec = np.array(poses, copy=True)
+    poses_rec[:, 3:5] *= ratio
+    pixel_rec = pixel / ratio
+    if mesh is not None:
+        out = reconstruct_sharded(
+            mesh, stack_rec, poses_rec, ctf_params, pixel_rec, **rc_kwargs)
+    else:
+        out = rec.reconstruct(
+            stack_rec, poses_rec, ctf_params, pixel_rec, **rc_kwargs)
+    # shell k on the crop grid IS data wavenumber k: remap the FSC onto the
+    # data shell axis (zero beyond the band) and upsample the maps by
+    # centered Fourier pad
+    fsc_full = np.zeros(n_data // 2, dtype=np.float32)
+    fsc_full[:n_rec // 2] = np.asarray(out.fsc)
+    up = jax.jit(functools.partial(
+        fourier_crop_3d, out_shape=(n_data, n_data, n_data)))
+    return out._replace(
+        volume=up(out.volume), half1=up(out.half1), half2=up(out.half2),
+        fsc=jnp.asarray(fsc_full),
+        freqs=jnp.asarray(np.arange(n_data // 2, dtype=np.float32) / n_data))
+
+
 def refinement_iteration(
     stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
     batch: int = 256, fsc_curve=None, ref_halves=None,
@@ -291,57 +351,19 @@ def refinement_iteration(
             wiener=float(params.get("reconstruct_wiener") or 0.5),
             batch=batch,
         )
-        # --- band-limited intermediate reconstruction ---------------------
-        # Fourier insertion is scatter-bound (points ~ n_rec^2 per slice);
-        # an intermediate map only needs fidelity to the NEXT iteration's
-        # matching band, so reconstruct on the band-limited grid (same
-        # auto-crop rule as the FRM matcher: wavenumbers preserved) and
-        # Fourier-pad the maps back to the data box. The FINAL iteration
-        # always reconstructs full-size.
-        n_data = int(stack.shape[-1])
+        # band-limited intermediate reconstruction (reconstruct_banded);
+        # the FINAL iteration always reconstructs full-size
         is_final = ("refine_maxiter" in params
                     and iteration >= int(params["refine_maxiter"]) + 1)
-        n_rec = n_data
         if bool(params.get("reconstruct_crop", True)) and not is_final:
             try:  # cover this iteration's band, the next one's, and polish
                 rhref_next = float(param(params["refine_rhref"], iteration + 1))
             except Exception:
                 rhref_next = rhref
-            high = max(min(rhref, rhref_next) * 0.8, 2.0 * pixel)
-            r_max = n_data * pixel / high
-            n_rec = min(n_data, int(np.ceil((2.0 * r_max + 8.0) / 16.0)) * 16)
-        if n_rec < n_data:
-            from pyp_tpu.core.fft import fourier_crop_3d
-            from pyp_tpu.ops.frm import _crop_jit
-
-            ratio = n_rec / float(n_data)
-            stack_rec = np.empty((n_total, n_rec, n_rec), dtype=np.float32)
-            for lo in range(0, n_total, batch):
-                hi = min(lo + batch, n_total)
-                stack_rec[lo:hi] = np.asarray(_crop_jit(
-                    jnp.asarray(np.asarray(stack[lo:hi])), n_rec))
-            poses_rec = np.array(poses, copy=True)
-            poses_rec[:, 3:5] *= ratio
-            pixel_rec = pixel / ratio
-            if mesh is not None:
-                out = reconstruct_sharded(
-                    mesh, stack_rec, poses_rec, ctf_params, pixel_rec,
-                    **rc_kwargs)
-            else:
-                out = rec.reconstruct(
-                    stack_rec, poses_rec, ctf_params, pixel_rec, **rc_kwargs)
-            # shell k on the crop grid IS data wavenumber k: remap the FSC
-            # onto the data shell axis (zero beyond the band) and upsample
-            # the maps by centered Fourier pad
-            fsc_full = np.zeros(n_data // 2, dtype=np.float32)
-            fsc_full[:n_rec // 2] = np.asarray(out.fsc)
-            up = jax.jit(functools.partial(
-                fourier_crop_3d, out_shape=(n_data, n_data, n_data)))
-            out = out._replace(
-                volume=up(out.volume), half1=up(out.half1),
-                half2=up(out.half2), fsc=jnp.asarray(fsc_full),
-                freqs=jnp.asarray(
-                    np.arange(n_data // 2, dtype=np.float32) / n_data))
+            out = reconstruct_banded(
+                stack, poses, ctf_params, pixel,
+                max(min(rhref, rhref_next) * 0.8, 2.0 * pixel),
+                rc_kwargs, mesh=mesh, batch=batch)
         elif mesh is not None:
             out = reconstruct_sharded(
                 mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs
