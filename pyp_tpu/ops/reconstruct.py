@@ -166,24 +166,51 @@ def reconstruct(
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
     batch: int = 256, pad: int = DEFAULT_PAD, gridding: str = "trilinear",
+    crop_to: int = None,
 ) -> Reconstruction:
-    """Single-call reconstruction of a full particle stack (batched insert)."""
+    """Single-call reconstruction of a full particle stack (batched insert).
+
+    crop_to: band-limited reconstruction grid — each batch is Fourier-
+    cropped ON DEVICE after the (unavoidable) host transfer, so the scatter
+    work shrinks by (crop_to/n)^2 with no extra host round-trips (host-side
+    pre-cropping measured SLOWER through the axon tunnel: the second
+    transfer of the stack dominates). Shifts/pixel size rescale internally;
+    the returned maps live on the crop grid."""
     n = stack.shape[-1]
     B = stack.shape[0]
     if subset is None:
         subset = jnp.arange(B) % 2
     if weights is None:
         weights = jnp.ones(B)
+    n_rec, ratio = n, 1.0
+    if crop_to is not None and crop_to < n:
+        from pyp_tpu.ops.frm import _crop_jit
+
+        n_rec = int(crop_to)
+        ratio = n_rec / float(n)
+        # keep the ABSOLUTE gridding-node spacing of the full grid: a
+        # pad-2 kernel on the crop grid is n/n_rec coarser in frequency
+        # and measurably blurs the band edge (e2e A/B: 6.4 vs 5.8 A).
+        # Scatter-point count is unchanged by pad, so the (n_rec/n)^2
+        # scatter saving survives; only the accumulator memory returns to
+        # the full-grid size.
+        pad = int(np.ceil(pad * n / float(n_rec)))
+    pixel_rec = pixel_size / ratio
     acc = None
     for i in range(0, B, batch):
         sl = slice(i, min(i + batch, B))
+        xb = jnp.asarray(stack[sl])
+        pb = jnp.asarray(poses[sl])
+        if n_rec < n:
+            xb = _crop_jit(xb, n_rec)
+            pb = pb.at[:, 3:5].multiply(ratio)
         acc = accumulate(
-            jnp.asarray(stack[sl]), jnp.asarray(poses[sl]),
+            xb, pb,
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
-            jnp.asarray(weights[sl]), n, pixel_size, voltage_kv, cs_mm,
+            jnp.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
         )
-    return finalize(acc, n, pad, wiener, gridding)
+    return finalize(acc, n_rec, pad, wiener, gridding)
 
 
 def save_accumulators(acc: Accumulators, path):

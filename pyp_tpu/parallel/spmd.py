@@ -331,10 +331,12 @@ def reconstruct_sharded(
     subset=None, weights=None, symmetry: str = "C1",
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
-    batch: int = 256, pad: int = 2,
+    batch: int = 256, pad: int = 2, crop_to: int = None,
 ):
     """Mesh-parallel mirror of `reconstruct.reconstruct`: superbatches of
-    batch*ndev particles accumulate with a psum merge, then finalize."""
+    batch*ndev particles accumulate with a psum merge, then finalize.
+    crop_to: band-limited grid (host-side crop here; the mesh path is for
+    multi-chip runs where host<->device bandwidth is not the tunnel)."""
     n = np.asarray(stack).shape[-1]
     B = np.asarray(stack).shape[0]
     ndev = _mesh_size(mesh)
@@ -342,17 +344,33 @@ def reconstruct_sharded(
         subset = np.arange(B) % 2
     if weights is None:
         weights = np.ones(B, dtype=np.float32)
+    n_rec, ratio = n, 1.0
+    if crop_to is not None and crop_to < n:
+        n_rec, ratio = int(crop_to), int(crop_to) / float(n)
+        # match the full grid's absolute gridding-node spacing (see
+        # reconstruct.reconstruct crop_to)
+        pad = int(np.ceil(pad * n / float(n_rec)))
+    pixel_rec = pixel_size / ratio
     acc = None
     step = batch * ndev
     for i in range(0, B, step):
         sl = slice(i, min(i + step, B))
+        xb = np.asarray(stack[sl])
+        pb = np.asarray(poses[sl])
+        if n_rec < n:
+            from pyp_tpu.ops.frm import _crop_jit
+            import jax.numpy as jnp
+
+            xb = np.asarray(_crop_jit(jnp.asarray(xb), n_rec))
+            pb = np.array(pb, copy=True)
+            pb[:, 3:5] *= ratio
         acc = sharded_accumulate(
-            mesh, np.asarray(stack[sl]), np.asarray(poses[sl]),
+            mesh, xb, pb,
             np.asarray(ctf_params[sl]), np.asarray(subset[sl]),
-            np.asarray(weights[sl]), n, pixel_size, voltage_kv, cs_mm,
+            np.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc,
         )
-    return rec.finalize(acc, n, pad, wiener)
+    return rec.finalize(acc, n_rec, pad, wiener)
 
 
 def sharded_reconstruct(

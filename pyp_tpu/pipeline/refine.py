@@ -71,7 +71,7 @@ def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
     n_total = len(stack)
     r_max = n_data * pixel / max(high_res, 2.0 * pixel)
     n_rec = min(n_data, int(np.ceil((2.0 * r_max + 8.0) / 16.0)) * 16)
-    if n_rec >= n_data:
+    if n_rec >= 0.9 * n_data:  # negligible saving: skip crop+upsample
         if mesh is not None:
             return reconstruct_sharded(
                 mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
@@ -79,23 +79,17 @@ def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
             np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
 
     from pyp_tpu.core.fft import fourier_crop_3d
-    from pyp_tpu.ops.frm import _crop_jit
 
-    ratio = n_rec / float(n_data)
-    stack_rec = np.empty((n_total, n_rec, n_rec), dtype=np.float32)
-    for lo in range(0, n_total, batch):
-        hi = min(lo + batch, n_total)
-        stack_rec[lo:hi] = np.asarray(_crop_jit(
-            jnp.asarray(np.asarray(stack[lo:hi])), n_rec))
-    poses_rec = np.array(poses, copy=True)
-    poses_rec[:, 3:5] *= ratio
-    pixel_rec = pixel / ratio
     if mesh is not None:
         out = reconstruct_sharded(
-            mesh, stack_rec, poses_rec, ctf_params, pixel_rec, **rc_kwargs)
+            mesh, np.asarray(stack), poses, ctf_params, pixel,
+            crop_to=n_rec, **rc_kwargs)
     else:
+        # crop happens ON DEVICE inside reconstruct (host-side pre-crop
+        # measured slower through the axon tunnel: extra stack transfer)
         out = rec.reconstruct(
-            stack_rec, poses_rec, ctf_params, pixel_rec, **rc_kwargs)
+            np.asarray(stack), poses, ctf_params, pixel, crop_to=n_rec,
+            **rc_kwargs)
     # shell k on the crop grid IS data wavenumber k: remap the FSC onto the
     # data shell axis (zero beyond the band) and upsample the maps by
     # centered Fourier pad
@@ -321,10 +315,6 @@ def refinement_iteration(
             table = poses_into_table(table, merged, pixel)
 
     with Timer(f"reconstruction iteration {iteration}"):
-        import functools
-
-        import jax
-
         poses = table_to_poses(table, pixel)
         subset = (
             _half_subsets(table)
@@ -360,9 +350,12 @@ def refinement_iteration(
                 rhref_next = float(param(params["refine_rhref"], iteration + 1))
             except Exception:
                 rhref_next = rhref
+            # 0.7 margin factor: the next iteration MATCHES at
+            # rhref_next*0.8 — reconstruct a slightly wider band so the
+            # matching band never sits at the map's hard cutoff
             out = reconstruct_banded(
                 stack, poses, ctf_params, pixel,
-                max(min(rhref, rhref_next) * 0.8, 2.0 * pixel),
+                max(min(rhref, rhref_next) * 0.7, 2.0 * pixel),
                 rc_kwargs, mesh=mesh, batch=batch)
         elif mesh is not None:
             out = reconstruct_sharded(

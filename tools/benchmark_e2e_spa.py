@@ -99,6 +99,10 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         "refine_frm_wiener": frm_wiener, "refine_goldstandard": True,
         "refine_maxiter": n_iters,  # final-iteration sub-lattice polish
         "reconstruct_wiener": 0.5, "refine_bsc": 0.0,
+        # PYP_TPU_RECON_CROP=0 disables band-limited intermediate maps
+        # (A/B isolation of reconstruct_crop)
+        "reconstruct_crop": __import__("os").environ.get(
+            "PYP_TPU_RECON_CROP", "1") != "0",
     }
     # start from a 20 A lowpass of the true map — the realistic scenario
     # (the reference's users supply an external/ab-initio model; a
