@@ -219,6 +219,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
     ],
     # ------------------------------------------------------------ reconstruct
     "reconstruct": [
+        P("reconstruct_pad", int, 2,
+          "gridding oversampling of the insertion grid (kernel node "
+          "spacing 1/(pad*n); memory ~ (pad*n)^3)"),
         P("reconstruct_crop", bool, True,
           "band-limited intermediate reconstructions (Fourier-crop to the "
           "matching band; final iteration always full-size)"),

@@ -340,6 +340,7 @@ def refinement_iteration(
             amplitude_contrast=float(params["scope_wgh"]),
             wiener=float(params.get("reconstruct_wiener") or 0.5),
             batch=batch,
+            pad=int(params.get("reconstruct_pad") or 2),
         )
         # band-limited intermediate reconstruction (reconstruct_banded);
         # the FINAL iteration always reconstructs full-size

@@ -103,6 +103,8 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         # (A/B isolation of reconstruct_crop)
         "reconstruct_crop": __import__("os").environ.get(
             "PYP_TPU_RECON_CROP", "1") != "0",
+        "reconstruct_pad": int(__import__("os").environ.get(
+            "PYP_TPU_RECON_PAD", "2")),
     }
     # start from a 20 A lowpass of the true map — the realistic scenario
     # (the reference's users supply an external/ab-initio model; a
