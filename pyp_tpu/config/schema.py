@@ -142,7 +142,15 @@ SCHEMA: dict[str, list[ParamDef]] = {
     "tomo_rec": [
         P("tomo_rec_thickness", int, 2048, "tomogram thickness (unbinned px)"),
         P("tomo_rec_binning", int, 8, "reconstruction binning"),
-        P("tomo_rec_method", str, "wbp", "reconstruction method", enum=("wbp",)),
+        P("tomo_rec_method", str, "wbp", "reconstruction method",
+          enum=("wbp", "sart")),
+        P("tomo_rec_sart_iters", int, 10, "SART passes over all subsets"),
+        P("tomo_rec_sart_relax", float, 1.0, "SART relaxation step"),
+        P("tomo_rec_sart_subsets", int, 4,
+          "SART angular subsets (interleaved; 1 = plain SIRT)"),
+        P("tomo_rec_fake_sirt", int, 0,
+          "WBP radial filter equivalent to N SIRT iterations "
+          "(IMOD -FakeSIRTiterations; 0 = plain ramp)"),
         P("tomo_rec_filter_cutoff", float, 0.35, "ramp filter cutoff (cyc/px)"),
         P("tomo_rec_filter_falloff", float, 0.05, "ramp filter falloff"),
         P("tomo_rec_erase_fiducials", bool, False, "erase gold beads first"),
@@ -227,7 +235,6 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "matching band; final iteration always full-size)"),
         P("reconstruct_rrec", float, 0.0, "reconstruction res limit (Å, 0=Nyquist)"),
         P("reconstruct_wiener", float, 0.5, "Wiener regularization constant"),
-        P("reconstruct_pad", int, 2, "Fourier oversampling factor"),
         P("reconstruct_norm", bool, True, "normalize particles"),
         P("reconstruct_dose_weighting_enable", bool, False, "dose weighting"),
     ],
@@ -268,6 +275,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("slurm_gres", str, "", "generic resources, e.g. tpu:1"),
         P("slurm_host", str, "", "submission host (submit via ssh when set)"),
         P("slurm_submit", bool, False, "actually sbatch the emitted scripts"),
+        P("slurm_nodes", int, 1,
+          "ranks for multi-host refinement (jax.distributed mesh spanning "
+          "nodes; sched.bridge.write_distributed_refine_script)"),
+        P("slurm_script_dir", str, "swarm", "where sbatch scripts/payloads go"),
     ],
     # ---------------------------------------------------------------- abinit
     "abinit": [

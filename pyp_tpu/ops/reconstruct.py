@@ -188,13 +188,15 @@ def reconstruct(
 
         n_rec = int(crop_to)
         ratio = n_rec / float(n)
-        # keep the ABSOLUTE gridding-node spacing of the full grid: a
-        # pad-2 kernel on the crop grid is n/n_rec coarser in frequency
-        # and measurably blurs the band edge (e2e A/B: 6.4 vs 5.8 A).
-        # Scatter-point count is unchanged by pad, so the (n_rec/n)^2
-        # scatter saving survives; only the accumulator memory returns to
-        # the full-grid size.
-        pad = int(np.ceil(pad * n / float(n_rec)))
+        # NOTE: the crop grid's wavenumbers ARE data wavenumbers, so a
+        # pad-p kernel on the crop grid already has the same absolute
+        # node spacing (1/p of a data wavenumber) as pad-p on the full
+        # grid — no rescaling needed. (A round-2 change scaled pad by
+        # n/n_rec believing it matched the full grid; it actually made
+        # the kernel n/n_rec FINER, regressed crop/full in-band
+        # equivalence cc 0.996 -> 0.966 on the seeded framework test,
+        # and its claimed e2e gain was within the 4.9-6.5 A run-to-run
+        # variance. Reverted.)
     pixel_rec = pixel_size / ratio
     acc = None
     for i in range(0, B, batch):

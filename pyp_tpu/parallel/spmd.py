@@ -347,9 +347,9 @@ def reconstruct_sharded(
     n_rec, ratio = n, 1.0
     if crop_to is not None and crop_to < n:
         n_rec, ratio = int(crop_to), int(crop_to) / float(n)
-        # match the full grid's absolute gridding-node spacing (see
-        # reconstruct.reconstruct crop_to)
-        pad = int(np.ceil(pad * n / float(n_rec)))
+        # pad is NOT rescaled: crop-grid wavenumbers are data
+        # wavenumbers, so pad-p spacing already matches the full grid
+        # (see reconstruct.reconstruct crop_to)
     pixel_rec = pixel_size / ratio
     acc = None
     step = batch * ndev

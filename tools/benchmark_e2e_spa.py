@@ -10,8 +10,16 @@ FSC(0.143) resolution against the half-maps, and correlation against the
 ground-truth volume.
 
 Run:  python tools/benchmark_e2e_spa.py [n_particles] [box]
+          [--seed S] [--replicates K] [--out report.json]
+
+Variance protocol (VERDICT r2 item 8): single-run A/Bs are NOT trustworthy
+evidence — final FSC(0.143) swings 4.9-6.5 A across runs at identical code
+(TPU scatter-add float ordering is nondeterministic and the difference
+amplifies over iterations). Use --replicates >= 3 and compare medians with
+spreads; per-run JSONs are stored next to --out.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -23,7 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
-         n_iters=4):
+         n_iters=4, seed=0):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +44,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     from pyp_tpu.pipeline.refine import refinement_iteration
 
     pixel = 1.0
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(seed)
     t_all = time.perf_counter()
 
     # ---- ground truth + synthetic dataset ---------------------------------
@@ -70,7 +78,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
 
     stack = np.empty((n_particles, box, box), dtype=np.float32)
     bs = 512
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(seed + 1)
     for lo in range(0, n_particles, bs):
         hi = min(lo + bs, n_particles)
         key, sub = jax.random.split(key)
@@ -162,6 +170,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
 
     report = {
         "n_particles": n_particles, "box": box, "pixel_A": pixel,
+        "seed": seed,
         "synth_seconds": round(t_synth, 1),
         "stages": stages,
         "total_seconds": round(total, 1),
@@ -176,7 +185,51 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     return report
 
 
+def _spread(vals):
+    vals = sorted(vals)
+    return {"median": round(float(np.median(vals)), 3),
+            "min": round(float(vals[0]), 3),
+            "max": round(float(vals[-1]), 3), "runs": len(vals)}
+
+
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    b = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    main(n, b)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("n_particles", nargs="?", type=int, default=4096)
+    ap.add_argument("box", nargs="?", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--replicates", type=int, default=1,
+                    help=">=3 for trustworthy A/Bs (same seed; replicate "
+                         "spread = TPU scatter-order nondeterminism)")
+    ap.add_argument("--vary-seed", action="store_true",
+                    help="replicate with seed, seed+1, ... (problem "
+                         "variance instead of hardware variance)")
+    ap.add_argument("--out", default=None, help="write summary JSON here "
+                    "(per-run JSONs get a .runN suffix)")
+    args = ap.parse_args()
+
+    runs = []
+    for k in range(args.replicates):
+        s = args.seed + (k if args.vary_seed else 0)
+        print(f"=== replicate {k + 1}/{args.replicates} (seed {s}) ===",
+              flush=True)
+        rep = main(args.n_particles, args.box, seed=s)
+        runs.append(rep)
+        if args.out:
+            Path(f"{args.out}.run{k}").write_text(json.dumps(rep, indent=1))
+    if len(runs) > 1:
+        summary = {
+            "replicates": len(runs), "vary_seed": args.vary_seed,
+            "final_fsc143_A": _spread([r["stages"][-1]["fsc143_A"]
+                                       for r in runs]),
+            "cc_vs_ground_truth": _spread([r["cc_vs_ground_truth"]
+                                           for r in runs]),
+            "total_seconds": _spread([r["total_seconds"] for r in runs]),
+            "median_angular_error_deg": _spread(
+                [r["median_angular_error_deg"] for r in runs]),
+        }
+        print(json.dumps(summary, indent=1))
+        if args.out:
+            Path(args.out).write_text(json.dumps(
+                {"summary": summary, "runs": runs}, indent=1))
+    elif args.out:
+        Path(args.out).write_text(json.dumps(runs[0], indent=1))

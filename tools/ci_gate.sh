@@ -1,0 +1,27 @@
+#!/usr/bin/env bash
+# Fast pre-commit gate: a one-line schema edit must never ship the CLI
+# broken again (round-2 shipped HEAD with a duplicate -reconstruct_pad that
+# crashed every mode; VERDICT r2 item 1).
+#
+# Installed as .git/hooks/pre-commit by tools/install_hooks.sh.
+# Skip for doc-only commits with PYP_TPU_SKIP_GATE=1.
+set -e
+cd "$(dirname "$0")/.."
+
+if [ -n "$PYP_TPU_SKIP_GATE" ]; then
+    echo "[ci_gate] skipped (PYP_TPU_SKIP_GATE set)"
+    exit 0
+fi
+
+echo "[ci_gate] CLI parser smoke (every mode)..."
+python - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from pyp_tpu.config.params import build_parser
+build_parser()  # raises argparse.ArgumentError on duplicate params
+from pyp_tpu import cli  # import side of every mode dispatcher
+EOF
+
+echo "[ci_gate] CLI modes + golden codecs + framework invariants..."
+python -m pytest tests/test_cli_modes.py tests/test_golden.py -q -x --no-header
+echo "[ci_gate] OK"
