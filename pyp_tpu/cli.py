@@ -57,12 +57,28 @@ def _discover_items(params):
     return items
 
 
+def _maybe_slurm_swarm(mode, argv, params, items):
+    """Route per-item modes through SLURM when -slurm_* selects it:
+    emit/submit the array + dependent merge and return its report (the
+    merge element re-runs the mode, whose resume-aware stages reduce)."""
+    from pyp_tpu.sched import bridge
+
+    if not bridge.slurm_requested(params):
+        return None
+    report = bridge.submit_swarm(mode, items, params, argv)
+    print(json.dumps(report, indent=1))
+    return 0
+
+
 def mode_spr(argv):
     params = _project_params(argv)
     items = _discover_items(params)
     if not items:
         logger.error("no input files match data_path=%r", params.get("data_path"))
         return 1
+    rc = _maybe_slurm_swarm("spr", argv, params, items)
+    if rc is not None:
+        return rc
     from pyp_tpu.pipeline import spr
     from pyp_tpu.sched import JobGraph, LocalExecutor
 
@@ -86,6 +102,9 @@ def mode_tomo(argv):
     if not items:
         logger.error("no input files match data_path=%r", params.get("data_path"))
         return 1
+    rc = _maybe_slurm_swarm("tomo", argv, params, items)
+    if rc is not None:
+        return rc
     from pyp_tpu.io import mrc
     from pyp_tpu.pipeline import tomo as tomo_pipe
     from pyp_tpu.sched import JobGraph, LocalExecutor
@@ -134,6 +153,18 @@ def mode_extract(argv):
 
 def mode_refine(argv):
     params = _project_params(argv)
+    from pyp_tpu.sched import bridge
+
+    if bridge.slurm_requested(params):
+        # multi-host refinement: one sbatch, slurm_nodes ranks joined into
+        # a jax.distributed mesh via PYP_TPU_COORDINATOR/NUM_PROCS/PROC_ID
+        script = bridge.write_distributed_refine_script(
+            params, int(params.get("slurm_nodes") or 1), "refine",
+            bridge.strip_slurm_flags(argv))
+        ex = bridge.select_executor(params)[1]
+        jid = ex.sbatch(script)
+        print(json.dumps({"script": str(script), "job_id": jid}))
+        return 0
     from pyp_tpu.io import cistem, mrc
     from pyp_tpu.pipeline import refine as ref_pipe
 
@@ -260,6 +291,9 @@ def mode_csp(argv):
     from pyp_tpu.sched import JobGraph, LocalExecutor
 
     items = _discover_items(params)
+    rc = _maybe_slurm_swarm("csp", argv, params, items)
+    if rc is not None:
+        return rc
     ref_path = Path("initial_model.mrc")
     if not ref_path.exists():
         logger.error("csp needs initial_model.mrc (reference map)")
@@ -327,6 +361,8 @@ def mode_polish(argv):
         stack_p, traj = polish_ops.polish(
             frames, coords, poses[sel], ctf[sel], ref, pixel, box,
             global_shifts=drift,
+            reg_weight=float(params.get("polish_reg") or 2.0),
+            spatial_sigma=float(params.get("polish_spatial_sigma") or 0.0),
         )
         sign = -1.0 if params.get("extract_inv", True) else 1.0
         new_stack[sel] = sign * np.asarray(stack_p)
@@ -601,8 +637,11 @@ def mode_byp(argv):
 
 def mode_worker(argv):
     """SLURM array element entry: run a serialized job payload."""
+    import os
+
     payload = json.loads(Path(argv[0]).read_text())
     mode = payload["mode"]
+    os.environ["PYP_TPU_WORKER"] = "1"  # execute, never re-submit
     return main([mode] + payload.get("argv", []))
 
 

@@ -16,9 +16,15 @@ raster order. Per event, compression id 65001 ("EER 7/4"):
 compression id 65000 uses 8-bit run-lengths (255 = skip-only) and no
 sub-pixel bits.
 
-CAVEAT: validated by encode/decode round-trip against this module's own
-encoder and by count statistics; byte-level validation against
-camera-produced EER files still pending real data (see STATUS.md).
+Sub-pixel convention: the 4 bits are (sub_y << 2) | sub_x, and each 2-bit
+value is stored XOR 2 (raw 0 = third quarter-pixel), so rendering at 8k/16k
+recenters with `^ 2` — getting this wrong shifts every electron by half a
+pixel at super-resolution.
+
+Validation: byte-level spec vectors hand-packed bit-by-bit (independent of
+this module's encoder) in tests/test_formats.py, plus encode/decode
+round-trips and count statistics. Camera-produced fragments still welcome
+(no EER file ships in the reference repo either).
 """
 
 from __future__ import annotations
@@ -70,7 +76,8 @@ class _BitWriter:
 def decode_frame(data: bytes, compression: int = COMPRESSION_EER7,
                  size: int = EER_SENSOR, upsampling: int = 1) -> np.ndarray:
     """Decode one EER frame bitstream into an electron-count image
-    (size*upsampling)². upsampling 1 ignores sub-pixel bits; 2 uses them."""
+    (size*upsampling)². upsampling 1 (4k) ignores sub-pixel bits; 2 (8k)
+    uses their high bit; 4 (16k) uses both bits."""
     rle_bits = 7 if compression == COMPRESSION_EER7 else 8
     sub_bits = 4 if compression == COMPRESSION_EER7 else 0
     max_run = (1 << rle_bits) - 1
@@ -92,12 +99,20 @@ def decode_frame(data: bytes, compression: int = COMPRESSION_EER7,
         if sub < 0:
             break
         y, x = divmod(pos, size)
-        if upsampling == 2 and sub_bits:
-            sx = sub & 0x3
-            sy = (sub >> 2) & 0x3
-            # 2-bit subpixel addresses a 4x4 grid within the pixel; map to 2x
-            ux = x * 2 + (sx >> 1)
-            uy = y * 2 + (sy >> 1)
+        if upsampling > 1 and sub_bits:
+            # low 2 bits = sub-x, high 2 bits = sub-y, each XOR 2: raw 0
+            # addresses the 3rd quarter-pixel, so the stored values are
+            # offset by half a pixel and ^2 recenters them (the published
+            # EER convention; a straight shift places every electron in
+            # the wrong half-pixel at 8k/16k rendering)
+            sx = (sub & 0x3) ^ 2
+            sy = ((sub >> 2) & 0x3) ^ 2
+            if upsampling == 4:         # 16k rendering
+                ux = x * 4 + sx
+                uy = y * 4 + sy
+            else:                       # 8k rendering
+                ux = x * 2 + (sx >> 1)
+                uy = y * 2 + (sy >> 1)
             img[uy * n_out + ux] += 1
         else:
             img[y * n_out + x] += 1

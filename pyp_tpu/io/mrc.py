@@ -72,6 +72,7 @@ class MrcHeader:
     rms: float = -1.0
     nlabl: int = 0
     labels: list = field(default_factory=list)
+    byte_order: str = "<"   # ">" for big-endian files (header + data)
 
     @property
     def pixel_size(self) -> float:
@@ -79,7 +80,10 @@ class MrcHeader:
 
     @property
     def dtype(self) -> np.dtype:
-        return MODE_DTYPES[self.mode]
+        dt = MODE_DTYPES[self.mode]
+        if self.byte_order == ">" and dt.itemsize > 1:
+            dt = dt.newbyteorder(">")
+        return dt
 
     @property
     def shape(self):
@@ -113,7 +117,26 @@ class MrcHeader:
 
     @classmethod
     def unpack(cls, raw: bytes) -> "MrcHeader":
-        vals = struct.unpack_from("<10i6f3i3f3i", raw, 0)
+        # endianness from the machine stamp (MRC2014: 0x44 0x44/0x41 =
+        # little, 0x11 0x11 = big — the reference relies on IMOD for
+        # big-endian files; legacy files may have a zeroed stamp, so also
+        # sanity-check the mode field)
+        machst = raw[212:216]
+        big = machst[:2] == b"\x11\x11"
+        if not big and machst[0] not in (0x44,):
+            mode_le = struct.unpack_from("<i", raw, 12)[0]
+            mode_be = struct.unpack_from(">i", raw, 12)[0]
+            if mode_le not in MODE_DTYPES and mode_be in MODE_DTYPES:
+                big = True
+        if big:
+            hdr = cls._unpack_order(raw, ">")
+            hdr.byte_order = ">"
+            return hdr
+        return cls._unpack_order(raw, "<")
+
+    @classmethod
+    def _unpack_order(cls, raw: bytes, bo: str) -> "MrcHeader":
+        vals = struct.unpack_from(bo + "10i6f3i3f3i", raw, 0)
         hdr = cls(
             nx=vals[0], ny=vals[1], nz=vals[2], mode=vals[3],
             nxstart=vals[4], nystart=vals[5], nzstart=vals[6],
@@ -125,11 +148,11 @@ class MrcHeader:
             ispg=vals[22], nsymbt=vals[23],
         )
         hdr.extra = raw[96:196]
-        hdr.origin = struct.unpack_from("<3f", raw, 196)
+        hdr.origin = struct.unpack_from(bo + "3f", raw, 196)
         hdr.map_id = raw[208:212]
         hdr.machst = raw[212:216]
-        hdr.rms = struct.unpack_from("<f", raw, 216)[0]
-        hdr.nlabl = struct.unpack_from("<i", raw, 220)[0]
+        hdr.rms = struct.unpack_from(bo + "f", raw, 216)[0]
+        hdr.nlabl = struct.unpack_from(bo + "i", raw, 220)[0]
         hdr.labels = [
             raw[224 + 80 * i : 224 + 80 * (i + 1)].rstrip(b"\0 ").decode("ascii", "replace")
             for i in range(min(max(hdr.nlabl, 0), 10))
@@ -152,12 +175,26 @@ def read(path, slices=None) -> np.ndarray:
     dtype = hdr.dtype
     frame_items = hdr.ny * hdr.nx
     frame_bytes = frame_items * dtype.itemsize
+    if hdr.mode == 101:
+        # 4-bit packed (K2/K3 counting movies; the reference unpacks these
+        # through IMOD, inout/image/core.py:913): two pixels per byte along
+        # x, low nibble first, rows padded to a whole byte
+        frame_bytes = ((hdr.nx + 1) // 2) * hdr.ny
     offset0 = HEADER_SIZE + hdr.nsymbt
     with open(path, "rb") as f:
+        def read_frames(zs):
+            out = np.empty((len(zs), hdr.ny, hdr.nx), dtype=dtype)
+            for k, z in enumerate(zs):
+                f.seek(offset0 + z * frame_bytes)
+                raw = np.frombuffer(f.read(frame_bytes), dtype=np.uint8)
+                if hdr.mode == 101:
+                    out[k] = _unpack_4bit(raw, hdr.ny, hdr.nx)
+                else:
+                    out[k] = raw.view(dtype).reshape(hdr.ny, hdr.nx)
+            return out
+
         if slices is None:
-            f.seek(offset0)
-            data = np.frombuffer(f.read(hdr.nz * frame_bytes), dtype=dtype)
-            data = data.reshape(hdr.nz, hdr.ny, hdr.nx)
+            data = read_frames(list(range(hdr.nz)))
             if hdr.nz == 1:
                 data = data[0]
             return np.ascontiguousarray(data)
@@ -167,18 +204,57 @@ def read(path, slices=None) -> np.ndarray:
             idx = list(range(*slices.indices(hdr.nz)))
         else:
             idx = list(slices)
-        out = np.empty((len(idx), hdr.ny, hdr.nx), dtype=dtype)
-        for k, z in enumerate(idx):
-            f.seek(offset0 + z * frame_bytes)
-            out[k] = np.frombuffer(f.read(frame_bytes), dtype=dtype).reshape(hdr.ny, hdr.nx)
+        out = read_frames(idx)
         if isinstance(slices, int):
             return out[0]
         return out
 
 
+def _unpack_4bit(raw: np.ndarray, ny: int, nx: int) -> np.ndarray:
+    """Row-padded 4-bit packed bytes -> (ny, nx) uint8 (low nibble first)."""
+    rb = (nx + 1) // 2
+    rows = raw[: rb * ny].reshape(ny, rb)
+    out = np.empty((ny, rb * 2), dtype=np.uint8)
+    out[:, 0::2] = rows & 0x0F
+    out[:, 1::2] = rows >> 4
+    return out[:, :nx]
+
+
+def pack_4bit(data: np.ndarray) -> np.ndarray:
+    """(ny, nx) uint8 values <16 -> row-padded packed bytes (inverse of
+    _unpack_4bit; fixture/interop utility)."""
+    data = np.asarray(data, dtype=np.uint8)
+    ny, nx = data.shape
+    if nx % 2:
+        data = np.concatenate([data, np.zeros((ny, 1), np.uint8)], axis=1)
+    return (data[:, 0::2] | (data[:, 1::2] << 4)).reshape(-1)
+
+
+def write_packed4(data, path, pixel_size: float = 1.0):
+    """Write (nz, ny, nx) small-count frames as MRC mode 101 (test/interop
+    utility — real mode-101 files come from SerialEM/K3 counting)."""
+    data = np.asarray(data, dtype=np.uint8)
+    if data.ndim == 2:
+        data = data[None]
+    nz, ny, nx = data.shape
+    hdr = MrcHeader(
+        nx=nx, ny=ny, nz=nz, mode=101, mx=nx, my=ny, mz=nz,
+        xlen=nx * pixel_size, ylen=ny * pixel_size, zlen=nz * pixel_size,
+        amin=float(data.min()), amax=float(data.max()),
+        amean=float(data.mean()),
+    )
+    with open(path, "wb") as f:
+        f.write(hdr.pack())
+        for z in range(nz):
+            f.write(pack_4bit(data[z]).tobytes())
+
+
 def mmap(path) -> np.ndarray:
     """Memory-map the data section of an MRC file (read-only)."""
     hdr = read_header(path)
+    if hdr.mode == 101:
+        raise ValueError("mode 101 (4-bit packed) cannot be mmapped; "
+                         "use mrc.read()")
     return np.memmap(
         path, dtype=hdr.dtype, mode="r",
         offset=HEADER_SIZE + hdr.nsymbt, shape=(hdr.nz, hdr.ny, hdr.nx),

@@ -138,7 +138,13 @@ def read(path, frames=None) -> np.ndarray:
             counts = tags[TAG_STRIP_COUNTS]
             rows_per_strip = tags.get(TAG_ROWS_PER_STRIP, (height,))[0]
 
-            if bits == 8:
+            if bits == 4:
+                # K3 counting movies (SerialEM writes 4-bit TIFF; the
+                # reference converts them through IMOD, inout/image/
+                # core.py:913). TIFF packs two pixels per byte, rows padded
+                # to whole bytes, HIGH nibble first (spec FillOrder=1).
+                dtype = np.dtype("u1")
+            elif bits == 8:
                 dtype = np.dtype(endian + ("i1" if fmt == 2 else "u1"))
             elif bits == 16:
                 dtype = np.dtype(endian + ("i2" if fmt == 2 else "u2"))
@@ -156,16 +162,27 @@ def read(path, frames=None) -> np.ndarray:
                 elif comp == 5:
                     from pyp_tpu.io import native
 
-                    expected = rows_per_strip * width * (bits // 8)
+                    row_bytes = ((width * bits + 7) // 8)
+                    expected = rows_per_strip * row_bytes
                     decoded = native.lzw_decode(raw, expected)
                     raw = decoded if decoded is not None else _lzw_decode(raw)
                 elif comp in (8, 32946):
                     raw = zlib.decompress(raw)
                 else:
                     raise ValueError(f"unsupported TIFF compression {comp}")
-                strip = np.frombuffer(raw, dtype=dtype)
-                nrows = len(strip) // width
-                strip = strip[: nrows * width].reshape(nrows, width)
+                if bits == 4:
+                    rb = (width + 1) // 2
+                    packed = np.frombuffer(raw, dtype=np.uint8)
+                    nrows = len(packed) // rb
+                    packed = packed[: nrows * rb].reshape(nrows, rb)
+                    strip = np.empty((nrows, rb * 2), dtype=np.uint8)
+                    strip[:, 0::2] = packed >> 4       # high nibble first
+                    strip[:, 1::2] = packed & 0x0F
+                    strip = strip[:, :width]
+                else:
+                    strip = np.frombuffer(raw, dtype=dtype)
+                    nrows = len(strip) // width
+                    strip = strip[: nrows * width].reshape(nrows, width)
                 rows.append(strip)
             img = np.concatenate(rows, axis=0)[:height]
             if predictor == 2:
@@ -174,17 +191,33 @@ def read(path, frames=None) -> np.ndarray:
         return np.stack(out)
 
 
-def write(data, path):
+def write(data, path, bits=None):
     """Write (n, ny, nx) or (ny, nx) as an uncompressed multi-page TIFF
-    (little endian) — for interop tests and simple exports."""
+    (little endian) — for interop tests and simple exports.
+
+    bits=4 packs uint8 values < 16 two-per-byte, high nibble first (the
+    SerialEM K3 counting-movie layout)."""
     data = np.asarray(data)
     if data.ndim == 2:
         data = data[None]
-    if data.dtype not in (np.uint8, np.uint16, np.int16, np.float32):
+    pack4 = bits == 4
+    if pack4:
+        data = data.astype(np.uint8)
+        if data.max() > 15:
+            raise ValueError("4-bit TIFF requires values < 16")
+    elif data.dtype not in (np.uint8, np.uint16, np.int16, np.float32):
         data = data.astype(np.float32)
     n, h, w = data.shape
-    bits = data.dtype.itemsize * 8
+    bits = 4 if pack4 else data.dtype.itemsize * 8
     fmt = 3 if data.dtype.kind == "f" else (2 if data.dtype.kind == "i" else 1)
+
+    def page_bytes(img):
+        if not pack4:
+            return np.ascontiguousarray(img).astype(
+                img.dtype.newbyteorder("<")).tobytes()
+        if w % 2:
+            img = np.concatenate([img, np.zeros((h, 1), np.uint8)], axis=1)
+        return ((img[:, 0::2] << 4) | img[:, 1::2]).tobytes()
 
     with open(path, "wb") as f:
         f.write(b"II*\x00")
@@ -193,7 +226,7 @@ def write(data, path):
 
         prev_next_ptr = ifd_pos_holder
         for i in range(n):
-            strip = np.ascontiguousarray(data[i]).astype(data.dtype.newbyteorder("<")).tobytes()
+            strip = page_bytes(data[i])
             strip_off = f.tell()
             f.write(strip)
             ifd_off = f.tell()

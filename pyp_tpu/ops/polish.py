@@ -47,13 +47,21 @@ def refine_trajectories(
     iters: int = 30,
     lr: float = 0.15,
     reg_weight: float = 2.0,
+    spatial_sigma: float = 0.0,
+    coords=None,
     init_traj=None,
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
 ):
     """Returns (traj (P, F, 2) per-frame shifts to ADD to the global shift,
-    final mean score)."""
+    final mean score).
+
+    spatial_sigma > 0 (pixels; needs coords (P, 2)) adds the reference's
+    spatial coupling (csp_spatial_sigma, pyp_config.toml:6480): beam-induced
+    motion is locally coherent, so each particle's per-frame shift is pulled
+    toward the Gaussian-weighted mean of its neighbours' — per-particle
+    NCC alone cannot constrain trajectories of faint particles."""
     P, F = windows.shape[0], windows.shape[1]
     vol_pad = Fref.shape[0] // n
     X = image_to_fourier(windows)  # (P, F, n, nxf)
@@ -78,6 +86,14 @@ def refine_trajectories(
 
     base_shift = poses[:, 3:5][:, None, :]  # (P, 1, 2)
 
+    W_sp = None
+    if spatial_sigma and spatial_sigma > 0 and coords is not None and P > 1:
+        cc = jnp.asarray(coords, dtype=jnp.float32)
+        d2c = jnp.sum((cc[:, None, :] - cc[None, :, :]) ** 2, axis=-1)
+        W_sp = jnp.exp(-0.5 * d2c / (spatial_sigma ** 2))
+        W_sp = W_sp - jnp.diag(jnp.diag(W_sp))      # neighbours only
+        W_sp = W_sp / (jnp.sum(W_sp, axis=1, keepdims=True) + 1e-9)
+
     def score_fn(traj):
         s = base_shift + traj  # (P, F, 2)
         ph = 2.0 * jnp.pi * (
@@ -88,7 +104,11 @@ def refine_trajectories(
         num = jnp.sum(jnp.real(jnp.conj(xv) * phasor * cu[:, None, :]), axis=2)
         ncc = num / (x_norm * cu_norm[:, None])
         d2 = traj[:, 2:] - 2 * traj[:, 1:-1] + traj[:, :-2]
-        return jnp.mean(ncc) - reg_weight * jnp.mean(d2 * d2)
+        score = jnp.mean(ncc) - reg_weight * jnp.mean(d2 * d2)
+        if W_sp is not None:
+            resid = traj - jnp.einsum("pq,qfc->pfc", W_sp, traj)
+            score = score - reg_weight * jnp.mean(resid * resid)
+        return score
 
     grad_fn = jax.grad(score_fn)
     traj0 = jnp.zeros((P, F, 2)) if init_traj is None else jnp.asarray(init_traj)
@@ -143,6 +163,7 @@ def polish(
     )  # (P, F, n, n)
     Fref = volume_to_fourier(jnp.asarray(ref_volume))
     mask_pts = make_mask_points(boxsize, pixel_size, 60.0, 3.0 * pixel_size)
+    kw.setdefault("coords", jnp.asarray(coords, dtype=jnp.float32))
     traj, score = refine_trajectories(
         windows, jnp.asarray(poses), jnp.asarray(ctf_params), Fref,
         jnp.asarray(mask_pts), boxsize, pixel_size, **kw,

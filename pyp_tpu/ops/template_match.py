@@ -152,6 +152,16 @@ def detect_spheres(tomogram, radii_px, n_peaks: int = 32, min_distance=None,
     return coords, radii, vals, valid
 
 
+def detect_spheres_template(tomogram, radii_px, n_peaks: int = 32,
+                            min_distance=None):
+    """tomo_vir_method=template: shell-NCC against the RAW densities (no
+    contrast inversion) — picks membranes that correlate positively with
+    the shell, the Correlation3DNew-style seeding; the default `auto`
+    path inverts contrast first (dark virion interior, itkCLT-style)."""
+    return detect_spheres(tomogram, radii_px, n_peaks, min_distance,
+                          invert=False)
+
+
 def sphere_surface_points(center, radius_px: float, n_points: int = 200):
     """Quasi-uniform points + outward normals on a sphere surface
     (Fibonacci lattice) — the mesh/normal generator for surface picking."""

@@ -426,17 +426,37 @@ def ramp_filter(nx: int, cutoff: float = 0.35, falloff: float = 0.05):
     return jnp.asarray(w.astype(np.float32))
 
 
-def _filter_tilts(tilts, cutoff, falloff):
-    w = ramp_filter(tilts.shape[-1], cutoff, falloff)
+def fake_sirt_filter(nx: int, iterations: int, cutoff: float = 0.35,
+                     falloff: float = 0.05):
+    """Radial filter equivalent to `iterations` of SIRT (IMOD's
+    -FakeSIRTiterations, merge/core.py:201-213): Landweber iteration on the
+    normal equations has per-frequency response 1 - (1 - mu/f)^k relative
+    to the exact (ramp) inverse, so low frequencies converge first and the
+    result keeps SIRT's high contrast without any iterating."""
+    f = np.abs(np.fft.rfftfreq(nx))
+    ramp = np.asarray(ramp_filter(nx, cutoff, falloff))
+    mu = max(f[1], 1.0 / (iterations + 1) * 0.5)
+    conv = 1.0 - (1.0 - np.clip(mu / np.maximum(f, f[1]), 0.0, 1.0)) ** iterations
+    w = ramp * conv
+    w[0] = ramp[0]
+    return jnp.asarray(w.astype(np.float32))
+
+
+def _filter_tilts(tilts, cutoff, falloff, fake_sirt: int = 0):
+    if fake_sirt > 0:
+        w = fake_sirt_filter(tilts.shape[-1], fake_sirt, cutoff, falloff)
+    else:
+        w = ramp_filter(tilts.shape[-1], cutoff, falloff)
     return jnp.fft.irfft(jnp.fft.rfft(tilts, axis=-1) * w[None, None, :],
                          n=tilts.shape[-1], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("thickness", "slab", "cutoff", "falloff"))
+@functools.partial(jax.jit, static_argnames=("thickness", "slab", "cutoff",
+                                             "falloff", "fake_sirt"))
 def wbp_reconstruct(
     tilts, tilt_angles, shifts=None, thickness: int = 128,
     cutoff: float = 0.35, falloff: float = 0.05,
-    tilt_weights=None, slab: int = 16,
+    tilt_weights=None, slab: int = 16, fake_sirt: int = 0,
 ):
     """Weighted backprojection of an aligned tilt series.
 
@@ -455,7 +475,7 @@ def wbp_reconstruct(
         from pyp_tpu.core.fft import shift_images
 
         tilts = shift_images(tilts, jnp.asarray(shifts))
-    filt = _filter_tilts(tilts, cutoff, falloff)
+    filt = _filter_tilts(tilts, cutoff, falloff, fake_sirt)
     if tilt_weights is not None:
         # (T,) exposure/cosine weights, e.g. cos(theta) thickness correction
         filt = filt * jnp.asarray(tilt_weights)[:, None, None]
@@ -637,6 +657,124 @@ def detect_handedness(tilts, tilt_angles, defoci, pixel_size,
     measured = (fits[K:] - fits[:K]) / (half * pixel_size)  # d(df)/dx
     grads = measured * np.tan(np.radians(angles[keep]))
     return (1 if np.median(grads) > 0 else -1), np.asarray(grads)
+
+
+def _forward_project(vol, angle, nx: int):
+    """Parallel-beam forward projection of (tz, ny, nx) about the y tilt
+    axis — the adjoint of wbp_reconstruct's gather: proj[y, x'] integrates
+    vol along the ray x = (x' - z sin) / cos. Gathers along x per z plane
+    (rows independent), one fused gather per z like the WBP kernel."""
+    tz, ny, _ = vol.shape
+    cx = nx // 2
+    cz = tz // 2
+    cos_t, sin_t = jnp.cos(angle), jnp.sin(angle)
+    xs = jnp.arange(nx, dtype=jnp.float32) - cx      # x' (detector)
+    zs = jnp.arange(tz, dtype=jnp.float32) - cz
+
+    def one_z(carry, zi):
+        acc = carry
+        x_src = (xs - zs[zi] * sin_t) / cos_t + cx   # (nx,)
+        xp = jnp.clip(x_src, 0.0, nx - 1.000001)
+        x0 = jnp.floor(xp).astype(jnp.int32)
+        fx = xp - x0
+        plane = vol[zi]                               # (ny, nx)
+        v0 = plane[:, x0]
+        v1 = plane[:, jnp.minimum(x0 + 1, nx - 1)]
+        vals = v0 * (1 - fx)[None, :] + v1 * fx[None, :]
+        inb = ((x_src >= 0) & (x_src <= nx - 1)).astype(vol.dtype)
+        return acc + vals * inb[None, :], None
+
+    acc0 = jnp.zeros((ny, nx), dtype=vol.dtype)
+    proj, _ = jax.lax.scan(one_z, acc0, jnp.arange(tz))
+    # 1/cos: ray path length per z sample
+    return proj / jnp.maximum(cos_t, 0.2)
+
+
+def _backproject_one(img, angle, thickness: int, ny: int, nx: int):
+    """Unfiltered backprojection of a single (ny, nx) image (same geometry
+    as wbp_reconstruct's inner gather)."""
+    cx = nx // 2
+    cz = thickness // 2
+    xs = jnp.arange(nx, dtype=jnp.float32) - cx
+    zs = jnp.arange(thickness, dtype=jnp.float32) - cz
+    xprime = xs[None, :] * jnp.cos(angle) + zs[:, None] * jnp.sin(angle) + cx
+    xp = jnp.clip(xprime, 0.0, nx - 1.000001)
+    x0 = jnp.floor(xp).astype(jnp.int32)
+    fx = xp - x0
+    v0 = img[:, x0.reshape(-1)].reshape(ny, thickness, nx)
+    v1 = img[:, jnp.minimum(x0 + 1, nx - 1).reshape(-1)].reshape(ny, thickness, nx)
+    vals = v0 * (1 - fx)[None] + v1 * fx[None]
+    inb = ((xprime >= 0) & (xprime <= nx - 1)).astype(img.dtype)
+    return jnp.transpose(vals, (1, 0, 2)) * inb[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("thickness", "iterations",
+                                             "subsets"))
+def sart_reconstruct(
+    tilts, tilt_angles, shifts=None, thickness: int = 128,
+    iterations: int = 10, relax: float = 1.0, subsets: int = 4,
+    tilt_weights=None,
+):
+    """SART/SIRT iterative tomogram reconstruction (the AreTomo `-Sart`
+    option the reference exposes, align/core.py:4993-5200; reference CLI
+    `tomo_rec_method=sart`).
+
+    Ordered-subset Landweber: per subset, forward-project the current
+    volume along its tilts, backproject the normalized residual, and take a
+    relaxed step. subsets=1 is plain SIRT; more subsets converge faster per
+    pass (AreTomo uses ~5 angular subsets). Initialized from the
+    subsets are angularly interleaved so each update sees full coverage;
+    starts from zero. Returns (thickness, ny, nx)."""
+    tilts = jnp.asarray(tilts, dtype=jnp.float32)
+    T, ny, nx = tilts.shape
+    angles = jnp.deg2rad(jnp.asarray(tilt_angles, dtype=jnp.float32))
+    if shifts is not None:
+        from pyp_tpu.core.fft import shift_images
+
+        tilts = shift_images(tilts, jnp.asarray(shifts))
+    if tilt_weights is not None:
+        tilts = tilts * jnp.asarray(tilt_weights)[:, None, None]
+
+    # ray-length normalization per tilt: backprojection of ones
+    def bp_subset(imgs, angs):
+        def one(carry, i):
+            return carry + _backproject_one(imgs[i], angs[i], thickness,
+                                            ny, nx), None
+        acc, _ = jax.lax.scan(one, jnp.zeros((thickness, ny, nx)),
+                              jnp.arange(imgs.shape[0]))
+        return acc
+
+    # interleaved subsets keep angular coverage per update
+    order = np.arange(T)
+    subs = [jnp.asarray(order[s::subsets]) for s in range(subsets)]
+
+    vol = jnp.zeros((thickness, ny, nx), dtype=jnp.float32)
+    # SIRT normalizations x += λ C Aᵀ R (p − A x): R = 1/ray length
+    # (forward projection of a ones volume, per tilt) and C = 1/voxel ray
+    # count (backprojection of ones). Without R the update overshoots by
+    # ~thickness/T and the iteration oscillates to divergence.
+    ones_vol = jnp.ones((thickness, ny, nx), dtype=jnp.float32)
+
+    def fp_subset(v, sub):
+        def fp(carry, i):
+            return carry, _forward_project(v, angles[i], nx)
+        _, projs = jax.lax.scan(fp, None, sub)
+        return projs
+
+    raylen_cache = [fp_subset(ones_vol, sub) + 1e-3 for sub in subs]
+    count_cache = [bp_subset(jnp.ones_like(tilts)[sub], angles[sub]) + 1e-3
+                   for sub in subs]
+
+    def one_pass(vol, _):
+        for sub, raylen, count in zip(subs, raylen_cache, count_cache):
+            projs = fp_subset(vol, sub)
+            resid = (tilts[sub] - projs) / raylen
+            upd = bp_subset(resid, angles[sub]) / count
+            vol = vol + relax * upd
+        return vol, None
+
+    vol, _ = jax.lax.scan(one_pass, vol, jnp.arange(iterations))
+    return vol
 
 
 def wbp_reconstruct_halves(tilts, tilt_angles, shifts=None, thickness: int = 128,

@@ -104,7 +104,33 @@ def csp_swarm_one(
             6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
         }
 
+    # region/patch grid (csp_Grid "x,y,z"): patch modes 5/6/7 refine local
+    # copies of the tilt geometry per spatial region
+    grid_str = str(params.get("csp_Grid") or "").strip()
+    patch_grid = None
+    if grid_str and any(m in (5, 6, 7) for m in modes):
+        patch_grid = tuple(int(v) for v in grid_str.replace(",", ":").split(":"))
+        if np.prod(patch_grid) <= 1:
+            patch_grid = None
+
     with Timer(f"csp refinement {name}"):
+        if patch_grid is not None:
+            per_region, region = csp_refine_regions(
+                cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume,
+                pixel, box, grid=patch_grid,
+                modes=tuple(m for m in modes if m in (5, 6, 7)),
+                iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
+                low_res=float(params.get("csp_rlref") or 60.0),
+                high_res=max(rhref, 2.5 * pixel),
+                reg_weight=float(params.get("csp_transreg") or 0.1),
+                tilt_weights=jnp.asarray(tilt_weights),
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+            )
+            # stitch: every particle takes its region's refined copy
+            cp = _stitch_regions(cp, per_region, region)
+            modes = tuple(m for m in modes if m not in (5, 6, 7))
         refined, scores = csp_ops.csp_refine(
             cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
             box, modes=modes,
@@ -128,6 +154,19 @@ def csp_swarm_one(
         P = pred.shape[1]
         center = np.array([ny // 2, nx // 2])
 
+        # reconstruction dose weighting (reference reconstruct3d dose block,
+        # frealign.py:1731-1753): Grant-Grigorieff envelope per tilt in
+        # dose order (|angle| rank approximates acquisition order)
+        dose_env = None
+        if params.get("reconstruct_dose_weighting_enable"):
+            from pyp_tpu.core.ctf import dose_weight_2d
+
+            order = np.argsort(np.argsort(np.abs(
+                np.asarray(refined.tilt_angles))))
+            cum = (order + 1.0) * float(params.get("scope_dose_rate") or 1.0)
+            dose_env = dose_weight_2d(
+                (box, box), pixel, jnp.asarray(cum.astype(np.float32)))
+
         rows_R, rows_shift, rows_df, rows_sub, rows_w, wins = [], [], [], [], [], []
         for t in range(t_lo, t_hi + 1):
             ci = np.round(pred[t] + center).astype(np.int32)
@@ -137,6 +176,9 @@ def csp_swarm_one(
             )
             ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
             w = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci), box)
+            if dose_env is not None:
+                w = jnp.fft.irfft2(jnp.fft.rfft2(w) * dose_env[t],
+                                   s=(box, box))
             wins.append(np.asarray(w))
             # residual shift: content sits at pred - window_center
             dsh = pred[t] + center - ci
@@ -212,6 +254,38 @@ def csp_merge(accumulators, box: int, params: dict, work_dir=".",
     res = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
     logger.info("csp merge: FSC(0.143) = %.2f Å", res)
     return out, res
+
+
+def _stitch_regions(full, per_region, region):
+    """Merge per-region refined CspParams back into one record: particle
+    blocks scatter to their rows; per-tilt geometry takes the particle-
+    weighted mean over regions (each region refined a LOCAL copy — the
+    global record keeps the consensus, the local residual lives in the
+    particle blocks)."""
+    import numpy as np
+
+    eulers = np.array(np.asarray(full.particle_eulers), copy=True)
+    pos = np.array(np.asarray(full.particle_pos), copy=True)
+    tilt_fields = {"tilt_angles": 0.0, "axis_angles": 0.0,
+                   "tilt_shifts": 0.0, "defocus_offsets": 0.0}
+    total = 0
+    for r, sub in enumerate(per_region):
+        if sub is None:
+            continue
+        sel = np.where(np.asarray(region) == r)[0]
+        eulers[sel] = np.asarray(sub.particle_eulers)
+        pos[sel] = np.asarray(sub.particle_pos)
+        for k in tilt_fields:
+            tilt_fields[k] = tilt_fields[k] + len(sel) * np.asarray(
+                getattr(sub, k))
+        total += len(sel)
+    if total == 0:
+        return full
+    import jax.numpy as jnp
+
+    return full._replace(
+        particle_eulers=jnp.asarray(eulers), particle_pos=jnp.asarray(pos),
+        **{k: jnp.asarray(v / total) for k, v in tilt_fields.items()})
 
 
 def csp_refine_regions(

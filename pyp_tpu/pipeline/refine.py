@@ -130,6 +130,18 @@ def refinement_iteration(
     has_poses = np.any(np.abs(table_to_poses(table, pixel)[:, :3]) > 1e-6)
     global_search = mode == "global" or not has_poses
 
+    # outer mask radius (particle_rad, Å — cisTEM refine3d line 18,
+    # SURVEY §A.1): matching sees the soft-masked particle; reconstruction
+    # keeps the raw images
+    match_stack = stack
+    rad_a = float(params.get("particle_rad") or 0.0)
+    if rad_a > 0:
+        from pyp_tpu.core.filters import soft_circular_mask
+
+        m2d = np.asarray(soft_circular_mask(
+            stack.shape[-1], rad_a / pixel, 4.0))
+        match_stack = np.asarray(stack) * m2d[None]
+
     shell_w = None
     if fsc_curve is not None:
         from pyp_tpu.ops.refine3d import make_mask_points, shell_weights_from_fsc
@@ -185,6 +197,8 @@ def refinement_iteration(
                     cs_mm=float(params["scope_cs"]),
                     amplitude_contrast=float(params["scope_wgh"]),
                     wiener=float(params.get("refine_frm_wiener") or 0.1),
+                    rounds=int(params.get("refine_frm_rounds") or 3),
+                    n_psi=int(params.get("refine_frm_npsi") or 0) or None,
                 )
                 gold = bool(params.get("refine_goldstandard")) and \
                     ref_halves is not None
@@ -220,7 +234,7 @@ def refinement_iteration(
                             jnp.asarray(ref_volume))]
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
-                    xs = np.asarray(stack[lo:hi])
+                    xs = np.asarray(match_stack[lo:hi])
                     cp = ctf_params[lo:hi]
                     init = (None if global_search
                             else table_to_poses(table, pixel)[lo:hi])
@@ -297,13 +311,13 @@ def refinement_iteration(
                     init = None if global_search else table_to_poses(table, pixel)[lo:hi]
                     if mesh is not None:
                         res = sharded_refine_batch(
-                            mesh, np.asarray(stack[lo:hi]), ctf_params[lo:hi],
+                            mesh, np.asarray(match_stack[lo:hi]), ctf_params[lo:hi],
                             np.asarray(ref_volume), pixel,
                             init_poses=init, shell_weights=shell_w, **rb_kwargs,
                         )
                     else:
                         res = refine3d.refine_batch(
-                            jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                            jnp.asarray(match_stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
                             jnp.asarray(ref_volume), pixel,
                             init_poses=init, shell_weights=shell_w, **rb_kwargs,
                         )
@@ -342,11 +356,26 @@ def refinement_iteration(
             batch=batch,
             pad=int(params.get("reconstruct_pad") or 2),
         )
+        # reconstruct_norm: per-particle normalization ahead of insertion
+        # (cisTEM reconstruct3d "normalize particles", SURVEY §A.2)
+        rec_stack = stack
+        if params.get("reconstruct_norm"):
+            from pyp_tpu.core.filters import normalize_images
+
+            rec_stack = np.asarray(normalize_images(jnp.asarray(stack)))
+        # reconstruct_rrec: hard reconstruction resolution limit (Å) — the
+        # reference's "rec resolution limit" (frealign.py:1794); wins over
+        # the band-limited auto-crop band when coarser
+        rrec = float(params.get("reconstruct_rrec") or 0.0)
         # band-limited intermediate reconstruction (reconstruct_banded);
         # the FINAL iteration always reconstructs full-size
         is_final = ("refine_maxiter" in params
                     and iteration >= int(params["refine_maxiter"]) + 1)
-        if bool(params.get("reconstruct_crop", True)) and not is_final:
+        if rrec > 2.0 * pixel:
+            out = reconstruct_banded(
+                rec_stack, poses, ctf_params, pixel, rrec,
+                rc_kwargs, mesh=mesh, batch=batch)
+        elif bool(params.get("reconstruct_crop", True)) and not is_final:
             try:  # cover this iteration's band, the next one's, and polish
                 rhref_next = float(param(params["refine_rhref"], iteration + 1))
             except Exception:
@@ -355,16 +384,17 @@ def refinement_iteration(
             # rhref_next*0.8 — reconstruct a slightly wider band so the
             # matching band never sits at the map's hard cutoff
             out = reconstruct_banded(
-                stack, poses, ctf_params, pixel,
+                rec_stack, poses, ctf_params, pixel,
                 max(min(rhref, rhref_next) * 0.7, 2.0 * pixel),
                 rc_kwargs, mesh=mesh, batch=batch)
         elif mesh is not None:
             out = reconstruct_sharded(
-                mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs
+                mesh, np.asarray(rec_stack), poses, ctf_params, pixel,
+                **rc_kwargs
             )
         else:
             out = rec.reconstruct(
-                np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs
+                np.asarray(rec_stack), poses, ctf_params, pixel, **rc_kwargs
             )
     res_a = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
     logger.info("iteration %d: FSC(0.143) resolution %.2f Å", iteration, res_a)

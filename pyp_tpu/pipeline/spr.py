@@ -95,6 +95,9 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
     meta.refresh(params)
     pixel = float(params["scope_pixel"]) * int(params.get("data_bin") or 1)
     summary = {"name": name}
+    if params.get("scope_mag"):
+        # nominal magnification: display metadata for the web/db pushes
+        summary["mag"] = float(params["scope_mag"])
 
     frames = None
 
@@ -116,6 +119,8 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             if last < 0:
                 last = frames.shape[0]
             frames = frames[first:last]
+            if params.get("data_invert"):
+                frames = -frames
         return frames
 
     # ---- motion correction ------------------------------------------------
@@ -136,6 +141,25 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                     smooth_order=int(params["movie_smooth_order"]),
                 )
                 avg = res.average
+            elif int(params.get("movie_patches") or 0) > 1:
+                # MotionCor-style local motion (reference movie_ali patch
+                # path, align/core.py:4083): global pass + per-patch
+                # residual tracking
+                p = int(params["movie_patches"])
+                res, patch_shifts, centers = motion.align_movie_patches(
+                    f,
+                    patch_grid=(p, p),
+                    pixel_size=pixel,
+                    bfactor=float(params["movie_bfactor"]),
+                    max_iters=int(params["movie_iters"]),
+                    search_radius=float(params["movie_search"]),
+                    smooth_order=int(params["movie_smooth_order"]),
+                )
+                meta["patch_shifts"] = np.asarray(patch_shifts)
+                if params.get("movie_weights"):
+                    avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)
+                else:
+                    avg = res.average
             else:
                 res = motion.align_movie(
                     f,
@@ -286,7 +310,10 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
     from pyp_tpu.ops import extract as ex
 
     box = int(params["extract_box"])
-    pixel = float(params["scope_pixel"]) * int(params.get("data_bin") or 1)
+    # extract_bin: window at box*bin full-res pixels, Fourier-crop to box
+    # (the reference's binned extraction, extract/core.py:600)
+    ebin = max(1, int(params.get("extract_bin") or 1))
+    pixel = float(params["scope_pixel"]) * int(params.get("data_bin") or 1) * ebin
     all_imgs = []
     rows = []
     film = 0
@@ -300,10 +327,14 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
             film += 1
             continue
         stack = ex.extract_particles(
-            jnp.asarray(meta["average"]), jnp.asarray(coords), box,
+            jnp.asarray(meta["average"]), jnp.asarray(coords), box * ebin,
             invert=bool(params.get("extract_inv", True)),
             subpixel=True,
         )
+        if ebin > 1:
+            from pyp_tpu.core.fft import fourier_crop
+
+            stack = fourier_crop(stack, (box, box))
         all_imgs.append(np.asarray(stack, dtype=np.float32))
         ctf_vec = meta["ctf"] if meta.is_done("ctf") else np.zeros(6)
         for c in coords:
@@ -312,6 +343,9 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
     if not all_imgs:
         return None, None
     stack = np.concatenate(all_imgs, axis=0)
+    if str(params.get("extract_fmt") or "mrc") == "mrcs" and \
+            out_stack.endswith(".mrc"):
+        out_stack += "s"  # RELION-style stack naming
     mrc.write(stack, Path(work_dir) / out_stack, pixel_size=pixel)
 
     n = len(rows)
@@ -331,7 +365,8 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
     table["amplitude_contrast"] = np.full(n, float(params["scope_wgh"]))
     table["occupancy"] = np.full(n, 100.0)
     table["assigned_subset"] = np.arange(n) % 2 + 1
-    cistem.write_parameters(table, Path(work_dir) / (out_stack.replace(".mrc", ".cistem")))
+    cistem.write_parameters(
+        table, Path(work_dir) / Path(out_stack).with_suffix(".cistem"))
     return stack, table
 
 

@@ -250,14 +250,26 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                 summary["dose_weighted"] = True
             xf = meta["xf"] if meta.is_done("xf") else np.zeros((len(angles), 3))
             shifts_r = xf[:, :2] / (binning * rec_bin)
-            recon = tomo.wbp_reconstruct(
-                jnp.asarray(t2), jnp.asarray(angles),
-                shifts=jnp.asarray(shifts_r.astype(np.float32)),
-                thickness=thickness,
-                cutoff=float(params.get("tomo_rec_filter_cutoff") or 0.35),
-                falloff=float(params.get("tomo_rec_filter_falloff") or 0.05),
-                slab=min(16, thickness),
-            )
+            if str(params.get("tomo_rec_method") or "wbp") == "sart":
+                # iterative SART/SIRT (the reference's AreTomo -Sart path)
+                recon = tomo.sart_reconstruct(
+                    jnp.asarray(t2), jnp.asarray(angles),
+                    shifts=jnp.asarray(shifts_r.astype(np.float32)),
+                    thickness=thickness,
+                    iterations=int(params.get("tomo_rec_sart_iters") or 10),
+                    relax=float(params.get("tomo_rec_sart_relax") or 0.25),
+                    subsets=int(params.get("tomo_rec_sart_subsets") or 4),
+                )
+            else:
+                recon = tomo.wbp_reconstruct(
+                    jnp.asarray(t2), jnp.asarray(angles),
+                    shifts=jnp.asarray(shifts_r.astype(np.float32)),
+                    thickness=thickness,
+                    cutoff=float(params.get("tomo_rec_filter_cutoff") or 0.35),
+                    falloff=float(params.get("tomo_rec_filter_falloff") or 0.05),
+                    slab=min(16, thickness),
+                    fake_sirt=int(params.get("tomo_rec_fake_sirt") or 0),
+                )
             from pyp_tpu.io import mrc
 
             rec_path = f"{work_dir}/{name}.rec.mrc"
@@ -350,9 +362,26 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
         vir_rad_px = max(4.0, float(params.get("tomo_vir_rad") or 0)
                          / eff_pixel or 3.0 * rad_px)
         radii = np.linspace(0.75 * vir_rad_px, 1.25 * vir_rad_px, 5)
-        centers, rads, scores, valid = tm.detect_spheres(
-            jnp.asarray(recon), radii,
-            n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+        # detection band: lowpass the tomogram before the sphere Hough so
+        # the edge map sees the membrane, not high-frequency noise
+        # (reference detect band, detect/tomo/core.py:579)
+        det_vol = recon
+        band_a = float(params.get("tomo_vir_detect_band") or 0.0)
+        if band_a > 0:
+            from pyp_tpu.core.filters import lowpass_filter_3d
+
+            det_vol = np.asarray(lowpass_filter_3d(
+                jnp.asarray(recon), eff_pixel, band_a))
+        if str(params.get("tomo_vir_method") or "none") == "template":
+            # spherical-shell NCC template instead of the Canny+Hough-style
+            # edge detector (reference Correlation3DNew virion seeding)
+            centers, rads, scores, valid = tm.detect_spheres_template(
+                jnp.asarray(det_vol), radii,
+                n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+        else:
+            centers, rads, scores, valid = tm.detect_spheres(
+                jnp.asarray(det_vol), radii,
+                n_peaks=int(params.get("tomo_vir_detect_max") or 8))
         centers, rads, scores = (np.asarray(centers), np.asarray(rads),
                                  np.asarray(scores))
         vir_rows = []

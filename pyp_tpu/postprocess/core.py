@@ -26,12 +26,21 @@ logger = get_logger("postprocess")
 
 
 def auto_mask(vol, lowpass_a=15.0, pixel_size=1.0, threshold_sigmas=1.0,
-              dilation_px=3, soft_px=6):
-    """Shape mask from a lowpassed map: threshold, dilate, soften."""
+              dilation_px=3, soft_px=6, mw_kda=0.0):
+    """Shape mask from a lowpassed map: threshold, dilate, soften.
+
+    mw_kda > 0 picks the threshold enclosing the expected molecular volume
+    (~1210 Å³/kDa at 1.35 g/cm³ protein density — the reference feeds
+    particle_mw to cisTEM for the same purpose, SURVEY §A.1 line 16)
+    instead of the sigma rule."""
     from pyp_tpu.core.filters import lowpass_filter_3d
 
     lp = lowpass_filter_3d(jnp.asarray(vol), pixel_size, lowpass_a)
-    thr = jnp.mean(lp) + threshold_sigmas * jnp.std(lp)
+    if mw_kda and mw_kda > 0:
+        vox = int(min(1210.0 * mw_kda / pixel_size ** 3, lp.size - 1))
+        thr = jnp.sort(lp.ravel())[-max(vox, 1)]
+    else:
+        thr = jnp.mean(lp) + threshold_sigmas * jnp.std(lp)
     binary = (lp > thr).astype(jnp.float32)
     # dilation via box max-pool
     k = 2 * dilation_px + 1
@@ -144,6 +153,7 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         threshold_sigmas=float(params.get("sharpen_mask_threshold") or 1.0),
         dilation_px=int(params.get("sharpen_mask_dilation") or 3),
         soft_px=int(params.get("sharpen_mask_soft") or 6),
+        mw_kda=float(params.get("particle_mw") or 0.0),
     )
     freqs, curve = masked_fsc(half1, half2, mask, pixel)
     res = float(fsc_mod.resolution_at_threshold(freqs, curve, pixel, 0.143))

@@ -76,10 +76,20 @@ class SessionDaemon:
         return new
 
     def process_one(self, path: str) -> dict:
-        from pyp_tpu.pipeline import spr
-
         item = {"name": Path(path).stem, "path": path}
-        summary = spr.process_micrograph(item, self.params, self.work_dir)
+        # session mode (data_mode): tomo sessions assemble + process a
+        # tilt-series per mdoc; spr sessions preprocess one micrograph
+        if (str(self.params.get("data_mode") or "spr") == "tomo"
+                and path.endswith(".mdoc")):
+            from pyp_tpu.pipeline import tomo as tomo_pipe
+
+            item.update(tomo_pipe.assemble_tilt_series(path, self.params))
+            summary = tomo_pipe.process_tilt_series(
+                item, self.params, self.work_dir)
+        else:
+            from pyp_tpu.pipeline import spr
+
+            summary = spr.process_micrograph(item, self.params, self.work_dir)
         self.processed.add(path)
         self.summaries.append(summary)
         if self.metadb is not None:
