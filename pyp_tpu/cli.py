@@ -383,23 +383,99 @@ def mode_postprocess(argv):
 
 
 def mode_import_star(argv):
-    """RELION particles.star -> stack.cistem (the reference's import_star
-    driver mode, bin/run/pyp)."""
+    """RELION star -> project metadata. SPA particles.star -> stack.cistem;
+    tomo stars (reference TomoStar2meta[V5], pyp_metadata.py:763+):
+    tomograms.star -> per-series tlt/xf/ctf metadata, RELION5 particles
+    star -> <name>.next coords + eulers tables."""
     if not argv:
-        logger.error("usage: import_star <particles.star>")
+        logger.error("usage: import_star <file.star> [more.star ...]")
         return 2
-    from pyp_tpu.io import cistem, relion
+    from pyp_tpu.io import cistem, relion, relion_tomo
 
-    table, optics = relion.import_star(argv[0])
-    cistem.write_parameters(table, "stack.cistem")
-    print(json.dumps({"particles": table.n_rows, "optics": optics}))
+    report = {}
+    for path in argv:
+        if path.startswith("-"):
+            continue
+        text = Path(path).read_text()
+        if "_rlnTomoProjX" in text:
+            series, gparams = relion_tomo.import_tomograms_star(path)
+            from pyp_tpu.io.metadata import ItemMetadata
+
+            for s in series:
+                meta = ItemMetadata(s["name"], ".", mode="tomo").load()
+                meta["tlt"] = s["tilt_angles"]
+                T = len(s["tilt_angles"])
+                xf = np.zeros((T, 3), dtype=np.float32)
+                meta["xf"] = xf
+                ctf = np.zeros((T, 6), dtype=np.float32)
+                ctf[:, :2] = s["defocus"]
+                ctf[:, 2] = s["astig_angle"]
+                meta["ctf"] = ctf
+                meta.save()
+            cfg.update_parameters(".", gparams)
+            report[path] = {"tomograms": len(series), **{
+                k: v for k, v in gparams.items() if k.startswith("scope")}}
+        elif "_rlnTomoName" in text:
+            parts = relion_tomo.import_particles_star_v5(path)
+            np.savez("imported_particles.npz", **{
+                k: v for k, v in parts.items() if k != "optics"})
+            report[path] = {"particles": len(parts["tomo_names"]),
+                            "file": "imported_particles.npz"}
+        else:
+            table, optics = relion.import_star(path)
+            cistem.write_parameters(table, "stack.cistem")
+            report[path] = {"particles": table.n_rows, "optics": optics}
+    print(json.dumps(report, default=str))
     return 0
 
 
 def mode_export_star(argv):
-    """stack.cistem -> RELION particles.star (export_star driver mode)."""
+    """stack.cistem -> RELION particles.star (export_star driver mode).
+    With -data_mode tomo, exports tomograms.star + RELION5 particles star
+    from the project's tilt-series metadata (the reference's meta2Star tomo
+    branch, pyp_metadata.py:1148)."""
     params = _project_params(argv)
     from pyp_tpu.io import cistem, relion
+
+    if str(params.get("data_mode") or "spr") == "tomo":
+        from pyp_tpu.io import relion_tomo
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        series, parts = [], None
+        for meta_path in sorted(Path(".").glob("*.meta.npz")):
+            name = meta_path.name.replace(".meta.npz", "")
+            meta = ItemMetadata(name, ".", mode="tomo").load()
+            if not meta.is_done("tlt"):
+                continue
+            tlt = np.asarray(meta["tlt"]).reshape(-1)
+            T = len(tlt)
+            xf6 = np.zeros((T, 6), dtype=np.float32)
+            xf6[:, 0] = xf6[:, 3] = 1.0
+            if meta.is_done("xf"):
+                xfm = np.asarray(meta["xf"])
+                xf6[:, 4:6] = xfm[:, :2]
+            ctf = (np.asarray(meta["ctf"]) if meta.is_done("ctf")
+                   else np.zeros((T, 6), dtype=np.float32))
+            series.append({
+                "name": name, "tilt_angles": tlt, "xf": xf6,
+                "defocus": ctf[:, :2], "astig_angle": ctf[:, 2],
+                "order": np.arange(T, dtype=np.float32),
+                "image_dims": (int(params.get("tomo_rec_thickness") or 2048),
+                               int(params.get("tomo_rec_thickness") or 2048)),
+            })
+        if not series:
+            logger.error("no tilt-series metadata (*_meta.npz with tlt) found")
+            return 1
+        rt_out = relion_tomo.export_tomograms_star(
+            series, params, "tomograms.star")
+        report = {"tomograms.star": len(series)}
+        if Path("imported_particles.npz").exists():
+            d = dict(np.load("imported_particles.npz", allow_pickle=True))
+            d["tomo_names"] = list(d["tomo_names"])
+            relion_tomo.export_particles_star_v5(d, params, "particles.star")
+            report["particles.star"] = len(d["tomo_names"])
+        print(json.dumps(report))
+        return 0
 
     table = cistem.read_parameters("stack.cistem")
     out = "particles.star"

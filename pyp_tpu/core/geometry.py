@@ -246,3 +246,45 @@ def region_of(points, bounds_min, bounds_max, grid):
     for d in range(points.shape[1]):
         flat = flat * grid[d] + idx[:, d]
     return flat
+
+
+def relion_tomo_projection_matrix(tilt_angle_deg, xf, thickness,
+                                  image_dims, tomo_x, tomo_y):
+    """Per-tilt 4x4 projection matrix in RELION's tomogram convention.
+
+    Composes the IMOD-style alignment transform with the single-axis tilt
+    projection and RELION's yz-flipped tomogram frame — the matrix the
+    reference writes into `_rlnTomoProj{X,Y,Z,W}` rows of tomograms.star
+    (semantics of analysis/geometry/core.py:777 `getRelionMatrix`;
+    reimplemented from the IMOD->RELION coordinate conventions).
+
+    tilt_angle_deg: stage tilt; xf: IMOD 6-element affine row
+    (a11, a12, a21, a22, dx, dy); thickness: unbinned tomogram Z;
+    image_dims: raw image (x, y); tomo_x/tomo_y: unbinned tomogram dims.
+    """
+    t = np.radians(float(tilt_angle_deg))
+    ocx = (image_dims[0] - 1.0) / 2.0
+    ocy = (image_dims[1] - 1.0) / 2.0
+    acx = (tomo_x - 1.0) / 2.0
+    acy = (tomo_y - 1.0) / 2.0
+
+    def m4(rows):
+        return np.asarray(rows, dtype=np.float64)
+
+    # RELION tomogram frame: y <- thickness-1-z, z <- y
+    yzflip = m4([[1, 0, 0, 0], [0, 0, -1, thickness - 1],
+                 [0, 1, 0, 0], [0, 0, 0, 1]])
+    to_imod_origin = m4([[1, 0, 0, -1], [0, 1, 0, -thickness / 2.0],
+                         [0, 0, 1, -1], [0, 0, 0, 1]])
+    # single-axis projection about y (IMOD tilt geometry), recentered to
+    # the aligned-stack center
+    tilt_m = m4([[np.cos(t), -np.sin(t), 0, acx], [0, 0, 1, acy],
+                 [-np.sin(t), -np.cos(t), 0, 0], [0, 0, 0, 1]])
+    to_origin = m4([[1, 0, 0, -acx], [0, 1, 0, 0],
+                    [0, 0, 1, -acy], [0, 0, 0, 1]])
+    xf_m = m4([[xf[0], xf[1], 0, xf[4]], [xf[2], xf[3], 0, xf[5]],
+               [0, 0, 1, 0], [0, 0, 0, 1]])
+    p = m4([[1, 0, 0, ocx], [0, 1, 0, ocy], [0, 0, 1, 0], [0, 0, 0, 1]])
+    q = m4([[1, 0, 0, -acx], [0, 1, 0, -acy], [0, 0, 1, 0], [0, 0, 0, 1]])
+    affine = p @ np.linalg.inv(xf_m) @ q
+    return affine @ tilt_m @ to_origin @ to_imod_origin @ yzflip

@@ -3,7 +3,11 @@ trip, session daemon."""
 
 import numpy as np
 
+from pathlib import Path
+
 from pyp_tpu.io import boxfiles, cistem, mdoc, relion
+
+GOLDEN = Path(__file__).resolve().parent / "golden"
 
 
 class TestBoxFiles:
@@ -174,3 +178,87 @@ class TestStarCliModes:
         back = cistem.read_parameters("stack.cistem")
         assert back.n_rows == n
         np.testing.assert_allclose(back["defocus_1"], 19000.0)
+
+
+class TestRelionTomoStar:
+    """RELION 4/5 tomo star interop (VERDICT r2 item 6): projection
+    matrices pinned to the reference's getRelionMatrix via golden
+    fixtures; export -> import round-trips the geometry and particles."""
+
+    def _series(self):
+        rng = np.random.RandomState(3)
+        T = 7
+        angles = np.linspace(-45, 45, T).astype(np.float32)
+        rots = rng.uniform(-2, 2, T)
+        xf = np.stack([np.cos(np.radians(rots)), -np.sin(np.radians(rots)),
+                       np.sin(np.radians(rots)), np.cos(np.radians(rots)),
+                       rng.uniform(-5, 5, T), rng.uniform(-5, 5, T)], 1)
+        return {
+            "name": "TS_01", "tilt_angles": angles, "xf": xf,
+            "defocus": np.stack([rng.uniform(15000, 30000, T)] * 2, 1),
+            "astig_angle": rng.uniform(0, 180, T).astype(np.float32),
+            "order": np.arange(T, dtype=np.float32),
+            "image_dims": (512, 480),
+        }
+
+    def _params(self):
+        return {"scope_pixel": 2.1, "scope_voltage": 300.0, "scope_cs": 2.7,
+                "scope_wgh": 0.07, "scope_dose_rate": 3.0,
+                "tomo_rec_thickness": 600, "extract_box": 64,
+                "extract_bin": 2}
+
+    def test_matrix_matches_reference_golden(self):
+        from pyp_tpu.core.geometry import relion_tomo_projection_matrix
+
+        cases = np.load(GOLDEN / "ref_relion_tomo_cases.npy")
+        mats = np.load(GOLDEN / "ref_relion_tomo_matrices.npy")
+        for c, m in zip(cases, mats):
+            ours = relion_tomo_projection_matrix(
+                c[0], c[1:7], c[7], (c[8], c[9]), c[10], c[11])
+            np.testing.assert_allclose(ours, m, atol=1e-10)
+
+    def test_tomograms_star_roundtrip(self, tmp_path):
+        from pyp_tpu.io import relion_tomo as rt
+
+        s = self._series()
+        p = self._params()
+        path = tmp_path / "tomograms.star"
+        rt.export_tomograms_star([s], p, path)
+        series, gparams = rt.import_tomograms_star(path)
+        assert len(series) == 1
+        out = series[0]
+        assert out["name"] == "TS_01"
+        np.testing.assert_allclose(out["tilt_angles"], s["tilt_angles"],
+                                   atol=1e-4)
+        np.testing.assert_allclose(out["defocus"], s["defocus"], rtol=1e-6)
+        np.testing.assert_allclose(out["astig_angle"], s["astig_angle"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(out["exposure"],
+                                   s["order"] * p["scope_dose_rate"],
+                                   rtol=1e-6)
+        assert gparams["scope_pixel"] == p["scope_pixel"]
+        assert gparams["tomo_rec_thickness"] == p["tomo_rec_thickness"]
+
+    def test_particles_star_v5_roundtrip(self, tmp_path):
+        from pyp_tpu.io import relion_tomo as rt
+
+        rng = np.random.RandomState(5)
+        P = 11
+        parts = {
+            "tomo_names": ["TS_01"] * 6 + ["TS_02"] * 5,
+            "positions": rng.uniform(0, 512, (P, 3)).astype(np.float32),
+            "eulers": rng.uniform(0, 360, (P, 3)).astype(np.float32),
+            "shifts": rng.uniform(-8, 8, (P, 3)).astype(np.float32),
+            "visible": (rng.rand(P, 7) > 0.2).astype(np.int32),
+        }
+        path = tmp_path / "particles.star"
+        rt.export_particles_star_v5(parts, self._params(), path)
+        out = rt.import_particles_star_v5(path)
+        assert out["tomo_names"] == parts["tomo_names"]
+        np.testing.assert_allclose(out["positions"], parts["positions"],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(out["eulers"], parts["eulers"], rtol=1e-6)
+        np.testing.assert_allclose(out["shifts"], parts["shifts"], rtol=1e-5)
+        np.testing.assert_array_equal(out["visible"], parts["visible"])
+        assert out["optics"]["box"] == 64
+        assert out["optics"]["pixel_size"] == 2.1

@@ -160,6 +160,34 @@ def make_lzw():
     print("wrote ref_lzw.tif (+ .npy)")
 
 
+def make_relion_tomo_matrices():
+    """Golden projection matrices from the reference's getRelionMatrix
+    (analysis/geometry/core.py:777) over a grid of tilt angles and IMOD
+    transforms — pins our relion_tomo_projection_matrix to the exact
+    IMOD->RELION convention."""
+    from pyp.analysis.geometry.core import getRelionMatrix
+
+    rng = np.random.RandomState(11)
+    cases, mats = [], []
+    for tilt in (-60.0, -33.3, 0.0, 12.7, 45.0):
+        ang = rng.uniform(-3, 3)
+        c, sn = np.cos(np.radians(ang)), np.sin(np.radians(ang))
+        xf = np.array([c, -sn, sn, c,
+                       rng.uniform(-8, 8), rng.uniform(-8, 8)])
+        case = dict(tilt=tilt, xf=xf, thickness=1200.0,
+                    dims=(5760.0, 4092.0), tomox=5760.0, tomoy=4092.0)
+        m = np.asarray(getRelionMatrix(tilt, xf.copy(), case["thickness"],
+                                       list(case["dims"]), case["tomox"],
+                                       case["tomoy"]))
+        cases.append(np.concatenate([[tilt], xf, [case["thickness"],
+                     case["dims"][0], case["dims"][1], case["tomox"],
+                     case["tomoy"]]]))
+        mats.append(m)
+    np.save(OUT / "ref_relion_tomo_cases.npy", np.asarray(cases))
+    np.save(OUT / "ref_relion_tomo_matrices.npy", np.asarray(mats))
+    print("relion tomo matrices:", np.asarray(mats).shape)
+
+
 if __name__ == "__main__":
     OUT.mkdir(parents=True, exist_ok=True)
     _stub_reference_deps()
@@ -167,3 +195,4 @@ if __name__ == "__main__":
     make_par()
     make_imod()
     make_lzw()
+    make_relion_tomo_matrices()
