@@ -245,6 +245,16 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("csp_refine_modes", str, "3:0:2:1", "mode schedule per pass (positions before angles: measured, angle refinement against stale positions absorbs the position error into the eulers)"),
         P("csp_OptimizerIters", int, 20, "gradient steps per mode"),
         P("csp_transreg", float, 0.1, "trajectory smoothness regularization"),
+        P("csp_time_sigma", float, 21.0,
+          "temporal sigma (frames) for trajectory regularization"),
+        P("csp_spatial_sigma", float, 500.0,
+          "spatial coupling sigma (unbinned px) across particle trajectories"),
+        P("csp_transreg_method", str, "spline",
+          "trajectory regularizer: variance-weighted spline with outlier "
+          "rejection, or plain gaussian kernel",
+          enum=("spline", "gaussian")),
+        P("csp_reg_outlier_mads", float, 5.0,
+          "spline outlier rejection threshold (x MAD of residuals)"),
         P("csp_Grid", str, "1:1:1", "patch grid (x:y:z)"),
         P("csp_GridSearch", bool, False,
           "coarse discrete search before the gradient polish (csp_GS role)"),

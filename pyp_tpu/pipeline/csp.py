@@ -542,6 +542,21 @@ def csp_polish_frames(tilt_movies, cp, defocus, ref_volume, params,
             cs_mm=float(params["scope_cs"]),
             amplitude_contrast=float(params["scope_wgh"]),
         )
+        # spline-with-outlier-weights regularization across frames +
+        # spatial coupling across particles (reference regularize family,
+        # analysis/fit.py:873; csp_time/spatial_sigma pyp_config §A.3) —
+        # the per-particle NCC trajectories of faint particles are noisy
+        # and occasionally wild; the plain Gaussian smoother averages the
+        # wild frames IN, the spline rejects them
+        from pyp_tpu.analysis.fit import regularize_trajectories
+
+        traj = jnp.asarray(regularize_trajectories(
+            np.asarray(traj), positions=ci.astype(np.float64),
+            time_sigma=float(params.get("csp_time_sigma") or 21.0),
+            spatial_sigma=float(params.get("csp_spatial_sigma") or 500.0),
+            method=str(params.get("csp_transreg_method") or "spline"),
+            outlier_mads=float(params.get("csp_reg_outlier_mads") or 5.0),
+        ).astype(np.float32))
         d = (jnp.asarray(doses[t]) if doses is not None
              else jnp.arange(1, F_t + 1, dtype=jnp.float32))
         out_windows.append(np.asarray(polish_ops.polished_average(

@@ -245,3 +245,57 @@ class TestScoreShaping:
         assert ((df[keep] >= 15000) & (df[keep] <= 25000)).all()
         assert (sc[keep] >= 15).all()
         assert (~keep).sum() > 0
+
+
+class TestSplineRegularization:
+    """VERDICT r3 item 9 acceptance: drift recovery under a particle-sparse,
+    high-noise synthetic with outlier frames — the regime where the round-2
+    Gaussian smoother fails (it averages outliers IN; the variance-weighted
+    spline rejects them)."""
+
+    def _tracks(self, P=3, T=40, seed=0):
+        rng = np.random.RandomState(seed)
+        t = np.linspace(0, 1, T)
+        true = np.stack([
+            np.stack([3.0 * np.sin(2 * np.pi * t + p),
+                      2.0 * (t ** 2) * (p + 1)], axis=1)
+            for p in range(P)])                      # (P, T, 2) smooth drift
+        noisy = true + rng.randn(P, T, 2) * 0.5
+        # heavy outliers: 15% of frames jump by ~8 px (failed NCC fits)
+        mask = rng.rand(P, T) < 0.15
+        noisy[mask] += rng.randn(mask.sum(), 2) * 8.0
+        return true, noisy
+
+    def test_spline_beats_gaussian_under_outliers(self):
+        true, noisy = self._tracks()
+        sp = fit.regularize_trajectories(noisy, method="spline",
+                                         spatial_sigma=0.0)
+        ga = fit.regularize_trajectories(noisy, method="gaussian",
+                                         time_sigma=3.0, spatial_sigma=0.0)
+        err_sp = np.sqrt(np.mean((sp - true) ** 2))
+        err_ga = np.sqrt(np.mean((ga - true) ** 2))
+        assert err_sp < 0.75 * err_ga, (err_sp, err_ga)
+        assert err_sp < 0.8, err_sp
+
+    def test_outlier_rejection_pass_matters(self):
+        true, noisy = self._tracks(seed=1)
+        with_rej = fit.regularize_trajectories(noisy, method="spline",
+                                               outlier_mads=5.0,
+                                               spatial_sigma=0.0)
+        without = fit.regularize_trajectories(noisy, method="spline",
+                                              outlier_mads=0.0,
+                                              spatial_sigma=0.0)
+        e_with = np.sqrt(np.mean((with_rej - true) ** 2))
+        e_without = np.sqrt(np.mean((without - true) ** 2))
+        assert e_with <= e_without + 1e-9, (e_with, e_without)
+
+    def test_angular_tanh_smoothing(self):
+        rng = np.random.RandomState(2)
+        T = 30
+        t = np.linspace(0, 1, T)
+        true = 5.0 * np.sin(2 * np.pi * t)
+        noisy = true + rng.randn(T) * 0.8
+        noisy[7] += 40.0   # one wild angle
+        sm = fit.fit_angular_trajectory(noisy, outlier_mads=4.0)
+        assert np.abs(sm - true).max() < np.abs(noisy - true).max() * 0.5
+        assert np.sqrt(np.mean((sm - true) ** 2)) < 1.0
