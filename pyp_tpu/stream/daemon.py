@@ -127,9 +127,19 @@ class SessionDaemon:
         self._last_classify_count = len(self.summaries)
         from pyp_tpu.analysis.plots import class_montage
 
-        class_montage(np.asarray(res.class_avgs),
-                      self.work_dir / "stream_classes.png",
+        montage_path = self.work_dir / "stream_classes.png"
+        class_montage(np.asarray(res.class_avgs), montage_path,
                       occupancy=np.asarray(res.occupancy))
+        # website contact-sheet push (the fyp_daemon montage update,
+        # stream/fyp_daemon.py:406/:1268 -> Web.write_classes); the Web
+        # client journals when no host is configured
+        if not hasattr(self, "_web"):
+            from pyp_tpu.stream.web import Web
+
+            self._web = Web()
+        self._web.write_classes(
+            str(self.params.get("data_set") or "session"),
+            montage_path, np.asarray(res.occupancy).tolist())
         if self.metadb is not None:
             self.metadb.write_twod_classes(*self._db_ids, {
                 "n_classes": int(self.n_classes),

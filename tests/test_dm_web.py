@@ -149,3 +149,41 @@ class TestMetaDB:
         db = MetaDB(str(tmp_path / "db.json"))
         assert db.count_micrographs("group", "sess1") == 1
         assert db.get_session("group", "sess1")["status"] == "running"
+
+    def test_daemon_builds_and_pushes_class_montage(self, tmp_path,
+                                                    monkeypatch):
+        """Streaming contact-sheet parity (fyp_daemon montage loop,
+        stream/fyp_daemon.py:406): after N new micrographs the daemon
+        reclassifies, writes stream_classes.png, and pushes write_classes
+        through the Web client (journaled when no host configured)."""
+        import numpy as np
+
+        from pyp_tpu.io import mrc
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.delenv("PYP_TPU_WEBHOST", raising=False)
+        rng = np.random.RandomState(0)
+        # blobs so the picker finds particles
+        for i in range(2):
+            img = rng.randn(3, 96, 96).astype(np.float32)
+            yy, xx = np.mgrid[:96, :96]
+            for cy, cx in ((30, 30), (30, 66), (66, 30), (66, 66)):
+                img -= 4.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                    / 18.0)[None]
+            mrc.write(img, f"m{i}.mrc")
+        from pyp_tpu.config.params import defaults
+
+        params = defaults()
+        params.update({"scope_pixel": 1.0, "data_set": "sess2",
+                       "ctf_tile": 64, "detect_rad": 6.0, "detect_max": 8,
+                       "extract_box": 32, "class_rhcls": 5.0,
+                       "class_num": 2})
+        d = SessionDaemon("*.mrc", params, work_dir=".", classify_every=2,
+                          n_classes=2)
+        d.run(max_iterations=1)
+        assert (tmp_path / "stream_classes.png").exists()
+        pushes = [s for s in d._web.sent if s.get("method") == "write_classes"]
+        assert pushes, d._web.sent
+        assert pushes[-1]["params"]["dataset"] == "sess2"
+        assert len(pushes[-1]["params"]["occupancy"]) == 2
