@@ -32,10 +32,11 @@ logger = get_logger("cli")
 MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
-         "byp", "mine")
+         "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
+         "tomotrain")
 
 
-def _project_params(argv, work_dir="."):
+def _project_params(argv, work_dir=".", persist=True):
     overrides = cfg.parse_arguments(argv)
     # an argument is explicit iff its flag appears on the command line —
     # value-vs-default comparison would let a stale saved project value
@@ -46,6 +47,12 @@ def _project_params(argv, work_dir="."):
         k: v for k, v in overrides.items()
         if k in given or defaults.get(k) != v
     }
+    if not persist:
+        # one-shot modes (edits): apply without writing to the project
+        # config, so e.g. -edit_remove_circle can't replay on the next run
+        saved = {**defaults, **(cfg.load_parameters(work_dir) or {})}
+        saved.update(explicit)
+        return saved
     return cfg.update_parameters(work_dir, explicit)
 
 
@@ -724,6 +731,203 @@ def mode_worker(argv):
 def mode_params(argv):
     params = _project_params(argv)
     print(json.dumps(params, indent=1, default=str))
+    return 0
+
+
+def mode_mask(argv):
+    """Standalone mask creation (the reference's `mask` driver branch,
+    bin/run/pyp:6640): build a 3D mask from the newest map (or
+    -model_path) and write <dataset>_mask.mrc."""
+    params = _project_params(argv)
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.filters import soft_spherical_mask
+    from pyp_tpu.io import mrc
+    from pyp_tpu.postprocess.core import auto_mask
+
+    src = Path(params.get("model_path") or "")
+    if not src.exists():
+        maps = sorted(Path("maps").glob("*_half1.mrc"))
+        if not maps:
+            logger.error("mask: no -model_path and no maps/*_half1.mrc")
+            return 1
+        h1 = mrc.read(maps[-1]).astype(np.float32)
+        h2 = mrc.read(str(maps[-1]).replace("half1", "half2")).astype(np.float32)
+        vol, pixel = h1 + h2, mrc.read_header(maps[-1]).pixel_size
+    else:
+        vol = mrc.read(src).astype(np.float32)
+        pixel = mrc.read_header(src).pixel_size
+    method = str(params.get("mask_method") or "auto")
+    n = vol.shape[-1]
+    if method == "sphere":
+        rad_px = float(params.get("mask_radius") or 0.0) / pixel or n * 0.4
+        mask = np.asarray(soft_spherical_mask(
+            n, rad_px, float(params.get("mask_edge_width") or 5.0)))
+    elif method == "file":
+        mask = mrc.read(params["mask_file"]).astype(np.float32)
+    else:
+        mask = np.asarray(auto_mask(
+            jnp.asarray(vol), pixel_size=pixel,
+            lowpass_a=float(params.get("mask_lowpass") or 15.0),
+            threshold_sigmas=float(params.get("mask_threshold") or 1.0),
+            dilation_px=int(params.get("mask_dilation") or 3),
+            soft_px=int(params.get("mask_edge_width") or 6),
+            mw_kda=float(params.get("particle_mw") or 0.0)))
+    if params.get("mask_invert"):
+        mask = 1.0 - mask
+    out = f"{params.get('data_set') or 'dataset'}_mask.mrc"
+    mrc.write(mask.astype(np.float32), out, pixel_size=pixel)
+    print(json.dumps({"mask": out, "coverage":
+                      round(float((mask > 0.5).mean()), 4)}))
+    return 0
+
+
+def mode_tomoedit(argv):
+    """Edit tilt-series metadata (the reference's tomoedit driver,
+    bin/run/pyp:3526): exclude tilts and/or drop virions; the resume-aware
+    pipeline honors the exclusion on the next run (with the relevant
+    _force flags)."""
+    params = _project_params(argv, persist=False)
+    from pyp_tpu.io.metadata import ItemMetadata
+
+    name = str(params.get("edit_name") or "")
+    if not name:
+        logger.error("tomoedit needs -edit_name <tilt-series>")
+        return 2
+    meta = ItemMetadata(name, ".", mode="tomo").load()
+    report = {"name": name}
+    spec = str(params.get("edit_exclude_tilts") or "")
+    if spec:
+        drop = sorted({int(t) for t in spec.replace(",", ":").split(":")})
+        keep = None
+        for key in ("tlt", "xf", "ctf", "order"):
+            if meta.is_done(key):
+                arr = np.asarray(meta[key])
+                if keep is None:
+                    keep = np.setdiff1d(np.arange(len(arr)), drop)
+                meta[key] = arr[keep[keep < len(arr)]]
+        report["excluded_tilts"] = drop
+    if params.get("edit_drop_virions"):
+        if meta.is_done("vir"):
+            meta["vir"] = np.zeros((0, 5), dtype=np.float32)
+        report["virions_dropped"] = True
+    meta.save()
+    print(json.dumps(report))
+    return 0
+
+
+def mode_boxedit(argv):
+    """Edit particle picks (the reference's boxedit driver,
+    bin/run/pyp:3612): remove picks inside a circle, threshold by score,
+    or replace with an imported .box file."""
+    params = _project_params(argv, persist=False)
+    from pyp_tpu.io import boxfiles
+    from pyp_tpu.io.metadata import ItemMetadata
+
+    name = str(params.get("edit_name") or "")
+    if not name:
+        logger.error("boxedit needs -edit_name <micrograph>")
+        return 2
+    meta = ItemMetadata(name, ".", mode="spr").load()
+    box = np.asarray(meta["box"]) if meta.is_done("box") else np.zeros((0, 3))
+    n0 = len(box)
+    imp = str(params.get("edit_import_box") or "")
+    if imp:
+        coords, _w = boxfiles.read_box(imp)   # (N, 2) centers (y, x)
+        box = np.concatenate([coords, np.ones((len(coords), 1))], axis=1)
+    spec = str(params.get("edit_remove_circle") or "")
+    if spec and len(box):
+        cy, cx, r = (float(v) for v in spec.replace(",", ":").split(":"))
+        d2 = (box[:, 0] - cy) ** 2 + (box[:, 1] - cx) ** 2
+        box = box[d2 > r * r]
+    thr = float(params.get("edit_min_score") or 0.0)
+    if thr > 0 and box.shape[1] > 2:
+        box = box[box[:, 2] >= thr]
+    meta["box"] = box.astype(np.float32)
+    meta.save()
+    print(json.dumps({"name": name, "picks_before": n0,
+                      "picks_after": int(len(box))}))
+    return 0
+
+
+def mode_sprtrain(argv):
+    """Train the native NN particle picker from this project's picks (the
+    reference's sprtrain entry, detect/joint.py:35): micrograph averages +
+    box coordinates -> UNet heatmap model saved to picker_model.npz, which
+    `-detect_method nn` then uses."""
+    params = _project_params(argv)
+    from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.models import io as mio
+    from pyp_tpu.models import picker as nn_picker
+
+    mics, coords = [], []
+    for p in sorted(Path(".").glob("*.meta.npz")):
+        meta = ItemMetadata(p.name.replace(".meta.npz", ""), ".",
+                            mode="spr").load()
+        if meta.is_done("box") and meta.is_done("average") and \
+                len(meta["box"]):
+            mics.append(np.asarray(meta["average"], dtype=np.float32))
+            coords.append(np.asarray(meta["box"])[:, :2])
+    if not mics:
+        logger.error("sprtrain: no micrographs with picks in project dir")
+        return 1
+    pixel = float(params["scope_pixel"])
+    radius_px = max(4, int(float(params["detect_rad"]) / pixel))
+    patch = int(params.get("train_patch") or 128)
+    features = (8, 16, 32)
+    model = nn_picker.train_picker(
+        mics, coords, radius_px, patch=patch,
+        steps=int(params.get("train_steps") or 300),
+        batch=int(params.get("train_batch") or 16),
+        lr=float(params.get("train_lr") or 3e-4),
+        features=features,
+    )
+    mio.save_params(model.params, "picker_model.npz", patch=patch)
+    print(json.dumps({"micrographs": len(mics),
+                      "particles": int(sum(len(c) for c in coords)),
+                      "model": "picker_model.npz"}))
+    return 0
+
+
+def mode_tomotrain(argv):
+    """Train the NN picker for tomograms from .spk picks (tomotrain,
+    detect/joint.py:210): per-slice heatmap supervision around each 3D
+    pick; inference = models.picker.pick_tomogram."""
+    params = _project_params(argv)
+    from pyp_tpu.io import boxfiles, mrc
+    from pyp_tpu.models import io as mio
+    from pyp_tpu.models import picker as nn_picker
+
+    pixel = float(params["scope_pixel"])
+    rad_px = max(3, int(float(params["tomo_spk_rad"]) / max(
+        pixel * int(params.get("tomo_rec_binning") or 8), 1e-6)))
+    slices, coords = [], []
+    for rec_path in sorted(Path(".").glob("*.rec.mrc")):
+        spk = rec_path.with_name(rec_path.name.replace(".rec.mrc", ".spk"))
+        if not spk.exists():
+            continue
+        vol = mrc.read(rec_path).astype(np.float32)
+        picks = boxfiles.read_spk(spk)          # (N, >=3) (z, y, x)
+        for z in np.unique(np.round(picks[:, 0]).astype(int)):
+            if not (0 <= z < vol.shape[0]):
+                continue
+            sel = np.abs(picks[:, 0] - z) < rad_px
+            slices.append(vol[z])
+            coords.append(picks[sel][:, 1:3])
+    if not slices:
+        logger.error("tomotrain: no *.rec.mrc with matching .spk picks")
+        return 1
+    patch = int(params.get("train_patch") or 128)
+    model = nn_picker.train_picker(
+        slices, coords, rad_px, patch=patch,
+        steps=int(params.get("train_steps") or 300),
+        batch=int(params.get("train_batch") or 16),
+        lr=float(params.get("train_lr") or 3e-4),
+        features=(8, 16, 32),
+    )
+    mio.save_params(model.params, "picker_model_tomo.npz", patch=patch)
+    print(json.dumps({"slices": len(slices), "model":
+                      "picker_model_tomo.npz"}))
     return 0
 
 

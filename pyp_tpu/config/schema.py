@@ -312,6 +312,36 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "spatial coherence scale of particle trajectories (Å)"),
         P("polish_reg", float, 0.1, "temporal smoothness regularization"),
     ],
+    # ------------------------------------------------------------------ mask
+    "mask": [
+        P("mask_method", str, "auto", "mask construction",
+          enum=("auto", "sphere", "file")),
+        P("mask_file", str, "", "mask volume path (mask_method=file)"),
+        P("mask_radius", float, 0.0, "sphere radius (Å, 0 = 0.4*box)"),
+        P("mask_edge_width", float, 6.0, "soft edge width (px)"),
+        P("mask_threshold", float, 1.0, "auto-mask threshold (sigma)"),
+        P("mask_dilation", int, 3, "auto-mask dilation (px)"),
+        P("mask_lowpass", float, 15.0, "auto-mask lowpass (Å)"),
+        P("mask_invert", bool, False, "invert the mask"),
+    ],
+    # ------------------------------------------------------------------ edit
+    "edit": [
+        P("edit_name", str, "", "item (micrograph/tilt-series) to edit"),
+        P("edit_exclude_tilts", str, "",
+          "tomoedit: tilt indices to remove, colon/comma separated"),
+        P("edit_drop_virions", bool, False, "tomoedit: clear virion picks"),
+        P("edit_import_box", str, "", "boxedit: replace picks from .box file"),
+        P("edit_remove_circle", str, "",
+          "boxedit: remove picks inside cy:cx:radius (px)"),
+        P("edit_min_score", float, 0.0, "boxedit: drop picks below score"),
+    ],
+    # ----------------------------------------------------------------- train
+    "train": [
+        P("train_steps", int, 300, "NN picker training steps"),
+        P("train_batch", int, 16, "NN picker batch size"),
+        P("train_lr", float, 3e-4, "NN picker learning rate"),
+        P("train_patch", int, 128, "NN picker training patch (px)"),
+    ],
     # ---------------------------------------------------------------- sharpen
     "sharpen": [
         P("sharpen_bfactor", float, 0.0, "B-factor (0 = automatic Guinier fit)"),

@@ -36,8 +36,8 @@ def auto_mask(vol, lowpass_a=15.0, pixel_size=1.0, threshold_sigmas=1.0,
     from pyp_tpu.core.filters import lowpass_filter_3d
 
     lp = lowpass_filter_3d(jnp.asarray(vol), pixel_size, lowpass_a)
-    if mw_kda and mw_kda > 0:
-        vox = int(min(1210.0 * mw_kda / pixel_size ** 3, lp.size - 1))
+    vox = int(1210.0 * (mw_kda or 0.0) / pixel_size ** 3)
+    if 0 < vox < lp.size * 0.3:   # MW inconsistent with the box -> sigma rule
         thr = jnp.sort(lp.ravel())[-max(vox, 1)]
     else:
         thr = jnp.mean(lp) + threshold_sigmas * jnp.std(lp)

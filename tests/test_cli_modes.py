@@ -190,3 +190,112 @@ class TestMineMode:
         assert spks
         coords = boxfiles.read_spk(spks[0])
         assert coords.shape[1] == 3
+
+
+class TestEditTrainMaskModes:
+    """Round-3 CLI breadth: mask / tomoedit / boxedit / sprtrain / tomotrain
+    (reference driver branches bin/run/pyp:6640, :3526, :3612, :4801)."""
+
+    def test_mode_mask_sphere_and_auto(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+        from pyp_tpu.io import mrc
+
+        rng = np.random.RandomState(0)
+        vol = np.zeros((32, 32, 32), np.float32)
+        vol[12:20, 12:20, 12:20] = 5.0
+        vol += rng.randn(32, 32, 32).astype(np.float32) * 0.1
+        mrc.write(vol, "model.mrc")
+        rc = cli.main(["mask", "-model_path", "model.mrc", "-data_set", "d",
+                       "-mask_method", "sphere", "-mask_radius", "8"])
+        assert rc == 0
+        m = mrc.read("d_mask.mrc")
+        assert m.shape == (32, 32, 32)
+        assert m[16, 16, 16] > 0.9 and m[2, 2, 2] < 0.05
+        rc = cli.main(["mask", "-model_path", "model.mrc", "-data_set", "d2",
+                       "-mask_method", "auto", "-mask_lowpass", "8"])
+        assert rc == 0
+        m2 = mrc.read("d2_mask.mrc")
+        assert m2[16, 16, 16] > 0.5 and m2[2, 2, 2] < 0.2
+
+    def test_mode_tomoedit_excludes_tilts(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        meta = ItemMetadata("TS_x", ".", mode="tomo").load()
+        meta["tlt"] = np.linspace(-30, 30, 7).astype(np.float32)
+        meta["ctf"] = np.arange(7 * 6, dtype=np.float32).reshape(7, 6)
+        meta.save()
+        rc = cli.main(["tomoedit", "-edit_name", "TS_x",
+                       "-edit_exclude_tilts", "0:3"])
+        assert rc == 0
+        m2 = ItemMetadata("TS_x", ".", mode="tomo").load()
+        assert len(np.asarray(m2["tlt"]).reshape(-1)) == 5
+        assert np.asarray(m2["ctf"]).shape == (5, 6)
+
+    def test_mode_boxedit_remove_and_import(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        meta = ItemMetadata("m1", ".", mode="spr").load()
+        meta["box"] = np.array([[10.0, 10.0, 1.0], [40.0, 40.0, 0.2],
+                                [12.0, 11.0, 0.9]], dtype=np.float32)
+        meta.save()
+        rc = cli.main(["boxedit", "-edit_name", "m1",
+                       "-edit_remove_circle", "11:11:5"])
+        assert rc == 0
+        m2 = ItemMetadata("m1", ".", mode="spr").load()
+        assert len(m2["box"]) == 1 and m2["box"][0][0] == 40.0
+        # import replaces picks from a .box file
+        (tmp_path / "new.box").write_text("4\t6\t8\t8\n20\t30\t8\t8\n")
+        rc = cli.main(["boxedit", "-edit_name", "m1",
+                       "-edit_import_box", "new.box"])
+        assert rc == 0
+        m3 = ItemMetadata("m1", ".", mode="spr").load()
+        assert len(m3["box"]) == 2
+        np.testing.assert_allclose(m3["box"][0][:2], [10.0, 8.0])  # y, x
+
+    def test_mode_sprtrain_then_nn_pick(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        rng = np.random.RandomState(0)
+        yy, xx = np.mgrid[:96, :96]
+        avg = rng.randn(96, 96).astype(np.float32) * 0.1
+        picks = [(24, 24), (24, 72), (72, 24), (72, 72)]
+        for cy, cx in picks:
+            avg -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 12.0)
+        meta = ItemMetadata("t1", ".", mode="spr").load()
+        meta["average"] = avg
+        meta["box"] = np.array([[cy, cx, 1.0] for cy, cx in picks],
+                               dtype=np.float32)
+        meta.save()
+        rc = cli.main(["sprtrain", "-detect_rad", "4", "-scope_pixel", "1",
+                       "-train_steps", "60", "-train_patch", "64",
+                       "-train_batch", "8"])
+        assert rc == 0
+        assert (tmp_path / "picker_model.npz").exists()
+
+    def test_mode_tomotrain(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from pyp_tpu import cli
+        from pyp_tpu.io import mrc
+
+        rng = np.random.RandomState(1)
+        vol = rng.randn(8, 64, 64).astype(np.float32) * 0.1
+        zz = 4
+        for cy, cx in ((20, 20), (44, 44)):
+            yy, xx = np.mgrid[:64, :64]
+            vol[zz] -= 3.0 * np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 10.0)
+        mrc.write(vol, "TS_t.rec.mrc")
+        # .spk rows are (x, y, z)
+        (tmp_path / "TS_t.spk").write_text("20 20 4\n44 44 4\n")
+        rc = cli.main(["tomotrain", "-tomo_spk_rad", "24",
+                       "-tomo_rec_binning", "8", "-scope_pixel", "1",
+                       "-train_steps", "40", "-train_patch", "64",
+                       "-train_batch", "8"])
+        assert rc == 0
+        assert (tmp_path / "picker_model_tomo.npz").exists()

@@ -68,15 +68,18 @@ def make_inputs(n, pad, batch, seed=0):
     ex, ey = R[:, 0, :], R[:, 1, :]
     q = (gx[None, ..., None] * ex[:, None, None, :]
          + gy[None, ..., None] * ey[:, None, None, :])[..., ::-1] * pad
-    vals = (rng.randn(batch, n, nxf_img) + 1j * rng.randn(batch, n, nxf_img)
-            ).astype(np.complex64)
+    # complex arrays cannot cross the axon tunnel (SKILL.md): ship re/im
+    # as float32 planes and rebuild with lax.complex inside jit
+    vre = rng.randn(batch, n, nxf_img).astype(np.float32)
+    vim = rng.randn(batch, n, nxf_img).astype(np.float32)
     c2 = rng.rand(batch, n, nxf_img).astype(np.float32)
-    return (jnp.asarray(q.astype(np.float32)), jnp.asarray(vals),
-            jnp.asarray(c2), pn, nxf)
+    return (jnp.asarray(q.astype(np.float32)), jnp.asarray(vre),
+            jnp.asarray(vim), jnp.asarray(c2), pn, nxf)
 
 
-def _prep(q, vals, c2, pn, nxf):
+def _prep(q, vre, vim, c2, pn, nxf):
     """Shared per-point prep (flip, floor, frac, base corner indices)."""
+    vals = jax.lax.complex(vre, vim)
     flip = q[..., 2] < 0
     qs = jnp.where(flip[..., None], -q, q)
     vals = jnp.where(flip, jnp.conj(vals), vals)
@@ -87,10 +90,10 @@ def _prep(q, vals, c2, pn, nxf):
     return qs, vals, c2, q0, frac, in_sphere
 
 
-def v0_single(q, vals, c2, pn, nxf):
+def v0_single(q, vre, vim, c2, pn, nxf):
     from pyp_tpu.ops.fourier_slice import _corner_lists
 
-    qs, vals, c2, q0, frac, in_sphere = _prep(q, vals, c2, pn, nxf)
+    qs, vals, c2, q0, frac, in_sphere = _prep(q, vre, vim, c2, pn, nxf)
     idx, wre, wim, wc2 = _corner_lists(qs, vals, c2, q0, frac, in_sphere,
                                        pn, nxf)
     size = pn * pn * nxf
@@ -100,10 +103,10 @@ def v0_single(q, vals, c2, pn, nxf):
     return a[:1] + b[:1] + c[:1]
 
 
-def v1_vec3(q, vals, c2, pn, nxf):
+def v1_vec3(q, vre, vim, c2, pn, nxf):
     from pyp_tpu.ops.fourier_slice import _corner_lists
 
-    qs, vals, c2, q0, frac, in_sphere = _prep(q, vals, c2, pn, nxf)
+    qs, vals, c2, q0, frac, in_sphere = _prep(q, vre, vim, c2, pn, nxf)
     idx, wre, wim, wc2 = _corner_lists(qs, vals, c2, q0, frac, in_sphere,
                                        pn, nxf)
     upd = jnp.stack([wre, wim, wc2], axis=-1)  # (N, 3)
@@ -117,8 +120,8 @@ def _corner_weights(frac, dz, dy):
     return wz * wy
 
 
-def v2_pair(q, vals, c2, pn, nxf):
-    qs, vals, c2, q0, frac, in_sphere = _prep(q, vals, c2, pn, nxf)
+def v2_pair(q, vre, vim, c2, pn, nxf):
+    qs, vals, c2, q0, frac, in_sphere = _prep(q, vre, vim, c2, pn, nxf)
     wx = jnp.stack([1 - frac[..., 2], frac[..., 2]], -1)  # (..., 2)
     re, im = jnp.real(vals), jnp.imag(vals)
     idxs, upds = [], []
@@ -134,17 +137,18 @@ def v2_pair(q, vals, c2, pn, nxf):
                              w2 * c2[..., None]], -1)  # (..., 2, 3)
             idxs.append(((kz * pn + ky) * (nxf + 1) + kx).reshape(-1))
             upds.append(upd.reshape(-1, 2, 3))
-    idx = jnp.concatenate(idxs)
+    idx = jnp.concatenate(idxs)[:, None]
     upd = jnp.concatenate(upds)
     buf = jnp.zeros((pn * pn * (nxf + 1) + 1, 3), jnp.float32)
-    buf = buf.at[idx].add(upd.reshape(-1, 2, 3)[:, :, :].reshape(-1, 2, 3)
-                          if False else upd, mode="drop")
-    # window (2,3) over axis0 rows idx..idx+1
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1, 2), inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(0,))
+    buf = jax.lax.scatter_add(buf, idx, upd, dnums, mode="drop")
     return buf[:1, 0]
 
 
-def v3_cube(q, vals, c2, pn, nxf):
-    qs, vals, c2, q0, frac, in_sphere = _prep(q, vals, c2, pn, nxf)
+def v3_cube(q, vre, vim, c2, pn, nxf):
+    qs, vals, c2, q0, frac, in_sphere = _prep(q, vre, vim, c2, pn, nxf)
     fz, fy, fx = frac[..., 0], frac[..., 1], frac[..., 2]
     wz = jnp.stack([1 - fz, fz], -1)                      # (..., 2)
     wy = jnp.stack([1 - fy, fy], -1)
@@ -170,8 +174,8 @@ def v3_cube(q, vals, c2, pn, nxf):
     return buf[:1, 0, 0, 0]
 
 
-def v4_cube_h(q, vals, c2, pn, nxf):
-    qs, vals, c2, q0, frac, in_sphere = _prep(q, vals, c2, pn, nxf)
+def v4_cube_h(q, vre, vim, c2, pn, nxf):
+    qs, vals, c2, q0, frac, in_sphere = _prep(q, vre, vim, c2, pn, nxf)
     B = q.shape[0]
     half = (jnp.arange(B) % 2).astype(jnp.int32)
     fz, fy, fx = frac[..., 0], frac[..., 1], frac[..., 2]
@@ -208,14 +212,14 @@ def main():
     ap.add_argument("--variants", default="v0,v1,v2,v3,v4")
     args = ap.parse_args()
 
-    q, vals, c2, pn, nxf = make_inputs(args.n, args.pad, args.batch)
+    q, vre, vim, c2, pn, nxf = make_inputs(args.n, args.pad, args.batch)
     fns = {"v0": v0_single, "v1": v1_vec3, "v2": v2_pair, "v3": v3_cube,
            "v4": v4_cube_h}
     out = {}
     for name in args.variants.split(","):
-        fn = jax.jit(lambda q, v, c, f=fns[name]: f(q, v, c, pn, nxf))
+        fn = jax.jit(lambda q, a, b, c, f=fns[name]: f(q, a, b, c, pn, nxf))
         try:
-            t = _timed(lambda: fn(q, vals, c2))
+            t = _timed(lambda: fn(q, vre, vim, c2))
         except Exception as e:  # axon flakiness / unsupported lowering
             out[name] = {"error": str(e)[:200]}
             continue
