@@ -36,6 +36,7 @@ BASELINE_GLOBAL_PPS = 8.0     # cisTEM2 refine3d global mode, 16-core node
 BASELINE_LOCAL_PPS = 40.0     # cisTEM2 refine3d local mode, 16-core node
 BASELINE_PREPROC_MPM = 4.0    # MotionCor3+CTFFIND GPU pipeline, mics/min
 BASELINE_WBP_VPS = 5e7        # IMOD tilt, 16-core node, voxels/sec
+BASELINE_INSERT_PPS = 45.0    # cisTEM2 reconstruct3d, 16-core node
 
 N = 128
 PIXEL = 1.0
@@ -137,6 +138,39 @@ def bench_preprocess(jax, jnp):
     return 60.0 / (dt_motion + dt_ctf)
 
 
+def bench_insertion(jax, jnp):
+    """Fourier-slice insertion (reconstruct3d role): both half-sets, one
+    flat one-pass scatter (ops/fourier_slice.insert_slices_halves). The
+    XLA TPU scatter unit caps this at ~100M f32 updates/s (measured across
+    window widths, dtypes, sorted/unique hints — tools/microbench_scatter);
+    the band-limited crop path recovers (n/n_rec)^2 of it in production.
+    Baseline: cisTEM2 reconstruct3d ~45 particles/sec/node."""
+    from pyp_tpu.core.geometry import euler_to_matrix
+    from pyp_tpu.ops import fourier_slice as fs
+
+    rng = np.random.RandomState(3)
+    B = 64
+    re = jnp.asarray(rng.randn(B, N, N // 2 + 1).astype(np.float32))
+    im = jnp.asarray(rng.randn(B, N, N // 2 + 1).astype(np.float32))
+    ctfs = jnp.asarray(rng.rand(B, N, N // 2 + 1).astype(np.float32))
+    phi = jnp.asarray(rng.uniform(0, 360, B).astype(np.float32))
+    theta = jnp.asarray(rng.uniform(0, 180, B).astype(np.float32))
+    psi = jnp.asarray(rng.uniform(0, 360, B).astype(np.float32))
+    subset = jnp.asarray((np.arange(B) % 2).astype(np.int32))
+    w = jnp.ones(B, jnp.float32)
+
+    @jax.jit
+    def run(re, im, ctfs, phi, theta, psi):
+        F = jax.lax.complex(re, im)
+        R = euler_to_matrix(phi, theta, psi)
+        n1, d1, n2, d2 = fs.insert_slices_halves(F, ctfs, R, subset, w, N)
+        return d1.ravel()[:1] + d2.ravel()[:1]
+
+    _sync(run(re, im, ctfs, phi, theta, psi))  # compile
+    dt = _timed(lambda: run(re, im, ctfs, phi, theta, psi), reps=2)
+    return B / dt
+
+
 def bench_wbp(jax, jnp):
     from pyp_tpu.ops.tomo import wbp_reconstruct
 
@@ -212,6 +246,15 @@ def main():
         }
     except Exception as e:  # noqa: BLE001
         extras["preprocess_micrographs_per_min_per_chip"] = {"error": str(e)[:200]}
+    try:
+        ins = bench_insertion(jax, jnp)
+        extras["reconstruct_insertion_particles_per_sec_per_chip"] = {
+            "value": round(ins, 1), "unit": "particles/sec/chip",
+            "vs_baseline": round(ins / BASELINE_INSERT_PPS, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["reconstruct_insertion_particles_per_sec_per_chip"] = {
+            "error": str(e)[:200]}
     try:
         v = bench_wbp(jax, jnp)
         extras["tomo_wbp_voxels_per_sec_per_chip"] = {

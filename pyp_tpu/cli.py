@@ -33,7 +33,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
-         "tomotrain")
+         "tomotrain", "heterogeneity")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -58,9 +58,17 @@ def _project_params(argv, work_dir=".", persist=True):
 
 def _discover_items(params):
     pattern = params.get("data_path") or ""
+    suffix = str(params.get("data_suffix") or "")
     items = []
     for path in sorted(glob.glob(pattern)):
+        if suffix and suffix not in Path(path).name:
+            continue
         items.append({"name": Path(path).stem, "path": path})
+    # dataset subsetting (large-project splits): process [first, last)
+    first = int(params.get("data_first_item") or 0)
+    last = int(params.get("data_last_item") or -1)
+    if first or last >= 0:
+        items = items[first:(None if last < 0 else last)]
     return items
 
 
@@ -94,10 +102,12 @@ def mode_spr(argv):
         "sprswarm", items,
         work_fn=lambda item: spr.process_micrograph(item, params),
         merge_fn=lambda results, missing: spr.spr_merge(results, missing),
-        max_retries=int(params.get("slurm_merge_retries") or 2),
+        max_retries=int(params.get("slurm_retries") or 2),
+        merge_retries=int(params.get("slurm_merge_retries") or 2),
     )
     # intra-node worker pool (the reference's joblib-over-cpus, mpi.py:44)
-    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
+    LocalExecutor(max_workers=int(params.get("slurm_local_tasks") or 0)
+                  or int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["sprswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
@@ -137,7 +147,8 @@ def mode_tomo(argv):
         "tomoswarm", items, work_fn=load_item,
         merge_fn=lambda results, missing: tomo_pipe.tomo_merge(results, missing),
     )
-    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
+    LocalExecutor(max_workers=int(params.get("slurm_local_tasks") or 0)
+                  or int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["tomoswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
@@ -190,22 +201,48 @@ def mode_refine(argv):
         from pyp_tpu.pipeline.refine import table_to_ctf_params
 
         logger.info("no initial_model.mrc: running marginalized ab initio")
-        initial, _poses = ab_initio_frm(
-            stack, table_to_ctf_params(table), float(params["scope_pixel"]),
-            symmetry=str(params["particle_sym"]),
-            n_rounds=int(params.get("abinit_rounds") or 10),
-            start_res=float(params.get("abinit_start_res") or 40.0),
-            end_res=float(params.get("abinit_end_res") or 12.0),
-            angular_step=float(params.get("abinit_angular_step") or 15.0),
-            top_t=int(params.get("abinit_top_t") or 8),
-            beta0=float(params.get("abinit_beta0") or 20.0),
-            beta_growth=float(params.get("abinit_beta_growth") or 1.4),
-            hard_rounds=int(params.get("abinit_hard_rounds") or 3),
-            soft_shifts=str(params.get("abinit_soft_shifts") or "zero"),
-            voltage_kv=float(params["scope_voltage"]),
-            cs_mm=float(params["scope_cs"]),
-            amplitude_contrast=float(params["scope_wgh"]),
-        )
+        if str(params.get("abinit_engine") or "frm") == "classic":
+            # stochastic-subset annealing engine (the original SGD-style
+            # path; frm is the production default)
+            from pyp_tpu.ops.ab_initio import ab_initio
+
+            initial, _poses = ab_initio(
+                stack, table_to_ctf_params(table),
+                float(params["scope_pixel"]),
+                symmetry=str(params["particle_sym"]),
+                n_rounds=int(params.get("abinit_rounds") or 10),
+                start_res=float(params.get("abinit_start_res") or 40.0),
+                end_res=float(params.get("abinit_end_res") or 12.0),
+                angular_step=float(params.get("abinit_angular_step")
+                                   or 15.0),
+                subset_frac=float(params.get("abinit_subset_frac") or 0.5),
+                anneal=float(params.get("abinit_anneal") or 0.0),
+                seed=int(params.get("abinit_seed") or 0),
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+            )
+        else:
+            initial, _poses = ab_initio_frm(
+                stack, table_to_ctf_params(table),
+                float(params["scope_pixel"]),
+                symmetry=str(params["particle_sym"]),
+                n_rounds=int(params.get("abinit_rounds") or 10),
+                start_res=float(params.get("abinit_start_res") or 40.0),
+                end_res=float(params.get("abinit_end_res") or 12.0),
+                angular_step=float(params.get("abinit_angular_step")
+                                   or 15.0),
+                top_t=int(params.get("abinit_top_t") or 8),
+                beta0=float(params.get("abinit_beta0") or 20.0),
+                beta_growth=float(params.get("abinit_beta_growth") or 1.4),
+                hard_rounds=int(params.get("abinit_hard_rounds") or 3),
+                polish_rounds=int(params.get("abinit_polish_rounds") or 2),
+                seed=int(params.get("abinit_seed") or 0),
+                soft_shifts=str(params.get("abinit_soft_shifts") or "zero"),
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                amplitude_contrast=float(params["scope_wgh"]),
+            )
         mrc.write(initial, "initial_model.mrc",
                   pixel_size=float(params["scope_pixel"]))
     else:
@@ -237,7 +274,11 @@ def mode_classify2d(argv):
         high_res=float(params.get("class_rhcls") or 10.0),
         low_res=float(params.get("class_rlcls") or 100.0),
         shift_extent=float(params.get("class_shift") or 5.0),
+        shift_step=float(params.get("class_shift_step") or 2.0),
+        psi_step=float(params.get("class_psi_step") or 15.0),
+        seed=int(params.get("class_seed") or 0),
         engine=str(params.get("class_engine") or "polar"),
+        wiener=float(params.get("class_wiener") or 10.0),
         voltage_kv=float(params["scope_voltage"]),
         cs_mm=float(params["scope_cs"]),
         amplitude_contrast=float(params["scope_wgh"]),
@@ -322,9 +363,11 @@ def mode_csp(argv):
         "cspswarm", items,
         work_fn=lambda item: _csp_one_series(item, params, ref),
         merge_fn=merge_fn,
-        max_retries=int(params.get("slurm_merge_retries") or 2),
+        max_retries=int(params.get("slurm_retries") or 2),
+        merge_retries=int(params.get("slurm_merge_retries") or 2),
     )
-    LocalExecutor(max_workers=int(params.get("slurm_tasks") or 1)).run(graph)
+    LocalExecutor(max_workers=int(params.get("slurm_local_tasks") or 0)
+                  or int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["cspswarm.merge"]
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
@@ -370,6 +413,8 @@ def mode_polish(argv):
             global_shifts=drift,
             reg_weight=float(params.get("polish_reg") or 2.0),
             spatial_sigma=float(params.get("polish_spatial_sigma") or 0.0),
+            iters=int(params.get("polish_iters") or 30),
+            lr=float(params.get("polish_lr") or 0.15),
         )
         sign = -1.0 if params.get("extract_inv", True) else 1.0
         new_stack[sel] = sign * np.asarray(stack_p)
@@ -490,6 +535,9 @@ def mode_export_star(argv):
         table, out, pixel_size=float(params["scope_pixel"]),
         voltage=float(params["scope_voltage"]), cs=float(params["scope_cs"]),
         w=float(params["scope_wgh"]),
+        image_name_fmt=str(params.get("export_image_fmt")
+                           or "{i}@stack.mrcs"),
+        optics_group=int(params.get("export_optics_group") or 1),
     )
     print(json.dumps({"particles": table.n_rows, "star": out}))
     return 0
@@ -501,6 +549,49 @@ def mode_clean(argv):
     -clean_all — maps and metadata bundles."""
     import shutil
 
+    params = _project_params(argv, persist=False)
+    if params.get("clean_particles"):
+        # particle cleaning (the reference's analysis/scores machinery,
+        # scores.py:981/:1542): deactivate low-score particles, optionally
+        # deduplicate by position
+        from pyp_tpu.analysis import scores as sc
+        from pyp_tpu.io import cistem
+
+        table = cistem.read_parameters("stack.cistem")
+        mode_rule = str(params.get("clean_mode") or "otsu")
+        if mode_rule == "shape":
+            # group-local score shaping (reference shape_phase_residuals):
+            # percentile cutoffs inside each (view, defocus) group
+            table, keep = sc.shape_scores(
+                table,
+                n_angles=int(params.get("clean_shape_angles") or 25),
+                n_defocuses=int(params.get("clean_shape_defocuses") or 25),
+                threshold=1.0 - float(
+                    params.get("clean_percentile") or 20.0) / 100.0)
+        else:
+            cut = None
+            if mode_rule == "fixed":
+                cut = float(params.get("clean_min_score") or 0.0)
+            elif mode_rule == "percentile":
+                cut = float(np.percentile(
+                    np.asarray(table["score"]),
+                    float(params.get("clean_percentile") or 20.0)))
+            table, keep = sc.particle_cleaning(
+                table, score_cut=cut,
+                min_occ=float(params.get("clean_min_occ") or 0.0))
+        dist = float(params.get("clean_dist") or 0.0)
+        if dist > 0 and "original_x_position" in table:
+            pos = np.stack([np.asarray(table["original_y_position"]),
+                            np.asarray(table["original_x_position"])], 1)
+            keep_d = sc.remove_duplicates(
+                pos, np.asarray(table["score"]), dist)
+            act = np.asarray(table["image_is_active"]).astype(bool) & keep_d
+            table["image_is_active"] = act.astype(np.int64)
+            keep = keep & keep_d
+        cistem.write_parameters(table, "stack.cistem")
+        print(json.dumps({"kept": int(keep.sum()),
+                          "total": int(len(keep))}))
+        return 0
     deep = "-clean_all" in argv
     removed = []
     for pattern in ["swarm", "stream_stack.mrc", "stream_classes.png"]:
@@ -546,7 +637,10 @@ def mode_mine(argv):
         vols, patch=patch,
         n_steps=int(params.get("mine_steps") or 300),
         embed_dim=int(params.get("mine_embed_dim") or 32),
-        seed=0)
+        batch=int(params.get("mine_batch") or 64),
+        lr=float(params.get("mine_lr") or 1e-3),
+        temperature=float(params.get("mine_temperature") or 0.2),
+        seed=int(params.get("mine_seed") or 0))
     gallery = {}
     K = int(params.get("mine_clusters") or 8)
     for p, vol in zip(recs, vols):
@@ -734,6 +828,58 @@ def mode_params(argv):
     return 0
 
 
+def mode_heterogeneity(argv):
+    """Continuous heterogeneity analysis on the refined stack (the
+    reference's heterogeneitytrain/eval drivers wrapping cryoDRGN,
+    refine/heterogeneity/; native flax model, models/heterogeneity.py):
+    train the per-particle latent encoder + Fourier-slice decoder at the
+    refined poses, embed every particle, and decode volumes along the
+    first principal latent direction."""
+    params = _project_params(argv)
+    from pyp_tpu.io import cistem, mrc
+    from pyp_tpu.models import heterogeneity as het
+    from pyp_tpu.pipeline.refine import table_to_ctf_params, table_to_poses
+
+    stack = mrc.read("stack.mrc").astype(np.float32)
+    table = cistem.read_parameters("stack.cistem")
+    pixel = float(params["scope_pixel"])
+    model = het.train_heterogeneity(
+        stack, table_to_poses(table, pixel), table_to_ctf_params(table),
+        pixel,
+        latent_dim=int(params.get("het_latent") or 8),
+        steps=int(params.get("het_steps") or 500),
+        batch=int(params.get("het_batch") or 32),
+        lr=float(params.get("het_lr") or 1e-3),
+        low_res=float(params.get("het_rlref") or 60.0),
+        high_res=float(params.get("het_rhref") or 8.0),
+        kl_weight=float(params.get("het_kl") or 1e-3),
+        seed=int(params.get("het_seed") or 0),
+        hidden=int(params.get("het_hidden") or 128),
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        w=float(params["scope_wgh"]),
+    )
+    latents = np.asarray(het.embed(model, stack))
+    np.savez("heterogeneity_latents.npz", latents=latents)
+    scores, comps, svals = het.latent_pca(latents, n_components=2)
+    nvol = int(params.get("het_volumes") or 5)
+    qs = np.linspace(5, 95, nvol)
+    mean_z = latents.mean(axis=0)
+    for i, q in enumerate(qs):
+        # walk along PC1 between the 5th..95th percentile of its scores
+        pc = max(0, int(params.get("het_pc") or 1) - 1)
+        z = mean_z + comps[pc] * np.percentile(scores[:, pc], q)
+        vol = np.asarray(het.decode_volume(model, z), dtype=np.float32)
+        mrc.write(vol, f"het_volume_{i:02d}.mrc", pixel_size=pixel)
+    total_var = latents.var(axis=0).sum() * max(len(latents) - 1, 1)
+    print(json.dumps({"particles": int(len(stack)),
+                      "latent_dim": int(latents.shape[1]),
+                      "volumes": nvol,
+                      "pc1_explained": float(svals[0] ** 2 / max(
+                          total_var, 1e-9))}))
+    return 0
+
+
 def mode_mask(argv):
     """Standalone mask creation (the reference's `mask` driver branch,
     bin/run/pyp:6640): build a 3D mask from the newest map (or
@@ -772,7 +918,8 @@ def mode_mask(argv):
             threshold_sigmas=float(params.get("mask_threshold") or 1.0),
             dilation_px=int(params.get("mask_dilation") or 3),
             soft_px=int(params.get("mask_edge_width") or 6),
-            mw_kda=float(params.get("particle_mw") or 0.0)))
+            mw_kda=float(params.get("mask_mw")
+                         or params.get("particle_mw") or 0.0)))
     if params.get("mask_invert"):
         mask = 1.0 - mask
     out = f"{params.get('data_set') or 'dataset'}_mask.mrc"
@@ -856,6 +1003,12 @@ def mode_sprtrain(argv):
     box coordinates -> UNet heatmap model saved to picker_model.npz, which
     `-detect_method nn` then uses."""
     params = _project_params(argv)
+    from pyp_tpu.sched import bridge
+
+    if bridge.slurm_requested(params):
+        print(json.dumps(bridge.submit_training("sprtrain", params, argv),
+                         indent=1))
+        return 0
     from pyp_tpu.io.metadata import ItemMetadata
     from pyp_tpu.models import io as mio
     from pyp_tpu.models import picker as nn_picker
@@ -880,6 +1033,7 @@ def mode_sprtrain(argv):
         steps=int(params.get("train_steps") or 300),
         batch=int(params.get("train_batch") or 16),
         lr=float(params.get("train_lr") or 3e-4),
+        seed=int(params.get("train_seed") or 0),
         features=features,
     )
     mio.save_params(model.params, "picker_model.npz", patch=patch)
@@ -894,6 +1048,12 @@ def mode_tomotrain(argv):
     detect/joint.py:210): per-slice heatmap supervision around each 3D
     pick; inference = models.picker.pick_tomogram."""
     params = _project_params(argv)
+    from pyp_tpu.sched import bridge
+
+    if bridge.slurm_requested(params):
+        print(json.dumps(bridge.submit_training("tomotrain", params, argv),
+                         indent=1))
+        return 0
     from pyp_tpu.io import boxfiles, mrc
     from pyp_tpu.models import io as mio
     from pyp_tpu.models import picker as nn_picker
@@ -923,6 +1083,7 @@ def mode_tomotrain(argv):
         steps=int(params.get("train_steps") or 300),
         batch=int(params.get("train_batch") or 16),
         lr=float(params.get("train_lr") or 3e-4),
+        seed=int(params.get("train_seed") or 0),
         features=(8, 16, 32),
     )
     mio.save_params(model.params, "picker_model_tomo.npz", patch=patch)
@@ -956,6 +1117,15 @@ def main(argv=None) -> int:
     from pyp_tpu.parallel import init_distributed
 
     init_distributed()
+    # radiation-damage model overrides (dose_critical_*) must land before
+    # the first jitted dose_weight trace
+    if any(f"-dose_critical_{k}" in " ".join(rest) for k in "abc"):
+        from pyp_tpu.core.ctf import set_dose_model
+
+        dp = cfg.parse_arguments(rest)
+        set_dose_model(float(dp["dose_critical_a"]),
+                       float(dp["dose_critical_b"]),
+                       float(dp["dose_critical_c"]))
     # observability (notify tab): mongo-style log mirroring + completion mail
     saved = cfg.load_parameters(".") or {}
     mongo_uri = str(saved.get("notify_mongo_uri") or "")
@@ -974,6 +1144,9 @@ def main(argv=None) -> int:
     else:
         rc = globals()[f"mode_{mode}"](rest)
     email = str(saved.get("notify_email") or "")
+    notify_rule = str(saved.get("notify_on") or "always")
+    if notify_rule == "never" or (notify_rule == "fail" and rc == 0):
+        email = ""
     if email and mode in ("spr", "tomo", "refine", "csp", "classify3d"):
         from pyp_tpu.utils.notify import send_email
 

@@ -18,6 +18,7 @@ paper), so fitted .ctf values are interchangeable.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 def wavelength(voltage_kv):
@@ -99,9 +100,20 @@ def ctf_sqrt_power_1d(g, df, voltage_kv, cs_mm, w=0.07, phase_shift_rad=0.0):
 # (/root/reference/src/pyp/merge/weights.py:50 radDamage_weights_aux).
 # ---------------------------------------------------------------------------
 
+# Grant-Grigorieff critical-exposure constants; overridable for other
+# detectors/voltages via set_dose_model (dose_critical_* params). Set them
+# BEFORE the first jitted use — jit bakes the values at trace time.
+_DOSE_ABC = (0.24499, -1.6649, 2.8141)
+
+
+def set_dose_model(a: float, b: float, c: float):
+    global _DOSE_ABC
+    _DOSE_ABC = (float(a), float(b), float(c))
+
+
 def critical_exposure(g):
     """Critical exposure Ne(g) in e-/Å² at frequency g (1/Å)."""
-    a, b, c = 0.24499, -1.6649, 2.8141
+    a, b, c = _DOSE_ABC
     return a * jnp.power(jnp.maximum(g, 1e-6), b) + c
 
 
@@ -125,5 +137,39 @@ def dose_weight_2d(shape, pixel_size, cumulative_doses, rfft=True):
     fx = (jnp.fft.rfftfreq(nx, d=pixel_size) if rfft else jnp.fft.fftfreq(nx, d=pixel_size)).reshape(1, -1)
     g = jnp.sqrt(fy * fy + fx * fx)
     w = dose_weight(g[None], jnp.asarray(cumulative_doses)[:, None, None])
+    norm = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
+    return w / jnp.maximum(norm, 1e-8)
+
+
+def frame_damage_weights(shape, frame_ranks, fraction: float = 4.0,
+                         transition: float = 0.75, multiply: bool = True,
+                         rfft=True):
+    """Data-driven per-frame/tilt damage envelope (the reference's
+    dose_weighting tab, merge/weights.py:76 `radDamage_weights`):
+
+        Ne(g) = max_soft(exp(-|g|)^fraction, floor)   (tanh switch, not hard)
+        w_f(g) = exp(-transition_eff * rank_f^4 / Ne(g))
+
+    frame_ranks: (F,) damage order in [0, 1] (0 = least damaged — by
+    acquisition time or inferred from per-frame scores). `fraction` steepens
+    the frequency falloff (larger = fewer frames contribute at high res);
+    `transition` scales the rank falloff; `multiply` scales it by the frame
+    count (the reference's 'multiply by number of frames'). |g| is the
+    NORMALIZED radius in cycles/px (box-relative, like the reference's
+    0..0.5sqrt(2) bins — damage model relative to the sampling, not Å).
+    Output (F, ny, nxf) normalized so sum of squares over frames = 1.
+    """
+    ny, nx = shape
+    fy = jnp.fft.fftfreq(ny).reshape(ny, 1)
+    fx = (jnp.fft.rfftfreq(nx) if rfft else jnp.fft.fftfreq(nx)).reshape(1, -1)
+    g = jnp.sqrt(fy * fy + fx * fx)
+    ne = jnp.exp(-g) ** fraction
+    floor = float(np.exp(-0.5 * fraction) ** 37.0)  # reference switch_value
+    switch = floor ** (1.0 / 37.0)
+    sx = 0.5 * (1.0 + jnp.tanh((jnp.exp(-g) - switch) / 0.05))
+    ne = sx * ne + (1.0 - sx) * floor
+    ranks = jnp.asarray(frame_ranks, dtype=jnp.float32)[:, None, None]
+    t_eff = transition * (len(np.asarray(frame_ranks)) if multiply else 1.0)
+    w = jnp.exp(-t_eff * ranks ** 4 / ne[None])
     norm = jnp.sqrt(jnp.sum(w * w, axis=0, keepdims=True))
     return w / jnp.maximum(norm, 1e-8)

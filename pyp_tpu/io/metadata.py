@@ -22,17 +22,26 @@ import numpy as np
 # user-facing parameters that invalidate the entry when toggled.
 SCHEMA_SPR = {
     "drift": ("per-frame drift trajectory (n_frames, 2)", "movie_force"),
+    "average": ("drift-corrected average", "movie_force"),
+    "patch_shifts": ("per-patch local motion", "movie_force"),
     "ctf": ("global CTF fit vector", "ctf_force"),
     "ctf_avgrot": ("radially averaged spectrum table", "ctf_force"),
+    "ctf_thickness": ("sample thickness fit [Å, score]", "ctf_force"),
+    "ctf_plane": ("local defocus plane [df0, ddf/dy, ddf/dx]", "ctf_force"),
+    "ctf_diag": ("CTFFIND-style diagnostic image", "ctf_force"),
     "box": ("particle coordinates (n, 4+)", "detect_force"),
+    "denoised": ("denoised average", "denoise_force"),
     "image_mean": ("micrograph statistics", "movie_force"),
 }
 SCHEMA_TOMO = {
     "drift": ("per-tilt per-frame drift (n_tilts, n_frames, 2)", "movie_force"),
     "tlt": ("tilt angles (n_tilts,)", "tomo_ali_force"),
     "xf": ("2D alignment transforms (n_tilts, 6)", "tomo_ali_force"),
+    "fid": ("tracked gold fiducials", "tomo_ali_force"),
     "ctf": ("per-tilt CTF fits (n_tilts, k)", "ctf_force"),
-    "box": ("3D particle coordinates", "detect_force"),
+    "box": ("3D particle coordinates", "tomo_spk_force"),
+    "vir": ("virion centers/radii", "tomo_vir_force"),
+    "spk": ("surface spike picks", "tomo_spk_force"),
     "exclude": ("excluded tilt indices", "tomo_ali_force"),
 }
 

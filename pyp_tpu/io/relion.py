@@ -19,7 +19,8 @@ from pyp_tpu.io import cistem, star
 
 
 def table_to_star(table: cistem.Table, pixel_size: float, voltage: float = 300.0,
-                  cs: float = 2.7, w: float = 0.07, image_name_fmt="{i}@stack.mrcs"):
+                  cs: float = 2.7, w: float = 0.07,
+                  image_name_fmt="{i}@stack.mrcs", optics_group: int = 1):
     n = table.n_rows
 
     def col(name, default=0.0):
@@ -29,7 +30,7 @@ def table_to_star(table: cistem.Table, pixel_size: float, voltage: float = 300.0
         "optics": {
             "fields": {},
             "loop": {
-                "rlnOpticsGroup": np.array([1]),
+                "rlnOpticsGroup": np.array([int(optics_group)]),
                 "rlnImagePixelSize": np.array([pixel_size]),
                 "rlnVoltage": np.array([voltage]),
                 "rlnSphericalAberration": np.array([cs]),
@@ -42,7 +43,8 @@ def table_to_star(table: cistem.Table, pixel_size: float, voltage: float = 300.0
                 "rlnImageName": np.array(
                     [image_name_fmt.format(i=i + 1) for i in range(n)], dtype=object
                 ),
-                "rlnOpticsGroup": np.ones(n, dtype=np.int64),
+                "rlnOpticsGroup": np.full(n, int(optics_group),
+                                          dtype=np.int64),
                 "rlnMicrographName": np.array(
                     [f"mic{int(g):05d}.mrc" for g in col("particle_group", 1)],
                     dtype=object,

@@ -80,6 +80,7 @@ class HetModel(NamedTuple):
     n: int
     pixel_size: float
     mask_pts: np.ndarray
+    hidden: int = 128
 
 
 def _slice_coords(mask_pts, poses, n):
@@ -96,7 +97,7 @@ def train_heterogeneity(
     stack, poses, ctf_params, pixel_size: float,
     latent_dim: int = 8, steps: int = 500, batch: int = 32,
     lr: float = 1e-3, low_res: float = 60.0, high_res: float = 8.0,
-    kl_weight: float = 1e-3, seed: int = 0,
+    kl_weight: float = 1e-3, seed: int = 0, hidden: int = 128,
     voltage_kv: float = 300.0, cs_mm: float = 2.7, w: float = 0.07,
 ) -> HetModel:
     stack = np.asarray(stack, dtype=np.float32)
@@ -130,7 +131,7 @@ def train_heterogeneity(
     imgs = jnp.asarray(imgs)[..., None]
 
     encoder = Encoder(latent_dim=latent_dim)
-    decoder = SliceDecoder(latent_dim=latent_dim)
+    decoder = SliceDecoder(latent_dim=latent_dim, hidden=hidden)
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     enc_params = encoder.init(k1, imgs[:1])
@@ -167,6 +168,7 @@ def train_heterogeneity(
         params, opt_state, loss = step(params, opt_state, sub, idx)
     enc_params, dec_params = params
     return HetModel(enc_params=enc_params, dec_params=dec_params,
+                    hidden=hidden,
                     latent_dim=latent_dim, n=n, pixel_size=pixel_size,
                     mask_pts=mask_pts)
 
@@ -185,7 +187,8 @@ def embed(model: HetModel, stack):
 def decode_volume(model: HetModel, z, max_k: float = 0.4):
     """Decode one latent vector on the full Fourier grid -> (n, n, n) map."""
     n = model.n
-    decoder = SliceDecoder(latent_dim=model.latent_dim)
+    decoder = SliceDecoder(latent_dim=model.latent_dim,
+                           hidden=getattr(model, 'hidden', 128))
     kz = np.fft.fftfreq(n)
     ky = np.fft.fftfreq(n)
     kx = np.fft.rfftfreq(n)

@@ -218,7 +218,9 @@ def _apply_mode_offset(params: CspParams, mode: int, off) -> CspParams:
     (same offset for every tilt/particle — used while scoring candidates) or
     (E, d) (per-entity best offsets — used to apply the winners)."""
     if mode in (0,):
-        return params._replace(tilt_angles=params.tilt_angles + off[..., 0])
+        return params._replace(
+            tilt_angles=params.tilt_angles + off[..., 0],
+            axis_angles=params.axis_angles + off[..., 1])
     if mode in (3, 5):
         return params._replace(tilt_shifts=params.tilt_shifts + off[..., 0:2])
     if mode in (4,):
@@ -232,21 +234,38 @@ def _apply_mode_offset(params: CspParams, mode: int, off) -> CspParams:
     raise ValueError(f"mode {mode} has no searchable block")
 
 
-def make_mode_offsets(mode: int, tol: float, steps: int = 9) -> np.ndarray:
+def make_mode_offsets(mode: int, tol, steps: int = 9) -> np.ndarray:
     """Candidate offset grid for a mode (the csp_GS uniform build,
-    pyp_config csp_GridSearch/csp_Tolerance*): (K, d) covering ±tol."""
-    ax = np.linspace(-tol, tol, steps, dtype=np.float32)
-    if mode in (0, 4):
-        return ax[:, None]
+    pyp_config csp_GridSearch/csp_Tolerance*): (K, d) covering ±tol.
+
+    tol may be a scalar or a per-dimension tuple (e.g. mode 0 takes
+    (ToleranceMicrographTiltAngles, ToleranceMicrographTiltAxisAngles);
+    mode 1/7 take (Psi, Theta, Phi))."""
+    tols = np.atleast_1d(np.asarray(tol, dtype=np.float32))
+
+    def axis(i, n_steps=steps):
+        t = tols[min(i, len(tols) - 1)]
+        return np.linspace(-t, t, n_steps, dtype=np.float32)
+
+    if mode in (4,):
+        return axis(0)[:, None]
+    if mode in (0,):
+        # joint (tilt angle, axis angle) grid; fewer axis steps — the axis
+        # angle is shared across the series and better-conditioned
+        g = np.stack(np.meshgrid(axis(0), axis(1, max(3, steps // 2)),
+                                 indexing="ij"), -1)
+        return g.reshape(-1, 2)
     if mode in (3, 5):
-        g = np.stack(np.meshgrid(ax, ax, indexing="ij"), -1).reshape(-1, 2)
-        return g[(g**2).sum(1) <= tol**2 + 1e-6]
+        t = tols[0]
+        g = np.stack(np.meshgrid(axis(0), axis(0), indexing="ij"), -1).reshape(-1, 2)
+        return g[(g**2).sum(1) <= t**2 + 1e-6]
     if mode in (1, 7):
-        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1)
+        g = np.stack(np.meshgrid(axis(0), axis(1), axis(2), indexing="ij"), -1)
         return g.reshape(-1, 3)
     if mode in (2, 6):
-        g = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), -1).reshape(-1, 3)
-        return g[(g**2).sum(1) <= tol**2 + 1e-6]
+        t = tols[0]
+        g = np.stack(np.meshgrid(axis(0), axis(0), axis(0), indexing="ij"), -1).reshape(-1, 3)
+        return g[(g**2).sum(1) <= t**2 + 1e-6]
     raise ValueError(f"mode {mode} has no searchable block")
 
 
@@ -374,6 +393,7 @@ def csp_refine(
     boxsize: int,
     modes=(0, 3, 1, 2),
     iters_per_mode: int = 20,
+    lr: float = 0.3,
     low_res: float = 60.0,
     high_res: float = 12.0,
     reg_weight: float = 0.1,
@@ -425,8 +445,8 @@ def csp_refine(
 
     scores = []
     for mode in modes:
-        if grid_tols and mode in grid_tols and grid_tols[mode] > 0:
-            offsets = make_mode_offsets(mode, float(grid_tols[mode]), grid_steps)
+        if grid_tols and mode in grid_tols and np.max(grid_tols[mode]) > 0:
+            offsets = make_mode_offsets(mode, grid_tols[mode], grid_steps)
             params, _ = csp_grid_search_mode(
                 params, windows_f, jnp.asarray(w_centers),
                 jnp.asarray(tilt_defocus), mask_pts, Fref,
@@ -438,7 +458,8 @@ def csp_refine(
         params, score = csp_refine_mode(
             params, windows_f, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
             mask_pts, Fref, jnp.asarray(tilt_weights), jnp.asarray(valid),
-            mode, n, pixel_size, iters=iters_per_mode, reg_weight=reg_weight,
+            mode, n, pixel_size, iters=iters_per_mode, lr=lr,
+            reg_weight=reg_weight,
             voltage_kv=voltage_kv, cs_mm=cs_mm,
             amplitude_contrast=amplitude_contrast,
         )

@@ -190,6 +190,8 @@ def _score_grid(P_norm, g_axis, theta_axis, ring_mask, params,
         "pixel_size", "voltage_kv", "cs_mm", "amplitude_contrast",
         "dfmin", "dfmax", "dfstep", "min_res", "max_res",
         "fit_astigmatism", "max_astig", "fit_phase",
+        "n_g", "n_theta", "lowres_1d",
+        "phase_min", "phase_max", "phase_steps", "bg_sigma",
     ),
 )
 def fit_ctf(
@@ -206,11 +208,17 @@ def fit_ctf(
     fit_astigmatism: bool = True,
     max_astig: float = 4000.0,
     fit_phase: bool = False,
+    n_g: int = 384,
+    n_theta: int = 64,
+    lowres_1d: float = 8.0,
+    phase_min: float = 0.0,
+    phase_max: float = 3.1416,
+    phase_steps: int = 14,
+    bg_sigma: float = 6.0,
 ) -> CtfFit:
     """Fit CTF parameters to an averaged power spectrum (rfft layout)."""
-    n_g, n_theta = 384, 64
     P_polar, g_axis, theta_axis = polar_resample(power, n_g, n_theta)
-    P_norm = _normalize_spectrum(P_polar, g_axis)
+    P_norm = _normalize_spectrum(P_polar, g_axis, bg_sigma=bg_sigma)
     g_inv_a = g_axis / pixel_size
     ring_mask = ((g_inv_a > 1.0 / min_res) & (g_inv_a < 1.0 / max_res)).astype(P_norm.dtype)
 
@@ -219,11 +227,12 @@ def fit_ctf(
     # restricted to a low-resolution sub-band: with astigmatism present the
     # azimuth-averaged rings dephase at high frequency, so a full-band 1D
     # score is misleading (same reason ctffind's 1D stage is band-limited)
-    lowres_cut = max(max_res, 8.0)
+    lowres_cut = max(max_res, lowres_1d)
     mask1 = ((g_inv_a > 1.0 / min_res) & (g_inv_a < 1.0 / lowres_cut)).astype(P_norm.dtype)
     n_df = int(max(2, round((dfmax - dfmin) / dfstep)))
     dfs = jnp.linspace(dfmin, dfmax, n_df)
-    ph1 = jnp.linspace(0.0, np.pi, 14, endpoint=False) if fit_phase else jnp.zeros(1)
+    ph1 = (jnp.linspace(phase_min, phase_max, phase_steps, endpoint=False)
+           if fit_phase else jnp.zeros(1))
     dd, pp = jnp.meshgrid(dfs, ph1, indexing="ij")
     dd, pp = dd.reshape(-1), pp.reshape(-1)
     params1 = jnp.stack([dd, jnp.zeros_like(dd), jnp.zeros_like(dd), pp], axis=1)
@@ -317,9 +326,10 @@ def fit_ctf(
     )
 
 
-def fit_ctf_micrograph(micrograph, pixel_size, tile: int = 512, **kw) -> CtfFit:
+def fit_ctf_micrograph(micrograph, pixel_size, tile: int = 512,
+                       tile_overlap: float = 0.5, **kw) -> CtfFit:
     """Periodogram averaging + fit, end-to-end for one micrograph."""
-    power = periodogram(micrograph, tile=tile)
+    power = periodogram(micrograph, tile=tile, overlap=tile_overlap)
     return fit_ctf(power, pixel_size, **kw)
 
 

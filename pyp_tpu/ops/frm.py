@@ -508,13 +508,14 @@ class FrmConfig:
                  angular_step=7.5, symmetry="C1", n_psi=None,
                  shift_extent=6.0, shift_step=1.0, rounds=3,
                  voltage_kv=300.0, cs_mm=2.7, amplitude_contrast=0.07,
-                 upsample=4, wiener=0.1):
+                 upsample=4, wiener=0.1, crop_margin=8):
         from pyp_tpu.ops.refine3d import make_directions, make_shift_grid
 
         self.n_data = int(n)
         self.radii = make_rings(n, pixel_size, low_res, high_res)
         r_max = int(np.max(self.radii))
-        self.n = min(int(n), int(np.ceil((2 * r_max + 8) / 16.0)) * 16)
+        self.n = min(int(n), int(np.ceil(
+            (2 * r_max + max(0, int(crop_margin))) / 16.0)) * 16)
         self.crop = self.n / float(n)          # shift scale: data px -> crop px
         self.pixel_size = float(pixel_size) / self.crop
         self.n_psi = int(n_psi or default_n_psi(self.radii))

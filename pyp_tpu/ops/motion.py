@@ -103,7 +103,7 @@ def _polyfit_smooth(shifts, order):
     jax.jit,
     static_argnames=(
         "pixel_size", "bfactor", "low_res", "high_res", "max_iters",
-        "search_radius", "smooth_order", "center",
+        "search_radius", "smooth_order", "center", "ref",
     ),
 )
 def align_movie(
@@ -116,6 +116,7 @@ def align_movie(
     search_radius: float = 48.0,
     smooth_order: int = 3,
     center: bool = True,
+    ref: str = "average",
 ) -> MotionResult:
     """Align movie frames to their common average (global motion).
 
@@ -127,14 +128,22 @@ def align_movie(
     F = jnp.fft.rfft2(frames)
     Fw = F * w
 
+    mid = n_frames // 2
+
     def iteration(carry, _):
         shifts, _prev = carry
         ramps = _phase_ramp(shifts, ny, nx)
         aligned = Fw * ramps
-        total = jnp.sum(aligned, axis=0, keepdims=True)
-        ref = total - aligned  # leave-one-out reference per frame
+        if ref == "middle":
+            # middle-frame reference (MotionCor-style seed): robust when
+            # early frames carry most of the dose-rate distortion
+            reference = jnp.broadcast_to(aligned[mid:mid + 1],
+                                         aligned.shape)
+        else:
+            total = jnp.sum(aligned, axis=0, keepdims=True)
+            reference = total - aligned  # leave-one-out per frame
         # xcorr of reference against *unshifted* frame gives absolute shift
-        cc = jnp.fft.irfft2(ref * jnp.conj(Fw), s=(ny, nx))
+        cc = jnp.fft.irfft2(reference * jnp.conj(Fw), s=(ny, nx))
         new_shifts = _subpixel_peak(cc)
         r = jnp.sqrt(jnp.sum(new_shifts**2, axis=-1, keepdims=True))
         scale = jnp.where(r > search_radius, search_radius / jnp.maximum(r, 1e-6), 1.0)

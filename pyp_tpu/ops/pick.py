@@ -47,7 +47,9 @@ def _disk_mean(img, radius: int):
 @functools.partial(
     jax.jit,
     static_argnames=("particle_radius_px", "max_picks", "min_distance_px",
-                     "threshold_sigma", "edge_px", "invert", "mask_contamination"),
+                     "threshold_sigma", "edge_px", "invert",
+                     "mask_contamination", "band_low", "band_high",
+                     "disk_frac", "cont_sigma", "cont_scale"),
 )
 def pick_particles(
     micrograph,
@@ -58,6 +60,11 @@ def pick_particles(
     edge_px: int = 32,
     invert: bool = True,
     mask_contamination: bool = True,
+    band_low: float = 6.0,
+    band_high: float = 1.5,
+    disk_frac: float = 0.5,
+    cont_sigma: float = 8.0,
+    cont_scale: float = 4.0,
 ) -> PickResult:
     """Size-matched picking on one micrograph.
 
@@ -66,20 +73,20 @@ def pick_particles(
     """
     ny, nx = micrograph.shape
     img = -micrograph if invert else micrograph
-    # band select the particle scale: pass 1/(4r) .. 1/(1.5r) cycles/px
-    low = 1.0 / (6.0 * particle_radius_px)
-    high = 1.0 / (1.5 * particle_radius_px)
+    # band select the particle scale: pass 1/(band_low*r) .. 1/(band_high*r)
+    low = 1.0 / (band_low * particle_radius_px)
+    high = 1.0 / (band_high * particle_radius_px)
     band = apply_bandpass(img[None], low, high, low_width=low * 0.5, high_width=high * 0.3)[0]
-    resp = _disk_mean(band, particle_radius_px // 2)
+    resp = _disk_mean(band, max(1, int(disk_frac * particle_radius_px)))
 
     # contamination mask: robust z of intensity at a much coarser scale than
     # the particle, so isolated particles dilute away and only large
     # ice/carbon patches trigger
     if mask_contamination:
-        coarse = _disk_mean(img, 4 * particle_radius_px)
+        coarse = _disk_mean(img, int(cont_scale * particle_radius_px))
         med = jnp.median(coarse)
         mad = jnp.median(jnp.abs(coarse - med)) + 1e-6
-        contamination = jnp.abs(coarse - med) > 8.0 * 1.4826 * mad
+        contamination = jnp.abs(coarse - med) > cont_sigma * 1.4826 * mad
     else:
         contamination = jnp.zeros_like(img, dtype=bool)
 

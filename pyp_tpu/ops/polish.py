@@ -34,7 +34,7 @@ from pyp_tpu.ops.refine3d import _ctf_at_points, make_mask_points
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "iters", "voltage_kv", "cs_mm",
-                     "amplitude_contrast"),
+                     "amplitude_contrast", "spatial_sigma"),
 )
 def refine_trajectories(
     windows,            # (P, F, n, n) per-frame particle windows

@@ -287,7 +287,7 @@ def classify2d(
     shift_extent: float = 5.0, shift_step: float = 2.0,
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, seed: int = 0,
-    engine: str = "polar",
+    engine: str = "polar", wiener: float = 10.0,
 ) -> Classify2DResult:
     """Full 2D classification: random init -> alternating E/M steps.
 
@@ -313,7 +313,7 @@ def classify2d(
         stack, ctf_params, jnp.asarray(np.maximum(init_assign, 0)),
         jnp.zeros(B), jnp.zeros((B, 2)),
         jnp.asarray(seed_mask.astype(np.float32)), n, n_classes, pixel_size,
-        voltage_kv, cs_mm, amplitude_contrast,
+        voltage_kv, cs_mm, amplitude_contrast, wiener=wiener,
     )
     init_assign = jnp.asarray(np.maximum(init_assign, 0))
     psis = np.arange(0.0, 360.0, psi_step, dtype=np.float32)
@@ -340,7 +340,7 @@ def classify2d(
             )
         avgs, occ = update_class_averages(
             stack, ctf_params, assign, psi, shifts, weights, n, n_classes,
-            pixel_size, voltage_kv, cs_mm, amplitude_contrast,
+            pixel_size, voltage_kv, cs_mm, amplitude_contrast, wiener=wiener,
         )
     return Classify2DResult(
         class_avgs=avgs, assignments=assign, psi=psi,

@@ -302,6 +302,7 @@ def local_refine(
     lr_angles: float = 2.0,
     lr_shifts: float = 0.4,
     weights=None,
+    pose_mask=(1.0, 1.0, 1.0, 1.0, 1.0),
 ):
     """Gradient-ascent pose polishing, vmapped over particles. Angles in
     degrees, shifts in pixels; per-parameter learning rates with cosine decay.
@@ -314,7 +315,12 @@ def local_refine(
     X = image_to_fourier(stack)
     mask_pts = jnp.asarray(mask_pts)
     vol_pad = Fref.shape[0] // n
-    scale = jnp.array([lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts])
+    # pose_mask (psi, theta, phi, shy, shx) freezes parameters the caller
+    # excludes (cisTEM refine_mask, SURVEY §A.1 lines 38-42); our pose
+    # layout is (phi, theta, psi, sy, sx)
+    pm = jnp.asarray(pose_mask, dtype=jnp.float32)
+    scale = jnp.array([lr_angles, lr_angles, lr_angles,
+                       lr_shifts, lr_shifts]) * pm
     w = jnp.ones(mask_pts.shape[0]) if weights is None else jnp.asarray(weights)
 
     def precompute(Xi, cp):
@@ -386,6 +392,8 @@ def refine_batch(
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
     local_iters: int = 24,
+    lr_angles: float = 2.0,
+    lr_shifts: float = 0.4,
     shell_weights=None,
 ) -> RefineResult:
     """Full refine3d-equivalent on one batch of particles. `shell_weights`
@@ -412,7 +420,8 @@ def refine_batch(
         poses_k, scores_k = local_refine(
             stack_rep, ctf_rep, Fref, cand.reshape(B * K, 5),
             jnp.asarray(pts_refine), n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast, iters=local_iters, weights=shell_weights,
+            amplitude_contrast, iters=local_iters, lr_angles=lr_angles,
+            lr_shifts=lr_shifts, weights=shell_weights,
         )
         scores_k = scores_k.reshape(B, K)
         poses_k = poses_k.reshape(B, K, 5)
@@ -424,7 +433,7 @@ def refine_batch(
             jnp.asarray(stack), jnp.asarray(ctf_params), Fref,
             jnp.asarray(init_poses), jnp.asarray(pts_refine), n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, iters=local_iters,
-            weights=shell_weights,
+            lr_angles=lr_angles, lr_shifts=lr_shifts, weights=shell_weights,
         )
 
     # FREALIGN-compatible output statistics: SCORE = 100*NCC; SIGMA = rms

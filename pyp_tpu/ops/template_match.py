@@ -274,7 +274,8 @@ def _sh_basis(normals, l_max: int):
 def refine_surface_sh(tomogram, center, radius_px, n_points: int = 400,
                       search: float = 0.3, l_max: int = 6,
                       dark_membrane: bool = True, iters: int = 80,
-                      smoothness: float = 0.05, lr: float = 0.3):
+                      smoothness: float = 0.05, lr: float = 0.3,
+                      n_radial: int = 31):
     """Level-set-grade closed-surface refinement: the radius field over the
     sphere is parameterized by real spherical harmonics up to degree `l_max`
     and the coefficients are optimized by autodiff to drive the surface onto
@@ -293,7 +294,7 @@ def refine_surface_sh(tomogram, center, radius_px, n_points: int = 400,
     # seed r0 from the robust ray-cast extremum (median over rays)
     _, _, radii0 = refine_virion_surface(
         tomogram, np.asarray(center), radius_px, n_points=n_points,
-        search=search, smooth_iters=0)
+        search=search, n_radial=n_radial, smooth_iters=0)
     r0 = float(np.median(radii0))
     Yj = jnp.asarray(Y)
     nj = jnp.asarray(normals)

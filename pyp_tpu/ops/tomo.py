@@ -442,21 +442,42 @@ def fake_sirt_filter(nx: int, iterations: int, cutoff: float = 0.35,
     return jnp.asarray(w.astype(np.float32))
 
 
-def _filter_tilts(tilts, cutoff, falloff, fake_sirt: int = 0):
+def filter_window(nx: int, window: str):
+    """Apodization atop the ramp (the IMOD/AreTomo filter family:
+    shepp-logan, hamming, hann — merge/core.py radial filter options).
+    Returns (nx//2+1,) multiplicative weights."""
+    f = np.abs(np.fft.rfftfreq(nx))  # 0..0.5
+    if window == "shepp":
+        w = np.sinc(f)  # sin(pi f)/(pi f)
+    elif window == "hamming":
+        w = 0.54 + 0.46 * np.cos(2 * np.pi * f)
+    elif window == "hann":
+        w = 0.5 * (1 + np.cos(2 * np.pi * f))
+    else:
+        w = np.ones_like(f)
+    return jnp.asarray(w.astype(np.float32))
+
+
+def _filter_tilts(tilts, cutoff, falloff, fake_sirt: int = 0,
+                  window: str = "none"):
     if fake_sirt > 0:
         w = fake_sirt_filter(tilts.shape[-1], fake_sirt, cutoff, falloff)
     else:
         w = ramp_filter(tilts.shape[-1], cutoff, falloff)
+    if window != "none":
+        w = w * filter_window(tilts.shape[-1], window)
     return jnp.fft.irfft(jnp.fft.rfft(tilts, axis=-1) * w[None, None, :],
                          n=tilts.shape[-1], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("thickness", "slab", "cutoff",
-                                             "falloff", "fake_sirt"))
+                                             "falloff", "fake_sirt",
+                                             "window", "z_shift"))
 def wbp_reconstruct(
     tilts, tilt_angles, shifts=None, thickness: int = 128,
     cutoff: float = 0.35, falloff: float = 0.05,
     tilt_weights=None, slab: int = 16, fake_sirt: int = 0,
+    window: str = "none", z_shift: float = 0.0,
 ):
     """Weighted backprojection of an aligned tilt series.
 
@@ -475,14 +496,18 @@ def wbp_reconstruct(
         from pyp_tpu.core.fft import shift_images
 
         tilts = shift_images(tilts, jnp.asarray(shifts))
-    filt = _filter_tilts(tilts, cutoff, falloff, fake_sirt)
+    filt = _filter_tilts(tilts, cutoff, falloff, fake_sirt, window)
     if tilt_weights is not None:
         # (T,) exposure/cosine weights, e.g. cos(theta) thickness correction
         filt = filt * jnp.asarray(tilt_weights)[:, None, None]
 
     cx = nx // 2
-    cz = thickness // 2
+    cz = thickness // 2 + z_shift  # +z_shift: volume slides up in z (IMOD SHIFT)
     xs = jnp.arange(nx, dtype=jnp.float32) - cx
+    # transpose once so the inner gather pulls CONTIGUOUS rows (a column
+    # of (ny, nx) is strided; gathering (nx, ny) rows is a 4 KB sequential
+    # read per index — measurably faster on HBM)
+    filt_T = jnp.swapaxes(filt, 1, 2)  # (T, nx, ny)
 
     def one_slab(z0):
         zs = z0 + jnp.arange(slab, dtype=jnp.float32) - cz  # (slab,)
@@ -493,13 +518,13 @@ def wbp_reconstruct(
             xp = jnp.clip(xprime, 0.0, nx - 1.000001)
             x0 = jnp.floor(xp).astype(jnp.int32)
             fx = xp - x0
-            img = filt[t]  # (ny, nx)
-            # gather per row: out[z, y, x] = img[y, xprime(z, x)]
-            v0 = img[:, x0.reshape(-1)].reshape(ny, slab, nx)
-            v1 = img[:, jnp.minimum(x0 + 1, nx - 1).reshape(-1)].reshape(ny, slab, nx)
-            vals = v0 * (1 - fx)[None] + v1 * fx[None]
+            imgT = filt_T[t]  # (nx, ny)
+            # out[z, y, x] = img[y, xprime(z, x)]: gather rows of imgT
+            v0 = imgT[x0.reshape(-1)].reshape(slab, nx, ny)
+            v1 = imgT[jnp.minimum(x0 + 1, nx - 1).reshape(-1)].reshape(slab, nx, ny)
+            vals = v0 * (1 - fx)[..., None] + v1 * fx[..., None]
             inb = ((xprime >= 0) & (xprime <= nx - 1)).astype(filt.dtype)
-            acc = acc + jnp.transpose(vals, (1, 0, 2)) * inb[:, None, :]
+            acc = acc + jnp.transpose(vals, (0, 2, 1)) * inb[:, None, :]
             return acc, None
 
         acc0 = jnp.zeros((slab, ny, nx), dtype=filt.dtype)

@@ -13,11 +13,13 @@ from pyp_tpu.parallel.spmd import (  # noqa: F401
 )
 
 
-def pipeline_mesh():
-    """The mesh production pipelines shard over: all local devices on one
-    ("data",) axis when more than one exists, else None (single-chip batch
-    loop). Disable with PYP_TPU_DISABLE_SPMD=1. This is the TPU-native form
-    of the reference's particle-range splits + dump-file merges
+def pipeline_mesh(params: dict | None = None):
+    """The mesh production pipelines shard over: all local devices on a
+    ("data", "model") mesh when more than one exists, else None (single-chip
+    batch loop). parallel_data/parallel_model set the axis sizes explicitly
+    (0 = data axis takes every device not claimed by the model axis).
+    Disable with PYP_TPU_DISABLE_SPMD=1. This is the TPU-native form of the
+    reference's particle-range splits + dump-file merges
     (SURVEY §2.3.4/§2.3.5)."""
     if os.environ.get("PYP_TPU_DISABLE_SPMD") == "1":
         return None
@@ -25,7 +27,11 @@ def pipeline_mesh():
 
     if len(jax.devices()) < 2:
         return None
-    return make_mesh()
+    params = params or {}
+    model = max(1, int(params.get("parallel_model") or 1))
+    data = int(params.get("parallel_data") or 0)
+    n = data * model if data > 0 else None
+    return make_mesh(n_devices=n, model=model)
 
 
 def init_distributed(coordinator: str | None = None,

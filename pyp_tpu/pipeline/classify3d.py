@@ -53,6 +53,27 @@ def classify3d_iteration(
     # class, shared across all particle batches; the per-pose gather path
     # stays selectable with refine_engine=gather) ---------------------------
     engine = str(params.get("refine_engine") or "frm")
+    # focused classification (class_focusmask "x,y,z,r" in Å — cisTEM
+    # refine3d focus sphere, SURVEY §A.1 lines 29-32): classes share the
+    # consensus density outside the sphere, so only the focus region
+    # drives the per-class scores; reconstruction keeps the raw classes
+    fm = str(params.get("class_focusmask") or "").strip()
+    score_refs = references
+    if fm and K > 1:
+        import numpy as _np
+
+        fx, fy, fz, fr = (float(v) for v in fm.replace(",", ":").split(":"))
+        n_box = references[0].shape[-1]
+        ax = _np.arange(n_box) - n_box // 2
+        r2 = ((ax[:, None, None] - fz / pixel) ** 2
+              + (ax[None, :, None] - fy / pixel) ** 2
+              + (ax[None, None, :] - fx / pixel) ** 2)
+        t = (_np.sqrt(r2) - fr / pixel) / 4.0
+        sph = (1.0 - _np.clip(t, 0.0, 1.0)).astype(_np.float32)
+        consensus = _np.mean(_np.stack([_np.asarray(r)
+                                        for r in references]), axis=0)
+        score_refs = [consensus * (1 - sph) + _np.asarray(r) * sph
+                      for r in references]
     per_class = []
     with Timer(f"classification iteration {iteration} ({K} classes)"):
         if engine == "frm":
@@ -80,7 +101,7 @@ def classify3d_iteration(
                     if has_poses else None)
             G_pts = len(cfg.radii) * cfg.n_psi
             for k in range(K):
-                bank = cfg.bank(volume_to_fourier(jnp.asarray(references[k])))
+                bank = cfg.bank(volume_to_fourier(jnp.asarray(score_refs[k])))
                 res_parts = []
                 for lo in range(0, B, batch):
                     hi = min(lo + batch, B)
@@ -101,7 +122,7 @@ def classify3d_iteration(
                     hi = min(lo + batch, B)
                     res = refine3d.refine_batch(
                         jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
-                        jnp.asarray(references[k]), pixel,
+                        jnp.asarray(score_refs[k]), pixel,
                         mode="local", init_poses=init_poses[lo:hi],
                         low_res=float(params["refine_rlref"]),
                         high_res_refine=max(
@@ -120,7 +141,15 @@ def classify3d_iteration(
     # --- occupancies from per-class log-likelihood proxies -----------------
     logp = np.stack([np.asarray(r.logp) for r in per_class], axis=1)  # (B, K)
     prior = occ_mod.update_average_occupancies(occ)
-    occ = occ_mod.occupancies_from_logp(logp, prior_occ=prior)
+    occ = occ_mod.occupancies_from_logp(
+        logp, prior_occ=prior,
+        temperature=float(params.get("class3d_tau") or 1.0))
+    # occupancy floor: keep every class minimally populated so a class
+    # cannot die in one bad iteration (reference class-merge control)
+    floor = float(params.get("class3d_occ_floor") or 0.0)
+    if floor > 0:
+        occ = np.maximum(occ, floor)
+        occ = occ / occ.sum(axis=1, keepdims=True) * 100.0
     assign = occ_mod.hard_assignments(occ)
 
     # particle keeps the pose refined against its best class
@@ -179,7 +208,8 @@ def classify3d_loop(stack, table, initial_model, params, work_dir=".",
     maps_dir = Path(work_dir) / "maps"
     maps_dir.mkdir(parents=True, exist_ok=True)
     pixel = float(params["scope_pixel"])
-    maxiter = int(params["refine_maxiter"])
+    maxiter = int(params.get("class3d_iters") or 0) or \
+        int(params["refine_maxiter"])
     start = int(params.get("refine_iter") or 2)
 
     occ = occ_mod.classification_initialization(B, K, seed=0)

@@ -94,12 +94,18 @@ def csp_swarm_one(
     grid_tols = None
     if params.get("csp_GridSearch"):
         grid_tols = {
-            0: float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
+            0: (float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
+                float(params.get("csp_ToleranceMicrographTiltAxisAngles")
+                      or 5.0)),
             3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
             5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
             4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
-            1: float(params.get("csp_ToleranceParticlesPsi") or 10.0),
-            7: float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+            1: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
+                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
+            7: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
+                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
             2: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
             6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
         }
@@ -135,6 +141,7 @@ def csp_swarm_one(
             cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
             box, modes=modes,
             iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
+            lr=float(params.get("csp_OptimizerStepLength") or 0.3),
             low_res=float(params.get("csp_rlref") or 60.0),
             high_res=max(rhref, 2.5 * pixel),
             reg_weight=float(params.get("csp_transreg") or 0.1),
@@ -145,6 +152,29 @@ def csp_swarm_one(
             grid_tols=grid_tols,
             grid_steps=int(params.get("csp_GridSearchSteps") or 9),
         )
+        if params.get("csp_rotreg"):
+            # per-tilt geometry angle regularization across the series
+            # (the reference's csp_rotreg, analysis/fit.py:330): spline-
+            # smooth tilt/axis angle tracks so one bad tilt cannot kink
+            # the geometry
+            from pyp_tpu.analysis.fit import fit_spline_trajectory
+
+            refined = refined._replace(
+                tilt_angles=jnp.asarray(fit_spline_trajectory(
+                    np.asarray(refined.tilt_angles),
+                    outlier_mads=5.0).astype(np.float32)),
+                axis_angles=jnp.asarray(fit_spline_trajectory(
+                    np.asarray(refined.axis_angles),
+                    outlier_mads=5.0).astype(np.float32)))
+
+    # per-tilt movie-frame refinement (csp_frames, the FIND axis): refine
+    # per-(particle, frame) trajectories and insert dose-weighted polished
+    # windows instead of the plain tilt-average windows
+    polished = None
+    if params.get("csp_frames") and item.get("tilt_movies") is not None:
+        polished, _traj = csp_polish_frames(
+            item["tilt_movies"], refined, defocus, ref_volume, params,
+            doses=item.get("frame_doses"))
 
     # ---- insert projections into accumulators (per-series "dump") ---------
     with Timer(f"csp reconstruction {name}"):
@@ -161,21 +191,48 @@ def csp_swarm_one(
         if params.get("reconstruct_dose_weighting_enable"):
             from pyp_tpu.core.ctf import dose_weight_2d
 
-            order = np.argsort(np.argsort(np.abs(
-                np.asarray(refined.tilt_angles))))
-            cum = (order + 1.0) * float(params.get("scope_dose_rate") or 1.0)
-            dose_env = dose_weight_2d(
-                (box, box), pixel, jnp.asarray(cum.astype(np.float32)))
+            if params.get("scope_dose_symmetric", True):
+                # dose-symmetric scheme: |angle| rank = acquisition order
+                order = np.argsort(np.argsort(np.abs(
+                    np.asarray(refined.tilt_angles))))
+            else:  # sequential acquisition (-60 -> +60)
+                order = np.arange(len(np.asarray(refined.tilt_angles)))
+            if str(params.get("dose_weight_method") or "grant") == "frame":
+                # data-driven rank-falloff envelope (reference
+                # dose_weighting_fraction/transition/multiply family)
+                from pyp_tpu.core.ctf import frame_damage_weights
 
+                ranks = order.astype(np.float32) / max(len(order) - 1, 1)
+                dose_env = frame_damage_weights(
+                    (box, box), ranks,
+                    fraction=float(params.get("dose_weight_fraction")
+                                   or 4.0),
+                    transition=float(params.get("dose_weight_transition")
+                                     or 0.75),
+                    multiply=bool(params.get("dose_weight_multiply", True)))
+            else:
+                cum = ((order + 1.0)
+                       * float(params.get("scope_dose_rate") or 1.0)
+                       + float(params.get("scope_init_dose") or 0.0))
+                dose_env = dose_weight_2d(
+                    (box, box), pixel, jnp.asarray(cum.astype(np.float32)))
+
+        r_lo = int(params.get("csp_UseImagesForReconstructionMin") or 0)
+        r_hi = int(params.get("csp_UseImagesForReconstructionMax") or -1)
+        r_lo, r_hi = max(t_lo, r_lo), (t_hi if r_hi < 0 else min(t_hi, r_hi))
         rows_R, rows_shift, rows_df, rows_sub, rows_w, wins = [], [], [], [], [], []
-        for t in range(t_lo, t_hi + 1):
+        for t in range(r_lo, r_hi + 1):
             ci = np.round(pred[t] + center).astype(np.int32)
             inb = (
                 (ci[:, 0] >= box // 2) & (ci[:, 0] < ny - box // 2)
                 & (ci[:, 1] >= box // 2) & (ci[:, 1] < nx - box // 2)
             )
             ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
-            w = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci), box)
+            if polished is not None:
+                w = jnp.asarray(polished[t])
+            else:
+                w = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci),
+                                     box)
             if dose_env is not None:
                 w = jnp.fft.irfft2(jnp.fft.rfft2(w) * dose_env[t],
                                    s=(box, box))
@@ -190,7 +247,7 @@ def csp_swarm_one(
         windows = np.concatenate(wins)
         from pyp_tpu.parallel import pipeline_mesh, sharded_accumulate_matrices
 
-        mesh = pipeline_mesh()
+        mesh = pipeline_mesh(params)
         if mesh is not None:
             # shard the (tilt x particle) projection rows across chips; one
             # psum merges the accumulators (the cspmerge reduction, §3.4)

@@ -103,6 +103,11 @@ def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
         freqs=jnp.asarray(np.arange(n_data // 2, dtype=np.float32) / n_data))
 
 
+def pixel_hint(table, params):
+    return float(table["pixel_size"][0]) if "pixel_size" in table else float(
+        params["scope_pixel"])
+
+
 def refinement_iteration(
     stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
     batch: int = 256, fsc_curve=None, ref_halves=None,
@@ -125,6 +130,17 @@ def refinement_iteration(
     )
     rhref = float(param(params["refine_rhref"], iteration))
     mode = params.get("refine_mode", "local")
+    if (fsc_curve is not None and params.get("refine_fboost")
+            and float(params.get("refine_fboostlim") or 0.0) > 0):
+        # signed-CC boost (cisTEM refine3d line 21, SURVEY §A.1): shells
+        # coarser than fboostlim keep full weight regardless of FSC
+        n_sh = len(np.asarray(fsc_curve))
+        box_sh = stack.shape[-1]
+        sh_res = box_sh * pixel_hint(table, params) / np.maximum(
+            np.arange(n_sh), 1)
+        fsc_curve = np.where(sh_res >= float(params["refine_fboostlim"]),
+                             np.maximum(np.asarray(fsc_curve), 0.999),
+                             np.asarray(fsc_curve))
     n_total = table.n_rows
     ctf_params = table_to_ctf_params(table)
     has_poses = np.any(np.abs(table_to_poses(table, pixel)[:, :3]) > 1e-6)
@@ -134,7 +150,8 @@ def refinement_iteration(
     # SURVEY §A.1): matching sees the soft-masked particle; reconstruction
     # keeps the raw images
     match_stack = stack
-    rad_a = float(params.get("particle_rad") or 0.0)
+    rad_a = float(params.get("refine_maskrad") or 0.0) or float(
+        params.get("particle_rad") or 0.0)
     if rad_a > 0:
         from pyp_tpu.core.filters import soft_circular_mask
 
@@ -151,10 +168,18 @@ def refinement_iteration(
             n_box, pixel, float(params["refine_rlref"]), max(rhref * 0.8, 2.1 * pixel)
         )
         shell_w = shell_weights_from_fsc(fsc_curve, rhref_pts, n_box)
+        rbfact = float(params.get("refine_rbfact") or 0.0)
+        if rbfact > 0:
+            # alignment-only B-factor envelope (FREALIGN RBFACT): exp(-B g²/4)
+            # over the matching band; the reconstruction stays unweighted
+            g2 = np.sum(np.asarray(rhref_pts, dtype=np.float64) ** 2, axis=1)
+            g2 = g2 / (n_box * pixel) ** 2  # (cycles/Å)²
+            shell_w = shell_w * jnp.asarray(
+                np.exp(-rbfact * g2 / 4.0), dtype=shell_w.dtype)
 
     from pyp_tpu.parallel import pipeline_mesh, reconstruct_sharded, sharded_refine_batch
 
-    mesh = pipeline_mesh()
+    mesh = pipeline_mesh(params)
     engine = str(params.get("refine_engine") or "frm")
     dang = float(param(params["refine_dang"], iteration))
     rb_kwargs = dict(
@@ -164,10 +189,13 @@ def refinement_iteration(
         high_res_search=max(rhref, 2.5 * pixel),
         high_res_refine=max(rhref * 0.8, 2.1 * pixel),
         shift_extent=float(params["refine_searchx"]),
+        shift_step=float(params.get("refine_shift_step") or 2.0),
         symmetry=str(params["particle_sym"]),
         mode="global" if global_search else "local",
         topk=int(params.get("refine_topk") or 4),
         local_iters=int(params.get("refine_local_iters") or 24),
+        lr_angles=float(params.get("refine_lr_angles") or 2.0),
+        lr_shifts=float(params.get("refine_lr_shifts") or 0.4),
         voltage_kv=float(params["scope_voltage"]),
         cs_mm=float(params["scope_cs"]),
         amplitude_contrast=float(params["scope_wgh"]),
@@ -192,21 +220,29 @@ def refinement_iteration(
                     angular_step=dang,
                     symmetry=str(params["particle_sym"]),
                     shift_extent=float(params["refine_searchx"]),
-                    shift_step=max(0.5, float(params["refine_searchx"]) / 12.0),
+                    shift_step=float(params.get("refine_frm_shift_step") or 0)
+                    or max(0.5, float(params["refine_searchx"]) / 12.0),
                     voltage_kv=float(params["scope_voltage"]),
                     cs_mm=float(params["scope_cs"]),
                     amplitude_contrast=float(params["scope_wgh"]),
                     wiener=float(params.get("refine_frm_wiener") or 0.1),
                     rounds=int(params.get("refine_frm_rounds") or 3),
                     n_psi=int(params.get("refine_frm_npsi") or 0) or None,
+                    upsample=int(params.get("refine_frm_upsample") or 4),
+                    crop_margin=int(params.get("refine_frm_crop_margin")
+                                    or 8),
                 )
+                frm_dblock = int(params.get("refine_frm_dblock") or 0) or None
+                iblow = int(params.get("refine_iblow") or 2)
                 gold = bool(params.get("refine_goldstandard")) and \
                     ref_halves is not None
                 if gold:
-                    banks = [cfg.bank(volume_to_fourier(jnp.asarray(h)))
+                    banks = [cfg.bank(volume_to_fourier(jnp.asarray(h),
+                                                        pad=iblow))
                              for h in ref_halves]
                 else:
-                    bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume)))
+                    bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume),
+                                                      pad=iblow))
                 cone = (None if global_search
                         else float(params.get("refine_frm_cone") or 20.0))
                 G_pts = len(cfg.radii) * cfg.n_psi
@@ -227,11 +263,12 @@ def refinement_iteration(
                         stack.shape[-1], pixel, float(params["refine_rlref"]),
                         max(rhref * 0.8, 2.1 * pixel)))
                     if gold:
-                        polish_refs = [volume_to_fourier(jnp.asarray(h))
+                        polish_refs = [volume_to_fourier(jnp.asarray(h),
+                                                          pad=iblow)
                                        for h in ref_halves]
                     else:
                         polish_refs = [volume_to_fourier(
-                            jnp.asarray(ref_volume))]
+                            jnp.asarray(ref_volume), pad=iblow)]
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
                     xs = np.asarray(match_stack[lo:hi])
@@ -266,7 +303,8 @@ def refinement_iteration(
                         # machinery, so cost is 2x matmuls, no recompiles)
                         outs = [frm.frm_refine(
                             xs, cp, None, cfg, bank=b, init_poses=init,
-                            prior_cone_deg=cone, fsc_curve=fsc_curve)
+                            prior_cone_deg=cone, fsc_curve=fsc_curve,
+                            d_block=frm_dblock)
                             for b in banks]
                         hsel = halves_now[lo:hi]
                         if padb:
@@ -280,17 +318,27 @@ def refinement_iteration(
                         poses, scores = frm.frm_refine(
                             xs, cp, None, cfg, bank=bank,
                             init_poses=init, prior_cone_deg=cone,
-                            fsc_curve=fsc_curve,
+                            fsc_curve=fsc_curve, d_block=frm_dblock,
                         )
                     if do_polish:
+                        # cisTEM refine_mask order (psi,theta,phi,shx,shy)
+                        # -> our pose layout (phi,theta,psi,sy,sx)
+                        rm = [float(v) for v in str(
+                            params.get("refine_mask") or "1,1,1,1,1"
+                        ).replace(":", ",").split(",")]
+                        pose_mask = (rm[2], rm[1], rm[0], rm[4], rm[3])
                         pol = [refine3d.local_refine(
                             jnp.asarray(xs), jnp.asarray(cp), F,
                             jnp.asarray(poses), polish_pts,
-                            stack.shape[-1], pixel,
+                            stack.shape[-1], pixel, pose_mask=pose_mask,
                             voltage_kv=float(params["scope_voltage"]),
                             cs_mm=float(params["scope_cs"]),
                             amplitude_contrast=float(params["scope_wgh"]),
                             iters=int(params.get("refine_local_iters") or 24),
+                            lr_angles=float(params.get("refine_lr_angles")
+                                            or 2.0),
+                            lr_shifts=float(params.get("refine_lr_shifts")
+                                            or 0.4),
                             weights=shell_w) for F in polish_refs]
                         if gold:
                             poses = jnp.where(hs == 0, pol[0][0], pol[1][0])
@@ -330,10 +378,17 @@ def refinement_iteration(
 
     with Timer(f"reconstruction iteration {iteration}"):
         poses = table_to_poses(table, pixel)
-        subset = (
-            _half_subsets(table)
-            if "assigned_subset" in table else np.arange(n_total) % 2
-        )
+        if not params.get("reconstruct_per_particle_splitting", True) and \
+                "particle_group" in table:
+            # half-set split by micrograph/film: beam-induced correlations
+            # within a micrograph stay inside one half (reference
+            # reconstruct_per_particle_splitting=False, SURVEY §A.2)
+            subset = (np.asarray(table["particle_group"]).astype(int) % 2)
+        else:
+            subset = (
+                _half_subsets(table)
+                if "assigned_subset" in table else np.arange(n_total) % 2
+            )
         weights = (
             np.asarray(table["occupancy"]) / 100.0
             if "occupancy" in table else np.ones(n_total)
@@ -346,6 +401,22 @@ def refinement_iteration(
             sc = np.asarray(table["score"])
             z = (sc - sc.mean()) / (sc.std() + 1e-6)
             weights = weights * np.exp(np.clip(bsc * z, -4.0, 1.0))
+        # FREALIGN PBC/BOFF weighting (refine/frealign card contract):
+        # weight = exp(pbc * (score - boff)/100), boff defaults to the
+        # dataset mean score; capped at 1 so it only downweights
+        pbc = float(params.get("refine_pbc") or 0.0)
+        if pbc > 0 and "score" in table:
+            sc = np.asarray(table["score"])
+            boff = float(params.get("refine_boff") or 0.0) or float(sc.mean())
+            weights = weights * np.exp(
+                np.clip(pbc * (sc - boff) / 100.0, -5.0, 0.0))
+        # score threshold (reconstruct3d score window, SURVEY §A.2):
+        # particles under the percentile contribute weight 0
+        thr_pct = float(params.get("reconstruct_score_threshold") or 0.0)
+        if thr_pct > 0 and "score" in table:
+            sc = np.asarray(table["score"])
+            weights = np.where(sc >= np.percentile(sc, thr_pct), weights, 0.0)
+        batch = int(params.get("reconstruct_batch") or batch)
         rc_kwargs = dict(
             subset=subset.astype(np.int32), weights=weights.astype(np.float32),
             symmetry=str(params["particle_sym"]),
@@ -355,6 +426,7 @@ def refinement_iteration(
             wiener=float(params.get("reconstruct_wiener") or 0.5),
             batch=batch,
             pad=int(params.get("reconstruct_pad") or 2),
+            gridding=str(params.get("reconstruct_gridding") or "trilinear"),
         )
         # reconstruct_norm: per-particle normalization ahead of insertion
         # (cisTEM reconstruct3d "normalize particles", SURVEY §A.2)
@@ -396,7 +468,9 @@ def refinement_iteration(
             out = rec.reconstruct(
                 np.asarray(rec_stack), poses, ctf_params, pixel, **rc_kwargs
             )
-    res_a = float(fsc_mod.resolution_at_threshold(out.freqs, out.fsc, pixel, 0.143))
+    res_a = float(fsc_mod.resolution_at_threshold(
+        out.freqs, out.fsc, pixel,
+        float(params.get("refine_fsc_threshold") or 0.143)))
     logger.info("iteration %d: FSC(0.143) resolution %.2f Å", iteration, res_a)
     return table, out, res_a
 
@@ -464,7 +538,10 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
                 voltage_kv=float(params["scope_voltage"]),
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
-                high_res=max(rhref, 2.5 * pixel),
+                low_res=float(params.get("refine_beamtilt_rlref") or 20.0),
+                high_res=max(rhref, 2.5 * pixel,
+                             float(params.get("refine_beamtilt_rhref")
+                                   or 4.0)),
             )
             stack = np.asarray(r3.correct_beam_tilt(
                 np.asarray(stack), float(tx), float(ty), pixel,
@@ -475,6 +552,45 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             beam_tilt_done = True
             logger.info("beam tilt: (%.2e, %.2e) rad estimated and corrected",
                         float(tx), float(ty))
+        if params.get("refine_fdef") and it > start:
+            # per-particle defocus refinement at fixed pose (cisTEM
+            # refine_ctf, reference frealign.py:4350): symmetric defocus
+            # sweep + parabolic sub-step, batched to bound HBM
+            import jax.numpy as jnp
+
+            from pyp_tpu.ops import refine3d as r3
+            from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+            rhref = float(param(params["refine_rhref"], it))
+            Fref_d = volume_to_fourier(jnp.asarray(
+                np.asarray(recon.volume, dtype=np.float32)))
+            pts_d = r3.make_mask_points(
+                stack.shape[-1], pixel, float(params["refine_rlref"]),
+                max(rhref, 2.5 * pixel))
+            cp_all = table_to_ctf_params(table)
+            poses_all = table_to_poses(table, pixel)
+            bsz = int(params.get("reconstruct_batch") or 256)
+            new_cp = []
+            for lo in range(0, len(stack), bsz):
+                hi = min(lo + bsz, len(stack))
+                cp_b, _sc = r3.refine_defocus(
+                    jnp.asarray(np.asarray(stack[lo:hi])),
+                    jnp.asarray(cp_all[lo:hi]), Fref_d,
+                    jnp.asarray(poses_all[lo:hi]), pts_d,
+                    stack.shape[-1], pixel,
+                    search_range=float(params.get("refine_def_range")
+                                       or 500.0),
+                    n_steps=int(params.get("refine_def_steps") or 21),
+                    voltage_kv=float(params["scope_voltage"]),
+                    cs_mm=float(params["scope_cs"]),
+                    amplitude_contrast=float(params["scope_wgh"]))
+                new_cp.append(np.asarray(cp_b))
+            new_cp = np.concatenate(new_cp, axis=0)
+            d_off = new_cp[:, 0] - np.asarray(cp_all)[:, 0]
+            table["defocus_1"] = np.asarray(table["defocus_1"]) + d_off
+            table["defocus_2"] = np.asarray(table["defocus_2"]) + d_off
+            logger.info("defocus refinement: median |Δdf| %.1f Å",
+                        float(np.median(np.abs(d_off))))
         fsc_curve = np.asarray(recon.fsc)
         ref = recon.volume
         mrc.write(np.asarray(ref, dtype=np.float32),
@@ -494,6 +610,23 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
         if web.exists:
             web.write_reconstruction(dataset, it, res_a,
                                      fsc=np.asarray(recon.fsc).tolist())
+    if params.get("refine_fmatch"):
+        # matching projections at the final poses (cisTEM refine3d
+        # fmatch output, SURVEY §A.1 line 43) — visual pose QC
+        from pyp_tpu.ops.fourier_slice import project_real
+
+        poses_f = table_to_poses(table, pixel)
+        match = []
+        for lo in range(0, table.n_rows, 512):
+            hi = min(lo + 512, table.n_rows)
+            match.append(np.asarray(project_real(
+                np.asarray(ref, dtype=np.float32),
+                poses_f[lo:hi, 0], poses_f[lo:hi, 1], poses_f[lo:hi, 2]),
+                dtype=np.float32))
+        mrc.write(np.concatenate(match), maps_dir / f"{dataset}_match.mrc",
+                  pixel_size=pixel)
+        logger.info("matching projections written to %s",
+                    maps_dir / f"{dataset}_match.mrc")
     return table, ref, history
 
 

@@ -53,7 +53,10 @@ def load_movie(path, params=None):
         from pyp_tpu.io import eer
 
         groups = int(params.get("movie_eer_frames") or 40)
-        return eer.read(path, frame_groups=groups).astype(np.float32)
+        return eer.read(
+            path, frame_groups=groups,
+            upsampling=int(params.get("data_eer_upsampling") or 1),
+        ).astype(np.float32)
     if path.endswith((".dm3", ".dm4")):
         from pyp_tpu.io import dm
 
@@ -66,6 +69,22 @@ def load_movie(path, params=None):
 
 
 def apply_gain(frames, params):
+    if params.get("data_flipy"):
+        frames = frames[:, ::-1]
+    defects = str(params.get("gain_defects_file") or "")
+    if defects:
+        # camera defect list: rows "x y [w h]" (SerialEM/IMOD defect text);
+        # defect pixels are unusable counts — replace with the per-frame
+        # median so they neither bias the gain nor trip the hot-pixel pass
+        med = np.median(frames, axis=(1, 2))
+        for line in open(defects):
+            row = line.split()
+            if not row or row[0].startswith("#"):
+                continue
+            x, y = int(float(row[0])), int(float(row[1]))
+            w = int(float(row[2])) if len(row) > 2 else 1
+            h = int(float(row[3])) if len(row) > 3 else 1
+            frames[:, y:y + h, x:x + w] = med[:, None, None]
     gain_path = params.get("gain_reference") or ""
     if not gain_path:
         return frames
@@ -113,12 +132,18 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
 
                 from pyp_tpu.ops.pick import remove_hot_pixels
 
-                frames = np.asarray(remove_hot_pixels(_jnp.asarray(frames)))
+                frames = np.asarray(remove_hot_pixels(
+                    _jnp.asarray(frames),
+                    sigmas=float(params.get("data_hot_sigma") or 8.0)))
             first = int(params.get("movie_first") or 0)
             last = int(params.get("movie_last") or -1)
             if last < 0:
                 last = frames.shape[0]
             frames = frames[first:last]
+            grp = int(params.get("movie_group") or 1)
+            if grp > 1:  # frame grouping (dose fractionation rebinning)
+                nf = (frames.shape[0] // grp) * grp
+                frames = frames[:nf].reshape(-1, grp, *frames.shape[1:]).mean(1)
             if params.get("data_invert"):
                 frames = -frames
         return frames
@@ -128,13 +153,17 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
         with Timer("movie alignment"):
             f = jnp.asarray(get_frames())
             dose = float(params.get("scope_dose_rate") or 1.0)
-            doses = jnp.arange(1, f.shape[0] + 1) * dose
+            doses = (float(params.get("scope_init_dose") or 0.0)
+                     + jnp.arange(1, f.shape[0] + 1) * dose)
             # camera-sized movies (K3: 40x4096^2) exceed the 16 GB chip with
             # the whole-stack FFT pipeline; switch to the binned+scan path
-            large = f.size > 300_000_000
+            large = f.size > int(params.get(
+                "movie_large_threshold_mpix") or 300) * 1_000_000
             if large:
                 res = motion.align_movie_large(
-                    f, pixel_size=pixel, binning=2, doses=doses,
+                    f, pixel_size=pixel,
+                    binning=int(params.get("movie_align_bin") or 2),
+                    doses=doses,
                     dose_weighted=bool(params.get("movie_weights")),
                     bfactor=float(params["movie_bfactor"]),
                     max_iters=int(params["movie_iters"]),
@@ -150,10 +179,10 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                     f,
                     patch_grid=(p, p),
                     pixel_size=pixel,
-                    bfactor=float(params["movie_bfactor"]),
-                    max_iters=int(params["movie_iters"]),
+                    bfactor=float(params.get("movie_patch_bfactor") or 500.0),
+                    max_iters=int(params.get("movie_patch_iters") or 6),
                     search_radius=float(params["movie_search"]),
-                    smooth_order=int(params["movie_smooth_order"]),
+                    smooth_order=int(params.get("movie_patch_smooth") or 3),
                 )
                 meta["patch_shifts"] = np.asarray(patch_shifts)
                 if params.get("movie_weights"):
@@ -168,6 +197,7 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                     max_iters=int(params["movie_iters"]),
                     search_radius=float(params["movie_search"]),
                     smooth_order=int(params["movie_smooth_order"]),
+                    ref=str(params.get("movie_ref") or "average"),
                 )
                 if params.get("movie_weights"):
                     avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)
@@ -208,6 +238,10 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                     model = dn.train_denoiser(
                         [even], [odd],
                         steps=int(params.get("denoise_epochs") or 60),
+                        lr=float(params.get("denoise_lr") or 1e-3),
+                        patch=int(params.get("denoise_patch") or 64),
+                        batch=int(params.get("denoise_batch") or 16),
+                        seed=int(params.get("denoise_seed") or 0),
                         features=(16, 32))
                     _spr_denoiser_cache["model"] = model
                 meta["denoised"] = np.asarray(
@@ -221,9 +255,13 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
         with Timer("CTF estimation"):
             import jax.numpy as jnp
 
-            fit = ctf_fit.fit_ctf_micrograph(
-                jnp.asarray(average), pixel,
+            power = ctf_fit.periodogram(
+                jnp.asarray(average),
                 tile=min(int(params["ctf_tile"]), min(average.shape)),
+                overlap=float(params.get("ctf_tile_overlap") or 0.5),
+            )
+            fit = ctf_fit.fit_ctf(
+                power, pixel,
                 dfmin=float(params["ctf_min_def"]),
                 dfmax=float(params["ctf_max_def"]),
                 dfstep=float(params["ctf_fstep"]),
@@ -232,11 +270,61 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                 fit_astigmatism=bool(params["ctf_use_ast"]),
                 max_astig=float(params["ctf_dast"]),
                 fit_phase=bool(params["ctf_use_phs"]),
+                phase_min=float(params.get("ctf_phase_min") or 0.0),
+                phase_max=float(params.get("ctf_phase_max") or 3.1416),
+                phase_steps=int(params.get("ctf_phase_steps") or 14),
+                n_g=int(params.get("ctf_polar_rings") or 384),
+                n_theta=int(params.get("ctf_polar_angles") or 64),
+                lowres_1d=float(params.get("ctf_lowres_1d") or 8.0),
+                bg_sigma=float(params.get("ctf_bg_sigma") or 6.0),
             )
             meta["ctf"] = np.array([
                 float(fit.df1), float(fit.df2), float(fit.angast),
                 float(fit.phase_shift), float(fit.cc), float(fit.fit_res),
             ])
+            # CTFFIND-style diagnostics (reference ctf/core.py avgrot/.ctf
+            # outputs): 1D rotational average table + fitted model
+            g, radial, norm_radial, model = ctf_fit.avgrot(
+                power, pixel, fit,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                w=float(params["scope_wgh"]),
+                n_bins=int(params.get("ctf_avgrot_bins") or 256))
+            meta["ctf_avgrot"] = np.stack([g, radial, norm_radial, model])
+            if params.get("ctf_determine_thickness"):
+                # sample-thickness node fit (ctffind5 role)
+                t, t_cc = ctf_fit.fit_thickness(
+                    power, pixel, fit,
+                    voltage_kv=float(params["scope_voltage"]),
+                    cs_mm=float(params["scope_cs"]),
+                    amplitude_contrast=float(params["scope_wgh"]),
+                    min_res=float(params["ctf_min_res"]),
+                    max_res=float(params["ctf_max_res"]),
+                    t_max=float(params.get("ctf_thickness_max") or 1000.0),
+                    n_steps=int(params.get("ctf_thickness_steps") or 51))
+                meta["ctf_thickness"] = np.array(
+                    [float(t), float(np.max(np.asarray(t_cc)))])
+            if params.get("ctf_use_lcl"):
+                # per-region fits -> defocus plane for per-particle defocus
+                # interpolation at extraction (ctf/core.py:715)
+                g = max(2, int(params.get("ctf_lcl_grid") or 2))
+                _fits, plane = ctf_fit.fit_ctf_local(
+                    average, pixel, grid=(g, g),
+                    tile=min(int(params["ctf_tile"]) // 2,
+                             min(average.shape) // g),
+                    dfmin=float(params["ctf_min_def"]),
+                    dfmax=float(params["ctf_max_def"]),
+                    dfstep=float(params["ctf_fstep"]),
+                    min_res=float(params["ctf_min_res"]),
+                    max_res=float(params["ctf_max_res"]))
+                meta["ctf_plane"] = np.asarray(plane, dtype=np.float64)
+            diag = ctf_fit.diagnostic_image(
+                power, pixel, fit,
+                voltage_kv=float(params["scope_voltage"]),
+                cs_mm=float(params["scope_cs"]),
+                w=float(params["scope_wgh"]),
+                size=int(params.get("ctf_diag_size") or 512))
+            meta["ctf_diag"] = np.asarray(diag, dtype=np.float32)
     ctf_vec = meta["ctf"]
     summary["df1"], summary["df2"] = float(ctf_vec[0]), float(ctf_vec[1])
     summary["ctf_fit_res"] = float(ctf_vec[5])
@@ -257,7 +345,8 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             from pyp_tpu.models.unet import UNet2D
 
             radius_px = max(4, int(float(params["detect_rad"]) / pixel))
-            model_path = _Path(work_dir) / "picker_model.npz"
+            model_path = _Path(str(params.get("detect_nn_model") or "")
+                               or _Path(work_dir) / "picker_model.npz")
             net = UNet2D(features=(8, 16, 32), out_channels=1)
             patch = 128
             template = net.init(jax.random.PRNGKey(0),
@@ -268,7 +357,8 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                                           radius_px=radius_px)
             heat = nn_picker.infer_heatmap(model, pick_image, features=(8, 16, 32))
             coords, vals, valid = nn_picker.pick_from_heatmap(
-                heat, radius_px, threshold=0.3,
+                heat, radius_px,
+                threshold=float(params.get("detect_nn_threshold") or 0.3),
                 max_picks=int(params["detect_max"]))
             coords, vals = coords[valid], vals[valid]
             meta["box"] = np.concatenate([coords, vals[:, None]], axis=1)
@@ -277,13 +367,35 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             import jax.numpy as jnp
 
             radius_px = max(4, int(float(params["detect_rad"]) / pixel))
+            if params.get("detect_gold_erase"):
+                # gold fiducials outshine particles; erase before picking
+                # (reference erase_gold_beads, preprocess/core.py:995)
+                gold_px = max(2, int(float(params.get("detect_gold_rad")
+                                           or 50.0) / pixel))
+                g = pick.detect_gold_beads(
+                    jnp.asarray(pick_image), bead_radius_px=gold_px,
+                    max_beads=int(params.get("detect_gold_max") or 256),
+                    threshold_sigma=float(params.get("detect_gold_thresh")
+                                          or 5.0))
+                pick_image = np.asarray(pick.erase_blobs(
+                    jnp.asarray(pick_image), g.coords, g.valid,
+                    1.5 * gold_px))
             res = pick.pick_particles(
                 jnp.asarray(pick_image),
                 particle_radius_px=radius_px,
                 max_picks=int(params["detect_max"]),
                 min_distance_px=int(float(params["detect_dist"]) or radius_px),
                 threshold_sigma=float(params["detect_thresh"]),
-                edge_px=int(params["extract_box"]) // 2,
+                edge_px=int(params.get("detect_edge") or 0)
+                or int(params["extract_box"]) // 2,
+                invert=bool(params.get("detect_invert", True)),
+                mask_contamination=bool(
+                    params.get("detect_contamination", True)),
+                band_low=float(params.get("detect_band_low") or 6.0),
+                band_high=float(params.get("detect_band_high") or 1.5),
+                disk_frac=float(params.get("detect_disk_frac") or 0.5),
+                cont_sigma=float(params.get("detect_cont_sigma") or 8.0),
+                cont_scale=float(params.get("detect_cont_scale") or 4.0),
             )
             valid = np.asarray(res.valid)
             coords = np.asarray(res.coords)[valid]
@@ -329,7 +441,8 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
         stack = ex.extract_particles(
             jnp.asarray(meta["average"]), jnp.asarray(coords), box * ebin,
             invert=bool(params.get("extract_inv", True)),
-            subpixel=True,
+            normalize=bool(params.get("extract_norm", True)),
+            subpixel=bool(params.get("extract_subpixel", True)),
         )
         if ebin > 1:
             from pyp_tpu.core.fft import fourier_crop
@@ -337,8 +450,18 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
             stack = fourier_crop(stack, (box, box))
         all_imgs.append(np.asarray(stack, dtype=np.float32))
         ctf_vec = meta["ctf"] if meta.is_done("ctf") else np.zeros(6)
-        for c in coords:
-            rows.append((film, c[0], c[1], ctf_vec[0], ctf_vec[1], ctf_vec[2]))
+        if meta.is_done("ctf_plane"):
+            # per-particle defocus from the local plane fit (ctf_use_lcl):
+            # offset df1/df2 by (plane(y,x) - plane mean defocus)
+            from pyp_tpu.ops.ctf_fit import defocus_at_positions
+
+            d_local = defocus_at_positions(meta["ctf_plane"], coords)
+            d_off = d_local - 0.5 * (ctf_vec[0] + ctf_vec[1])
+        else:
+            d_off = np.zeros(len(coords))
+        for c, do in zip(coords, d_off):
+            rows.append((film, c[0], c[1], ctf_vec[0] + do, ctf_vec[1] + do,
+                         ctf_vec[2]))
         film += 1
     if not all_imgs:
         return None, None
@@ -346,6 +469,8 @@ def extract_stack(items, params, work_dir=".", out_stack="stack.mrc"):
     if str(params.get("extract_fmt") or "mrc") == "mrcs" and \
             out_stack.endswith(".mrc"):
         out_stack += "s"  # RELION-style stack naming
+    if params.get("extract_float16"):
+        stack = stack.astype(np.float16)
     mrc.write(stack, Path(work_dir) / out_stack, pixel_size=pixel)
 
     n = len(rows)

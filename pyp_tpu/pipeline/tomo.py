@@ -118,6 +118,12 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     if excl is None:
         raw = str(params.get("tomo_ali_exclude") or "").strip()
         excl = [int(x) for x in raw.split(":") if x] if raw else []
+    # angular exclusion window (reference tilt range controls)
+    lo_a = float(params.get("tomo_min_tilt", -90.0))
+    hi_a = float(params.get("tomo_max_tilt", 90.0))
+    if lo_a > -90.0 or hi_a < 90.0:
+        excl = sorted(set(excl) | {
+            int(i) for i in np.where((angles < lo_a) | (angles > hi_a))[0]})
     if excl:
         keep = np.setdiff1d(np.arange(len(angles)), np.asarray(excl, dtype=int))
         tilts = tilts[keep]
@@ -137,12 +143,17 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     # ---- tilt-series alignment -------------------------------------------
     if not meta.is_done("xf") and params.get("tomo_ali_method") != "skip":
         with Timer("tilt-series alignment"):
-            shifts = tomo.prealign_tilt_series(jnp.asarray(tilts_b), angles)
+            shifts = tomo.prealign_tilt_series(
+                jnp.asarray(tilts_b), angles,
+                bp_low=float(params.get("tomo_ali_bp_low") or 0.01),
+                bp_high=float(params.get("tomo_ali_bp_high") or 0.2))
             # gold-fiducial path (primary when beads are present, reference
             # align/core.py:5679-5726): bead tracking + robust model solve
             fid_nm = float(params.get("tomo_ali_fiducial") or 0.0)
             fid_done = False
-            axis_angle = 0.0
+            # nominal axis from the microscope config: the fallback when
+            # neither beads nor patches constrain it
+            axis_angle = float(params.get("scope_tilt_axis") or 0.0)
             if fid_nm > 0:
                 bead_radius_px = max(2.0, fid_nm * 10.0 / (2.0 * pixel_b))
                 try:
@@ -150,6 +161,7 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         jnp.asarray(tilts_b), angles,
                         bead_radius_px=bead_radius_px,
                         max_beads=int(params.get("tomo_ali_fiducial_n") or 40),
+                        min_beads=int(params.get("tomo_ali_min_beads") or 4),
                     )
                     shifts = -np.asarray(model.shifts)
                     axis_angle = float(model.axis_angle)
@@ -173,7 +185,9 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                 centers = np.array([(y, x) for y in ys for x in xs], dtype=np.float32)
                 tracks = tomo.track_patches(jnp.asarray(tilts_b), shifts, angles,
                                             centers, patch_size=ps)
-                model = tomo.solve_projection_model(tracks, angles, (ny, nx))
+                model = tomo.solve_projection_model(
+                    tracks, angles, (ny, nx),
+                    iters=int(params.get("tomo_ali_model_iters") or 5))
                 shifts = -np.asarray(model.shifts)
                 axis_angle = float(model.axis_angle)
                 summary["align_residual_px"] = float(model.residual) * binning
@@ -240,7 +254,9 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                     if order is None:
                         order = np.argsort(np.argsort(np.abs(angles)))
                     dose_per = float(params.get("scope_dose_rate") or 1.0)
-                    cum = (np.asarray(order, dtype=np.float32) + 1.0) * dose_per
+                    cum = (float(params.get("scope_init_dose") or 0.0)
+                           + (np.asarray(order, dtype=np.float32) + 1.0)
+                           * dose_per)
                 cum = np.asarray(cum, dtype=np.float32)
                 w = dose_weight_2d(t2.shape[-2:], pixel * binning * rec_bin,
                                    jnp.asarray(cum))
@@ -248,6 +264,50 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                     jnp.fft.rfft2(jnp.asarray(t2)) * w, s=t2.shape[-2:]),
                     dtype=np.float32)
                 summary["dose_weighted"] = True
+            erase_a = float(params.get("tomo_rec_erase_rad") or 0.0)
+            if erase_a > 0:
+                # gold erasure before backprojection (the reference's
+                # ccderaser pass, merge/core.py:309): detect beads per
+                # tilt and median-fill their disks
+                from pyp_tpu.ops import pick as _pick
+
+                er_px = max(2, int(erase_a / (pixel * binning * rec_bin)))
+                t2 = np.stack([np.asarray(_pick.erase_blobs(
+                    jnp.asarray(t2[i]),
+                    *(lambda g: (g.coords, g.valid))(_pick.detect_gold_beads(
+                        jnp.asarray(t2[i]), bead_radius_px=er_px)),
+                    1.5 * er_px)) for i in range(t2.shape[0])])
+            # defocus handedness + depth-dependent CTF correction (IMOD
+            # ctfphaseflip / reference ctf/core.py:1935 detect_handedness):
+            # both consume the per-tilt CTF fits; tilts here are already
+            # rotated so the tilt axis is vertical -> axis_angle = 0
+            if meta.is_done("ctf") and np.asarray(meta["ctf"]).ndim == 2:
+                ctf_t = np.asarray(meta["ctf"], dtype=np.float32)
+                df_axis = 0.5 * (ctf_t[:, 0] + ctf_t[:, 1])
+                eff_px = pixel * binning * rec_bin
+                if params.get("tomo_hand_detect"):
+                    hand, grads = tomo.detect_handedness(
+                        t2, angles, df_axis, eff_px,
+                        voltage_kv=float(params["scope_voltage"]),
+                        cs_mm=float(params["scope_cs"]),
+                        w=float(params["scope_wgh"]),
+                        min_tilt=float(params.get("tomo_hand_min_tilt")
+                                       or 20.0),
+                        df_range=float(params.get("tomo_hand_df_range")
+                                       or 8000.0),
+                        df_step=float(params.get("tomo_hand_df_step")
+                                      or 250.0))
+                    summary["handedness"] = int(hand)
+                if params.get("tomo_rec_ctf_correct"):
+                    t2 = np.asarray(tomo.ctf_correct_tilts(
+                        jnp.asarray(t2), jnp.asarray(angles),
+                        jnp.asarray(df_axis), eff_px,
+                        voltage_kv=float(params["scope_voltage"]),
+                        cs_mm=float(params["scope_cs"]),
+                        amplitude_contrast=float(params["scope_wgh"]),
+                        n_bands=int(params.get("tomo_rec_ctf_bands") or 20),
+                    ), dtype=np.float32)
+                    summary["ctf_corrected"] = True
             xf = meta["xf"] if meta.is_done("xf") else np.zeros((len(angles), 3))
             shifts_r = xf[:, :2] / (binning * rec_bin)
             if str(params.get("tomo_rec_method") or "wbp") == "sart":
@@ -267,13 +327,18 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                     thickness=thickness,
                     cutoff=float(params.get("tomo_rec_filter_cutoff") or 0.35),
                     falloff=float(params.get("tomo_rec_filter_falloff") or 0.05),
-                    slab=min(16, thickness),
+                    slab=min(int(params.get("tomo_rec_slab") or 16), thickness),
                     fake_sirt=int(params.get("tomo_rec_fake_sirt") or 0),
+                    window=str(params.get("tomo_rec_filter_window")
+                               or "none"),
+                    z_shift=float(params.get("tomo_rec_zshift") or 0.0),
                 )
             from pyp_tpu.io import mrc
 
             rec_path = f"{work_dir}/{name}.rec.mrc"
-            mrc.write(np.asarray(recon, dtype=np.float32), rec_path,
+            rec_dtype = (np.float16 if params.get("tomo_rec_float16")
+                         else np.float32)
+            mrc.write(np.asarray(recon, dtype=rec_dtype), rec_path,
                       pixel_size=pixel * binning * rec_bin)
             meta["rec_done"] = np.array([1])
             summary["tomogram"] = rec_path
@@ -291,13 +356,17 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         h1, h2 = tomo.wbp_reconstruct_halves(
                             jnp.asarray(t2), jnp.asarray(angles),
                             shifts=jnp.asarray(shifts_r.astype(np.float32)),
-                            thickness=thickness, slab=min(16, thickness),
+                            thickness=thickness,
+                            slab=min(int(params.get("tomo_rec_slab") or 16),
+                                     thickness),
                         )
                         model = dn.train_denoiser(
                             [np.asarray(h1)], [np.asarray(h2)],
                             steps=steps, lr=lr,
-                            patch=min(64, thickness,
-                                      int(t2.shape[-1])),
+                            batch=int(params.get("denoise_batch") or 16),
+                            seed=int(params.get("denoise_seed") or 0),
+                            patch=min(int(params.get("denoise_patch") or 64),
+                                      thickness, int(t2.shape[-1])),
                         )
                         den = dn.denoise_tomogram(model, np.asarray(recon))
                     else:  # missing-wedge restoration
@@ -305,6 +374,8 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                             [np.asarray(recon)],
                             tilt_max_deg=float(np.abs(angles).max()),
                             steps=steps, lr=lr,
+                            batch=int(params.get("denoise_batch") or 16),
+                            seed=int(params.get("denoise_seed") or 0),
                             patch=min(32, thickness),
                         )
                         den = dn.restore_wedge(model, np.asarray(recon))
@@ -396,7 +467,13 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                 continue
             pts, normals, rr = tm.refine_surface_sh(
                 recon, c, float(r), n_points=n_pts,
-                l_max=int(params.get("tomo_vir_lmax") or 4))
+                l_max=int(params.get("tomo_vir_lmax") or 4),
+                iters=int(params.get("tomo_vir_sh_iters") or 80),
+                lr=float(params.get("tomo_vir_sh_lr") or 0.3),
+                smoothness=float(params.get("tomo_vir_sh_smoothness")
+                                 or 0.05),
+                search=float(params.get("tomo_vir_search_band") or 0.3),
+                n_radial=int(params.get("tomo_vir_radial_samples") or 31))
             vir_rows.append((*c, float(np.mean(rr)), float(s)))
             for p in pts:
                 coords.append((p[0], p[1], p[2], float(s)))
@@ -429,7 +506,10 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
         for z in range(recon.shape[0]):
             res = pick.pick_particles(
                 jnp.asarray(recon[z]), particle_radius_px=rad_px,
-                max_picks=64, threshold_sigma=4.0, edge_px=rad_px,
+                max_picks=int(params.get("tomo_spk_slab_max") or 64),
+                threshold_sigma=float(params.get("tomo_spk_slab_thresh")
+                                      or 4.0),
+                edge_px=rad_px,
                 invert=False,
             )
             valid = np.asarray(res.valid)
@@ -437,6 +517,18 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                                  np.asarray(res.scores)[valid]):
                 coords.append((z, y, x, s))
     box = np.asarray(coords, dtype=np.float32).reshape(-1, 4)
+    # min-distance NMS across all picks (slab picking produces
+    # near-duplicates at adjacent z): greedy by score, the reference's
+    # detect dist behavior in 3D. Surface points are a mesh, not
+    # duplicates — NMS only when explicitly requested there.
+    dist_px = float(params.get("tomo_spk_dist") or 0.0) / eff_pixel
+    if dist_px <= 0 and method == "auto":
+        dist_px = 2.0 * rad_px
+    if len(box) > 1 and dist_px > 0:
+        from pyp_tpu.analysis.scores import remove_duplicates
+
+        keep = remove_duplicates(box[:, :3], box[:, 3], dist_px)
+        box = box[keep]
     return box, vir
 
 

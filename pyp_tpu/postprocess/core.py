@@ -108,7 +108,7 @@ def guinier_bfactor(vol, pixel_size, min_res=10.0, max_res=None):
 
 
 def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
-                fsc_curve=None):
+                fsc_curve=None, guinier_min_res: float = 10.0):
     """Sharpen: apply -B (auto if None), optional Cref FSC weighting, and a
     cosine lowpass at `resolution`."""
     from pyp_tpu.core.filters import lowpass_filter_3d
@@ -116,7 +116,8 @@ def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
     vol = jnp.asarray(vol)
     n = vol.shape[-1]
     if bfactor is None:
-        bfactor = float(guinier_bfactor(vol, pixel_size))
+        bfactor = float(guinier_bfactor(vol, pixel_size,
+                                        min_res=guinier_min_res))
         logger.info("auto B-factor: %.1f Å²", bfactor)
     F = jnp.fft.rfftn(vol)
     fz = jnp.fft.fftfreq(n, d=pixel_size).reshape(n, 1, 1)
@@ -155,14 +156,24 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         soft_px=int(params.get("sharpen_mask_soft") or 6),
         mw_kda=float(params.get("particle_mw") or 0.0),
     )
-    freqs, curve = masked_fsc(half1, half2, mask, pixel)
-    res = float(fsc_mod.resolution_at_threshold(freqs, curve, pixel, 0.143))
+    freqs, curve = masked_fsc(
+        half1, half2, mask, pixel,
+        rand_res_a=float(params.get("sharpen_rand_res") or 10.0))
+    res = float(fsc_mod.resolution_at_threshold(
+        freqs, curve, pixel,
+        float(params.get("sharpen_fsc_cut") or 0.143)))
     combined = (half1 + half2) * 0.5
     bfac_user = float(params.get("sharpen_bfactor") or 0.0)
-    sharp, bfac = sharpen_map(combined, pixel, resolution=res, fsc_curve=curve,
-                              bfactor=bfac_user if bfac_user else None)
+    sharp, bfac = sharpen_map(
+        combined, pixel,
+        resolution=(res if params.get("sharpen_final_lowpass", True)
+                    else None),
+        fsc_curve=(curve if params.get("sharpen_fsc_weight", True) else None),
+        bfactor=bfac_user if bfac_user else None,
+        guinier_min_res=float(params.get("sharpen_bfac_lowres") or 10.0))
     out_map = maps_dir / f"{dataset}_sharpened.mrc"
-    mrc.write(np.asarray(sharp * mask, dtype=np.float32), out_map, pixel_size=pixel)
+    out_vol = sharp * mask if params.get("sharpen_apply_mask", True) else sharp
+    mrc.write(np.asarray(out_vol, dtype=np.float32), out_map, pixel_size=pixel)
     np.savetxt(
         maps_dir / f"{dataset}_fsc_masked.txt",
         np.stack([np.asarray(freqs) / pixel, np.asarray(curve)], 1),

@@ -83,6 +83,8 @@ def select_executor(params: dict):
             gres=str(params.get("slurm_gres") or ""),
             submit_via="ssh" if params.get("slurm_host") else "local",
             host=str(params.get("slurm_host") or ""),
+            account=str(params.get("slurm_account") or ""),
+            qos=str(params.get("slurm_qos") or ""),
         )
     return "local", LocalExecutor(
         max_workers=int(params.get("slurm_tasks") or 1))
@@ -99,6 +101,25 @@ def worker_command(payload: Path) -> str:
     return f"{shlex.quote(sys.executable)} -m pyp_tpu.cli worker {shlex.quote(str(payload.resolve()))}"
 
 
+def submit_training(mode: str, params: dict, argv: list[str]) -> dict:
+    """Single sbatch for an NN training mode (sprtrain/tomotrain): the
+    reference submits training to its gpu tier (system/slurm.py:446); here
+    the tier is -slurm_train_walltime / -slurm_train_gres (e.g. tpu:1)."""
+    ex = select_executor(params)[1]
+    assert isinstance(ex, SlurmExecutor)
+    ex.walltime = str(params.get("slurm_train_walltime")
+                      or params.get("slurm_walltime") or "24:00:00")
+    if params.get("slurm_train_gres"):
+        ex.gres = str(params["slurm_train_gres"])
+    sd = Path(ex.script_dir)
+    payload = _payload(sd, f"{mode}_train", mode,
+                       strip_slurm_flags(list(argv)))
+    script = ex.write_array_script(mode, [worker_command(payload)])
+    jid = ex.sbatch(script)
+    return {"scripts": [str(script)], "job_ids": [j for j in (jid,) if j],
+            "n_items": 1}
+
+
 def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
                  item_flag: str = "data_path") -> dict:
     """Emit (and optionally sbatch) the swarm array + dependent merge for a
@@ -111,6 +132,27 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
     """
     ex: SlurmExecutor = select_executor(params)[1]
     assert isinstance(ex, SlurmExecutor)
+    # per-stage resource tiers (the reference's slurm task-type tiers,
+    # system/slurm.py:446-540): these override the generic values for this
+    # stage's array
+    tiers = {
+        "spr": ("slurm_spr_walltime", "slurm_spr_tasks", "slurm_spr_memory"),
+        "tomo": ("slurm_tomo_walltime", "slurm_tomo_tasks",
+                 "slurm_tomo_memory"),
+        "csp": ("slurm_csp_walltime", "slurm_csp_tasks", "slurm_csp_memory"),
+        "classify2d": ("slurm_class_walltime", "slurm_class_tasks",
+                       "slurm_class_memory"),
+        "classify3d": ("slurm_class_walltime", "slurm_class_tasks",
+                       "slurm_class_memory"),
+    }
+    wt_key, tasks_key, mem_key = tiers.get(
+        mode, (f"slurm_{mode}_walltime", f"slurm_{mode}_tasks",
+               f"slurm_{mode}_memory"))
+    tier_wt = str(params.get(wt_key) or "")
+    if params.get(tasks_key):
+        ex.tasks = int(params[tasks_key])
+    if params.get(mem_key):
+        ex.memory_gb = int(params[mem_key])
     sd = Path(ex.script_dir)
     argv = strip_slurm_flags(list(argv))  # workers must not re-submit
     commands = []
@@ -119,7 +161,7 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
         payload = _payload(sd, f"{mode}_{i:05d}", mode,
                            list(argv) + [f"-{item_flag}", path])
         commands.append(worker_command(payload))
-    ex.walltime = scale_walltime(
+    ex.walltime = tier_wt or scale_walltime(
         str(params.get("slurm_walltime") or "4:00:00"), len(items),
         ex.bundle)
     script = ex.write_array_script(f"{mode}swarm", commands)
@@ -127,6 +169,10 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
     # dependent merge: full mode re-run (resume-aware -> reduce only)
     merge_payload = _payload(sd, f"{mode}_merge", mode, list(argv))
     ex.walltime = str(params.get("slurm_merge_walltime") or "48:00:00")
+    if params.get("slurm_merge_tasks"):
+        ex.tasks = int(params["slurm_merge_tasks"])
+    if params.get("slurm_merge_memory"):
+        ex.memory_gb = int(params["slurm_merge_memory"])
     merge_script = ex.write_array_script(
         f"{mode}merge", [worker_command(merge_payload)],
         dependency=jid)

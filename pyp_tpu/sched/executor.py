@@ -149,7 +149,8 @@ class SlurmExecutor:
     def __init__(self, script_dir="swarm", queue="", walltime="24:00:00",
                  tasks: int = 1, memory_gb: int = 16, bundle: int = 1,
                  submit: bool = False, gres: str = "",
-                 submit_via: str = "local", host: str = ""):
+                 submit_via: str = "local", host: str = "",
+                 account: str = "", qos: str = ""):
         self.script_dir = Path(script_dir)
         self.queue = queue
         self.walltime = walltime
@@ -160,6 +161,8 @@ class SlurmExecutor:
         self.gres = gres
         self.submit_via = submit_via
         self.host = host
+        self.account = account
+        self.qos = qos
 
     def write_array_script(self, stage: str, commands: list[str],
                            dependency: str | None = None) -> Path:
@@ -181,6 +184,10 @@ class SlurmExecutor:
         ]
         if self.queue:
             lines.append(f"#SBATCH --partition={self.queue}")
+        if self.account:
+            lines.append(f"#SBATCH --account={self.account}")
+        if self.qos:
+            lines.append(f"#SBATCH --qos={self.qos}")
         if self.gres:
             lines.append(f"#SBATCH --gres={self.gres}")
         if dependency:

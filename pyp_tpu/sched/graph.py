@@ -48,7 +48,7 @@ class JobGraph:
         return job
 
     def swarm(self, stage: str, items, work_fn, merge_fn=None,
-              max_retries: int = 2):
+              max_retries: int = 2, merge_retries: int = 2):
         """Add per-item jobs + optional merge job. work_fn(item) -> result;
         merge_fn(results: dict[item_name, result]) -> merge result."""
         names = []
@@ -61,7 +61,8 @@ class JobGraph:
                          max_retries=max_retries))
             names.append(jname)
         if merge_fn is not None:
-            self.add(Job(name=f"{stage}.merge", fn=merge_fn, deps=list(names)))
+            self.add(Job(name=f"{stage}.merge", fn=merge_fn,
+                         deps=list(names), max_retries=merge_retries))
         return names
 
     def ready_jobs(self):

@@ -32,8 +32,9 @@ class SessionDaemon:
         self.work_dir = Path(work_dir)
         self.poll_interval = poll_interval
         self.classify_every = classify_every
-        self.n_classes = n_classes
+        self.n_classes = int(params.get("stream_classes") or n_classes)
         self.processed: set[str] = set()
+        self._settle: dict = {}  # path -> consecutive stable-size polls
         self.summaries: list[dict] = []
         self._last_classify_count = 0
         self.class_result = None
@@ -71,11 +72,34 @@ class SessionDaemon:
             except FileNotFoundError:
                 continue
             if s1 != s2 or s1 == 0:
+                self._settle.pop(path, None)
                 continue  # still transferring
+            need = int(self.params.get("stream_settle_polls") or 1)
+            seen = self._settle.get(path, 0) + 1
+            if seen < need:
+                self._settle[path] = seen
+                continue  # stable, but not for long enough yet
+            self._settle.pop(path, None)
             new.append(path)
         return new
 
     def process_one(self, path: str) -> dict:
+        # transfer step (reference pyp_daemon: move off the microscope-side
+        # watch dir before touching the data, stream/pyp_daemon.py:65)
+        tdir = str(self.params.get("stream_transfer_dir") or "")
+        if tdir:
+            import shutil
+
+            src_size = Path(path).stat().st_size
+            Path(tdir).mkdir(parents=True, exist_ok=True)
+            dst = Path(tdir) / Path(path).name
+            shutil.move(path, dst)
+            if (self.params.get("stream_transfer_verify")
+                    and dst.stat().st_size != src_size):
+                raise OSError(
+                    f"transfer verification failed for {dst}: "
+                    f"{dst.stat().st_size} != {src_size} bytes")
+            path = str(dst)
         item = {"name": Path(path).stem, "path": path}
         # session mode (data_mode): tomo sessions assemble + process a
         # tilt-series per mdoc; spr sessions preprocess one micrograph
@@ -97,6 +121,16 @@ class SessionDaemon:
                 k: v for k, v in summary.items()
                 if isinstance(v, (int, float, str, bool))
             })
+        if self.params.get("stream_compress") and Path(path).suffix in (
+                ".mrc", ".tif", ".tiff", ".dm4"):
+            # archive the raw movie (the reference's pbzip2 compression,
+            # inout/image/core.py:1338); load_movie reads .bz2 directly
+            import bz2
+
+            with open(path, "rb") as f_in, bz2.open(path + ".bz2", "wb",
+                                                    compresslevel=1) as f_out:
+                f_out.write(f_in.read())
+            Path(path).unlink()
         logger.info("stream: processed %s (%d particles)", item["name"],
                     summary.get("particles", 0))
         return summary
@@ -136,7 +170,9 @@ class SessionDaemon:
         if not hasattr(self, "_web"):
             from pyp_tpu.stream.web import Web
 
-            self._web = Web()
+            self._web = Web(
+                host=str(self.params.get("web_host") or "") or None,
+                token=str(self.params.get("web_token") or "") or None)
         self._web.write_classes(
             str(self.params.get("data_set") or "session"),
             montage_path, np.asarray(res.occupancy).tolist())
@@ -163,6 +199,22 @@ class SessionDaemon:
                     self.n_classes = int(updates["class_num"])
                 logger.info("stream: live params update (%d keys)",
                             len(updates))
+            min_free = float(self.params.get("stream_min_free_gb") or 0.0)
+            if min_free > 0:
+                import shutil as _shutil
+
+                free_gb = _shutil.disk_usage(self.work_dir).free / 2**30
+                if free_gb < min_free:
+                    # disk guard (reference pyp_daemon space check): leave
+                    # arrivals in the watch dir until space is recovered
+                    logger.warning(
+                        "stream: %.1f GB free < stream_min_free_gb=%.1f — "
+                        "pausing ingest", free_gb, min_free)
+                    time.sleep(self.poll_interval)
+                    it += 1
+                    if max_iterations is not None and it >= max_iterations:
+                        break
+                    continue
             new = self.scan()
             if new:
                 idle = 0
