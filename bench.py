@@ -149,7 +149,9 @@ def bench_insertion(jax, jnp):
     from pyp_tpu.ops import fourier_slice as fs
 
     rng = np.random.RandomState(3)
-    B = 64
+    B = 256  # the production reconstruct_batch default (insertion
+    # throughput rises with batch: 893/1058/1156 p/s at B=64/128/256 —
+    # per-scatter fixed cost amortizes over more points)
     re = jnp.asarray(rng.randn(B, N, N // 2 + 1).astype(np.float32))
     im = jnp.asarray(rng.randn(B, N, N // 2 + 1).astype(np.float32))
     ctfs = jnp.asarray(rng.rand(B, N, N // 2 + 1).astype(np.float32))

@@ -476,7 +476,7 @@ def _filter_tilts(tilts, cutoff, falloff, fake_sirt: int = 0,
 def wbp_reconstruct(
     tilts, tilt_angles, shifts=None, thickness: int = 128,
     cutoff: float = 0.35, falloff: float = 0.05,
-    tilt_weights=None, slab: int = 16, fake_sirt: int = 0,
+    tilt_weights=None, slab: int = 8, fake_sirt: int = 0,
     window: str = "none", z_shift: float = 0.0,
 ):
     """Weighted backprojection of an aligned tilt series.
@@ -488,6 +488,10 @@ def wbp_reconstruct(
     Implementation: ramp-filter along x, then for each z-slab gather
     bilinearly from every tilt at x' = x cos(th) + z sin(th) (the tilt axis
     is y: rows are independent) and sum — one fused gather per (slab, tilt).
+    The accumulator stays in the GATHER layout (slab, nx, ny) through the
+    tilt scan and is transposed ONCE per slab: a transpose inside the scan
+    body re-streams the whole accumulator per tilt and was the measured
+    bottleneck (7.3e8 -> 14.3e8 vox/s on v5e at 41x1024x1024, slab 8).
     """
     tilts = jnp.asarray(tilts)
     T, ny, nx = tilts.shape
@@ -522,14 +526,14 @@ def wbp_reconstruct(
             # out[z, y, x] = img[y, xprime(z, x)]: gather rows of imgT
             v0 = imgT[x0.reshape(-1)].reshape(slab, nx, ny)
             v1 = imgT[jnp.minimum(x0 + 1, nx - 1).reshape(-1)].reshape(slab, nx, ny)
-            vals = v0 * (1 - fx)[..., None] + v1 * fx[..., None]
             inb = ((xprime >= 0) & (xprime <= nx - 1)).astype(filt.dtype)
-            acc = acc + jnp.transpose(vals, (0, 2, 1)) * inb[:, None, :]
+            acc = acc + (v0 * ((1 - fx) * inb)[..., None]
+                         + v1 * (fx * inb)[..., None])
             return acc, None
 
-        acc0 = jnp.zeros((slab, ny, nx), dtype=filt.dtype)
+        acc0 = jnp.zeros((slab, nx, ny), dtype=filt.dtype)
         acc, _ = jax.lax.scan(one_tilt, acc0, jnp.arange(T))
-        return acc * (jnp.pi / (2.0 * T))
+        return jnp.transpose(acc, (0, 2, 1)) * (jnp.pi / (2.0 * T))
 
     slabs = []
     for z0 in range(0, thickness, slab):
