@@ -127,14 +127,14 @@ def bench_preprocess(jax, jnp):
     avg = run()
     _sync(avg)  # compile
     dt_motion = _timed(run, reps=2, inner=1)
-    mic = np.asarray(avg)
 
-    t0 = time.perf_counter()
-    fit_ctf_micrograph(mic, PIXEL)
-    # includes compile; warm pass is the recorded one
-    t0 = time.perf_counter()
-    fit_ctf_micrograph(mic, PIXEL)
-    dt_ctf = time.perf_counter() - t0
+    # CTF on the device-resident average (the production path keeps it on
+    # device between motion and CTF — pipeline/spr.py average_dev)
+    def run_ctf():
+        return fit_ctf_micrograph(avg, PIXEL).df1
+
+    _sync(run_ctf())  # compile
+    dt_ctf = _timed(run_ctf, reps=2, inner=1)
     return 60.0 / (dt_motion + dt_ctf)
 
 

@@ -90,6 +90,61 @@ def _subpixel_peak(cc):
     return jnp.stack([sy, sx], axis=-1)
 
 
+def _zoom_matrices(ny, nx, window: int):
+    """DFT matrices evaluating the cross-correlation on a [-W/2, W/2)^2
+    pixel window only (zoom DFT). The full irfft2 computes ny*nx
+    correlation values per frame when the peak is known to lie within the
+    search radius — on TPU the windowed evaluation is two complex matmuls
+    that run on the MXU instead of the (much slower) FFT path.
+
+    Returns Ay (W, ny) and Bx (nxf, W) complex64; Bx carries the rfft
+    double-count weights so Re(Ay @ S @ Bx) equals the irfft2 exactly."""
+    import numpy as np
+
+    W = int(window)
+    d = np.arange(W) - W // 2
+    fy = np.fft.fftfreq(ny)
+    fx = np.fft.rfftfreq(nx)
+    Ay = np.exp(2j * np.pi * np.outer(d, fy)).astype(np.complex64)
+    wts = np.full(len(fx), 2.0, dtype=np.float32)
+    wts[0] = 1.0
+    if nx % 2 == 0:
+        wts[-1] = 1.0
+    Bx = (wts[:, None] * np.exp(2j * np.pi * np.outer(fx, d))).astype(
+        np.complex64)
+    return jnp.asarray(Ay), jnp.asarray(Bx)
+
+
+def _zoom_cc(S, Ay, Bx):
+    """cc[f, dy, dx] = Re(Ay @ S[f] @ Bx) — batched windowed correlation."""
+    return jnp.real(jnp.einsum("dk,fkl,le->fde", Ay, S, Bx))
+
+
+def _subpixel_peak_win(cc, window: int):
+    """Peak of a (B, W, W) windowed correlation with quadratic refinement.
+    Window index W//2 is shift 0; no wraparound (the window is open)."""
+    B, W, _ = cc.shape
+    flat_idx = jnp.argmax(cc.reshape(B, -1), axis=-1)
+    py = jnp.clip(flat_idx // W, 1, W - 2)
+    px = jnp.clip(flat_idx % W, 1, W - 2)
+
+    def gather(dy, dx):
+        return jnp.take_along_axis(
+            cc.reshape(B, -1), ((py + dy) * W + (px + dx))[:, None],
+            axis=-1)[:, 0]
+
+    c0 = gather(0, 0)
+    cym, cyp = gather(-1, 0), gather(1, 0)
+    cxm, cxp = gather(0, -1), gather(0, 1)
+    denom_y = cym + cyp - 2.0 * c0
+    denom_x = cxm + cxp - 2.0 * c0
+    off_y = jnp.where(jnp.abs(denom_y) > 1e-12, 0.5 * (cym - cyp) / denom_y, 0.0)
+    off_x = jnp.where(jnp.abs(denom_x) > 1e-12, 0.5 * (cxm - cxp) / denom_x, 0.0)
+    sy = py.astype(jnp.float32) - W // 2 + jnp.clip(off_y, -0.5, 0.5)
+    sx = px.astype(jnp.float32) - W // 2 + jnp.clip(off_x, -0.5, 0.5)
+    return jnp.stack([sy, sx], axis=-1)
+
+
 def _polyfit_smooth(shifts, order):
     """Least-squares polynomial smoothing of a (n_frames, 2) trajectory."""
     n = shifts.shape[0]
@@ -126,8 +181,30 @@ def align_movie(
     n_frames, ny, nx = frames.shape
     w = _weight_filter(ny, nx, pixel_size, bfactor, low_res, high_res)
     F = jnp.fft.rfft2(frames)
-    Fw = F * w
+    shifts, last_delta = _align_spectra(
+        F * w, ny, nx, max_iters=max_iters, search_radius=search_radius,
+        smooth_order=smooth_order, ref=ref)
+    if center:
+        shifts = shifts - jnp.mean(shifts, axis=0, keepdims=True)
+    ramps = _phase_ramp(shifts, ny, nx)
+    average = jnp.fft.irfft2(jnp.sum(F * ramps, axis=0), s=(ny, nx)) / n_frames
+    return MotionResult(shifts=shifts, average=average, converged=last_delta)
 
+
+def _align_spectra(Fw, ny, nx, max_iters: int = 8,
+                   search_radius: float = 48.0, smooth_order: int = 3,
+                   ref: str = "average"):
+    """Iterative leave-one-out alignment on weighted spectra Fw
+    (n_frames, ny, nx//2+1). The per-iteration correlation surface is
+    evaluated with a zoom DFT on a window just covering the search radius
+    (two MXU matmuls per frame) instead of a full irfft2 — the measured
+    bottleneck of large-movie alignment on TPU. Returns (shifts, delta)."""
+    n_frames = Fw.shape[0]
+    # window covers the clamped absolute shift plus interp margin, padded
+    # to an MXU-friendly multiple of 64
+    window = max(64, int(2 * (int(search_radius) + 4 + 31) // 64) * 64)
+    window = min(window, min(ny, nx))
+    Ay, Bx = _zoom_matrices(ny, nx, window)
     mid = n_frames // 2
 
     def iteration(carry, _):
@@ -143,8 +220,8 @@ def align_movie(
             total = jnp.sum(aligned, axis=0, keepdims=True)
             reference = total - aligned  # leave-one-out per frame
         # xcorr of reference against *unshifted* frame gives absolute shift
-        cc = jnp.fft.irfft2(reference * jnp.conj(Fw), s=(ny, nx))
-        new_shifts = _subpixel_peak(cc)
+        cc = _zoom_cc(reference * jnp.conj(Fw), Ay, Bx)
+        new_shifts = _subpixel_peak_win(cc, window)
         r = jnp.sqrt(jnp.sum(new_shifts**2, axis=-1, keepdims=True))
         scale = jnp.where(r > search_radius, search_radius / jnp.maximum(r, 1e-6), 1.0)
         new_shifts = new_shifts * scale
@@ -155,11 +232,7 @@ def align_movie(
 
     init = (jnp.zeros((n_frames, 2), dtype=jnp.float32), jnp.float32(1e9))
     (shifts, last_delta), _ = jax.lax.scan(iteration, init, None, length=max_iters)
-    if center:
-        shifts = shifts - jnp.mean(shifts, axis=0, keepdims=True)
-    ramps = _phase_ramp(shifts, ny, nx)
-    average = jnp.fft.irfft2(jnp.sum(F * ramps, axis=0), s=(ny, nx)) / n_frames
-    return MotionResult(shifts=shifts, average=average, converged=last_delta)
+    return shifts, last_delta
 
 
 @functools.partial(jax.jit, static_argnames=("pixel_size",))
@@ -293,6 +366,73 @@ def _bin_frames_scan(frames, binning: int):
     return jax.lax.map(lambda f: fourier_crop(f[None], out_shape)[0], frames)
 
 
+@functools.partial(jax.jit, static_argnames=("binning",))
+def _spectra_scan(frames, binning: int):
+    """One rfft2 per frame (lax.map bounds temps to one frame), returning
+    BOTH the full spectrum stack and its Fourier-cropped (binned) version.
+    Alignment runs on the binned spectra and the final average reuses the
+    stored full spectra — the movie is FFT'd exactly once."""
+    n_frames, ny, nx = frames.shape
+    nys, nxs = ny // binning, nx // binning
+    half = nys // 2
+
+    def one(f):
+        F = jnp.fft.rfft2(f)
+        Fs = jnp.concatenate([F[:half, : nxs // 2 + 1],
+                              F[ny - half:, : nxs // 2 + 1]], axis=0)
+        return F, Fs / (binning * binning)
+
+    return jax.lax.map(one, frames)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "nys", "nxs", "pixel_size", "bfactor", "low_res", "high_res",
+    "max_iters", "search_radius", "smooth_order", "center", "ref"))
+def _align_small(F_small, nys: int, nxs: int, pixel_size: float,
+                 bfactor: float, low_res: float, high_res: float,
+                 max_iters: int, search_radius: float, smooth_order: int,
+                 center: bool, ref: str):
+    w = _weight_filter(nys, nxs, pixel_size, bfactor, low_res, high_res)
+    shifts, delta = _align_spectra(
+        F_small * w, nys, nxs, max_iters=max_iters,
+        search_radius=search_radius, smooth_order=smooth_order, ref=ref)
+    if center:
+        shifts = shifts - jnp.mean(shifts, axis=0, keepdims=True)
+    return shifts, delta
+
+
+@functools.partial(jax.jit, static_argnames=("ny", "nx", "pixel_size",
+                                             "dose_weighted"))
+def _average_spectra_scan(F_full, shifts, doses, ny: int, nx: int,
+                          pixel_size: float = 1.0,
+                          dose_weighted: bool = True):
+    """_average_scan on precomputed spectra (no per-frame rfft2)."""
+    from pyp_tpu.core.ctf import dose_weight
+
+    n_frames = F_full.shape[0]
+    fy, fx = freq_grid_2d(ny, nx)
+    g = jnp.sqrt((fy / pixel_size) ** 2 + (fx / pixel_size) ** 2)
+
+    if dose_weighted:
+        def wsum_body(carry, dose_e):
+            return carry + dose_weight(g, dose_e) ** 2, None
+
+        wsq, _ = jax.lax.scan(wsum_body, jnp.zeros_like(g), doses)
+        wnorm = jnp.sqrt(jnp.maximum(wsq, 1e-12))
+
+    def body(acc, inputs):
+        F, shift, dose_e = inputs
+        ph = -2.0 * jnp.pi * (fy * shift[0] + fx * shift[1])
+        F = F * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+        if dose_weighted:
+            F = F * (dose_weight(g, dose_e) / wnorm)
+        return acc + F, None
+
+    acc0 = jnp.zeros((ny, nx // 2 + 1), dtype=jnp.complex64)
+    acc, _ = jax.lax.scan(body, acc0, (F_full, shifts, doses))
+    return jnp.fft.irfft2(acc, s=(ny, nx)) / n_frames
+
+
 @functools.partial(jax.jit, static_argnames=("pixel_size", "dose_weighted"))
 def _average_scan(frames, shifts, doses, pixel_size: float = 1.0,
                   dose_weighted: bool = True):
@@ -335,18 +475,38 @@ def align_movie_large(
     **kw,
 ) -> MotionResult:
     """HBM-frugal movie alignment for camera-sized movies (K3: 40x4096^2
-    does not fit the whole-stack FFT pipeline in 16 GB): align on
-    Fourier-binned frames (drift is resolution-independent; shifts scale by
-    the bin factor), then accumulate the full-resolution (dose-weighted)
-    average frame-by-frame."""
+    does not fit the whole-stack FFT pipeline in 16 GB): one rfft2 per
+    frame produces both the stored full spectrum and its Fourier-binned
+    crop; alignment iterates on the binned spectra with zoom-DFT
+    correlations (MXU matmuls — no per-iteration FFTs), and the
+    dose-weighted average accumulates from the stored full spectra (no
+    second FFT pass). Drift is resolution-independent; shifts scale by the
+    bin factor."""
     frames = jnp.asarray(frames)
-    n_frames = frames.shape[0]
-    small = _bin_frames_scan(frames, binning) if binning > 1 else frames
-    kw.setdefault("search_radius", 48.0 / binning)
-    res = align_movie(small, pixel_size=pixel_size * binning, **kw)
-    shifts = res.shifts * binning
+    n_frames, ny, nx = frames.shape
+    if binning <= 1:
+        res = align_movie(frames, pixel_size=pixel_size, **kw)
+        if doses is None:
+            doses = jnp.arange(1, n_frames + 1, dtype=jnp.float32)
+        avg = _average_scan(frames, res.shifts, jnp.asarray(doses),
+                            pixel_size, dose_weighted)
+        return MotionResult(shifts=res.shifts, average=avg,
+                            converged=res.converged)
+    F_full, F_small = _spectra_scan(frames, binning)
+    nys, nxs = ny // binning, nx // binning
+    shifts_small, delta = _align_small(
+        F_small, nys, nxs, pixel_size * binning,
+        bfactor=float(kw.get("bfactor", 1500.0)),
+        low_res=float(kw.get("low_res", 0.0)),
+        high_res=float(kw.get("high_res", 0.0)),
+        max_iters=int(kw.get("max_iters", 8)),
+        search_radius=float(kw.get("search_radius", 48.0 / binning)),
+        smooth_order=int(kw.get("smooth_order", 3)),
+        center=bool(kw.get("center", True)),
+        ref=str(kw.get("ref", "average")))
+    shifts = shifts_small * binning
     if doses is None:
         doses = jnp.arange(1, n_frames + 1, dtype=jnp.float32)
-    avg = _average_scan(frames, shifts, jnp.asarray(doses), pixel_size,
-                        dose_weighted)
-    return MotionResult(shifts=shifts, average=avg, converged=res.converged)
+    avg = _average_spectra_scan(F_full, shifts, jnp.asarray(doses), ny, nx,
+                                pixel_size, dose_weighted)
+    return MotionResult(shifts=shifts, average=avg, converged=delta)

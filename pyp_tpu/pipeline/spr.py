@@ -119,6 +119,7 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
         summary["mag"] = float(params["scope_mag"])
 
     frames = None
+    average_dev = None  # device-resident average when freshly computed
 
     def get_frames():
         nonlocal frames
@@ -204,6 +205,9 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                 else:
                     avg = res.average
             meta["drift"] = np.asarray(res.shifts)
+            average_dev = avg  # keep the device-resident average: the CTF
+            # periodogram below would otherwise pay a host->device
+            # round-trip of the full micrograph (~130 ms via the tunnel)
             meta["average"] = np.asarray(avg, dtype=np.float32)
     elif not meta.is_done("average"):
         f = get_frames()
@@ -256,7 +260,8 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             import jax.numpy as jnp
 
             power = ctf_fit.periodogram(
-                jnp.asarray(average),
+                average_dev if average_dev is not None
+                else jnp.asarray(average),
                 tile=min(int(params["ctf_tile"]), min(average.shape)),
                 overlap=float(params.get("ctf_tile_overlap") or 0.5),
             )
