@@ -33,7 +33,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
-         "tomotrain", "heterogeneity")
+         "tomotrain", "heterogeneity", "sva")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -825,6 +825,65 @@ def mode_worker(argv):
 def mode_params(argv):
     params = _project_params(argv)
     print(json.dumps(params, indent=1, default=str))
+    return 0
+
+
+def mode_sva(argv):
+    """Legacy subvolume averaging (the reference's sva/svaswarm/svamerge
+    entries wrapping the TOMO 3DAVG binaries, bin/run/pyp env dispatch;
+    production subtomogram refinement is `csp`): gather subvolumes at the
+    3D picks of every reconstructed tomogram, align them to a reference
+    (or reference-free from the raw average) with the bank-rotation FFT
+    matcher, and write the wedge-compensated average."""
+    params = _project_params(argv)
+    from pyp_tpu.io import mrc
+    from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.ops import sva as sva_ops
+    from pyp_tpu.ops.extract import subvolume_gather
+
+    box = int(params.get("sva_box") or 48)
+    subs, names = [], []
+    for rec in sorted(glob.glob("*.rec.mrc")):
+        name = Path(rec).name[: -len(".rec.mrc")]
+        meta = ItemMetadata(name, ".", mode="tomo").load()
+        if "box" not in meta:
+            continue
+        vol = mrc.read(rec).astype(np.float32)
+        coords = np.asarray(meta["box"])[:, :3]
+        ok = np.all((coords >= box // 2)
+                    & (coords < np.asarray(vol.shape) - box // 2), axis=1)
+        if not ok.any():
+            continue
+        import jax.numpy as jnp
+
+        got = np.asarray(subvolume_gather(
+            jnp.asarray(vol),
+            jnp.asarray(np.round(coords[ok]).astype(np.int32)), box))
+        subs.append(got)
+        names.extend(f"{name}:{i}" for i in np.nonzero(ok)[0])
+    if not subs:
+        logger.error("sva: no *.rec.mrc with 3D picks found")
+        return 1
+    subs = np.concatenate(subs, axis=0)
+    ref = None
+    if params.get("sva_ref"):
+        ref = mrc.read(str(params["sva_ref"])).astype(np.float32)
+    res = sva_ops.sva_iterate(
+        subs, reference=ref,
+        iters=int(params.get("sva_iters") or 3),
+        angular_step=float(params.get("sva_ang") or 30.0),
+        symmetry=str(params.get("particle_sym") or "C1"),
+        shift_extent=int(params.get("sva_shift") or 8),
+        wedge_deg=float(params.get("sva_wedge") or 60.0))
+    out = f"{params.get('data_set') or 'dataset'}_sva.mrc"
+    pix = float(params["scope_pixel"]) * int(params.get("tomo_rec_binning")
+                                             or 1)
+    mrc.write(np.asarray(res.average, dtype=np.float32), out, pixel_size=pix)
+    np.savez("sva_alignment.npz", names=np.asarray(names),
+             angles=np.asarray(res.angles), shifts=np.asarray(res.shifts),
+             scores=np.asarray(res.scores))
+    print(json.dumps({"subvolumes": int(len(subs)), "average": out,
+                      "mean_score": float(np.mean(np.asarray(res.scores)))}))
     return 0
 
 
