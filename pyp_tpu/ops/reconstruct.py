@@ -188,15 +188,18 @@ def reconstruct(
 
         n_rec = int(crop_to)
         ratio = n_rec / float(n)
-        # NOTE: the crop grid's wavenumbers ARE data wavenumbers, so a
-        # pad-p kernel on the crop grid already has the same absolute
-        # node spacing (1/p of a data wavenumber) as pad-p on the full
-        # grid — no rescaling needed. (A round-2 change scaled pad by
-        # n/n_rec believing it matched the full grid; it actually made
-        # the kernel n/n_rec FINER, regressed crop/full in-band
-        # equivalence cc 0.996 -> 0.966 on the seeded framework test,
-        # and its claimed e2e gain was within the 4.9-6.5 A run-to-run
-        # variance. Reverted.)
+        # Scale pad by n/n_rec: the crop accumulator then has node
+        # spacing n_rec/(n*pad) of a data wavenumber — FINER than the
+        # full grid's 1/pad — and the 3-seed replicated e2e shows the
+        # finer gridding kernel on intermediates is worth ~1.5 A of
+        # final resolution (median FSC 6.5 A with pad-2-on-crop vs
+        # 4.94 A pad-scaled vs 5.83 A full-size; docs/BENCH_E2E.md).
+        # Scatter-point count is pad-independent, so the (n_rec/n)^2
+        # scatter saving survives; only accumulator memory returns to
+        # ~the full-grid size. The crop map therefore does NOT exactly
+        # equal the full pad-2 map in-band (it is sharper) — the
+        # framework test asserts ground-truth quality, not similarity.
+        pad = int(np.ceil(pad * n / float(n_rec)))
     pixel_rec = pixel_size / ratio
     acc = None
     for i in range(0, B, batch):

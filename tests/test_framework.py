@@ -495,5 +495,18 @@ class TestBandLimitedReconstruction:
 
         v_full, v_crop = run(False), run(True)
         lp = lambda v: np.array(lowpass_filter_3d(jnp.asarray(v), PIXEL, 10.0))
+        # the crop grid uses a pad-rescaled (FINER) gridding kernel, so its
+        # map is deliberately NOT identical to the full pad-2 map in-band:
+        # the threshold here is the measured kernel-width difference, not
+        # equality. Which kernel is BETTER is coverage-dependent (at this
+        # test's 64 particles the fine grid is sparsely covered and the
+        # full pad-2 map is closer to truth; at production counts the fine
+        # kernel wins decisively — 3-seed replicated e2e medians 5.01 A
+        # pad-scaled crop vs 5.83 full vs 6.5 A pad-2 crop,
+        # docs/BENCH_E2E.md), so quality is adjudicated by the replicated
+        # e2e protocol, and this test pins in-band agreement + shape.
         cc = np.corrcoef(lp(v_full).ravel(), lp(v_crop).ravel())[0, 1]
-        assert cc > 0.98, cc
+        assert cc > 0.95, cc
+        tr = lp(vol)
+        cc_crop = np.corrcoef(lp(v_crop).ravel(), tr.ravel())[0, 1]
+        assert cc_crop > 0.4, cc_crop  # crop map genuinely reconstructs
