@@ -443,12 +443,41 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
 
             det_vol = np.asarray(lowpass_filter_3d(
                 jnp.asarray(recon), eff_pixel, band_a))
-        if str(params.get("tomo_vir_method") or "none") == "template":
+        vir_method = str(params.get("tomo_vir_method") or "none")
+        if vir_method == "template":
             # spherical-shell NCC template instead of the Canny+Hough-style
             # edge detector (reference Correlation3DNew virion seeding)
             centers, rads, scores, valid = tm.detect_spheres_template(
                 jnp.asarray(det_vol), radii,
                 n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+        elif vir_method == "nn":
+            # MemBrain-seg role: per-slice membrane segmentation NN, then
+            # the sphere Hough votes on the (clean) probability map
+            from pathlib import Path as _Path
+
+            from pyp_tpu.models import io as mio
+            from pyp_tpu.models import membrane as mem
+
+            mpath = _Path(str(params.get("tomo_vir_nn_model") or "")
+                          or "membrane_model.npz")
+            feats = (16, 32, 64)
+            if mpath.exists():
+                like = mem.train_membrane_segmenter(steps=0, features=feats)
+                loaded, _meta = mio.load_params(mpath, like.params)
+                model = mem.MembraneModel(params=loaded, features=feats)
+            else:
+                model = mem.train_membrane_segmenter(
+                    steps=int(params.get("tomo_vir_nn_steps") or 400),
+                    seed=int(params.get("train_seed") or 0),
+                    features=feats)
+                mio.save_params(model.params, mpath)
+            # the segmenter was trained on raw-contrast slices and handles
+            # noise itself — the Hough detection band is NOT applied here
+            prob = mem.segment_tomogram(model, recon)
+            centers, rads, scores, valid = \
+                mem.detect_virions_from_segmentation(
+                    prob, radii,
+                    n_peaks=int(params.get("tomo_vir_detect_max") or 8))
         else:
             centers, rads, scores, valid = tm.detect_spheres(
                 jnp.asarray(det_vol), radii,

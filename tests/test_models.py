@@ -260,3 +260,43 @@ class TestSprDenoise:
         assert out["particles"] > 0
         # model reused from cache on a second micrograph
         assert "model" in spr_pipe._spr_denoiser_cache
+
+
+class TestMembrane:
+    """Membrane segmentation NN (models/membrane.py — MemBrain-seg role)."""
+
+    def test_synth_batch_shapes(self):
+        from pyp_tpu.models import membrane as mem
+
+        rng = np.random.RandomState(0)
+        x, y = mem._synth_batch(rng, 4, 64)
+        assert x.shape == (4, 64, 64) and y.shape == (4, 64, 64)
+        assert 0.0 < y.mean() < 0.5  # sparse membrane labels
+        assert abs(float(x.mean())) < 0.1  # normalized
+
+    @pytest.mark.slow
+    def test_segmenter_finds_membranes(self):
+        import jax.numpy as jnp
+
+        from pyp_tpu.models import membrane as mem
+        from pyp_tpu.ops.template_match import spherical_shell_template
+
+        model = mem.train_membrane_segmenter(steps=150, batch=8, patch=64,
+                                             seed=0)
+        # synthetic tomogram: one dark spherical shell in noise
+        rng = np.random.RandomState(1)
+        n = 64
+        zz, yy, xx = np.mgrid[:n, :n, :n]
+        r = np.sqrt((zz - 32.0) ** 2 + (yy - 32.0) ** 2 + (xx - 32.0) ** 2)
+        shell = np.exp(-0.5 * ((r - 18.0) / 2.5) ** 2).astype(np.float32)
+        vol = -2.0 * shell + rng.randn(n, n, n).astype(np.float32)
+        prob = mem.segment_tomogram(model, vol)
+        on = prob[shell > 0.5].mean()
+        off = prob[(r < 12) | (r > 26)].mean()
+        assert on > off + 0.15, (on, off)
+
+        centers, rads, scores, valid = mem.detect_virions_from_segmentation(
+            prob, [16.0, 18.0, 20.0], n_peaks=2)
+        c = np.asarray(centers)[np.asarray(valid)]
+        assert len(c) >= 1
+        assert np.linalg.norm(c[0] - np.array([32, 32, 32])) < 5.0, c[0]
