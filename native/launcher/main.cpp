@@ -51,12 +51,20 @@ static std::map<std::string, std::string> read_config() {
 
 int main(int argc, char** argv) {
     std::string prog = basename_of(argv[0]);
-    // argv[0]-based mode dispatch (the reference's bin/csp, bin/fyp, ...)
+    // argv[0]-based mode dispatch matching the reference's bin/run farm
+    // (bin/run/{fyp,byp,pcl,pex,pmk,psp,gyp,rlp,sva,3davg,streampyp}: each
+    // wrapper exports one env mode for bin/run/pyp — here an alias maps
+    // straight to the equivalent CLI subcommand)
     std::map<std::string, std::string> aliases = {
         {"spr", "spr"},       {"tomo", "tomo"},
         {"csp", "csp"},       {"fyp", "refine"},
-        {"byp", "params"},    {"pcl", "classify2d"},
-        {"pex", "extract"},   {"ppp", "postprocess"},
+        {"byp", "byp"},       {"pcl", "clean"},
+        {"pex", "export_session"}, {"ppp", "postprocess"},
+        {"pmk", "mask"},      {"psp", "postprocess"},
+        {"gyp", "gain"},      {"rlp", "import_star"},
+        {"rln", "export_star"}, {"wrp", "import_star"},
+        {"sva", "sva"},       {"3davg", "sva"},
+        {"streampyp", "stream"},
     };
     std::vector<std::string> args;
     auto alias = aliases.find(prog);

@@ -33,7 +33,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
-         "tomotrain", "heterogeneity", "sva")
+         "tomotrain", "heterogeneity", "sva", "export_session")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -825,6 +825,80 @@ def mode_worker(argv):
 def mode_params(argv):
     params = _project_params(argv)
     print(json.dumps(params, indent=1, default=str))
+    return 0
+
+
+def mode_export_session(argv):
+    """Streaming session -> RELION export (the reference's `pex` /
+    export_session env mode, bin/run/pyp:5121 weak_meta2Star): for the
+    selected micrographs (a *.micrographs list file in the export dir,
+    else every processed item in the session), write
+    relion/<data_set>_micrographs.star (optics + per-micrograph CTF) and
+    per-micrograph _autopick.star coordinate files."""
+    params = _project_params(argv, persist=False)
+    from pyp_tpu.io import star
+    from pyp_tpu.io.metadata import ItemMetadata
+
+    session = str(params.get("data_parent") or ".")
+    sp = {**params, **(cfg.load_parameters(session) or {})}
+    data_set = str(sp.get("data_set") or "session")
+    mode = str(sp.get("data_mode") or "spr")
+
+    lists = sorted(glob.glob("*.micrographs"))
+    if lists:
+        wanted = [ln.strip() for ln in open(lists[0]) if ln.strip()]
+    else:
+        wanted = sorted(p.name[: -len(".meta.npz")] for p in
+                        Path(session).glob("*.meta.npz"))
+    out_dir = Path("relion")
+    out_dir.mkdir(exist_ok=True)
+
+    names, df1, df2, ang, fom = [], [], [], [], []
+    n_coords = 0
+    for name in wanted:
+        meta = ItemMetadata(name, session, mode=mode).load()
+        if "ctf" not in meta:
+            continue
+        c = np.atleast_2d(np.asarray(meta["ctf"]))
+        names.append(f"{name}.mrc")
+        df1.append(float(c[0, 0]))
+        df2.append(float(c[0, 1]))
+        ang.append(float(c[0, 2]))
+        fom.append(float(c[0, 4]) if c.shape[1] > 4 else float(c[0, 3]))
+        if "box" in meta and len(np.asarray(meta["box"])):
+            box = np.atleast_2d(np.asarray(meta["box"]))
+            star.write({"root": {"fields": {}, "loop": {
+                "rlnCoordinateX": box[:, 1].astype(np.float64),
+                "rlnCoordinateY": box[:, 0].astype(np.float64),
+                "rlnAutopickFigureOfMerit": (
+                    box[:, -1] if box.shape[1] > 2
+                    else np.ones(len(box))).astype(np.float64),
+            }}}, out_dir / f"{name}_autopick.star")
+            n_coords += len(box)
+    if not names:
+        logger.error("export_session: no processed micrographs with CTF "
+                     "under %s", session)
+        return 1
+    n = len(names)
+    star.write({
+        "optics": {"fields": {}, "loop": {
+            "rlnOpticsGroup": np.array([1]),
+            "rlnMicrographPixelSize": np.array([float(sp["scope_pixel"])]),
+            "rlnVoltage": np.array([float(sp["scope_voltage"])]),
+            "rlnSphericalAberration": np.array([float(sp["scope_cs"])]),
+            "rlnAmplitudeContrast": np.array([float(sp["scope_wgh"])]),
+        }},
+        "micrographs": {"fields": {}, "loop": {
+            "rlnMicrographName": np.array(names, dtype=object),
+            "rlnOpticsGroup": np.ones(n, dtype=np.int64),
+            "rlnDefocusU": np.array(df1),
+            "rlnDefocusV": np.array(df2),
+            "rlnDefocusAngle": np.array(ang),
+            "rlnCtfFigureOfMerit": np.array(fom),
+        }},
+    }, out_dir / f"{data_set}_micrographs.star")
+    print(json.dumps({"micrographs": n, "coordinates": n_coords,
+                      "star": str(out_dir / f"{data_set}_micrographs.star")}))
     return 0
 
 

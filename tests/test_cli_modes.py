@@ -299,3 +299,44 @@ class TestEditTrainMaskModes:
                        "-train_batch", "8"])
         assert rc == 0
         assert (tmp_path / "picker_model_tomo.npz").exists()
+
+
+class TestExportSession:
+    def test_session_to_relion_star(self, tmp_path, monkeypatch):
+        """export_session (the reference's pex driver): session metadata ->
+        relion micrographs star + autopick coordinate stars."""
+        import numpy as np
+
+        from pyp_tpu import cli
+        from pyp_tpu.io import star
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        session = tmp_path / "sess"
+        session.mkdir()
+        for i, name in enumerate(["m0", "m1"]):
+            meta = ItemMetadata(name, session, mode="spr").load()
+            meta["ctf"] = np.array([21000.0 + i, 20000.0 + i, 45.0, 0.0,
+                                    0.8, 4.5])
+            meta["box"] = np.array([[100.0, 120.0, 1.0],
+                                    [200.0, 220.0, 0.9]])
+            meta.save()
+        from pyp_tpu.config import params as pcfg
+
+        pcfg.save_parameters({"data_set": "sess", "scope_pixel": 1.1,
+                              "scope_voltage": 300.0, "scope_cs": 2.7,
+                              "scope_wgh": 0.07}, session)
+
+        export = tmp_path / "export"
+        export.mkdir()
+        monkeypatch.chdir(export)
+        (export / "sel.micrographs").write_text("m1\n")
+        rc = cli.main(["export_session", "-data_parent", str(session)])
+        assert rc == 0
+        blocks = star.read("relion/sess_micrographs.star")
+        loop = blocks["micrographs"]["loop"]
+        assert list(loop["rlnMicrographName"]) == ["m1.mrc"]
+        assert float(np.asarray(loop["rlnDefocusU"])[0]) == 21001.0
+        coords = star.read("relion/m1_autopick.star")
+        cl = next(iter(coords.values()))["loop"]
+        assert len(np.asarray(cl["rlnCoordinateX"])) == 2
+        assert float(np.asarray(cl["rlnCoordinateX"])[0]) == 120.0

@@ -85,18 +85,20 @@ class TestLauncher:
                                capture_output=True, text=True)
         assert build.returncode == 0, build.stderr
         binary = REPO / "native/launcher/pyp"
-        # symlink alias dispatch: byp -> params mode
+        # symlink alias dispatch: byp -> the byp box-interop mode
+        # (matching the reference's bin/run/byp driver)
         alias = tmp_path / "byp"
         alias.symlink_to(binary)
+        (tmp_path / "mic.box").write_text("10\t20\t64\t64\n30\t40\t64\t64\n")
         out = subprocess.run(
-            [str(alias), "-scope_pixel", "1.25"],
+            [str(alias), "mic.box", "-scope_pixel", "1.25"],
             capture_output=True, text=True, cwd=tmp_path,
             env={"PATH": "/usr/bin:/bin", "HOME": str(tmp_path),
                  "PYP_TPU_PATH": str(REPO),
                  "PYP_TPU_PYTHON": shutil.which("python3") or "python3"},
         )
         assert out.returncode == 0, out.stderr
-        assert '"scope_pixel": 1.25' in out.stdout
+        assert '"mode": "box2mod"' in out.stdout, out.stdout
 
     def test_config_file_env_forwarding(self, tmp_path):
         binary = REPO / "native/launcher/pyp"
