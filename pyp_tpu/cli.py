@@ -942,22 +942,48 @@ def mode_sva(argv):
     ref = None
     if params.get("sva_ref"):
         ref = mrc.read(str(params["sva_ref"])).astype(np.float32)
+    def _pair(key, default):
+        v = str(params.get(key) or default)
+        a, b = (float(x) for x in v.replace(":", ",").split(","))
+        return (a, b)
+
+    wedge = float(params.get("sva_wedge") or 60.0)
     res = sva_ops.sva_iterate(
         subs, reference=ref,
         iters=int(params.get("sva_iters") or 3),
         angular_step=float(params.get("sva_ang") or 30.0),
         symmetry=str(params.get("particle_sym") or "C1"),
         shift_extent=int(params.get("sva_shift") or 8),
-        wedge_deg=float(params.get("sva_wedge") or 60.0))
+        wedge_deg=wedge,
+        lowpass=_pair("sva_lowpass", "0.25,0.05"),
+        highpass=_pair("sva_highpass", "0,0"),
+        mask_rad=float(params.get("sva_mask_rad") or 0.0),
+        mask_sigma=float(params.get("sva_mask_sigma") or 4.0),
+        centering_iters=int(params.get("sva_centering_iters") or 0),
+        keep_fraction=float(params.get("sva_keep_fraction") or 1.0),
+        local_refine=bool(params.get("sva_local", True)))
     out = f"{params.get('data_set') or 'dataset'}_sva.mrc"
     pix = float(params["scope_pixel"]) * int(params.get("tomo_rec_binning")
                                              or 1)
     mrc.write(np.asarray(res.average, dtype=np.float32), out, pixel_size=pix)
+    report = {"subvolumes": int(len(subs)), "average": out,
+              "mean_score": float(np.mean(np.asarray(res.scores)))}
+    labels = None
+    K = int(params.get("sva_classes") or 1)
+    if K > 1:
+        labels, class_avgs = sva_ops.classify_subvolumes(
+            subs, np.asarray(res.angles), np.asarray(res.shifts), K,
+            wedge_deg=wedge)
+        stem = str(params.get("data_set") or "dataset")
+        for k, avg in enumerate(class_avgs):
+            mrc.write(np.asarray(avg, dtype=np.float32),
+                      f"{stem}_sva_class{k:02d}.mrc", pixel_size=pix)
+        report["classes"] = [int(np.sum(labels == k)) for k in range(K)]
     np.savez("sva_alignment.npz", names=np.asarray(names),
              angles=np.asarray(res.angles), shifts=np.asarray(res.shifts),
-             scores=np.asarray(res.scores))
-    print(json.dumps({"subvolumes": int(len(subs)), "average": out,
-                      "mean_score": float(np.mean(np.asarray(res.scores)))}))
+             scores=np.asarray(res.scores),
+             **({"labels": labels} if labels is not None else {}))
+    print(json.dumps(report))
     return 0
 
 

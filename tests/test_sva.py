@@ -136,3 +136,70 @@ class TestSvaCli:
         assert len(al["scores"]) == 3
         cc = np.corrcoef(np.asarray(avg).ravel(), truth.ravel())[0, 1]
         assert cc > 0.6, cc
+
+
+class TestLocalRefine:
+    def test_local_rounds_tighten_angles(self):
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        truth = _phantom(32)
+        rng = np.random.RandomState(2)
+        subs, angs = [], []
+        for _ in range(6):
+            a = (rng.uniform(0, 360), rng.uniform(0, 180),
+                 rng.uniform(0, 360))
+            v = np.asarray(rotate_volume(jnp.asarray(truth), *a))
+            subs.append(v + 0.3 * rng.randn(32, 32, 32).astype(np.float32))
+            angs.append(a)
+        subs = np.stack(subs)
+
+        def med_geo(found):
+            errs = []
+            for b, a in enumerate(angs):
+                Rt = np.asarray(euler_to_matrix(*a))
+                Rf = np.asarray(euler_to_matrix(
+                    *[float(x) for x in np.asarray(found)[b]]))
+                errs.append(np.degrees(np.arccos(np.clip(
+                    (np.trace(Rt @ Rf.T) - 1) / 2, -1, 1))))
+            return float(np.median(errs))
+
+        a1, s1, _ = sva.align_subvolumes(subs, truth, angular_step=30.0,
+                                         shift_extent=3)
+        a2, s2, _ = sva.refine_subvolumes(subs, truth, np.asarray(a1),
+                                          np.asarray(s1), tol_angle=30.0,
+                                          step=10.0, shift_extent=2)
+        assert med_geo(a2) < med_geo(a1) - 5.0, (med_geo(a1), med_geo(a2))
+
+    def test_band_filter_shapes(self):
+        w = sva._band_filter(32, (0.25, 0.05), (0.05, 0.02))
+        assert w.shape == (32, 32, 17)
+        assert w[0, 0, 0] < 0.6      # highpass suppresses DC
+        assert w[0, 0, 16] < 0.1     # lowpass suppresses Nyquist
+        assert w[0, 0, 3] > 0.9      # mid-band passes
+
+    def test_soft_mask(self):
+        m = sva._sphere(32, radius_px=10, sigma_px=4)
+        assert m[16, 16, 16] == 1.0
+        assert 0.0 < m[16, 16, 28] < 1.0   # r=12: inside the soft edge
+        assert m[16, 16, 31] == 0.0        # r=15: past radius+sigma
+
+
+class TestClassify:
+    def test_two_state_separation(self):
+        rng = np.random.RandomState(4)
+        n, B = 24, 12
+        a_state = _phantom(24)
+        b_state = np.roll(a_state, 5, axis=1)  # distinct second state
+        subs, labels_true = [], []
+        for b in range(B):
+            state = a_state if b % 2 == 0 else b_state
+            subs.append(state + 0.3 * rng.randn(n, n, n).astype(np.float32))
+            labels_true.append(b % 2)
+        subs = np.stack(subs)
+        labels, avgs = sva.classify_subvolumes(
+            subs, np.zeros((B, 3)), np.zeros((B, 3)), 2, wedge_deg=90.0)
+        labels_true = np.asarray(labels_true)
+        agree = max(np.mean(labels == labels_true),
+                    np.mean(labels != labels_true))
+        assert agree >= 10 / 12, (labels, labels_true)
+        assert len(avgs) == 2
