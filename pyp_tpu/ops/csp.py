@@ -85,6 +85,11 @@ MODE_BLOCKS = {
 MODE_AXIS = {0: "tilt", 3: "tilt", 4: "tilt", 5: "tilt",
              1: "particle", 2: "particle", 6: "particle", 7: "particle"}
 
+# modes whose searched block does NOT move the reference-slice gather
+# points (translations are Fourier phase ramps, defocus is an analytic
+# CTF): candidates/iterations reuse one _csp_model_gather
+SHIFT_MODES = (2, 3, 4, 5, 6)
+
 
 def tilt_rotation(tilt_deg, axis_deg):
     """R_t = Rz(axis) @ Ry(tilt): tomogram -> image frame (batched)."""
@@ -142,27 +147,47 @@ def csp_score(
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
     xv_precomputed: bool = False,
+    u=None,
 ):
     """Mean CTF-weighted NCC over all (tilt, particle) projections.
 
     Perf: the window-spectrum gather is parameter-independent; the
     optimizer precomputes it once (xv_precomputed=True) so the gradient
-    loop only re-gathers the reference slice."""
+    loop only re-gathers the reference slice — and for shift/defocus
+    modes the reference gather is ALSO precomputed (u)."""
     if xv_precomputed:
         xv = windows_f  # already (T, P, G)
     else:
         xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
     ncc = _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
-                   n, pixel_size, voltage_kv, cs_mm, amplitude_contrast)
+                   n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
+                   u=u)
     w = tilt_weights[:, None] * valid
     return jnp.sum(ncc * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
-             n, pixel_size, voltage_kv, cs_mm, amplitude_contrast):
-    """Per-(tilt, particle) CTF-weighted NCC map (T, P); xv precomputed."""
+def _csp_model_gather(params, mask_pts, Fref, n):
+    """Reference central-slice values at the mask points for the current
+    GEOMETRY ANGLES — the only gather in the scoring path. Shifts,
+    positions, and defocus do not move these points (translations are
+    phase ramps; defocus is an analytic CTF), so shift/defocus modes
+    compute this ONCE and sweep candidates gather-free."""
     vol_pad = Fref.shape[0] // n
     R_eff = effective_rotations(params)  # (T, P, 3, 3)
+    mask = jnp.asarray(mask_pts)
+    q = (
+        mask[None, None, :, 1, None] * R_eff[..., None, 0, :]
+        + mask[None, None, :, 0, None] * R_eff[..., None, 1, :]
+    )  # (T, P, G, 3) xyz
+    return gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+
+
+def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+             n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
+             u=None):
+    """Per-(tilt, particle) CTF-weighted NCC map (T, P); xv precomputed.
+    `u` optionally carries precomputed reference slice values (shift/
+    defocus modes — see _csp_model_gather)."""
     pred_pos = project_positions(params)  # (T, P, 2)
     depth = particle_depth(params)        # (T, P)
 
@@ -171,11 +196,8 @@ def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
 
     mask = jnp.asarray(mask_pts)
 
-    q = (
-        mask[None, None, :, 1, None] * R_eff[..., None, 0, :]
-        + mask[None, None, :, 0, None] * R_eff[..., None, 1, :]
-    )  # (T, P, G, 3) xyz
-    u = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))  # (T, P, G)
+    if u is None:
+        u = _csp_model_gather(params, mask_pts, Fref, n)  # (T, P, G)
 
     df = (tilt_defocus[:, None, 0] + params.defocus_offsets[:, None]
           + depth * pixel_size)  # (T, P) Å
@@ -251,9 +273,14 @@ def make_mode_offsets(mode: int, tol, steps: int = 9) -> np.ndarray:
         return axis(0)[:, None]
     if mode in (0,):
         # joint (tilt angle, axis angle) grid; fewer axis steps — the axis
-        # angle is shared across the series and better-conditioned
-        g = np.stack(np.meshgrid(axis(0), axis(1, max(3, steps // 2)),
-                                 indexing="ij"), -1)
+        # angle is shared across the series and better-conditioned. Axis
+        # tol 0 (the default) collapses to the tilt-angle-only search:
+        # per-tilt axis freedom overfits unperturbed geometry (measured).
+        if len(tols) > 1 and tols[1] > 0:
+            ax2 = axis(1, max(3, steps // 2))
+        else:
+            ax2 = np.zeros(1, dtype=np.float32)
+        g = np.stack(np.meshgrid(axis(0), ax2, indexing="ij"), -1)
         return g.reshape(-1, 2)
     if mode in (3, 5):
         t = tols[0]
@@ -296,11 +323,16 @@ def csp_grid_search_mode(
     xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
     axis = MODE_AXIS[mode]
     w = tilt_weights[:, None] * valid  # (T, P)
+    # shift/defocus candidates don't move the reference gather points:
+    # gather once, sweep candidates with phase ramps / CTF re-evaluation
+    u0 = (_csp_model_gather(params, mask_pts, Fref, n)
+          if mode in SHIFT_MODES else None)
 
     def score_candidate(off):
         p2 = _apply_mode_offset(params, mode, off)
         ncc = _csp_ncc(p2, xv, window_centers, tilt_defocus, mask_pts, Fref,
-                       n, pixel_size, voltage_kv, cs_mm, amplitude_contrast)
+                       n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
+                       u=u0)
         if axis == "tilt":
             return jnp.sum(ncc * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-6)
         return jnp.sum(ncc * w, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-6)
@@ -341,12 +373,17 @@ def csp_refine_mode(
     )
 
     xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    # shift/defocus blocks leave the reference gather points fixed (the
+    # frozen angle blocks are identical across iterations), so the whole
+    # gradient loop reuses one reference gather
+    u0 = (_csp_model_gather(params, mask_pts, Fref, n)
+          if mode in SHIFT_MODES else None)
 
     def loss_fn(p):
         score = csp_score(
             p, xv, window_centers, tilt_defocus, mask_pts, Fref,
             tilt_weights, valid, n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast, xv_precomputed=True,
+            amplitude_contrast, xv_precomputed=True, u=u0,
         )
         reg = _smoothness_penalty(p.tilt_shifts) + _smoothness_penalty(
             p.tilt_angles[:, None]

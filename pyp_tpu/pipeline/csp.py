@@ -96,7 +96,7 @@ def csp_swarm_one(
         grid_tols = {
             0: (float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
                 float(params.get("csp_ToleranceMicrographTiltAxisAngles")
-                      or 5.0)),
+                      or 0.0)),
             3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
             5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
             4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
