@@ -313,8 +313,13 @@ def _csp_one_series(item, params, ref):
     nz = float(params.get("tomo_rec_thickness") or tilts.shape[-1])
     center = np.array([nz / 2, tilts.shape[-2] / 2, tilts.shape[-1] / 2])
     coords = picks - center
-    rng = np.random.RandomState(abs(hash(item["name"])) % (2**31))
-    eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
+    if "spk_eulers" in meta and len(meta["spk_eulers"]) == len(coords):
+        # surface-normal orientation priors (membrane-perpendicular
+        # spikes, reference detect_particles_from_surface)
+        eulers = np.asarray(meta["spk_eulers"], dtype=np.float32)
+    else:
+        rng = np.random.RandomState(abs(hash(item["name"])) % (2**31))
+        eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
     item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
              "eulers": eulers, "angles": meta["tlt"]}
     refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")

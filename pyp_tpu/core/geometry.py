@@ -117,11 +117,18 @@ def angular_grid(angular_step_deg: float, psi_step_deg: float | None = None,
 
 
 def normal_to_euler(nx, ny, nz):
-    """Euler angles whose rotated z-axis equals the given (unit) normal —
-    used for surface-constrained picking priors (detect/tomo)."""
+    """Euler angles (phi, theta, psi) that carry the reference z-axis onto
+    the given (unit) normal under the projection convention — used for
+    surface-constrained picking priors (detect/tomo).
+
+    Convention (verified empirically against fourier_slice.project): after
+    euler_to_matrix(phi, theta, psi), the reference +z direction appears at
+    polar angle theta from the beam with azimuth PSI; phi spins the
+    reference about its own z first and does not move the axis — it is the
+    free in-plane parameter of an axis prior."""
     theta = jnp.degrees(jnp.arccos(jnp.clip(nz, -1.0, 1.0)))
-    phi = jnp.degrees(jnp.arctan2(ny, nx))
-    return phi, theta, jnp.zeros_like(phi)
+    psi = jnp.degrees(jnp.arctan2(ny, nx))
+    return jnp.zeros_like(psi), theta, psi
 
 
 def apply_symmetry_matrices(symmetry: str) -> np.ndarray:

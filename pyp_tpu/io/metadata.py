@@ -42,6 +42,7 @@ SCHEMA_TOMO = {
     "box": ("3D particle coordinates", "tomo_spk_force"),
     "vir": ("virion centers/radii", "tomo_vir_force"),
     "spk": ("surface spike picks", "tomo_spk_force"),
+    "spk_eulers": ("surface-normal orientation priors", "tomo_spk_force"),
     "exclude": ("excluded tilt indices", "tomo_ali_force"),
 }
 

@@ -176,9 +176,9 @@ def sphere_surface_points(center, radius_px: float, n_points: int = 200):
 
 def match_on_surface(tomogram, template, points, normals, psi_step: float = 30.0):
     """Score the template at given surface points with orientation fixed to
-    the surface normal (in-plane psi searched) — surface-constrained
+    the surface normal (in-plane spin searched) — surface-constrained
     picking (detect_particles_from_surface). Returns (scores (N,),
-    best_psi (N,))."""
+    best in-plane angle (N,) — the phi slot of our ZYZ convention)."""
     from pyp_tpu.core.geometry import normal_to_euler
     from pyp_tpu.ops.extract import subvolume_gather
 
@@ -190,7 +190,10 @@ def match_on_surface(tomogram, template, points, normals, psi_step: float = 30.0
     snorm = jnp.sqrt(jnp.sum(subs * subs, axis=(1, 2, 3)) + 1e-12)
 
     nrm = np.asarray(normals)
-    phi_n, theta_n, _ = normal_to_euler(
+    # azimuth of the rotated z-axis lives in PSI under our ZYZ convention
+    # (R z = [sin t cos p, sin t sin p, cos t]); phi is the free in-plane
+    # spin about the template's own axis — that's what we search here.
+    _, theta_n, azim_n = normal_to_euler(
         jnp.asarray(nrm[:, 2]), jnp.asarray(nrm[:, 1]), jnp.asarray(nrm[:, 0])
     )
     psis = np.arange(0.0, 360.0, psi_step, dtype=np.float32)
@@ -200,13 +203,13 @@ def match_on_surface(tomogram, template, points, normals, psi_step: float = 30.0
         # rotate template to each point's normal orientation is expensive;
         # approximate with shared orientation bins: round normals' euler to
         # 30-degree bins and rotate once per bin
-        key = np.round(np.stack([np.asarray(phi_n), np.asarray(theta_n)], 1) / 30.0) * 30.0
-        for phi_b, theta_b in np.unique(key, axis=0):
-            sel = (key[:, 0] == phi_b) & (key[:, 1] == theta_b)
+        key = np.round(np.stack([np.asarray(azim_n), np.asarray(theta_n)], 1) / 30.0) * 30.0
+        for azim_b, theta_b in np.unique(key, axis=0):
+            sel = (key[:, 0] == azim_b) & (key[:, 1] == theta_b)
             if not sel.any():
                 continue
-            rot = rotate_volume(jnp.asarray(template), float(phi_b),
-                                float(theta_b), float(psi))
+            rot = rotate_volume(jnp.asarray(template), float(psi),
+                                float(theta_b), float(azim_b))
             rot = rot - jnp.mean(rot)
             rnorm = jnp.sqrt(jnp.sum(rot * rot) + 1e-12)
             cc = jnp.sum(subs * rot[None], axis=(1, 2, 3)) / (snorm * rnorm)

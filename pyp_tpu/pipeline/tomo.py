@@ -391,9 +391,12 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             from pyp_tpu.io import mrc
 
             recon = mrc.read(f"{work_dir}/{name}.rec.mrc")
-            box, vir = pick_particles_3d(recon, params,
-                                         pixel * binning * rec_bin)
+            box, vir, spk_eulers = pick_particles_3d(
+                recon, params, pixel * binning * rec_bin)
             meta["box"] = box
+            if spk_eulers is not None:
+                # surface-normal orientation priors for CSPT init
+                meta["spk_eulers"] = spk_eulers
             if vir is not None:
                 meta["vir"] = vir
                 summary["virions"] = len(vir)
@@ -427,6 +430,7 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
     rad_px = max(2, int(float(params["tomo_spk_rad"]) / eff_pixel))
     recon = np.asarray(recon, dtype=np.float32)
     coords = []
+    euler_rows = []
     vir = None
 
     if method == "surface":
@@ -504,8 +508,20 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                 search=float(params.get("tomo_vir_search_band") or 0.3),
                 n_radial=int(params.get("tomo_vir_radial_samples") or 31))
             vir_rows.append((*c, float(np.mean(rr)), float(s)))
-            for p in pts:
+            # surface-normal orientation priors (the reference's
+            # detect_particles_from_surface euler initialization: spikes
+            # sit perpendicular to the membrane) — normals are (z, y, x)
+            from pyp_tpu.core.geometry import normal_to_euler
+
+            nrm = np.asarray(normals)
+            phi_n, theta_n, psi_n = normal_to_euler(
+                jnp.asarray(nrm[:, 2]), jnp.asarray(nrm[:, 1]),
+                jnp.asarray(nrm[:, 0]))
+            for p, ph, th, ps in zip(pts, np.asarray(phi_n),
+                                     np.asarray(theta_n),
+                                     np.asarray(psi_n)):
                 coords.append((p[0], p[1], p[2], float(s)))
+                euler_rows.append((float(ph), float(th), float(ps)))
         vir = np.asarray(vir_rows, dtype=np.float32).reshape(-1, 5)
     elif method == "template":
         from pyp_tpu.io import mrc as _mrc
@@ -553,12 +569,16 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
     dist_px = float(params.get("tomo_spk_dist") or 0.0) / eff_pixel
     if dist_px <= 0 and method == "auto":
         dist_px = 2.0 * rad_px
+    eulers = (np.asarray(euler_rows, dtype=np.float32)
+              if euler_rows else None)
     if len(box) > 1 and dist_px > 0:
         from pyp_tpu.analysis.scores import remove_duplicates
 
         keep = remove_duplicates(box[:, :3], box[:, 3], dist_px)
         box = box[keep]
-    return box, vir
+        if eulers is not None:
+            eulers = eulers[keep]
+    return box, vir, eulers
 
 
 def tomo_merge(results: dict, missing: list, work_dir=".") -> dict:

@@ -179,13 +179,26 @@ class TestPick3DDispatch:
         params = {"tomo_spk_method": "surface", "tomo_spk_rad": 40.0,
                   "tomo_vir_rad": 120.0, "tomo_vir_detect_max": 2,
                   "tomo_vir_points": 100}
-        box, vir = pick_particles_3d(tomo, params, eff_pixel=10.0)
+        box, vir, _eul = pick_particles_3d(tomo, params, eff_pixel=10.0)
         assert vir is not None and len(vir) >= 1, vir
         assert np.linalg.norm(vir[0, :3] - c) < 3.0, vir[0]
         assert abs(vir[0, 3] - 12.0) < 2.0, vir[0, 3]  # refined radius
         # surface picks ~12 px from the center
         d = np.linalg.norm(box[:, :3] - vir[0, :3], axis=1)
         assert len(box) == 100 and np.median(np.abs(d - 12.0)) < 2.0
+        # surface-normal orientation priors: the prior's rotated z-axis
+        # must point along the outward radial direction at each pick
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        assert _eul is not None and len(_eul) == len(box)
+        dots = []
+        for b in range(0, len(box), 7):
+            radial = (box[b, :3] - vir[0, :3])
+            radial = radial / (np.linalg.norm(radial) + 1e-9)  # (z, y, x)
+            R = np.asarray(euler_to_matrix(*[float(v) for v in _eul[b]]))
+            zrot = R @ np.array([0.0, 0.0, 1.0])  # rotated z (x, y, z)
+            dots.append(float(np.dot(zrot[::-1], radial)))
+        assert np.median(dots) > 0.9, dots
 
     def test_template_mode_finds_planted_copies(self, tmp_path):
         from pyp_tpu.io import mrc
@@ -206,7 +219,7 @@ class TestPick3DDispatch:
         params = {"tomo_spk_method": "template", "tomo_spk_rad": 60.0,
                   "tomo_pick_ref": str(ref), "tomo_pick_ang": 90.0,
                   "tomo_spk_max": 4, "tomo_spk_thresh": 0.5}
-        box, vir = pick_particles_3d(tomo, params, eff_pixel=10.0)
+        box, vir, _eul = pick_particles_3d(tomo, params, eff_pixel=10.0)
         assert vir is None
         assert len(box) >= 2, box
         top2 = box[np.argsort(-box[:, 3])][:2, :3]
