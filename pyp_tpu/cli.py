@@ -315,8 +315,12 @@ def _csp_one_series(item, params, ref):
     coords = picks - center
     if "spk_eulers" in meta and len(meta["spk_eulers"]) == len(coords):
         # surface-normal orientation priors (membrane-perpendicular
-        # spikes, reference detect_particles_from_surface)
+        # spikes, reference detect_particles_from_surface); the spin about
+        # the spike axis is free — turn on the exhaustive spin ring unless
+        # the user set a step explicitly
         eulers = np.asarray(meta["spk_eulers"], dtype=np.float32)
+        if not float(params.get("csp_spin_search") or 0.0):
+            params = {**params, "csp_spin_search": 15.0}
     else:
         rng = np.random.RandomState(abs(hash(item["name"])) % (2**31))
         eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)

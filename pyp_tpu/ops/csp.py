@@ -296,6 +296,21 @@ def make_mode_offsets(mode: int, tol, steps: int = 9) -> np.ndarray:
     raise ValueError(f"mode {mode} has no searchable block")
 
 
+def make_spin_offsets(step_deg: float) -> np.ndarray:
+    """Full in-plane spin ring for orientation-prior initialization.
+
+    Surface-constrained picks carry (theta, psi) from the membrane normal
+    (detect_particles_from_surface role); phi — the first-applied Rz, the
+    spin about the particle's own symmetry axis — is unconstrained. A
+    360-degree candidate ring over the phi column alone (theta/psi zero)
+    escapes the gradient basin regardless of the starting spin; follow with
+    a mode-1 gradient polish."""
+    phis = np.arange(-180.0, 180.0, float(step_deg), dtype=np.float32)
+    off = np.zeros((len(phis), 3), dtype=np.float32)
+    off[:, 0] = phis
+    return off
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "n", "pixel_size", "voltage_kv", "cs_mm",
@@ -440,6 +455,7 @@ def csp_refine(
     amplitude_contrast: float = 0.07,
     grid_tols: dict | None = None,
     grid_steps: int = 9,
+    spin_step: float = 0.0,
 ):
     """Full CSP pass on one tilt-series: extract windows at predicted
     positions, then refine each mode block in sequence (the reference runs
@@ -448,7 +464,11 @@ def csp_refine(
     grid_tols: optional {mode: tolerance} — modes listed run a coarse
     discrete search (csp_grid_search_mode, the csp_GS role) before the
     gradient polish, recovering from initialization errors outside the
-    gradient basin (reference csp_GridSearch + csp_Tolerance*, §A.3)."""
+    gradient basin (reference csp_GridSearch + csp_Tolerance*, §A.3).
+
+    spin_step: if > 0, an exhaustive in-plane spin ring (make_spin_offsets)
+    runs once before the mode schedule — pairs with surface-normal
+    orientation priors whose phi is a free parameter."""
     from pyp_tpu.ops.extract import window_particles
     from pyp_tpu.ops.fourier_slice import volume_to_fourier
 
@@ -479,6 +499,16 @@ def csp_refine(
         w_centers[t] = ci - np.array([ny // 2, nx // 2])
     windows = jnp.stack(windows)  # (T, P, n, n)
     windows_f = image_to_fourier(windows)
+
+    if spin_step and spin_step > 0:
+        params, _ = csp_grid_search_mode(
+            params, windows_f, jnp.asarray(w_centers),
+            jnp.asarray(tilt_defocus), mask_pts, Fref,
+            jnp.asarray(tilt_weights), jnp.asarray(valid),
+            jnp.asarray(make_spin_offsets(spin_step)), 1, n, pixel_size,
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast,
+        )
 
     scores = []
     for mode in modes:

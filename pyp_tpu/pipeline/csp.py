@@ -151,6 +151,7 @@ def csp_swarm_one(
             amplitude_contrast=float(params["scope_wgh"]),
             grid_tols=grid_tols,
             grid_steps=int(params.get("csp_GridSearchSteps") or 9),
+            spin_step=float(params.get("csp_spin_search") or 0.0),
         )
         if params.get("csp_rotreg"):
             # per-tilt geometry angle regularization across the series

@@ -242,3 +242,41 @@ class TestGridSearch:
                       - np.asarray(true.particle_eulers))
         assert np.median(err1) < np.median(err0)
         assert np.median(err1) < 2.0, err1
+
+    def test_spin_ring_recovers_random_inplane_phi(self):
+        """Surface-prior scenario: theta/psi known (membrane normal), phi
+        uniform-random. The spin ring + mode-1 polish recovers rotations the
+        gradient alone cannot (phi error up to 180 deg)."""
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol, seed=5)
+        rng = np.random.RandomState(11)
+        spin = rng.uniform(-180, 180, P).astype(np.float32)
+        pert_eul = np.asarray(true.particle_eulers).copy()
+        pert_eul[:, 0] += spin  # phi = first-applied Rz = free spin
+        pert = true._replace(particle_eulers=jnp.asarray(pert_eul))
+
+        def rot_err(params):
+            Rt = euler_to_matrix(true.particle_eulers[:, 0],
+                                 true.particle_eulers[:, 1],
+                                 true.particle_eulers[:, 2])
+            Re = euler_to_matrix(params.particle_eulers[:, 0],
+                                 params.particle_eulers[:, 1],
+                                 params.particle_eulers[:, 2])
+            tr = np.einsum("pij,pij->p", np.asarray(Rt), np.asarray(Re))
+            return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+        # control: gradient-only stays lost
+        grad_only, _ = csp.csp_refine(
+            pert, images, defocus, vol, PIXEL, NBOX, modes=(1,),
+            iters_per_mode=20, high_res=8.0, reg_weight=0.0)
+        # spin ring + polish
+        refined, _ = csp.csp_refine(
+            pert, images, defocus, vol, PIXEL, NBOX, modes=(1,),
+            iters_per_mode=20, high_res=8.0, reg_weight=0.0,
+            spin_step=15.0)
+        e_grad = np.median(rot_err(grad_only))
+        e_spin = np.median(rot_err(refined))
+        assert e_spin < 5.0, (e_spin, e_grad)
+        assert e_grad > e_spin, (e_grad, e_spin)
