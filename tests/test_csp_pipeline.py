@@ -58,6 +58,53 @@ class TestCspPipeline:
         meta2 = ItemMetadata("ts1", tmp_path, mode="tomo").load()
         assert meta2["xf"].shape == (T, 3)
 
+    def test_surface_prior_spin_init(self, tmp_path):
+        """Surface-normal priors give (theta, psi); the spin ring recovers
+        the free phi — the full prior -> CSPT init chain
+        (detect_particles_from_surface role)."""
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol, noise=0.08)
+
+        meta = ItemMetadata("ts1", tmp_path, mode="tomo")
+        meta["tlt"] = np.asarray(true.tilt_angles)
+        meta["xf"] = np.concatenate([
+            np.asarray(true.tilt_shifts), np.full((T, 1), 2.0),
+        ], axis=1).astype(np.float32)
+        meta["ctf"] = np.concatenate([
+            np.asarray(defocus), np.zeros((T, 3), dtype=np.float32),
+        ], axis=1)
+        meta.save()
+
+        # what normal_to_euler would hand over: theta/psi exact, phi unknown
+        priors = np.asarray(true.particle_eulers).copy()
+        priors[:, 0] = 0.0
+
+        params = defaults()
+        params.update({
+            "scope_pixel": PIXEL, "csp_box": NBOX, "csp_rlref": 60.0,
+            "csp_rhref": "5", "csp_OptimizerIters": 15, "csp_transreg": 0.0,
+            "csp_refine_modes": "1", "csp_spin_search": 15.0,
+        })
+        item = {"name": "ts1", "tilts": np.asarray(images),
+                "coords": np.asarray(true.particle_pos), "eulers": priors}
+        refined, _acc, _scores = csp_pipe.csp_swarm_one(
+            item, params, vol, tmp_path, iteration=2)
+
+        def rot_err(eul):
+            Rt = euler_to_matrix(true.particle_eulers[:, 0],
+                                 true.particle_eulers[:, 1],
+                                 true.particle_eulers[:, 2])
+            Re = euler_to_matrix(eul[:, 0], eul[:, 1], eul[:, 2])
+            tr = np.einsum("pij,pij->p", np.asarray(Rt), np.asarray(Re))
+            return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+
+        e_prior = np.median(rot_err(jnp.asarray(priors)))
+        e_ref = np.median(rot_err(refined.particle_eulers))
+        assert e_ref < 5.0, (e_prior, e_ref)
+        assert e_ref < e_prior * 0.25, (e_prior, e_ref)
+
 
 @pytest.mark.slow
 class TestCspClassify:
