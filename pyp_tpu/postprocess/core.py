@@ -185,5 +185,37 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         "map": str(out_map),
         "halves": [str(h1p), str(h2p)],
     }
+
+    if params.get("sharpen_locres"):
+        # local resolution + locally-filtered map (relion_postprocess
+        # --locres role, reference postprocess/core.py:325-364)
+        from pyp_tpu.postprocess.locres import local_filter, local_resolution
+
+        locres_map, _pts, vals = local_resolution(
+            half1, half2, pixel,
+            sampling_a=float(params.get("sharpen_locres_sampling") or 25.0),
+            maskrad_a=float(params.get("sharpen_locres_maskrad") or -1.0),
+            edgwidth_a=float(params.get("sharpen_locres_edgwidth") or -1.0),
+            randomize_at_a=float(
+                params.get("sharpen_locres_randomize_at") or 25.0),
+            minres_a=float(params.get("sharpen_locres_minres") or 50.0),
+            threshold=float(params.get("sharpen_fsc_cut") or 0.143),
+        )
+        locres_path = maps_dir / f"{dataset}_locres.mrc"
+        mrc.write(np.asarray(locres_map, dtype=np.float32), locres_path,
+                  pixel_size=pixel)
+        out["locres_map"] = str(locres_path)
+        out["locres_median_A"] = float(np.median(vals))
+        if params.get("sharpen_locfilt", True):
+            filt = local_filter(sharp, locres_map, pixel)
+            if params.get("sharpen_apply_mask", True):
+                filt = filt * mask
+            locfilt_path = maps_dir / f"{dataset}_locfilt.mrc"
+            mrc.write(np.asarray(filt, dtype=np.float32), locfilt_path,
+                      pixel_size=pixel)
+            out["locfilt_map"] = str(locfilt_path)
+        logger.info("locres: median %.2f Å over %d samples",
+                    out["locres_median_A"], len(vals))
+
     logger.info("postprocess: %.2f Å, B=%.0f", res, bfac)
     return out
