@@ -107,6 +107,49 @@ def guinier_bfactor(vol, pixel_size, min_res=10.0, max_res=None):
     return 4.0 * slope  # negative for falling amplitudes
 
 
+def read_mtf_curve(path):
+    """Detector MTF curve as (freqs cycles/pixel, values).
+
+    Accepts a RELION MTF star (_rlnResolutionInversePixel/_rlnMtfValue —
+    relion_postprocess --mtf, reference postprocess/core.py:317) or a
+    2-column text table."""
+    p = str(path)
+    if p.endswith(".star"):
+        from pyp_tpu.io import star as star_mod
+
+        blocks = star_mod.read(p)
+        loop = next(b["loop"] for b in blocks.values() if b["loop"])
+        f = np.asarray(loop["rlnResolutionInversePixel"], dtype=np.float64)
+        v = np.asarray(loop["rlnMtfValue"], dtype=np.float64)
+    else:
+        table = np.loadtxt(p)
+        f, v = table[:, 0], table[:, 1]
+    order = np.argsort(f)
+    return f[order], v[order]
+
+
+def mtf_correct(vol, pixel_size, mtf_path, mtf_angpix: float = 0.0):
+    """Divide the map's Fourier amplitudes by the detector MTF.
+
+    The curve's frequency axis is cycles per ORIGINAL detector pixel
+    (`mtf_angpix`, defaulting to the map pixel); the map may be binned or
+    Fourier-cropped relative to acquisition."""
+    vol = jnp.asarray(vol, dtype=jnp.float32)
+    n = vol.shape[-1]
+    if not mtf_angpix or mtf_angpix <= 0:
+        mtf_angpix = pixel_size
+    f_tab, v_tab = read_mtf_curve(mtf_path)
+    fz = np.fft.fftfreq(n).reshape(n, 1, 1)
+    fy = np.fft.fftfreq(n).reshape(1, n, 1)
+    fx = np.fft.rfftfreq(n).reshape(1, 1, -1)
+    r = np.sqrt(fz * fz + fy * fy + fx * fx)       # cycles per map pixel
+    f_orig = r * mtf_angpix / pixel_size           # cycles per detector px
+    mtf = np.interp(f_orig, f_tab, v_tab)
+    mtf = np.maximum(mtf, 1e-2).astype(np.float32)  # guard the division
+    F = jnp.fft.rfftn(vol)
+    return jnp.fft.irfftn(F / jnp.asarray(mtf), s=vol.shape)
+
+
 def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
                 fsc_curve=None, guinier_min_res: float = 10.0):
     """Sharpen: apply -B (auto if None), optional Cref FSC weighting, and a
@@ -148,14 +191,30 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
     half1 = mrc.read(h1p).astype(np.float32)
     half2 = mrc.read(h2p).astype(np.float32)
     pixel = mrc.read_header(h1p).pixel_size
-    mask = auto_mask(
-        half1 + half2, pixel_size=pixel,
-        lowpass_a=float(params.get("sharpen_mask_lowpass") or 15.0),
-        threshold_sigmas=float(params.get("sharpen_mask_threshold") or 1.0),
-        dilation_px=int(params.get("sharpen_mask_dilation") or 3),
-        soft_px=int(params.get("sharpen_mask_soft") or 6),
-        mw_kda=float(params.get("particle_mw") or 0.0),
-    )
+
+    # detector MTF division ahead of everything downstream (--mtf role)
+    mtf_path = str(params.get("sharpen_mtf") or "")
+    if mtf_path and Path(mtf_path).exists():
+        angpix = float(params.get("sharpen_mtf_angpix") or 0.0)
+        half1 = np.asarray(mtf_correct(half1, pixel, mtf_path, angpix),
+                           dtype=np.float32)
+        half2 = np.asarray(mtf_correct(half2, pixel, mtf_path, angpix),
+                           dtype=np.float32)
+        logger.info("MTF-corrected halves with %s", mtf_path)
+
+    user_mask = str(params.get("sharpen_mask") or "")
+    if user_mask and Path(user_mask).exists():
+        mask = jnp.asarray(mrc.read(user_mask).astype(np.float32))
+    else:
+        mask = auto_mask(
+            half1 + half2, pixel_size=pixel,
+            lowpass_a=float(params.get("sharpen_mask_lowpass") or 15.0),
+            threshold_sigmas=float(
+                params.get("sharpen_mask_threshold") or 1.0),
+            dilation_px=int(params.get("sharpen_mask_dilation") or 3),
+            soft_px=int(params.get("sharpen_mask_soft") or 6),
+            mw_kda=float(params.get("particle_mw") or 0.0),
+        )
     freqs, curve = masked_fsc(
         half1, half2, mask, pixel,
         rand_res_a=float(params.get("sharpen_rand_res") or 10.0))
@@ -185,6 +244,21 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         "map": str(out_map),
         "halves": [str(h1p), str(h2p)],
     }
+
+    if params.get("sharpen_half_maps"):
+        # postprocessed half maps for validation (--half_maps role)
+        for tag, h in (("half1", half1), ("half2", half2)):
+            sh, _ = sharpen_map(
+                jnp.asarray(h), pixel, bfactor=float(bfac),
+                resolution=(res if params.get("sharpen_final_lowpass", True)
+                            else None),
+                fsc_curve=(curve if params.get("sharpen_fsc_weight", True)
+                           else None))
+            hp = maps_dir / f"{dataset}_{tag}_postprocessed.mrc"
+            mrc.write(np.asarray(
+                sh * mask if params.get("sharpen_apply_mask", True) else sh,
+                dtype=np.float32), hp, pixel_size=pixel)
+            out[f"{tag}_postprocessed"] = str(hp)
 
     if params.get("sharpen_locres"):
         # local resolution + locally-filtered map (relion_postprocess

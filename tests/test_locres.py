@@ -100,3 +100,69 @@ class TestPostprocessIntegration:
         assert lr.shape == (N, N, N)
         assert 2 * PIXEL <= np.median(lr) <= 50.0
         assert mrc.read(out["locfilt_map"]).shape == (N, N, N)
+
+    def test_user_mask_and_half_maps(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        maps = tmp_path / "maps"
+        maps.mkdir()
+        mrc.write(h1, maps / "ds_r01_02_half1.mrc", pixel_size=PIXEL)
+        mrc.write(h2, maps / "ds_r01_02_half2.mrc", pixel_size=PIXEL)
+        # a hard box mask over the left half only
+        user = np.zeros((N, N, N), dtype=np.float32)
+        user[:, :, : N // 2] = 1.0
+        mpath = tmp_path / "user_mask.mrc"
+        mrc.write(user, mpath, pixel_size=PIXEL)
+        out = postprocess_latest("ds", {
+            "sharpen_mask": str(mpath),
+            "sharpen_half_maps": True,
+        }, tmp_path)
+        final = mrc.read(out["map"])
+        # the user mask is honored: right half zeroed in the output
+        assert np.abs(final[:, :, 3 * N // 4:]).max() < 1e-5
+        assert np.abs(final[:, :, : N // 4]).std() > 0
+        for tag in ("half1", "half2"):
+            hp = out[f"{tag}_postprocessed"]
+            assert mrc.read(hp).shape == (N, N, N)
+
+
+class TestMtfCorrection:
+    def test_divides_out_known_mtf(self, tmp_path):
+        from pyp_tpu.postprocess.core import mtf_correct
+
+        rng = np.random.RandomState(0)
+        vol = np.asarray(lowpass_filter_3d(
+            jnp.asarray(rng.randn(48, 48, 48).astype(np.float32)),
+            PIXEL, 6.0))
+        # synthetic sinc-like falling MTF, applied radially
+        f_tab = np.linspace(0.0, 0.75, 40)
+        v_tab = 1.0 / (1.0 + 4.0 * f_tab)
+        n = 48
+        fz = np.fft.fftfreq(n).reshape(n, 1, 1)
+        fy = np.fft.fftfreq(n).reshape(1, n, 1)
+        fx = np.fft.rfftfreq(n).reshape(1, 1, -1)
+        r = np.sqrt(fz**2 + fy**2 + fx**2)
+        damp = np.interp(r, f_tab, v_tab).astype(np.float32)
+        degraded = np.fft.irfftn(np.fft.rfftn(vol) * damp, s=vol.shape,
+                                 axes=(0, 1, 2))
+
+        table = tmp_path / "mtf.txt"
+        np.savetxt(table, np.stack([f_tab, v_tab], 1))
+        restored = np.asarray(mtf_correct(degraded, PIXEL, table))
+        # recovery to float32 FFT accuracy
+        rel = (np.linalg.norm(restored - vol)
+               / np.linalg.norm(vol))
+        assert rel < 1e-3, rel
+
+    def test_reads_relion_star_format(self, tmp_path):
+        from pyp_tpu.postprocess.core import read_mtf_curve
+
+        p = tmp_path / "mtf.star"
+        p.write_text(
+            "data_mtf\n\nloop_\n_rlnResolutionInversePixel #1\n"
+            "_rlnMtfValue #2\n0.0 1.0\n0.25 0.7\n0.5 0.4\n")
+        f, v = read_mtf_curve(p)
+        assert np.allclose(f, [0.0, 0.25, 0.5])
+        assert np.allclose(v, [1.0, 0.7, 0.4])
