@@ -191,7 +191,46 @@ def bench_wbp(jax, jnp):
     return thick * ny * nx / dt
 
 
+_PROGRESS = {"headline": None, "extras": {}}
+
+
+def _emit(headline_pps, extras):
+    print(json.dumps({
+        "metric": "refine3d_full_search_particles_per_sec_per_chip",
+        "value": round(headline_pps, 2) if headline_pps else 0.0,
+        "unit": "particles/sec/chip",
+        "vs_baseline": (round(headline_pps / BASELINE_GLOBAL_PPS, 2)
+                        if headline_pps else 0.0),
+        "extras": extras,
+    }), flush=True)
+
+
+def _arm_watchdog(timeout_s: float = 2100.0):
+    """The axon compile service can hang a fresh compile indefinitely; if
+    the run exceeds `timeout_s`, emit whatever sections completed (marked
+    incomplete) so the driver always records a JSON line, then hard-exit —
+    the timer thread can run while the main thread is blocked in XLA."""
+    import os
+    import sys
+    import threading
+
+    def die():
+        extras = dict(_PROGRESS["extras"])
+        extras["incomplete"] = {
+            "error": "watchdog: axon tunnel stalled; partial results only"}
+        _emit(_PROGRESS["headline"], extras)
+        sys.stdout.flush()
+        os._exit(0)
+
+    t = threading.Timer(timeout_s, die)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -228,9 +267,14 @@ def main():
     ).astype(np.float32))
     mask_pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 4.0))
 
+    _arm_watchdog()
+    print("[bench] frm...", file=sys.stderr, flush=True)
     frm_pps = bench_frm(jax, jnp, Fref)
+    _PROGRESS["headline"] = frm_pps
+    print(f"[bench] frm {frm_pps:.0f} p/s", file=sys.stderr, flush=True)
 
-    extras = {}
+    extras = _PROGRESS["extras"]
+    print("[bench] local gather...", file=sys.stderr, flush=True)
     try:
         g = bench_local_gather(jnp, r3, Fref, stack, ctf_params, poses,
                                mask_pts)
@@ -240,6 +284,7 @@ def main():
         }
     except Exception as e:  # noqa: BLE001
         extras["refine3d_local_gather_particles_per_sec_per_chip"] = {"error": str(e)[:200]}
+    print("[bench] preprocess...", file=sys.stderr, flush=True)
     try:
         m = bench_preprocess(jax, jnp)
         extras["preprocess_micrographs_per_min_per_chip"] = {
@@ -248,6 +293,7 @@ def main():
         }
     except Exception as e:  # noqa: BLE001
         extras["preprocess_micrographs_per_min_per_chip"] = {"error": str(e)[:200]}
+    print("[bench] insertion...", file=sys.stderr, flush=True)
     try:
         ins = bench_insertion(jax, jnp)
         extras["reconstruct_insertion_particles_per_sec_per_chip"] = {
@@ -257,6 +303,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         extras["reconstruct_insertion_particles_per_sec_per_chip"] = {
             "error": str(e)[:200]}
+    print("[bench] wbp...", file=sys.stderr, flush=True)
     try:
         v = bench_wbp(jax, jnp)
         extras["tomo_wbp_voxels_per_sec_per_chip"] = {
@@ -266,13 +313,7 @@ def main():
     except Exception as e:  # noqa: BLE001
         extras["tomo_wbp_voxels_per_sec_per_chip"] = {"error": str(e)[:200]}
 
-    print(json.dumps({
-        "metric": "refine3d_full_search_particles_per_sec_per_chip",
-        "value": round(frm_pps, 2),
-        "unit": "particles/sec/chip",
-        "vs_baseline": round(frm_pps / BASELINE_GLOBAL_PPS, 2),
-        "extras": extras,
-    }))
+    _emit(frm_pps, extras)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
-         "tomotrain", "heterogeneity", "sva", "export_session")
+         "tomotrain", "heterogeneity", "sva", "export_session", "filter")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -64,6 +64,14 @@ def _discover_items(params):
         if suffix and suffix not in Path(path).name:
             continue
         items.append({"name": Path(path).stem, "path": path})
+    # saved filter selection (the reference's table-view Filters,
+    # docs/guide/filters.rst): keep only items the filter kept
+    sel = str(params.get("filter_sel") or "")
+    if sel:
+        from pyp_tpu.analysis.filters import load_selection
+
+        keep = load_selection(sel, ".", str(params.get("data_set") or ""))
+        items = [it for it in items if it["name"] in keep]
     # dataset subsetting (large-project splits): process [first, last)
     first = int(params.get("data_first_item") or 0)
     last = int(params.get("data_last_item") or -1)
@@ -738,6 +746,34 @@ def mode_stream(argv):
     )
     print(json.dumps({"processed": len(daemon.processed),
                       "classified": daemon.class_result is not None}))
+    return 0
+
+
+def mode_filter(argv):
+    """Create a micrograph/tilt-series filter selection (the reference's
+    table-view Filters, docs/guide/filters.rst): evaluate metric criteria
+    over every item's metadata bundle, apply manual include/exclude
+    overrides, and save a selection downstream modes load via -filter_sel.
+
+      pyp_tpu filter -filter_criteria "ctf_res<8 drift<60" -filter_name good
+      pyp_tpu refine ... -filter_sel good
+    """
+    params = _project_params(argv)
+    from pyp_tpu.analysis.filters import apply_filter, save_selection
+
+    mode = "tomo" if params.get("data_mode") == "tomo" else "spr"
+    crit = str(params.get("filter_criteria") or "")
+    inc = [t for t in str(params.get("filter_include") or "").replace(
+        ",", " ").split() if t]
+    exc = [t for t in str(params.get("filter_exclude") or "").replace(
+        ",", " ").split() if t]
+    kept, table = apply_filter(".", crit, mode=mode, include=inc,
+                               exclude=exc)
+    name = str(params.get("filter_name") or "filter1")
+    ds = str(params.get("data_set") or "dataset")
+    out = save_selection(f"{ds}_{name}.filter.json", kept, crit, table)
+    print(json.dumps({"filter": out, "kept": len(kept),
+                      "total": len(table), "criteria": crit}))
     return 0
 
 
