@@ -338,10 +338,61 @@ def _csp_one_series(item, params, ref):
     dump = Path("swarm") / f"{item['name']}.acc.npz"
     dump.parent.mkdir(exist_ok=True)
     save_accumulators(acc, dump)
+    if params.get("csp_save_stacks"):
+        # per-particle tilt stacks at refined geometry (the reference's
+        # Extraction "Save particle stacks" feeding tomoDRGN,
+        # docs/guide/tomodrgn.rst) -> stacks/<name>_stack.npz
+        _export_tilt_stacks(item["name"], tilts, refined, meta, params)
     logger.info("csp %s: scores %s", item["name"],
                 [round(s, 3) for s in scores])
     return {"name": item["name"], "dump": str(dump),
             "particles": int(len(coords))}
+
+
+def _export_tilt_stacks(name, tilts, refined, meta, params):
+    """Window every particle in every tilt at the refined geometry and save
+    (stacks, poses, ctf, weights) for tilt-aware heterogeneity training."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.geometry import matrix_to_euler
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops.extract import window_particles
+
+    T, ny, nx = tilts.shape
+    box = int(params.get("csp_box") or 64)
+    pixel = float(params["scope_pixel"])
+    R_eff = np.asarray(csp_ops.effective_rotations(refined))   # (T, P, 3, 3)
+    pred = np.asarray(csp_ops.project_positions(refined))      # (T, P, 2)
+    depth = np.asarray(csp_ops.particle_depth(refined))        # (T, P)
+    P = pred.shape[1]
+    center = np.array([ny // 2, nx // 2])
+    defocus = (np.asarray(meta["ctf"][:, :2], dtype=np.float32)
+               if "ctf" in meta else np.full((T, 2), 20000.0, np.float32))
+
+    stacks = np.zeros((P, T, box, box), dtype=np.float32)
+    poses = np.zeros((P, T, 5), dtype=np.float32)
+    ctf = np.zeros((P, T, 4), dtype=np.float32)
+    phi, theta, psi = matrix_to_euler(jnp.asarray(R_eff))
+    eulers = np.stack([np.asarray(phi), np.asarray(theta),
+                       np.asarray(psi)], -1)                   # (T, P, 3)
+    for t in range(T):
+        ci = np.round(pred[t] + center).astype(np.int32)
+        win = np.asarray(window_particles(
+            jnp.asarray(tilts[t]), jnp.asarray(ci), box))
+        stacks[:, t] = win
+        resid = (pred[t] + center) - np.clip(
+            ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+        poses[:, t, :3] = eulers[t]
+        poses[:, t, 3:5] = resid                               # (sy, sx)
+        df = 0.5 * (defocus[t, 0] + defocus[t, 1]) + depth[t] * pixel
+        ctf[:, t, 0] = df
+        ctf[:, t, 1] = df
+    out = Path("stacks")
+    out.mkdir(exist_ok=True)
+    np.savez_compressed(
+        out / f"{name}_stack.npz", stacks=stacks, poses=poses, ctf=ctf,
+        weights=np.ones((P, T), dtype=np.float32))
+    logger.info("saved %d tilt stacks for %s", P, name)
 
 
 def mode_csp(argv):
@@ -1044,9 +1095,14 @@ def mode_heterogeneity(argv):
     from pyp_tpu.models import heterogeneity as het
     from pyp_tpu.pipeline.refine import table_to_ctf_params, table_to_poses
 
+    pixel = float(params["scope_pixel"])
+    tilt_glob = sorted(glob.glob(
+        str(params.get("het_input") or "stacks/*_stack.npz")))
+    if tilt_glob and not Path("stack.mrc").exists() or params.get("het_input"):
+        return _heterogeneity_tilt(tilt_glob, params, pixel)
+
     stack = mrc.read("stack.mrc").astype(np.float32)
     table = cistem.read_parameters("stack.cistem")
-    pixel = float(params["scope_pixel"])
     model = het.train_heterogeneity(
         stack, table_to_poses(table, pixel), table_to_ctf_params(table),
         pixel,
@@ -1077,6 +1133,57 @@ def mode_heterogeneity(argv):
         mrc.write(vol, f"het_volume_{i:02d}.mrc", pixel_size=pixel)
     total_var = latents.var(axis=0).sum() * max(len(latents) - 1, 1)
     print(json.dumps({"particles": int(len(stack)),
+                      "latent_dim": int(latents.shape[1]),
+                      "volumes": nvol,
+                      "pc1_explained": float(svals[0] ** 2 / max(
+                          total_var, 1e-9))}))
+    return 0
+
+
+def _heterogeneity_tilt(stack_files, params, pixel):
+    """tomoDRGN-role branch of the heterogeneity mode: train the tilt-aware
+    latent model on per-particle tilt stacks exported by csp
+    -csp_save_stacks (docs/guide/tomodrgn.rst)."""
+    from pyp_tpu.io import mrc
+    from pyp_tpu.models import heterogeneity as het
+
+    if not stack_files:
+        logger.error("heterogeneity: no tilt stacks (stacks/*_stack.npz); "
+                     "run csp with -csp_save_stacks first")
+        return 1
+    parts = [np.load(f) for f in stack_files]
+    stacks = np.concatenate([p["stacks"] for p in parts])
+    poses = np.concatenate([p["poses"] for p in parts])
+    ctf = np.concatenate([p["ctf"] for p in parts])
+    weights = np.concatenate([p["weights"] for p in parts])
+    model = het.train_heterogeneity_tilt(
+        stacks, poses, ctf, pixel, tilt_weights=weights,
+        latent_dim=int(params.get("het_latent") or 8),
+        steps=int(params.get("het_steps") or 500),
+        batch=int(params.get("het_batch") or 8),
+        lr=float(params.get("het_lr") or 1e-3),
+        low_res=float(params.get("het_rlref") or 60.0),
+        high_res=float(params.get("het_rhref") or 8.0),
+        kl_weight=float(params.get("het_kl") or 1e-3),
+        seed=int(params.get("het_seed") or 0),
+        hidden=int(params.get("het_hidden") or 128),
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        w=float(params["scope_wgh"]),
+    )
+    latents = het.embed_tilt(model, stacks)
+    np.savez("heterogeneity_latents.npz", latents=latents)
+    scores, comps, svals = het.latent_pca(latents, n_components=2)
+    nvol = int(params.get("het_volumes") or 5)
+    mean_z = latents.mean(axis=0)
+    pc = max(0, int(params.get("het_pc") or 1) - 1)
+    for i, q in enumerate(np.linspace(5, 95, nvol)):
+        z = mean_z + comps[pc] * np.percentile(scores[:, pc], q)
+        vol = np.asarray(het.decode_volume(model, z), dtype=np.float32)
+        mrc.write(vol, f"het_volume_{i:02d}.mrc", pixel_size=pixel)
+    total_var = latents.var(axis=0).sum() * max(len(latents) - 1, 1)
+    print(json.dumps({"particles": int(len(stacks)),
+                      "tilts": int(stacks.shape[1]),
                       "latent_dim": int(latents.shape[1]),
                       "volumes": nvol,
                       "pc1_explained": float(svals[0] ** 2 / max(

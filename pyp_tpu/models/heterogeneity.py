@@ -173,6 +173,132 @@ def train_heterogeneity(
                     mask_pts=mask_pts)
 
 
+def _pool_gaussians(mu, logvar, axis=1):
+    """Product of per-view Gaussian posteriors q(z|x_t) -> pooled (mu, var).
+
+    Precision-weighted mean over the tilt axis — the tomoDRGN idea that all
+    tilt images of one particle share a single latent, with each view
+    contributing evidence proportional to its certainty."""
+    prec = jnp.exp(-logvar)
+    lam = jnp.sum(prec, axis=axis)
+    mu_p = jnp.sum(mu * prec, axis=axis) / jnp.maximum(lam, 1e-8)
+    return mu_p, 1.0 / jnp.maximum(lam, 1e-8)
+
+
+def train_heterogeneity_tilt(
+    stacks, poses, ctf_params, pixel_size: float,
+    tilt_weights=None,
+    latent_dim: int = 8, steps: int = 500, batch: int = 8,
+    lr: float = 1e-3, low_res: float = 60.0, high_res: float = 8.0,
+    kl_weight: float = 1e-3, seed: int = 0, hidden: int = 128,
+    voltage_kv: float = 300.0, cs_mm: float = 2.7, w: float = 0.07,
+) -> HetModel:
+    """tomoDRGN-role trainer: per-particle TILT STACKS share one latent.
+
+    stacks (P, T, n, n); poses (P, T, 5) per-tilt (phi, theta, psi, sx,
+    sy); ctf_params (P, T, 4); tilt_weights (P, T) optional dose/exposure
+    weights on the residuals. The encoder runs per tilt image and the
+    per-view posteriors are pooled as a product of Gaussians
+    (_pool_gaussians); the decoder is the same latent-conditioned neural
+    volume, scored on every tilt's central slice. Replaces the reference's
+    external tomoDRGN env (docs/guide/tomodrgn.rst, refine/heterogeneity)."""
+    stacks = np.asarray(stacks, dtype=np.float32)
+    P, T, n, _ = stacks.shape
+    mask_pts = make_mask_points(n, pixel_size, low_res, high_res)
+    G = len(mask_pts)
+    rng = np.random.RandomState(seed)
+
+    from pyp_tpu.ops.fourier_slice import gather_2d_hermitian
+
+    poses = jnp.asarray(np.asarray(poses, dtype=np.float32))
+    flatp = poses.reshape(P * T, 5)
+    X = image_to_fourier(jnp.asarray(stacks.reshape(P * T, n, n)))
+    xv = jax.vmap(lambda Xi: gather_2d_hermitian(Xi, jnp.asarray(mask_pts)))(X)
+    ph = 2.0 * jnp.pi * (
+        jnp.asarray(mask_pts)[None, :, 0] * flatp[:, 3, None]
+        + jnp.asarray(mask_pts)[None, :, 1] * flatp[:, 4, None]
+    ) / n
+    xv = xv * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+    xv = xv / (jnp.sqrt(jnp.mean(jnp.abs(xv) ** 2, axis=1, keepdims=True))
+               + 1e-8)
+    ctf = jax.vmap(
+        lambda cp: _ctf_at_points(jnp.asarray(mask_pts), n, pixel_size,
+                                  cp[0], cp[1], cp[2], voltage_kv, cs_mm, w,
+                                  cp[3])
+    )(jnp.asarray(np.asarray(ctf_params, np.float32).reshape(P * T, 4)))
+    coords = _slice_coords(jnp.asarray(mask_pts), flatp, n)
+    xv = xv.reshape(P, T, G)
+    ctf = ctf.reshape(P, T, G)
+    coords = coords.reshape(P, T, G, 3)
+    tw = (jnp.ones((P, T)) if tilt_weights is None
+          else jnp.asarray(np.asarray(tilt_weights, np.float32)))
+
+    imgs = (stacks - stacks.mean(axis=(2, 3), keepdims=True)) / (
+        stacks.std(axis=(2, 3), keepdims=True) + 1e-6)
+    imgs = jnp.asarray(imgs)[..., None]             # (P, T, n, n, 1)
+
+    encoder = Encoder(latent_dim=latent_dim)
+    decoder = SliceDecoder(latent_dim=latent_dim, hidden=hidden)
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    enc_params = encoder.init(k1, imgs[0, :1])
+    dec_params = decoder.init(
+        k2, jnp.zeros((1, G, 3)), jnp.zeros((1, G, latent_dim)))
+    tx = optax.adam(lr)
+    opt_state = tx.init((enc_params, dec_params))
+
+    @jax.jit
+    def step(params, opt_state, key, idx):
+        def loss_fn(ps):
+            ep, dp = ps
+            x = imgs[idx]                            # (b, T, n, n, 1)
+            b = x.shape[0]
+            mu_t, lv_t = encoder.apply(ep, x.reshape(b * T, n, n, 1))
+            mu_t = mu_t.reshape(b, T, latent_dim)
+            lv_t = lv_t.reshape(b, T, latent_dim)
+            mu, var = _pool_gaussians(mu_t, lv_t)
+            eps = jax.random.normal(key, mu.shape)
+            z = mu + jnp.sqrt(var) * eps
+            zb = jnp.broadcast_to(z[:, None, None, :],
+                                  (b, T, G, latent_dim))
+            pred = decoder.apply(dp, coords[idx].reshape(b * T, G, 3),
+                                 zb.reshape(b * T, G, latent_dim))
+            pred = pred.reshape(b, T, G) * ctf[idx]
+            resid = jnp.abs(pred - xv[idx]) ** 2 * tw[idx][..., None]
+            recon = jnp.sum(resid) / jnp.maximum(
+                jnp.sum(tw[idx]) * G, 1.0)
+            logvar = jnp.log(var)
+            kl = -0.5 * jnp.mean(1 + logvar - mu**2 - var)
+            return recon + kl_weight * kl
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params = (enc_params, dec_params)
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        idx = jnp.asarray(rng.randint(0, P, min(batch, P)))
+        params, opt_state, loss = step(params, opt_state, sub, idx)
+    enc_params, dec_params = params
+    return HetModel(enc_params=enc_params, dec_params=dec_params,
+                    hidden=hidden, latent_dim=latent_dim, n=n,
+                    pixel_size=pixel_size, mask_pts=mask_pts)
+
+
+def embed_tilt(model: HetModel, stacks):
+    """Pooled latent means for tilt stacks (P, T, n, n) -> (P, latent)."""
+    stacks = np.asarray(stacks, dtype=np.float32)
+    P, T, n, _ = stacks.shape
+    imgs = (stacks - stacks.mean(axis=(2, 3), keepdims=True)) / (
+        stacks.std(axis=(2, 3), keepdims=True) + 1e-6)
+    encoder = Encoder(latent_dim=model.latent_dim)
+    mu_t, lv_t = encoder.apply(model.enc_params,
+                               jnp.asarray(imgs.reshape(P * T, n, n))[..., None])
+    mu, _ = _pool_gaussians(mu_t.reshape(P, T, -1), lv_t.reshape(P, T, -1))
+    return np.asarray(mu)
+
+
 def embed(model: HetModel, stack):
     """Latent means for every particle (B, latent_dim)."""
     stack = np.asarray(stack, dtype=np.float32)
@@ -204,7 +330,8 @@ def decode_volume(model: HetModel, z, max_k: float = 0.4):
     F = out.reshape(n, n, n // 2 + 1)
     from pyp_tpu.ops.fourier_slice import _freq_checkerboard_3d
 
-    vol = np.fft.irfftn(F * np.asarray(_freq_checkerboard_3d(n)), s=(n, n, n))
+    vol = np.fft.irfftn(F * np.asarray(_freq_checkerboard_3d(n)),
+                        s=(n, n, n), axes=(0, 1, 2))
     return vol.astype(np.float32)
 
 

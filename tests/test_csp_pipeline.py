@@ -209,3 +209,40 @@ class TestCspFrameRefinement:
             got = tr.mean(axis=0) - tr.mean(axis=(0, 1))
             errs.append(np.abs(got - want).mean())
         assert np.mean(errs) < 0.5, errs
+
+
+class TestTiltStackExport:
+    def test_export_shapes_and_poses(self, tmp_path, monkeypatch):
+        """csp -csp_save_stacks: exported bundles carry (P, T) tilt stacks
+        with per-tilt eulers/shifts/defocus usable by the tomoDRGN-role
+        heterogeneity trainer."""
+        from pyp_tpu import cli
+        from pyp_tpu.ops import csp as csp_ops
+
+        monkeypatch.chdir(tmp_path)
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol, noise=0.05)
+        meta = ItemMetadata("ts1", ".", mode="tomo")
+        meta["ctf"] = np.concatenate(
+            [np.asarray(defocus), np.zeros((T, 3), np.float32)], axis=1)
+        meta.save()
+        cli._export_tilt_stacks(
+            "ts1", np.asarray(images), true,
+            ItemMetadata("ts1", ".", mode="tomo").load(),
+            {"scope_pixel": PIXEL, "csp_box": NBOX})
+        data = np.load(f"stacks/ts1_stack.npz")
+        assert data["stacks"].shape == (P, T, NBOX, NBOX)
+        assert data["poses"].shape == (P, T, 5)
+        assert data["ctf"].shape == (P, T, 4)
+        # exported per-tilt rotations reproduce the effective geometry
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        R_want = np.asarray(csp_ops.effective_rotations(true))  # (T, P, 3, 3)
+        pp = data["poses"]
+        R_got = np.asarray(euler_to_matrix(
+            jnp.asarray(pp[:, :, 0]), jnp.asarray(pp[:, :, 1]),
+            jnp.asarray(pp[:, :, 2])))                          # (P, T, 3, 3)
+        err = np.abs(np.transpose(R_got, (1, 0, 2, 3)) - R_want).max()
+        assert err < 1e-4, err
+        # residual sub-pixel shifts are bounded by half a pixel
+        assert np.abs(pp[:, :, 3:]).max() <= 0.5 + 1e-5
