@@ -322,7 +322,12 @@ if __name__ == "__main__":
     try:
         main()
     except Exception:  # noqa: BLE001
+        import sys
         import time as _time
+        import traceback
 
+        traceback.print_exc(file=sys.stderr)
+        print("[bench] first attempt failed; retrying in 20 s",
+              file=sys.stderr, flush=True)
         _time.sleep(20)
         main()

@@ -1,0 +1,247 @@
+"""Filament segmentation and tracing (microtubules, actin, open membranes).
+
+The reference wraps external packages for this (MemBrain-Seg / TARDIS,
+docs/guide/segmentation.rst "Open surfaces and filaments"); here it is a
+native TPU pipeline:
+
+1. **Tube enhancement** — Frangi vesselness from the scale-normalized
+   Gaussian Hessian. The Hessian is computed spectrally: one rfftn of the
+   tomogram, then each component H_ij = irfftn(-4 pi^2 k_i k_j G(k) F) —
+   six inverse FFTs instead of 18 separable convolutions, all
+   XLA-fusable.
+2. **Eigen-analysis** — closed-form (Cardano) eigenvalues of the symmetric
+   3x3 Hessian per voxel (no LAPACK loop), sorted |l1| <= |l2| <= |l3|;
+   the tube axis is the eigenvector of l1 via cross-products of (H - l1 I)
+   rows.
+3. **Tracing** — greedy chaining of non-max-suppressed ridge points along
+   the local axis with distance/angle gates (host-side; the candidate set
+   is tiny next to the volume).
+4. **Particle sampling** — positions every `spacing` voxels along each
+   traced filament with the local tangent as an orientation prior
+   (theta/psi from the tangent, phi free — the same convention
+   `normal_to_euler` feeds the CSP spin-ring search).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def _hessian_spectral(vol, sigma_px: float):
+    """Scale-normalized Gaussian Hessian of a volume, computed in Fourier.
+
+    Returns (n, n, n, 6): Hzz, Hzy, Hzx, Hyy, Hyx, Hxx."""
+    nz, ny, nx = vol.shape
+    F = jnp.fft.rfftn(vol)
+    kz = jnp.fft.fftfreq(nz).reshape(nz, 1, 1)
+    ky = jnp.fft.fftfreq(ny).reshape(1, ny, 1)
+    kx = jnp.fft.rfftfreq(nx).reshape(1, 1, -1)
+    g = jnp.exp(-2.0 * (jnp.pi * sigma_px) ** 2 * (kz**2 + ky**2 + kx**2))
+    # gamma = 2 scale normalization (Lindeberg): sigma^2 * d2/dx2
+    base = -4.0 * jnp.pi**2 * sigma_px**2 * g * F
+    comps = []
+    for a, b in ((kz, kz), (kz, ky), (kz, kx), (ky, ky), (ky, kx), (kx, kx)):
+        comps.append(jnp.fft.irfftn(base * a * b, s=vol.shape))
+    return jnp.stack(comps, axis=-1)
+
+
+def _eig3_symmetric(H):
+    """Cardano eigenvalues of symmetric 3x3 fields (..., 6) ->
+    (..., 3) sorted by |value| ascending."""
+    hzz, hzy, hzx, hyy, hyx, hxx = (H[..., i] for i in range(6))
+    q = (hzz + hyy + hxx) / 3.0
+    azz, ayy, axx = hzz - q, hyy - q, hxx - q
+    p2 = (azz**2 + ayy**2 + axx**2
+          + 2.0 * (hzy**2 + hzx**2 + hyx**2))
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # det of (A - q I) / p
+    bzz, byy, bxx = azz / p, ayy / p, axx / p
+    bzy, bzx, byx = hzy / p, hzx / p, hyx / p
+    detB = (bzz * (byy * bxx - byx * byx)
+            - bzy * (bzy * bxx - byx * bzx)
+            + bzx * (bzy * byx - byy * bzx))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    e1 = q + 2.0 * p * jnp.cos(phi)
+    e3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    e2 = 3.0 * q - e1 - e3
+    lam = jnp.stack([e1, e2, e3], axis=-1)
+    order = jnp.argsort(jnp.abs(lam), axis=-1)
+    return jnp.take_along_axis(lam, order, axis=-1)
+
+
+def _axis_vector(H, lam1):
+    """Eigenvector for eigenvalue lam1 of the symmetric Hessian (..., 6):
+    cross product of two rows of (H - lam1 I) (they span the orthogonal
+    complement). Returns unit (..., 3) as (z, y, x)."""
+    hzz, hzy, hzx, hyy, hyx, hxx = (H[..., i] for i in range(6))
+    r0 = jnp.stack([hzz - lam1, hzy, hzx], -1)
+    r1 = jnp.stack([hzy, hyy - lam1, hyx], -1)
+    r2 = jnp.stack([hzx, hyx, hxx - lam1], -1)
+    c01 = jnp.cross(r0, r1)
+    c02 = jnp.cross(r0, r2)
+    c12 = jnp.cross(r1, r2)
+    # pick the most stable cross product per voxel
+    norms = jnp.stack([jnp.linalg.norm(c01, axis=-1),
+                       jnp.linalg.norm(c02, axis=-1),
+                       jnp.linalg.norm(c12, axis=-1)], -1)
+    stack = jnp.stack([c01, c02, c12], -2)           # (..., 3, 3)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(stack, best[..., None, None].repeat(3, -1),
+                            axis=-2)[..., 0, :]
+    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-12)
+
+
+@jax.jit
+def vesselness(vol, sigma_px: float, alpha: float = 0.5, beta: float = 0.5,
+               dark: bool = True):
+    """Frangi tube-likeness at one scale. Returns (V (n³), axis (n³, 3)).
+
+    dark=True targets dark-on-bright tubes (cryo-ET density convention)."""
+    v = jnp.asarray(vol, dtype=jnp.float32)
+    v = (v - jnp.mean(v)) / (jnp.std(v) + 1e-6)
+    v = jnp.where(jnp.asarray(dark), -v, v)  # bright tubes internally
+    H = _hessian_spectral(v, sigma_px)
+    lam = _eig3_symmetric(H)
+    l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
+    # bright tube: l2, l3 strongly negative, l1 ~ 0
+    ra = jnp.abs(l2) / (jnp.abs(l3) + 1e-12)      # plate vs line
+    rb = jnp.abs(l1) / jnp.sqrt(jnp.abs(l2 * l3) + 1e-12)  # blob deviation
+    s2 = l1**2 + l2**2 + l3**2
+    c = 2.0 * jnp.mean(jnp.sqrt(s2))
+    V = ((1.0 - jnp.exp(-(ra**2) / (2 * alpha**2)))
+         * jnp.exp(-(rb**2) / (2 * beta**2))
+         * (1.0 - jnp.exp(-s2 / (2 * c**2 + 1e-12))))
+    V = jnp.where((l2 < 0) & (l3 < 0), V, 0.0)
+    axis = _axis_vector(H, l1)
+    return V, axis
+
+
+def trace_filaments(points, axes, scores, link_dist: float = 6.0,
+                    max_angle_deg: float = 30.0, min_points: int = 4):
+    """Greedy chaining of ridge points into filament polylines.
+
+    points (N, 3) voxel coords (z, y, x); axes (N, 3) local tube axis;
+    scores (N,). Grows each unused seed (best score first) in both
+    directions, linking the nearest unused point within `link_dist` whose
+    direction agrees within `max_angle_deg`. Returns a list of index
+    arrays."""
+    pts = np.asarray(points, dtype=np.float32)
+    ax = np.asarray(axes, dtype=np.float32)
+    sc = np.asarray(scores, dtype=np.float32)
+    N = len(pts)
+    used = np.zeros(N, dtype=bool)
+    cosmax = np.cos(np.radians(max_angle_deg))
+    order = np.argsort(-sc)
+    filaments = []
+    for seed in order:
+        if used[seed]:
+            continue
+        chain = [seed]
+        used[seed] = True
+        for direction in (1.0, -1.0):
+            cur = seed
+            d = direction * ax[seed]
+            while True:
+                rel = pts - pts[cur]
+                dist = np.linalg.norm(rel, axis=1)
+                ahead = rel @ d
+                okd = (~used) & (dist < link_dist) & (ahead > 0.3 * dist)
+                # direction agreement (axis sign-invariant)
+                cosang = np.abs(np.sum(ax * ax[cur], axis=1))
+                ok = okd & (cosang > cosmax)
+                if not ok.any():
+                    break
+                cand = np.where(ok)[0]
+                nxt = cand[np.argmin(dist[cand])]
+                used[nxt] = True
+                if direction > 0:
+                    chain.append(nxt)
+                else:
+                    chain.insert(0, nxt)
+                step = pts[nxt] - pts[cur]
+                d = step / (np.linalg.norm(step) + 1e-9)
+                cur = nxt
+        if len(chain) >= min_points:
+            filaments.append(np.asarray(chain))
+        else:
+            pass  # short chains stay marked used: they are noise
+    return filaments
+
+
+def pick_filaments(tomogram, radius_px: float, spacing_px: float,
+                   threshold: float = 0.3, max_points: int = 4000,
+                   dark: bool = True, min_points: int = 4):
+    """Full filament picking: vesselness -> ridge points -> traced
+    polylines -> particles every `spacing_px` with tangent orientation
+    priors.
+
+    Returns (coords (N, 4) = (z, y, x, score), eulers (N, 3) tangent
+    priors, fil_id (N,))."""
+    from pyp_tpu.core.geometry import normal_to_euler
+
+    V, axis = vesselness(jnp.asarray(tomogram, jnp.float32),
+                         sigma_px=max(radius_px / np.sqrt(2.0), 1.0),
+                         dark=dark)
+    V = np.asarray(V)
+    axis_np = np.asarray(axis)
+    # candidate ridge points: top responses above threshold, greedily
+    # de-duplicated at half the linking distance
+    thr = threshold * V.max()
+    flat = np.argsort(V.ravel())[::-1][: 4 * max_points]
+    flat = flat[V.ravel()[flat] > thr]
+    cand = np.stack(np.unravel_index(flat, V.shape), 1).astype(np.float32)
+    keep = []
+    occupied = np.zeros(V.shape, dtype=bool)
+    rr = max(int(round(radius_px)), 1)
+    for i, c in enumerate(cand):
+        iz, iy, ix = c.astype(int)
+        if occupied[iz, iy, ix]:
+            continue
+        keep.append(i)
+        z0, z1 = max(iz - rr, 0), iz + rr + 1
+        y0, y1 = max(iy - rr, 0), iy + rr + 1
+        x0, x1 = max(ix - rr, 0), ix + rr + 1
+        occupied[z0:z1, y0:y1, x0:x1] = True
+        if len(keep) >= max_points:
+            break
+    cand = cand[keep]
+    idx = tuple(cand.astype(int).T)
+    scores = V[idx]
+    axes = axis_np[idx]
+
+    filaments = trace_filaments(cand, axes, scores,
+                                link_dist=max(3.0 * radius_px, 6.0),
+                                min_points=min_points)
+    coords, eulers, fil_id = [], [], []
+    for fi, chain in enumerate(filaments):
+        poly = cand[chain]
+        # arc-length resampling every spacing_px
+        seg = np.linalg.norm(np.diff(poly, axis=0), axis=1)
+        arc = np.concatenate([[0.0], np.cumsum(seg)])
+        if arc[-1] < spacing_px:
+            samples = np.array([0.5 * arc[-1]])
+        else:
+            samples = np.arange(0.0, arc[-1] + 1e-6, spacing_px)
+        for s in samples:
+            k = min(np.searchsorted(arc, s), len(poly) - 1)
+            k0 = max(k - 1, 0)
+            t = ((s - arc[k0]) / max(arc[min(k0 + 1, len(arc) - 1)]
+                                     - arc[k0], 1e-9)) if k > 0 else 0.0
+            p = poly[k0] * (1 - t) + poly[min(k0 + 1, len(poly) - 1)] * t
+            tan = (poly[min(k0 + 1, len(poly) - 1)] - poly[k0])
+            tan = tan / (np.linalg.norm(tan) + 1e-9)    # (z, y, x)
+            ph, th, ps = normal_to_euler(
+                jnp.asarray(tan[2]), jnp.asarray(tan[1]),
+                jnp.asarray(tan[0]))
+            coords.append((*p, float(V[tuple(p.astype(int) % np.array(V.shape))])))
+            eulers.append((float(ph), float(th), float(ps)))
+            fil_id.append(fi)
+    if not coords:
+        return (np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32),
+                np.zeros((0,), np.int32))
+    return (np.asarray(coords, np.float32), np.asarray(eulers, np.float32),
+            np.asarray(fil_id, np.int32))

@@ -523,6 +523,22 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                 coords.append((p[0], p[1], p[2], float(s)))
                 euler_rows.append((float(ph), float(th), float(ps)))
         vir = np.asarray(vir_rows, dtype=np.float32).reshape(-1, 5)
+    elif method == "filament":
+        # MemBrain-Seg / TARDIS role (docs/guide/segmentation.rst "Open
+        # surfaces and filaments"): native Frangi vesselness + tracing;
+        # tangent eulers become CSPT orientation priors like surface picks
+        from pyp_tpu.ops.filament import pick_filaments
+
+        spacing = float(params.get("tomo_spk_fil_spacing") or 0.0)
+        spacing_px = (spacing / eff_pixel) if spacing > 0 else 2.0 * rad_px
+        fil_coords, fil_eulers, fil_id = pick_filaments(
+            recon, radius_px=float(rad_px), spacing_px=float(spacing_px),
+            threshold=float(params.get("tomo_spk_fil_thresh") or 0.3),
+            max_points=int(params.get("tomo_spk_max") or 200) * 20,
+            min_points=int(params.get("tomo_spk_fil_min_points") or 4))
+        for c, e in zip(fil_coords, fil_eulers):
+            coords.append(tuple(c))
+            euler_rows.append(tuple(e))
     elif method == "template":
         from pyp_tpu.io import mrc as _mrc
         from pyp_tpu.ops.refine3d import make_directions

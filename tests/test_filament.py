@@ -1,0 +1,104 @@
+"""Filament segmentation/tracing (the reference's MemBrain-Seg / TARDIS
+role, docs/guide/segmentation.rst "Open surfaces and filaments"):
+Frangi vesselness + tracing must find planted tubes, and the tangent
+orientation priors must align with the true filament directions."""
+
+import numpy as np
+
+from pyp_tpu.ops.filament import pick_filaments, trace_filaments, vesselness
+
+N = 64
+
+
+def make_filament_tomo(seed=0, noise=0.25):
+    """Two straight dark tubes (radius ~2 px) crossing the box."""
+    rng = np.random.RandomState(seed)
+    vol = np.zeros((N, N, N), dtype=np.float32)
+    g = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"), -1)
+
+    lines = [
+        (np.array([20.0, 10.0, 8.0]), np.array([0.0, 0.55, 0.835])),
+        (np.array([44.0, 50.0, 12.0]), np.array([0.3, -0.1, 0.949])),
+    ]
+    for p0, d in lines:
+        d = d / np.linalg.norm(d)
+        rel = g - p0
+        t = rel @ d
+        perp = rel - t[..., None] * d
+        dist = np.linalg.norm(perp, axis=-1)
+        inside = (dist < 2.0) & (t > -30) & (t < 60)
+        vol[inside] -= 1.0
+    vol += noise * rng.randn(N, N, N).astype(np.float32)
+    return vol, lines
+
+
+class TestVesselness:
+    def test_peaks_on_tube(self):
+        vol, lines = make_filament_tomo()
+        V, axis = vesselness(vol, sigma_px=2.0, dark=True)
+        V = np.asarray(V)
+        p0, d = lines[0]
+        on_tube = V[int(p0[0]), int(p0[1] + 20 * d[1]),
+                    int(p0[2] + 20 * d[2])]
+        off = V[50, 20, 40]
+        assert on_tube > 5 * max(off, 1e-9), (on_tube, off)
+        # local axis at a tube point matches the line direction
+        a = np.asarray(axis)[int(p0[0]), int(p0[1] + 20 * d[1]),
+                             int(p0[2] + 20 * d[2])]
+        assert abs(np.dot(a, d)) > 0.9, (a, d)
+
+
+class TestTracing:
+    def test_links_collinear_points(self):
+        pts = np.stack([np.full(10, 5.0), np.full(10, 5.0),
+                        np.arange(10) * 3.0], 1)
+        axes = np.tile([0.0, 0.0, 1.0], (10, 1))
+        chains = trace_filaments(pts, axes, np.ones(10), link_dist=4.0)
+        assert len(chains) == 1 and len(chains[0]) == 10
+
+    def test_separates_divergent_directions(self):
+        a = np.stack([np.full(6, 5.0), np.full(6, 5.0),
+                      np.arange(6) * 3.0], 1)
+        b = np.stack([np.full(6, 5.0), 8.0 + np.arange(6) * 3.0,
+                      np.full(6, 15.0)], 1)
+        pts = np.concatenate([a, b])
+        axes = np.concatenate([np.tile([0.0, 0.0, 1.0], (6, 1)),
+                               np.tile([0.0, 1.0, 0.0], (6, 1))])
+        chains = trace_filaments(pts, axes, np.ones(12), link_dist=4.0,
+                                 min_points=4)
+        assert len(chains) == 2
+        assert sorted(len(c) for c in chains) == [6, 6]
+
+
+class TestPickFilaments:
+    def test_finds_planted_tubes_with_tangent_priors(self):
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        vol, lines = make_filament_tomo()
+        coords, eulers, fil_id = pick_filaments(
+            vol, radius_px=2.0, spacing_px=4.0, threshold=0.25)
+        assert len(coords) >= 10, len(coords)
+        assert len(np.unique(fil_id)) >= 2
+
+        # every pick lies near one of the true lines
+        def dist_to_line(p, p0, d):
+            rel = p - p0
+            return np.linalg.norm(rel - (rel @ d) * d)
+
+        dists = [min(dist_to_line(c[:3], p0, d / np.linalg.norm(d))
+                     for p0, d in lines) for c in coords]
+        assert np.median(dists) < 3.0, np.median(dists)
+
+        # tangent priors: rotated z-axis (xyz -> flip to zyx) parallel to
+        # the nearest line direction
+        dots = []
+        for c, e in zip(coords, eulers):
+            p0, d = min(lines, key=lambda L: dist_to_line(
+                c[:3], L[0], L[1] / np.linalg.norm(L[1])))
+            d = d / np.linalg.norm(d)
+            R = np.asarray(euler_to_matrix(*[float(v) for v in e]))
+            zrot = (R @ np.array([0.0, 0.0, 1.0]))[::-1]  # xyz -> zyx
+            dots.append(abs(float(np.dot(zrot, d))))
+        assert np.median(dots) > 0.9, np.median(dots)

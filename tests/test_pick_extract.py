@@ -200,6 +200,27 @@ class TestPick3DDispatch:
             dots.append(float(np.dot(zrot[::-1], radial)))
         assert np.median(dots) > 0.9, dots
 
+    def test_filament_mode_traces_tube_with_priors(self):
+        from tests.test_filament import make_filament_tomo
+        from pyp_tpu.pipeline.tomo import pick_particles_3d
+
+        tomo, lines = make_filament_tomo()
+        params = {"tomo_spk_method": "filament", "tomo_spk_rad": 20.0,
+                  "tomo_spk_fil_thresh": 0.25, "tomo_spk_fil_spacing": 40.0}
+        box, vir, eul = pick_particles_3d(tomo, params, eff_pixel=10.0)
+        assert vir is None
+        assert len(box) >= 10 and eul is not None and len(eul) == len(box)
+        # picks lie on the planted tubes
+        dists = []
+        for c in box:
+            best = np.inf
+            for p0, d in lines:
+                d = d / np.linalg.norm(d)
+                rel = c[:3] - p0
+                best = min(best, np.linalg.norm(rel - (rel @ d) * d))
+            dists.append(best)
+        assert np.median(dists) < 3.0, np.median(dists)
+
     def test_template_mode_finds_planted_copies(self, tmp_path):
         from pyp_tpu.io import mrc
         from pyp_tpu.pipeline.tomo import pick_particles_3d
