@@ -191,10 +191,13 @@ def bench_wbp(jax, jnp):
     return thick * ny * nx / dt
 
 
-_PROGRESS = {"headline": None, "extras": {}}
+_PROGRESS = {"headline": None, "extras": {}, "emitted": False}
 
 
 def _emit(headline_pps, extras):
+    if _PROGRESS["emitted"]:   # exactly ONE JSON line, ever
+        return
+    _PROGRESS["emitted"] = True
     print(json.dumps({
         "metric": "refine3d_full_search_particles_per_sec_per_chip",
         "value": round(headline_pps, 2) if headline_pps else 0.0,
@@ -230,6 +233,8 @@ def _arm_watchdog(timeout_s: float = 2100.0):
 
 def main():
     import sys
+
+    _arm_watchdog()
 
     import jax
     import jax.numpy as jnp
@@ -267,7 +272,6 @@ def main():
     ).astype(np.float32))
     mask_pts = jnp.asarray(r3.make_mask_points(N, PIXEL, 25.0, 4.0))
 
-    _arm_watchdog()
     print("[bench] frm...", file=sys.stderr, flush=True)
     frm_pps = bench_frm(jax, jnp, Fref)
     _PROGRESS["headline"] = frm_pps
