@@ -33,7 +33,8 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "csp", "polish", "postprocess", "import_star", "export_star",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
-         "tomotrain", "heterogeneity", "sva", "export_session", "filter")
+         "tomotrain", "heterogeneity", "sva", "export_session", "filter",
+         "prism")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -797,6 +798,57 @@ def mode_stream(argv):
     )
     print(json.dumps({"processed": len(daemon.processed),
                       "classified": daemon.class_result is not None}))
+    return 0
+
+
+def mode_prism(argv):
+    """Self-supervised micrograph quality assessment (the prismPYP role,
+    docs/guide/prismpyp.rst; native model, models/quality.py): learn the
+    dataset's real+Fourier appearance, score every micrograph by
+    typicality, and write prism_score into each item's metadata — the
+    filter mode then does the consensus-filtering step:
+
+      pyp_tpu prism
+      pyp_tpu filter -filter_criteria "prism_score>-2" -filter_name good
+    """
+    params = _project_params(argv)
+    from pyp_tpu.analysis.filters import discover_bundles
+    from pyp_tpu.io.metadata import ItemMetadata
+    from pyp_tpu.models import quality as qual
+
+    mode = "tomo" if params.get("data_mode") == "tomo" else "spr"
+    names = discover_bundles(".")
+    mics, kept_names = [], []
+    for name in names:
+        meta = ItemMetadata(name, ".", mode=mode).load()
+        if "average" in meta:
+            mics.append(np.asarray(meta["average"], dtype=np.float32))
+            kept_names.append(name)
+    if len(mics) < 2:
+        logger.error("prism: need >=2 items with averages (found %d)",
+                     len(mics))
+        return 1
+    stack = np.stack(mics)
+    model = qual.train_quality(
+        stack,
+        size=int(params.get("prism_size") or 128),
+        latent_dim=int(params.get("prism_latent") or 16),
+        steps=int(params.get("prism_steps") or 300),
+        batch=int(params.get("prism_batch") or 16),
+        lr=float(params.get("prism_lr") or 1e-3),
+        seed=int(params.get("prism_seed") or 0))
+    scores = qual.quality_scores(model, stack)
+    emb = qual.embed_quality(model, stack)
+    for name, s in zip(kept_names, scores):
+        meta = ItemMetadata(name, ".", mode=mode).load()
+        meta.scalars["prism_score"] = float(s)
+        meta.save()
+    np.savez("prism_embeddings.npz", names=np.asarray(kept_names),
+             embeddings=emb, scores=scores)
+    print(json.dumps({"items": len(kept_names),
+                      "score_min": round(float(scores.min()), 3),
+                      "score_median": round(float(np.median(scores)), 3),
+                      "embeddings": "prism_embeddings.npz"}))
     return 0
 
 
