@@ -508,15 +508,27 @@ def mode_import_star(argv):
     tomo stars (reference TomoStar2meta[V5], pyp_metadata.py:763+):
     tomograms.star -> per-series tlt/xf/ctf metadata, RELION5 particles
     star -> <name>.next coords + eulers tables."""
-    if not argv:
-        logger.error("usage: import_star <file.star> [more.star ...]")
-        return 2
     from pyp_tpu.io import cistem, relion, relion_tomo
 
+    # reference-compatible flags (rlp -import_refine_star/-import_tomo_star,
+    # docs/cli/*_import_export.rst) join any positional star paths
+    flagged = []
+    ip = _project_params(argv, persist=False)
+    for key in ("import_refine_star", "import_tomo_star",
+                "import_motion_star"):
+        v = str(ip.get(key) or "")
+        if v:
+            flagged.append(v)
+    positional = [a for a in argv if not a.startswith("-")
+                  and a.endswith(".star")]
+    paths = [p for p in positional if p not in flagged] + flagged
+    if not paths:
+        logger.error("usage: import_star <file.star> [more.star ...] or "
+                     "-import_refine_star/-import_tomo_star <file.star>")
+        return 2
+
     report = {}
-    for path in argv:
-        if path.startswith("-"):
-            continue
+    for path in paths:
         text = Path(path).read_text()
         if "_rlnTomoProjX" in text:
             series, gparams = relion_tomo.import_tomograms_star(path)
@@ -542,6 +554,29 @@ def mode_import_star(argv):
                 k: v for k, v in parts.items() if k != "optics"})
             report[path] = {"particles": len(parts["tomo_names"]),
                             "file": "imported_particles.npz"}
+        elif "_rlnAccumMotionTotal" in text or (
+                "_rlnMicrographName" in text
+                and "_rlnCoordinateX" not in text
+                and "_rlnAngleRot" not in text):
+            # corrected_micrographs star (-import_motion_star): record
+            # RELION's accumulated-motion stats per micrograph — they
+            # become filterable metadata metrics
+            from pyp_tpu.io import star as star_mod
+            from pyp_tpu.io.metadata import ItemMetadata
+
+            blocks = star_mod.read(path)
+            loop = next(b["loop"] for b in blocks.values()
+                        if "rlnMicrographName" in b["loop"])
+            names = [Path(m).stem for m in loop["rlnMicrographName"]]
+            for i, nm in enumerate(names):
+                meta = ItemMetadata(nm, ".", mode="spr").load()
+                for col, key in (("rlnAccumMotionTotal", "motion_total"),
+                                 ("rlnAccumMotionEarly", "motion_early"),
+                                 ("rlnAccumMotionLate", "motion_late")):
+                    if col in loop:
+                        meta.scalars[key] = float(loop[col][i])
+                meta.save()
+            report[path] = {"micrographs": len(names)}
         else:
             table, optics = relion.import_star(path)
             cistem.write_parameters(table, "stack.cistem")
@@ -587,19 +622,24 @@ def mode_export_star(argv):
         if not series:
             logger.error("no tilt-series metadata (*_meta.npz with tlt) found")
             return 1
+        loc = Path(str(params.get("export_location") or "."))
+        loc.mkdir(parents=True, exist_ok=True)
         rt_out = relion_tomo.export_tomograms_star(
-            series, params, "tomograms.star")
+            series, params, str(loc / "tomograms.star"))
         report = {"tomograms.star": len(series)}
         if Path("imported_particles.npz").exists():
             d = dict(np.load("imported_particles.npz", allow_pickle=True))
             d["tomo_names"] = list(d["tomo_names"])
-            relion_tomo.export_particles_star_v5(d, params, "particles.star")
+            relion_tomo.export_particles_star_v5(
+                d, params, str(loc / "particles.star"))
             report["particles.star"] = len(d["tomo_names"])
         print(json.dumps(report))
         return 0
 
     table = cistem.read_parameters("stack.cistem")
-    out = "particles.star"
+    loc = Path(str(params.get("export_location") or "."))
+    loc.mkdir(parents=True, exist_ok=True)
+    out = str(loc / "particles.star")
     relion.export_star(
         table, out, pixel_size=float(params["scope_pixel"]),
         voltage=float(params["scope_voltage"]), cs=float(params["scope_cs"]),

@@ -179,6 +179,51 @@ class TestStarCliModes:
         assert back.n_rows == n
         np.testing.assert_allclose(back["defocus_1"], 19000.0)
 
+    def test_reference_compatible_flags(self, tmp_path, monkeypatch):
+        """The reference's rlp/csp flag spellings work: -import_refine_star,
+        -export_location (docs/cli/spa_import_export.rst)."""
+        from pyp_tpu import cli
+        from pyp_tpu.io import cistem
+
+        monkeypatch.chdir(tmp_path)
+        n = 4
+        table = cistem.Table.zeros(n)
+        table["position_in_stack"] = np.arange(1, n + 1)
+        table["defocus_1"] = np.full(n, 17000.0)
+        cistem.write_parameters(table, "stack.cistem")
+        assert cli.main(["export_star", "-scope_pixel", "1.2",
+                         "-export_location", "relion"]) == 0
+        assert (tmp_path / "relion" / "particles.star").exists()
+        (tmp_path / "stack.cistem").unlink()
+        assert cli.main(["import_star", "-import_refine_star",
+                         "relion/particles.star"]) == 0
+        assert cistem.read_parameters("stack.cistem").n_rows == n
+
+    def test_import_motion_star_records_metrics(self, tmp_path,
+                                                monkeypatch):
+        """-import_motion_star: RELION accumulated-motion stats land as
+        filterable metadata scalars."""
+        from pyp_tpu import cli
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "corrected_micrographs.star").write_text(
+            "data_micrographs\n\nloop_\n_rlnMicrographName #1\n"
+            "_rlnAccumMotionTotal #2\n_rlnAccumMotionEarly #3\n"
+            "_rlnAccumMotionLate #4\n"
+            "Micrographs/mic_a.mrc 42.5 30.0 12.5\n"
+            "Micrographs/mic_b.mrc 13.0 9.0 4.0\n")
+        assert cli.main(["import_star", "-import_motion_star",
+                         "corrected_micrographs.star"]) == 0
+        ma = ItemMetadata("mic_a", ".", mode="spr").load()
+        assert abs(ma.scalars["motion_total"] - 42.5) < 1e-6
+        assert abs(ma.scalars["motion_late"] - 12.5) < 1e-6
+        # metrics reach the filter subsystem
+        from pyp_tpu.analysis.filters import apply_filter
+
+        kept, _ = apply_filter(".", "motion_total<20")
+        assert kept == ["mic_b"], kept
+
 
 class TestRelionTomoStar:
     """RELION 4/5 tomo star interop (VERDICT r2 item 6): projection
