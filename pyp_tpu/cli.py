@@ -34,7 +34,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
          "tomotrain", "heterogeneity", "sva", "export_session", "filter",
-         "prism")
+         "prism", "workflow")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -839,6 +839,38 @@ def mode_stream(argv):
     print(json.dumps({"processed": len(daemon.processed),
                       "classified": daemon.class_result is not None}))
     return 0
+
+
+def mode_workflow(argv):
+    """Run a pre-defined block sequence from a .toml workflow file (the
+    reference's Workflows, docs/guide/workflows.rst):
+
+      pyp_tpu workflow spa_tutorial.toml -data_path "/data/*.tif"
+
+    Flags after the file fill the workflow's `{ ask = true }` arguments and
+    are also appended to every block's invocation."""
+    from pyp_tpu.sched.workflow import run_workflow
+
+    paths = [a for a in argv if not a.startswith("-")
+             and a.endswith(".toml")]
+    if not paths:
+        logger.error("usage: workflow <file.toml> [-arg value ...]")
+        return 2
+    overrides = {}
+    rest = [a for a in argv if a not in paths]
+    i = 0
+    while i < len(rest):
+        if rest[i].startswith("-"):
+            key = rest[i].lstrip("-")
+            if i + 1 < len(rest) and not rest[i + 1].startswith("-"):
+                overrides[key] = rest[i + 1]
+                i += 2
+                continue
+            overrides[key] = True
+        i += 1
+    report = run_workflow(paths[0], overrides, extra_argv=rest)
+    print(json.dumps({"workflow": paths[0], "blocks": report}))
+    return 0 if all(b["rc"] == 0 for b in report) else 1
 
 
 def mode_prism(argv):
