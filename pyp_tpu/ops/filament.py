@@ -120,6 +120,41 @@ def vesselness(vol, sigma_px: float, alpha: float = 0.5, beta: float = 0.5,
     return V, axis
 
 
+@jax.jit
+def sheetness(vol, sigma_px: float, beta: float = 0.5, dark: bool = True):
+    """Frangi-style plate-likeness at one scale — open membranes (the
+    MemBrain-Seg role's other half). Returns (S (n³), normal (n³, 3)).
+
+    A bright plate has one strongly negative eigenvalue (l3) and two near
+    zero; the membrane NORMAL is l3's eigenvector."""
+    v = jnp.asarray(vol, dtype=jnp.float32)
+    v = (v - jnp.mean(v)) / (jnp.std(v) + 1e-6)
+    v = jnp.where(jnp.asarray(dark), -v, v)
+    H = _hessian_spectral(v, sigma_px)
+    lam = _eig3_symmetric(H)
+    l1, l2, l3 = lam[..., 0], lam[..., 1], lam[..., 2]
+    # plate: |l3| >> |l2| ~ |l1|
+    r_sheet = jnp.abs(l2) / (jnp.abs(l3) + 1e-12)
+    s2 = l1**2 + l2**2 + l3**2
+    c = 2.0 * jnp.mean(jnp.sqrt(s2))
+    S = (jnp.exp(-(r_sheet**2) / (2 * beta**2))
+         * (1.0 - jnp.exp(-s2 / (2 * c**2 + 1e-12))))
+    S = jnp.where(l3 < 0, S, 0.0)
+    normal = _axis_vector(H, l3)
+    return S, normal
+
+
+def segment_membranes(tomogram, thickness_px: float = 3.0,
+                      threshold: float = 0.3, dark: bool = True):
+    """Open-membrane segmentation: sheetness -> binary mask + per-voxel
+    normals. Returns (mask (n³) float {0,1}, sheet_map (n³), normals)."""
+    S, normal = sheetness(jnp.asarray(tomogram, jnp.float32),
+                          sigma_px=max(thickness_px / 2.0, 1.0), dark=dark)
+    S = np.asarray(S)
+    mask = (S > threshold * S.max()).astype(np.float32)
+    return mask, S, np.asarray(normal)
+
+
 def trace_filaments(points, axes, scores, link_dist: float = 6.0,
                     max_angle_deg: float = 30.0, min_points: int = 4):
     """Greedy chaining of ridge points into filament polylines.

@@ -384,9 +384,29 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                               pixel_size=pixel * binning * rec_bin)
                     summary["denoised"] = den_path
 
+    # ---- open-membrane segmentation (MemBrain-Seg role, sheet half) ------
+    if params.get("tomo_seg_open"):
+        with Timer("membrane segmentation"):
+            from pyp_tpu.io import mrc
+            from pyp_tpu.ops.filament import segment_membranes
+
+            recon = mrc.read(f"{work_dir}/{name}.rec.mrc")
+            effp = pixel * binning * rec_bin
+            mask_vol, _S, _normals = segment_membranes(
+                recon,
+                thickness_px=float(params.get("tomo_seg_thickness") or 30.0)
+                / effp,
+                threshold=float(params.get("tomo_seg_thresh") or 0.3))
+            seg_path = f"{work_dir}/{name}.seg.mrc"
+            mrc.write(mask_vol.astype(np.float32), seg_path,
+                      pixel_size=effp)
+            summary["segmentation"] = seg_path
+            summary["membrane_fraction"] = round(float(mask_vol.mean()), 5)
+
     # ---- 3D particle picking ---------------------------------------------
     method = params.get("tomo_spk_method", "none")
-    if not meta.is_done("box") and method in ("auto", "surface", "template"):
+    if not meta.is_done("box") and method in ("auto", "surface", "template",
+                                              "filament"):
         with Timer("3D particle picking"):
             from pyp_tpu.io import mrc
 

@@ -70,6 +70,31 @@ class TestTracing:
         assert sorted(len(c) for c in chains) == [6, 6]
 
 
+class TestSheetness:
+    def test_segments_planted_sheet_with_normals(self):
+        from pyp_tpu.ops.filament import segment_membranes, sheetness
+
+        rng = np.random.RandomState(0)
+        vol = 0.25 * rng.randn(N, N, N).astype(np.float32)
+        # a gently curved dark sheet: z = 30 + 4 sin(2 pi x / N)
+        g = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"), -1)
+        zsurf = 30.0 + 4.0 * np.sin(2 * np.pi * g[..., 2] / N)
+        dist = np.abs(g[..., 0] - zsurf)
+        vol[dist < 1.5] -= 1.0
+
+        mask, S, normals = segment_membranes(vol, thickness_px=3.0,
+                                             threshold=0.3)
+        # segmented voxels concentrate on the sheet
+        on = mask[np.abs(g[..., 0] - zsurf) < 3.0].mean()
+        off = mask[np.abs(g[..., 0] - zsurf) > 8.0].mean()
+        assert on > 10 * max(off, 1e-4), (on, off)
+        # normals near the sheet point along +-z (the surface is nearly
+        # horizontal)
+        sel = (np.abs(g[..., 0] - zsurf) < 1.0) & (mask > 0)
+        nz = np.abs(normals[..., 0][sel])
+        assert np.median(nz) > 0.9, np.median(nz)
+
+
 class TestPickFilaments:
     def test_finds_planted_tubes_with_tangent_priors(self):
         import jax.numpy as jnp
