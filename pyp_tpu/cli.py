@@ -979,6 +979,8 @@ def mode_byp(argv):
       byp picks.mod -extract_box 128      # mod2box: IMOD picks -> .box
       byp mic.boxx                        # box2mod: .box/.boxx -> IMOD .mod
       byp particles.star                  # relion2box: star -> .box per film
+      byp stack.mrc -to_hdf               # mrc stack -> EMAN2 HDF
+      byp stack.hdf                       # EMAN2 HDF -> mrc stack
     """
     if not argv or argv[0].startswith("-"):
         logger.error("usage: byp <file.mod|.box|.boxx|.star> [params]")
@@ -1010,6 +1012,24 @@ def mode_byp(argv):
         imod.write_point_model(out, pts)
         print(json.dumps({"mode": "box2mod", "picks": int(len(pts)),
                           "mod": str(out)}))
+        return 0
+    if src.suffix in (".hdf", ".h5"):
+        # EMAN2 -> mrc (refine/eman role)
+        from pyp_tpu.io import eman, mrc
+
+        stack, apix = eman.read_hdf(src)
+        out = src.with_suffix(".mrc")
+        mrc.write(stack, out, pixel_size=apix)
+        print(json.dumps({"mode": "hdf2mrc", "images": int(len(stack)),
+                          "mrc": str(out)}))
+        return 0
+    if src.suffix in (".mrc", ".mrcs") and params.get("to_hdf"):
+        from pyp_tpu.io import eman
+
+        out = eman.export_particles_hdf(
+            src, src.with_suffix(".hdf"),
+            apix=float(params.get("scope_pixel") or 1.0))
+        print(json.dumps({"mode": "mrc2hdf", "hdf": out}))
         return 0
     if src.suffix == ".star":
         from pyp_tpu.io import relion
