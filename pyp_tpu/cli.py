@@ -71,7 +71,9 @@ def _discover_items(params):
     if sel:
         from pyp_tpu.analysis.filters import load_selection
 
-        keep = load_selection(sel, ".", str(params.get("data_set") or ""))
+        # same fallback as mode_filter's save path
+        keep = load_selection(sel, ".",
+                              str(params.get("data_set") or "dataset"))
         items = [it for it in items if it["name"] in keep]
     # dataset subsetting (large-project splits): process [first, last)
     first = int(params.get("data_first_item") or 0)
@@ -381,10 +383,14 @@ def _export_tilt_stacks(name, tilts, refined, meta, params):
         win = np.asarray(window_particles(
             jnp.asarray(tilts[t]), jnp.asarray(ci), box))
         stacks[:, t] = win
-        resid = (pred[t] + center) - np.clip(
-            ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+        # effective window center EXACTLY as window_particles clamps it
+        starts = np.clip(ci - box // 2, 0, [ny - box, nx - box])
+        resid = (pred[t] + center) - (starts + box // 2)
         poses[:, t, :3] = eulers[t]
-        poses[:, t, 3:5] = resid                               # (sy, sx)
+        # pose-shift convention: stored shift s centers content sitting at
+        # offset -s (reconstruct._shift_correct applies e^{-i phi(s)}), so
+        # content at +resid needs s = -resid
+        poses[:, t, 3:5] = -resid                              # (sy, sx)
         df = 0.5 * (defocus[t, 0] + defocus[t, 1]) + depth[t] * pixel
         ctf[:, t, 0] = df
         ctf[:, t, 1] = df
@@ -554,13 +560,11 @@ def mode_import_star(argv):
                 k: v for k, v in parts.items() if k != "optics"})
             report[path] = {"particles": len(parts["tomo_names"]),
                             "file": "imported_particles.npz"}
-        elif "_rlnAccumMotionTotal" in text or (
-                "_rlnMicrographName" in text
-                and "_rlnCoordinateX" not in text
-                and "_rlnAngleRot" not in text):
+        elif "_rlnAccumMotionTotal" in text:
             # corrected_micrographs star (-import_motion_star): record
             # RELION's accumulated-motion stats per micrograph — they
-            # become filterable metadata metrics
+            # become filterable metadata metrics. Micrographs absent from
+            # the project are reported, not materialized as empty bundles.
             from pyp_tpu.io import star as star_mod
             from pyp_tpu.io.metadata import ItemMetadata
 
@@ -568,15 +572,25 @@ def mode_import_star(argv):
             loop = next(b["loop"] for b in blocks.values()
                         if "rlnMicrographName" in b["loop"])
             names = [Path(m).stem for m in loop["rlnMicrographName"]]
+            have_project_items = any(Path(".").glob("*.meta.npz"))
+            matched, unmatched = 0, 0
             for i, nm in enumerate(names):
-                meta = ItemMetadata(nm, ".", mode="spr").load()
+                meta = ItemMetadata(nm, ".", mode="spr")
+                if have_project_items and not meta.load().exists():
+                    unmatched += 1
+                    continue
+                meta.load()
                 for col, key in (("rlnAccumMotionTotal", "motion_total"),
                                  ("rlnAccumMotionEarly", "motion_early"),
                                  ("rlnAccumMotionLate", "motion_late")):
                     if col in loop:
                         meta.scalars[key] = float(loop[col][i])
                 meta.save()
-            report[path] = {"micrographs": len(names)}
+                matched += 1
+            report[path] = {"micrographs": matched, "unmatched": unmatched}
+        elif "_rlnCoordinateX" not in text and "_rlnAngleRot" not in text:
+            report[path] = {"skipped": "unrecognized star (no particles, "
+                            "tomograms, or motion table)"}
         else:
             table, optics = relion.import_star(path)
             cistem.write_parameters(table, "stack.cistem")
@@ -856,14 +870,26 @@ def mode_workflow(argv):
     if not paths:
         logger.error("usage: workflow <file.toml> [-arg value ...]")
         return 2
+    def _is_number(tok):
+        try:
+            float(tok)
+            return True
+        except ValueError:
+            return False
+
     overrides = {}
     rest = [a for a in argv if a not in paths]
     i = 0
     while i < len(rest):
-        if rest[i].startswith("-"):
-            key = rest[i].lstrip("-")
-            if i + 1 < len(rest) and not rest[i + 1].startswith("-"):
-                overrides[key] = rest[i + 1]
+        tok = rest[i]
+        if tok.startswith("-") and not _is_number(tok):
+            key = tok.lstrip("-")
+            nxt = rest[i + 1] if i + 1 < len(rest) else None
+            # a following token is this flag's value unless it is itself a
+            # flag (negative numbers are values, not flags)
+            if nxt is not None and (not nxt.startswith("-")
+                                    or _is_number(nxt)):
+                overrides[key] = nxt
                 i += 2
                 continue
             overrides[key] = True

@@ -24,13 +24,15 @@ from pathlib import Path
 import numpy as np
 
 
-def write_hdf(stack, path, apix: float = 1.0, extra_attrs: dict | None = None):
-    """Write an image stack (N, ny, nx) — or one volume (nz, ny, nx) with
-    stack_of_volumes False semantics (single image id 0) — as EMAN2 HDF."""
+def write_hdf(stack, path, apix: float = 1.0,
+              extra_attrs: dict | None = None, volume: bool = False):
+    """Write an image stack (N, ny, nx) as EMAN2 HDF. A 3-D array is
+    ambiguous — pass volume=True to store it as ONE 3-D image (id 0)
+    instead of nz 2-D slices."""
     import h5py
 
     arr = np.asarray(stack, dtype=np.float32)
-    if arr.ndim == 2:
+    if arr.ndim == 2 or (volume and arr.ndim == 3):
         arr = arr[None]
     with h5py.File(path, "w") as f:
         grp = f.create_group("MDF/images")

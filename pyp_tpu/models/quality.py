@@ -67,11 +67,17 @@ def featurize(mics, size: int = 128):
     M, ny, nx = mics.shape
     by, bx = max(ny // size, 1), max(nx // size, 1)
     cy, cx = size * by, size * bx
-    real = mics[:, :cy, :cx].reshape(M, size, by, size, bx).mean((2, 4))
+    # CENTERED crops so the fftshifted DC stays at the crop center when
+    # dims aren't multiples of size*bin
+    oy, ox = (ny - cy) // 2, (nx - cx) // 2
+
+    def crop_bin(a):
+        return a[:, oy:oy + cy, ox:ox + cx].reshape(
+            M, size, by, size, bx).mean((2, 4))
+
+    real = crop_bin(mics)
     F = jnp.fft.fftshift(jnp.abs(jnp.fft.fft2(mics)) ** 2, axes=(1, 2))
-    ps = jnp.log(F + 1e-6)
-    # central crop of the (shifted) spectrum resized by bin-averaging
-    psc = ps[:, :cy, :cx].reshape(M, size, by, size, bx).mean((2, 4))
+    psc = crop_bin(jnp.log(F + 1e-6))
 
     def std2(a):
         m = jnp.mean(a, axis=(1, 2), keepdims=True)

@@ -226,8 +226,12 @@ def pick_filaments(tomogram, radius_px: float, spacing_px: float,
     # candidate ridge points: top responses above threshold, greedily
     # de-duplicated at half the linking distance
     thr = threshold * V.max()
-    flat = np.argsort(V.ravel())[::-1][: 4 * max_points]
-    flat = flat[V.ravel()[flat] > thr]
+    Vf = V.ravel()
+    above = np.flatnonzero(Vf > thr)
+    k = 4 * max_points
+    if len(above) > k:   # partial select: no full-volume argsort
+        above = above[np.argpartition(-Vf[above], k)[:k]]
+    flat = above[np.argsort(-Vf[above])]
     cand = np.stack(np.unravel_index(flat, V.shape), 1).astype(np.float32)
     keep = []
     occupied = np.zeros(V.shape, dtype=bool)

@@ -244,5 +244,16 @@ class TestTiltStackExport:
             jnp.asarray(pp[:, :, 2])))                          # (P, T, 3, 3)
         err = np.abs(np.transpose(R_got, (1, 0, 2, 3)) - R_want).max()
         assert err < 1e-4, err
-        # residual sub-pixel shifts are bounded by half a pixel
+        # residual sub-pixel shifts are bounded by half a pixel and follow
+        # the pose-shift convention: s = -(true position - window center)
         assert np.abs(pp[:, :, 3:]).max() <= 0.5 + 1e-5
+        from pyp_tpu.io import mrc as _mrc  # noqa: F401 (import parity)
+
+        pred = np.asarray(csp_ops.project_positions(true))    # (T, P, 2)
+        ny, nx = np.asarray(images).shape[-2:]
+        center = np.array([ny // 2, nx // 2])
+        ci = np.round(pred + center).astype(np.int32)
+        starts = np.clip(ci - NBOX // 2, 0, [ny - NBOX, nx - NBOX])
+        want = -((pred + center) - (starts + NBOX // 2))      # (T, P, 2)
+        np.testing.assert_allclose(
+            np.transpose(pp[:, :, 3:], (1, 0, 2)), want, atol=1e-4)

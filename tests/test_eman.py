@@ -32,11 +32,18 @@ class TestHdf:
             assert int(g.attrs["EMAN.nx"]) == 8
 
     def test_volume(self, tmp_path):
+        import h5py
+
         vol = np.random.RandomState(1).randn(16, 16, 16).astype(np.float32)
         p = tmp_path / "vol.hdf"
-        eman.write_hdf(vol[None], p)
+        eman.write_hdf(vol, p, volume=True)
         back, _ = eman.read_hdf(p)
         np.testing.assert_array_equal(back[0], vol)
+        with h5py.File(p, "r") as f:
+            # ONE 3-D image, not 16 slices
+            assert int(f["MDF/images"].attrs["imageid_max"]) == 0
+            assert f["MDF/images/0/image"].shape == (16, 16, 16)
+            assert int(f["MDF/images/0"].attrs["EMAN.nz"]) == 16
 
 
 class TestLst:

@@ -72,6 +72,25 @@ class TestRun:
         saved = cfg.load_parameters(".")
         assert abs(saved["scope_pixel"] - 0.66) < 1e-9
 
+    def test_negative_number_overrides(self, tmp_path, monkeypatch,
+                                       capsys):
+        """Negative numeric values are flag VALUES, not flags."""
+        from pyp_tpu import cli
+        from pyp_tpu.config import params as cfg
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "wf.toml").write_text("""
+[blocks.rawdata]
+blockId = "sp-rawdata"
+[blocks.rawdata.args]
+tomo_rec_zshift = { ask = true }
+""")
+        rc = cli.main(["workflow", "wf.toml", "-tomo_rec_zshift", "-5"])
+        assert rc == 0
+        saved = cfg.load_parameters(".")
+        assert float(saved["tomo_rec_zshift"]) == -5.0
+        assert "5" not in {k for k in saved if k.isdigit()}
+
     def test_cli_end_to_end(self, tmp_path, monkeypatch, capsys):
         from pyp_tpu import cli
         from pyp_tpu.io.metadata import ItemMetadata
