@@ -1588,9 +1588,13 @@ def main(argv=None) -> int:
     try:  # invocation audit trail (the reference's .pyp_history)
         import time as _time
 
+        import shlex as _shlex
+
         with open(".pyp_history", "a") as f:
+            # shlex-quoted so tools/replay_history.py round-trips globs,
+            # spaces, and criteria strings
             f.write(_time.strftime("%Y-%m-%d %H:%M:%S ")
-                    + " ".join([mode] + rest) + "\n")
+                    + _shlex.join([mode] + rest) + "\n")
     except OSError:
         pass
     # multi-host: join a jax.distributed cluster when the scheduler exported
