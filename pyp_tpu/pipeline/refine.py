@@ -603,7 +603,32 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             np.stack([np.asarray(recon.freqs), np.asarray(recon.fsc)], 1),
             header="freq_cyc_per_px fsc",
         )
-        history.append({"iteration": it, "resolution": res_a})
+        entry = {"iteration": it, "resolution": res_a}
+        if params.get("model_fit"):
+            # Model-fitting tab: evaluate the PDB against this iteration's
+            # map (pyp_config.toml [tabs.model]); appended to
+            # maps/<dataset>_model_fit.txt per iteration
+            from pyp_tpu.analysis.modelfit import model_map_fit
+            from pyp_tpu.io.pdb import read_pdb
+
+            try:
+                rhref_fit = float(param(params["refine_rhref"], it))
+                fit = model_map_fit(
+                    read_pdb(str(params["model_fit"])),
+                    np.asarray(ref, dtype=np.float32), pixel,
+                    low_res=float(params.get("refine_rlref") or 100.0),
+                    high_res=max(rhref_fit, 2.5 * pixel),
+                    extra_bfactor_a2=float(
+                        params.get("model_fit_bfactor") or 100.0))
+                entry["model_cc"] = round(fit["cc"], 4)
+                with open(maps_dir / f"{dataset}_model_fit.txt", "a") as f:
+                    f.write(f"{it} {fit['cc']:.4f} "
+                            f"{' '.join(str(int(s)) for s in fit['shift_px'])}\n")
+                logger.info("model fit (iter %d): cc %.3f shift %s", it,
+                            fit["cc"], fit["shift_px"].tolist())
+            except (OSError, ValueError) as e:
+                logger.warning("model fit skipped: %s", e)
+        history.append(entry)
         from pyp_tpu.stream.web import Web
 
         web = Web()
