@@ -34,7 +34,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
          "tomotrain", "heterogeneity", "sva", "export_session", "filter",
-         "prism", "workflow")
+         "prism", "workflow", "report")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -852,6 +852,20 @@ def mode_stream(argv):
     )
     print(json.dumps({"processed": len(daemon.processed),
                       "classified": daemon.class_result is not None}))
+    return 0
+
+
+def mode_report(argv):
+    """Static HTML project report (the web dashboards' file-based
+    counterpart): per-item metric histograms + table, refinement FSC
+    curves, model-fit track — one self-contained <dataset>_report.html."""
+    params = _project_params(argv, persist=False)
+    from pyp_tpu.analysis.report import build_report
+
+    mode = "tomo" if params.get("data_mode") == "tomo" else "spr"
+    out = build_report(".", str(params.get("data_set") or "dataset"),
+                       mode=mode)
+    print(json.dumps({"report": out}))
     return 0
 
 
