@@ -221,6 +221,18 @@ def _arm_watchdog(timeout_s: float = 2100.0):
         extras = dict(_PROGRESS["extras"])
         extras["incomplete"] = {
             "error": "watchdog: axon tunnel stalled; partial results only"}
+        # attach the LAST RECORDED round's numbers, clearly labeled stale —
+        # an outage of the experimental tunnel says nothing about the code
+        try:
+            with open("BENCH_r02.json") as f:
+                prev = json.load(f)
+            extras["stale_last_recorded"] = {
+                "note": "previous round's measured values (tunnel down "
+                "this run; NOT fresh measurements)",
+                "tail": prev.get("tail", "")[:800],
+            }
+        except Exception:  # noqa: BLE001
+            pass
         _emit(_PROGRESS["headline"], extras)
         sys.stdout.flush()
         os._exit(0)
