@@ -70,6 +70,48 @@ class TestTracing:
         assert sorted(len(c) for c in chains) == [6, 6]
 
 
+class TestCurvedFilament:
+    def test_traces_a_helix(self):
+        """Curved filaments: tracing follows the local direction around a
+        gentle helix, and tangent priors track the true tangent."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.geometry import euler_to_matrix
+
+        rng = np.random.RandomState(5)
+        vol = 0.2 * rng.randn(N, N, N).astype(np.float32)
+        t = np.linspace(0, 3.5 * np.pi, 400)
+        # helix: radius 14 px, z pitch gentle; stays inside the box
+        cz = 32 + 10 * t / t.max() - 5
+        cy = 32 + 14 * np.sin(t)
+        cx = 32 + 14 * np.cos(t)
+        g = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"), -1)
+        for p in np.stack([cz, cy, cx], 1)[::4]:
+            d2 = np.sum((g - p) ** 2, axis=-1)
+            vol[d2 < 4.0] = np.minimum(vol[d2 < 4.0], -1.0)
+
+        coords, eulers, fil_id = pick_filaments(
+            vol, radius_px=2.0, spacing_px=6.0, threshold=0.3)
+        assert len(coords) >= 8, len(coords)
+
+        # each pick lies near the helix curve
+        curve = np.stack([cz, cy, cx], 1)
+        d = [np.min(np.linalg.norm(curve - c[:3], axis=1)) for c in coords]
+        assert np.median(d) < 3.0, np.median(d)
+
+        # tangent priors align with the true helix tangent at the nearest
+        # curve point
+        tangent = np.gradient(curve, axis=0)
+        tangent /= np.linalg.norm(tangent, axis=1, keepdims=True)
+        dots = []
+        for c, e in zip(coords, eulers):
+            k = int(np.argmin(np.linalg.norm(curve - c[:3], axis=1)))
+            R = np.asarray(euler_to_matrix(*[float(v) for v in e]))
+            zrot = (R @ np.array([0.0, 0.0, 1.0]))[::-1]
+            dots.append(abs(float(np.dot(zrot, tangent[k]))))
+        assert np.median(dots) > 0.85, np.median(dots)
+
+
 class TestSheetness:
     def test_segments_planted_sheet_with_normals(self):
         from pyp_tpu.ops.filament import segment_membranes, sheetness
