@@ -207,22 +207,39 @@ def trace_filaments(points, axes, scores, link_dist: float = 6.0,
     return filaments
 
 
-def pick_filaments(tomogram, radius_px: float, spacing_px: float,
+def pick_filaments(tomogram, radius_px, spacing_px: float,
                    threshold: float = 0.3, max_points: int = 4000,
                    dark: bool = True, min_points: int = 4):
     """Full filament picking: vesselness -> ridge points -> traced
     polylines -> particles every `spacing_px` with tangent orientation
     priors.
 
+    radius_px may be a scalar or a (min, max) range — the range runs a
+    multi-scale sweep (3 log-spaced sigmas, per-voxel max response with
+    the winning scale's axis), for mixed actin/microtubule pictures.
+
     Returns (coords (N, 4) = (z, y, x, score), eulers (N, 3) tangent
     priors, fil_id (N,))."""
     from pyp_tpu.core.geometry import normal_to_euler
 
-    V, axis = vesselness(jnp.asarray(tomogram, jnp.float32),
-                         sigma_px=max(radius_px / np.sqrt(2.0), 1.0),
-                         dark=dark)
-    V = np.asarray(V)
-    axis_np = np.asarray(axis)
+    radii = np.atleast_1d(np.asarray(radius_px, dtype=np.float32))
+    if len(radii) == 1:
+        sigmas = [max(float(radii[0]) / np.sqrt(2.0), 1.0)]
+    else:
+        sigmas = list(np.geomspace(max(radii.min() / np.sqrt(2.0), 1.0),
+                                   max(radii.max() / np.sqrt(2.0), 1.0), 3))
+    tomo_j = jnp.asarray(tomogram, jnp.float32)
+    V, axis_np = None, None
+    for s in sigmas:
+        Vs, axs = vesselness(tomo_j, sigma_px=float(s), dark=dark)
+        Vs, axs = np.asarray(Vs), np.asarray(axs)
+        if V is None:
+            V, axis_np = Vs, axs
+        else:
+            better = Vs > V
+            V = np.where(better, Vs, V)
+            axis_np = np.where(better[..., None], axs, axis_np)
+    radius_px = float(np.max(radii))
     # candidate ridge points: top responses above threshold, greedily
     # de-duplicated at half the linking distance
     thr = threshold * V.max()

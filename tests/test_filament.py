@@ -70,6 +70,32 @@ class TestTracing:
         assert sorted(len(c) for c in chains) == [6, 6]
 
 
+class TestMultiScale:
+    def test_radius_range_finds_thin_and_thick(self):
+        """Multi-scale sweep: one call finds tubes of different radii."""
+        rng = np.random.RandomState(7)
+        vol = 0.2 * rng.randn(N, N, N).astype(np.float32)
+        g = np.stack(np.meshgrid(*[np.arange(N)] * 3, indexing="ij"), -1)
+        for p0, d, rad in [
+            (np.array([16.0, 16.0, 4.0]), np.array([0.0, 0.0, 1.0]), 1.5),
+            (np.array([44.0, 44.0, 4.0]), np.array([0.0, 0.0, 1.0]), 4.0),
+        ]:
+            rel = g - p0
+            t = rel @ d
+            dist = np.linalg.norm(rel - t[..., None] * d, axis=-1)
+            vol[(dist < rad) & (t > 0) & (t < 56)] -= 1.0
+
+        coords, _, fil_id = pick_filaments(
+            vol, radius_px=(1.5, 4.0), spacing_px=5.0, threshold=0.2)
+        assert len(np.unique(fil_id)) >= 2
+        # picks near BOTH tubes
+        near_thin = sum(1 for c in coords
+                        if abs(c[0] - 16) < 4 and abs(c[1] - 16) < 4)
+        near_thick = sum(1 for c in coords
+                         if abs(c[0] - 44) < 6 and abs(c[1] - 44) < 6)
+        assert near_thin >= 3 and near_thick >= 3, (near_thin, near_thick)
+
+
 class TestCurvedFilament:
     def test_traces_a_helix(self):
         """Curved filaments: tracing follows the local direction around a
