@@ -582,7 +582,11 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
                                                * cfg.upsample // 4)))
     if init_poses is not None:
         init_poses = jnp.asarray(init_poses)
-        init_shifts = init_poses[:, 3:5] * cfg.crop
+        # pose convention stores the CENTERING translation s (content sits
+        # at -s; what reconstruct._shift_correct and the gather engine
+        # consume); the engine's internal shift variables are +content
+        # offsets (the phase the search undoes) — negate at this boundary
+        init_shifts = -init_poses[:, 3:5] * cfg.crop
         R_i = euler_to_matrix(init_poses[:, 0], init_poses[:, 1],
                               init_poses[:, 2])
         init_axes = R_i[:, 2, :]
@@ -608,8 +612,14 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,
     )
-    if cfg.crop != 1.0:  # shifts back to data pixels
-        poses = poses.at[:, 3:5].divide(cfg.crop)
+    # internal shifts are +content offsets; flip to the pose convention
+    # (centering translation = -content) and rescale crop -> data pixels.
+    # Before this boundary flip the FRM->reconstruction path doubled every
+    # particle's displacement (measured: 64-particle probe, FRM poses into
+    # rec.reconstruct, cc 0.08 as-was vs 0.83 flipped) — the "15 A
+    # intermediate-iteration plateau" in docs/BENCH_E2E.md was largely this,
+    # not lattice quantization.
+    poses = poses.at[:, 3:5].multiply(-1.0 / cfg.crop)
     return poses, scores
 
 
@@ -680,8 +690,10 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
     if fsc_curve is not None:
         wr = wr * jnp.asarray(
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n_data))[None]
+    # incoming shifts use the pose convention (centering translation);
+    # internal candidates are +content offsets — negate at the boundary
     base = jnp.zeros((B, 2)) if shifts is None \
-        else jnp.asarray(shifts) * cfg.crop
+        else -jnp.asarray(shifts) * cfg.crop
     if marginalize_shifts:
         cand = cfg.coarse_shifts[:, None, :] + base[None]    # (S, B, 2)
     else:
@@ -697,9 +709,10 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
     scores, psis, sids = _score_directions_jit(Xp_cands, wr, FUc, u2sum,
                                                d_block)
     sids = sids[:, :D]                                       # (B, D)
-    # winning absolute shift per (particle, direction), data pixels
+    # winning absolute shift per (particle, direction), data pixels, in
+    # the POSE convention (internal candidates are +content offsets)
     cand_bd = jnp.transpose(cand, (1, 0, 2))                 # (B, S, 2)
-    shifts_best = jnp.take_along_axis(
+    shifts_best = -jnp.take_along_axis(
         cand_bd, sids[..., None], axis=1) / cfg.crop         # (B, D, 2)
     return (scores[:, :D],
             psis[:, :D].astype(jnp.float32) * (360.0 / cfg.n_psi),

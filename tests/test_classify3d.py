@@ -31,9 +31,9 @@ class TestClassify3D:
         table["defocus_angle"] = ctf[:, 2]
         table["occupancy"] = np.full(B, 100.0)
         table["assigned_subset"] = np.arange(B) % 2 + 1
-        # consensus-quality poses: angles true; shift init off by 2s (the
-        # measured table convention is +content-shift) — classification must
-        # tolerate imperfect consensus shifts, which round-0 shift
+        # consensus-quality poses: angles true; shifts at the correct
+        # pose convention (centering translation = -content offset) —
+        # classification starts from a good consensus, and round-0 shift
         # marginalization re-estimates within its +/-6 px extent
         table["phi"] = np.concatenate([truthA["phi"], truthB["phi"]])
         table["theta"] = np.concatenate([truthA["theta"], truthB["theta"]])

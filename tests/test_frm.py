@@ -85,7 +85,10 @@ class TestFrmRecovery:
         for b in range(poses.shape[0]):
             Rf = np.asarray(euler_to_matrix(*poses[b, :3]))
             errs.append(rotation_error_deg(Rf, truth["R"][b]))
-            shift_errs.append(np.abs(poses[b, 3:5] - truth["shifts"][b]).max())
+            # pose convention: stored shift is the CENTERING translation
+            # (= -content offset); truth["shifts"] moved content +s
+            shift_errs.append(
+                np.abs(poses[b, 3:5] + truth["shifts"][b]).max())
         errs = np.array(errs)
         # lattice step 11 deg -> every particle within ~1.2 lattice steps
         assert np.median(errs) < 9.0, errs
@@ -181,7 +184,7 @@ class TestBandLimitedCrop:
         R_true = np.asarray(R)
         errs = [rotation_error_deg(np.asarray(euler_to_matrix(*poses[b, :3])),
                                    R_true[b]) for b in range(B)]
-        sh_err = np.abs(poses[:, 3:5] - shifts).max(axis=1)
+        sh_err = np.abs(poses[:, 3:5] + shifts).max(axis=1)
         assert np.median(errs) < 9.0, errs
         assert np.median(sh_err) < 1.0, (poses[:, 3:5], shifts)
 
@@ -245,3 +248,29 @@ class TestRingWeightsFromFsc:
         r = np.asarray(cfg.radii)
         assert np.all(w[r < 20] == 1.0), w[r < 20]
         assert np.all(w[r >= 20] == 0.0), w[r >= 20]
+
+
+class TestCrossEngineConsistency:
+    def test_frm_poses_reconstruct_directly(self):
+        """The decisive cross-check the sign bug evaded: poses from the FRM
+        engine must center particles when fed STRAIGHT into the
+        reconstruction path (full-band cc vs ground truth) — no polish, no
+        negation, no intermediate table round-trip."""
+        from pyp_tpu.ops import reconstruct as rec
+
+        vol = make_volume()
+        stack, ctf_params, truth = make_particles(vol, n_particles=48,
+                                                  noise=0.05, shift_max=3.0)
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        cfg = self._cfg_cross()
+        poses, _ = frm.frm_refine(stack, ctf_params, Fv, cfg)
+        out = rec.reconstruct(stack, poses, ctf_params, PIXEL)
+        cc = np.corrcoef(np.asarray(out.volume).ravel(), vol.ravel())[0, 1]
+        # pre-fix this was 0.08 (every particle displaced by 2x its shift)
+        assert cc > 0.6, cc
+
+    @staticmethod
+    def _cfg_cross():
+        return frm.FrmConfig(N, PIXEL, low_res=30.0, high_res=6.0,
+                             angular_step=10.0, shift_extent=4.0,
+                             shift_step=0.5, rounds=3)

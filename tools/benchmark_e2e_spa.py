@@ -154,10 +154,10 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     ang_err = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
     sh_ref = np.stack([np.asarray(table["y_shift"]),
                        np.asarray(table["x_shift"])], 1) / pixel
-    # pose convention (measured: frm_refine on clean data returns pose
-    # shifts equal to +content shift, median residual 0.4 px): the table
-    # stores +s, so the residual is sh_ref - shifts
-    sh_err = np.abs(sh_ref - shifts).max(axis=1)
+    # pose convention: the table stores the CENTERING translation
+    # (-content offset); content was moved +shifts at synthesis, so the
+    # residual is sh_ref + shifts
+    sh_err = np.abs(sh_ref + shifts).max(axis=1)
     # band-limited masked correlation: raw-voxel cc is dominated by the
     # spectral weighting differences between the FSC-filtered map and the
     # raw phantom; compare where the signal lives
