@@ -146,3 +146,53 @@ def write(pf: ParFile, path, variant=None):
                 v = int(round(row[i])) if i in int_cols else row[i]
                 parts.append(s % v)
             f.write("".join(parts) + "\n")
+
+
+def to_cistem_table(pf: ParFile):
+    """FREALIGN .par -> .cistem table with SEMANTIC conversion.
+
+    FREALIGN SHX/SHY (Å) carry the opposite sign of the internal pose
+    convention (the centering translation, = RELION origin semantics): the
+    reference's own par->star conversion negates them
+    (pyp_metadata.py:1114 `shifts = -(refinement[["X_SHIFT", "Y_SHIFT"]])`).
+    """
+    from pyp_tpu.io import cistem
+
+    n = pf.n_rows
+    table = cistem.Table.zeros(n)
+    table["position_in_stack"] = pf["NO"]
+    table["phi"] = pf["PHI"]
+    table["theta"] = pf["THETA"]
+    table["psi"] = pf["PSI"]
+    table["x_shift"] = -np.asarray(pf["SHX"], dtype=np.float64)
+    table["y_shift"] = -np.asarray(pf["SHY"], dtype=np.float64)
+    table["defocus_1"] = pf["DF1"]
+    table["defocus_2"] = pf["DF2"]
+    table["defocus_angle"] = pf["ANGAST"]
+    if "OCC" in pf.columns:
+        table["occupancy"] = pf["OCC"]
+    if "SCORE" in pf.columns:
+        table["score"] = pf["SCORE"]
+    return table
+
+
+def from_cistem_table(table, variant: str = "new", mag: float = 10000.0):
+    """.cistem table -> FREALIGN .par with the same semantic sign flip as
+    `to_cistem_table` (SHX = -x_shift)."""
+    n = table.n_rows
+    pf = ParFile.zeros(n, variant=variant)
+    pf["NO"] = np.asarray(table["position_in_stack"])
+    pf["PHI"] = np.asarray(table["phi"])
+    pf["THETA"] = np.asarray(table["theta"])
+    pf["PSI"] = np.asarray(table["psi"])
+    pf["SHX"] = -np.asarray(table["x_shift"])
+    pf["SHY"] = -np.asarray(table["y_shift"])
+    pf["DF1"] = np.asarray(table["defocus_1"])
+    pf["DF2"] = np.asarray(table["defocus_2"])
+    pf["ANGAST"] = np.asarray(table["defocus_angle"])
+    pf["MAG"] = np.full(n, mag)
+    if "occupancy" in table:
+        pf["OCC"] = np.asarray(table["occupancy"])
+    if "score" in table and "SCORE" in pf.columns:
+        pf["SCORE"] = np.asarray(table["score"])
+    return pf

@@ -307,3 +307,40 @@ class TestRelionTomoStar:
         np.testing.assert_array_equal(out["visible"], parts["visible"])
         assert out["optics"]["box"] == 64
         assert out["optics"]["pixel_size"] == 2.1
+
+
+class TestParSemanticConversion:
+    def test_shx_sign_flip_roundtrip(self):
+        """FREALIGN SHX/SHY carry the opposite sign of the internal pose
+        convention (reference pyp_metadata.py:1114 negates when leaving
+        FREALIGN-land): the semantic converters flip and round-trip."""
+        from pyp_tpu.io import cistem, parfile
+
+        t = cistem.Table.zeros(4)
+        t["position_in_stack"] = np.arange(1, 5)
+        t["x_shift"] = np.array([1.5, -2.0, 0.5, 0.0])
+        t["y_shift"] = np.array([0.5, 1.0, -1.0, 2.5])
+        t["phi"] = np.array([10.0, 20.0, 30.0, 40.0])
+        t["defocus_1"] = np.full(4, 15000.0)
+        t["occupancy"] = np.full(4, 100.0)
+        pf = parfile.from_cistem_table(t)
+        np.testing.assert_allclose(pf["SHX"], -np.asarray(t["x_shift"]))
+        np.testing.assert_allclose(pf["SHY"], -np.asarray(t["y_shift"]))
+        back = parfile.to_cistem_table(pf)
+        for c in ("x_shift", "y_shift", "phi", "defocus_1", "occupancy"):
+            np.testing.assert_allclose(np.asarray(back[c]),
+                                       np.asarray(t[c]), atol=1e-5)
+
+    def test_file_roundtrip_preserves_semantics(self, tmp_path):
+        from pyp_tpu.io import cistem, parfile
+
+        t = cistem.Table.zeros(2)
+        t["position_in_stack"] = [1, 2]
+        t["x_shift"] = np.array([3.25, -1.5])
+        t["defocus_1"] = np.full(2, 12000.0)
+        pf = parfile.from_cistem_table(t)
+        p = tmp_path / "a.par"
+        parfile.write(pf, p)
+        back = parfile.to_cistem_table(parfile.read(p))
+        np.testing.assert_allclose(np.asarray(back["x_shift"]),
+                                   np.asarray(t["x_shift"]), atol=1e-2)
