@@ -290,17 +290,37 @@ def _corner_lists(qs, vals, c2, q0, frac, in_sphere, pn, nxf, corners=None):
 
 
 def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
-                         pad: int = DEFAULT_PAD, gridding: str = "trilinear"):
+                         pad: int = DEFAULT_PAD, gridding: str = "trilinear",
+                         ewald_c: float = 0.0):
     """insert_slices for both half-sets in ONE scatter pass: the half id
     offsets the flat index into a doubled buffer, so the even/odd split
     costs nothing extra. (A nearest-neighbour kernel was measured and
     rejected: ~8x fewer scatter points but visibly worse truth recovery at
-    sparse coverage.) Returns (num1, den1, num2, den2)."""
+    sparse coverage.) Returns (num1, den1, num2, den2).
+
+    ewald_c: Ewald-sphere curvature in index units (lambda / (2 n pixel),
+    signed by handedness; FREALIGN IEWALD=+-1 "simple insertion", Wolf/
+    DeRosier/Grigorieff 2006). Each measured sample lands on the Ewald
+    SPHERE — z-offset ewald_c*|g|^2 along the beam axis. The curvature is
+    even in g, so the stored half-plane's Friedel mates are no longer the
+    volume-hermitian mirrors of the stored points: both sides insert
+    explicitly (X(g) at g.e + c g^2 ez, X*(g) at -g.e + c g^2 ez), doubling
+    the scatter work only when enabled."""
     pn = pad * n
     nxf = pn // 2 + 1
     q = slice_coords(R, n) * pad
     vals = F_parts * ctfs * weights[:, None, None]
     c2 = ctfs * ctfs * weights[:, None, None]
+    if ewald_c:
+        ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)
+        kx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+        g2 = (ky[:, None] ** 2 + kx[None, :] ** 2)           # (n, nxf_img)
+        ez = R[..., 2, :][..., ::-1]                         # beam, zyx
+        curve = (ewald_c * pad) * g2[None, :, :, None] * ez[:, None, None, :]
+        q = jnp.concatenate([q + curve, -q + curve], axis=0)
+        vals = jnp.concatenate([vals, jnp.conj(vals)], axis=0)
+        c2 = jnp.concatenate([c2, c2], axis=0)
+        subset = jnp.concatenate([subset, subset], axis=0)
     flip = q[..., 2] < 0
     qs = jnp.where(flip[..., None], -q, q)
     vals = jnp.where(flip, jnp.conj(vals), vals)
@@ -312,7 +332,7 @@ def insert_slices_halves(F_parts, ctfs, R, subset, weights, n: int,
     idx, wre, wim, wc2 = _corner_lists(qs, vals, c2, q0, frac, in_sphere,
                                        pn, nxf)
     size = pn * pn * nxf
-    B = F_parts.shape[0]
+    B = vals.shape[0]   # = particle count, x2 under Ewald doubling
     per = idx.shape[0] // (8 * B)
     half = jnp.tile(jnp.repeat(jnp.clip(subset.astype(jnp.int32), 0, 1), per), 8)
     idx2 = idx + half * size

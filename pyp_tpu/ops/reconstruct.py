@@ -75,7 +75,8 @@ def _shift_correct(X, shifts, n):
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast", "symmetry", "pad", "gridding"),
+                     "amplitude_contrast", "symmetry", "pad", "gridding",
+                     "iewald"),
 )
 def accumulate(
     stack,               # (B, n, n) particle images
@@ -93,12 +94,17 @@ def accumulate(
     prev: Accumulators | None = None,
     doses=None,
     gridding: str = "trilinear",
+    iewald: int = 0,
 ) -> Accumulators:
     """Insert a batch of particles into (possibly pre-existing) accumulators.
 
     `doses` (B,) cumulative exposures (e-/Å²) apply the Grant-Grigorieff
     damage envelope to each particle's CTF weight — the reconstruct3d dose
-    weighting block (SURVEY §A.2)."""
+    weighting block (SURVEY §A.2).
+
+    `iewald`: FREALIGN Ewald-sphere correction (reference reconstruct tab,
+    frealign.py IEWALD card). +-1 = simple curved insertion (sign =
+    handedness); +-2 (reference-based) falls back to the simple mode."""
     X = image_to_fourier(stack)
     X = _shift_correct(X, poses[:, 3:5], n)
     ctfs = _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, amplitude_contrast)
@@ -124,11 +130,20 @@ def accumulate(
 
     from pyp_tpu.ops.fourier_slice import insert_slices_halves
 
+    ewald_c = 0.0
+    if iewald:
+        # curvature in index units: dz_idx = lambda * k^2 / (2 n pixel);
+        # host-side math (core.ctf.wavelength is jnp and would trace)
+        v = voltage_kv * 1e3
+        lam = 12.2639 / float(np.sqrt(v + 0.97845e-6 * v * v))
+        ewald_c = float(np.sign(iewald)) * lam / (2.0 * n * pixel_size)
+
     num1, den1, num2, den2 = prev
     for k in range(n_sym):
         Rk = R @ sym_mats[k][None]
         a1, b1, a2, b2 = insert_slices_halves(
-            X, ctfs, Rk, subset, weights, n, pad=pad, gridding=gridding)
+            X, ctfs, Rk, subset, weights, n, pad=pad, gridding=gridding,
+            ewald_c=ewald_c)
         num1, den1 = num1 + a1, den1 + b1
         num2, den2 = num2 + a2, den2 + b2
     return Accumulators(num1, den1, num2, den2)
@@ -166,7 +181,7 @@ def reconstruct(
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
     batch: int = 256, pad: int = DEFAULT_PAD, gridding: str = "trilinear",
-    crop_to: int = None,
+    crop_to: int = None, iewald: int = 0,
 ) -> Reconstruction:
     """Single-call reconstruction of a full particle stack (batched insert).
 
@@ -214,6 +229,7 @@ def reconstruct(
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
             jnp.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
+            iewald=iewald,
         )
     return finalize(acc, n_rec, pad, wiener, gridding)
 

@@ -237,6 +237,7 @@ def sharded_accumulate(
     prev=None,
     doses=None,
     gridding: str = "trilinear",
+    iewald: int = 0,
 ):
     """`reconstruct.accumulate` sharded over the mesh with one psum merge —
     the TPU-native local_merge3d+merge3d (frealign.py:1838,:1910). Padding
@@ -258,7 +259,7 @@ def sharded_accumulate(
         acc = rec.accumulate(
             stack_s, poses_s, ctf_s, subset_s, w_s, n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, symmetry, pad,
-            doses=dose_s, gridding=gridding,
+            doses=dose_s, gridding=gridding, iewald=iewald,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
 
@@ -333,7 +334,7 @@ def reconstruct_sharded(
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
     batch: int = 256, pad: int = 2, crop_to: int = None,
-    gridding: str = "trilinear",
+    gridding: str = "trilinear", iewald: int = 0,
 ):
     """Mesh-parallel mirror of `reconstruct.reconstruct`: superbatches of
     batch*ndev particles accumulate with a psum merge, then finalize.
@@ -372,6 +373,7 @@ def reconstruct_sharded(
             np.asarray(ctf_params[sl]), np.asarray(subset[sl]),
             np.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
+            iewald=iewald,
         )
     return rec.finalize(acc, n_rec, pad, wiener, gridding)
 

@@ -427,6 +427,7 @@ def refinement_iteration(
             batch=batch,
             pad=int(params.get("reconstruct_pad") or 2),
             gridding=str(params.get("reconstruct_gridding") or "trilinear"),
+            iewald=int(params.get("reconstruct_iewald") or 0),
         )
         # reconstruct_norm: per-particle normalization ahead of insertion
         # (cisTEM reconstruct3d "normalize particles", SURVEY §A.2)
