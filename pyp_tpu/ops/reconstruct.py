@@ -255,7 +255,7 @@ def load_accumulators(path) -> Accumulators:
 @functools.partial(
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast", "pad"),
+                     "amplitude_contrast", "pad", "iewald"),
 )
 def accumulate_matrices(
     windows,             # (B, n, n) particle projections (e.g. CSP windows)
@@ -271,10 +271,12 @@ def accumulate_matrices(
     amplitude_contrast: float = 0.07,
     pad: int = DEFAULT_PAD,
     prev: Accumulators | None = None,
+    iewald: int = 0,
 ) -> Accumulators:
     """Insertion with explicit rotation matrices — the CSPT path: each
     (tilt, particle) projection window contributes a slice at pose
-    R_eff = R_tilt @ M_particle (SURVEY §3.4; ops.csp produces these)."""
+    R_eff = R_tilt @ M_particle (SURVEY §3.4; ops.csp produces these).
+    iewald: Ewald-sphere simple curved insertion (see `accumulate`)."""
     X = image_to_fourier(windows)
     X = _shift_correct(X, shifts, n)
     cp = jnp.stack([defoci, defoci, jnp.zeros_like(defoci), jnp.zeros_like(defoci)], 1)
@@ -287,7 +289,13 @@ def accumulate_matrices(
         prev = Accumulators(zc, zr, zc, zr)
     from pyp_tpu.ops.fourier_slice import insert_slices_halves
 
+    ewald_c = 0.0
+    if iewald:
+        v = voltage_kv * 1e3
+        lam = 12.2639 / float(np.sqrt(v + 0.97845e-6 * v * v))
+        ewald_c = float(np.sign(iewald)) * lam / (2.0 * n * pixel_size)
     a1, b1, a2, b2 = insert_slices_halves(X, ctfs, rotations, subset,
-                                          weights, n, pad=pad)
+                                          weights, n, pad=pad,
+                                          ewald_c=ewald_c)
     return Accumulators(prev.num1 + a1, prev.den1 + b1,
                         prev.num2 + a2, prev.den2 + b2)

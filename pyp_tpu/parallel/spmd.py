@@ -295,6 +295,7 @@ def sharded_accumulate_matrices(
     amplitude_contrast: float = 0.07,
     pad: int = 2,
     prev=None,
+    iewald: int = 0,
 ):
     """`reconstruct.accumulate_matrices` (the CSPT matrix-pose insertion,
     SURVEY §3.4) sharded over the mesh with one psum merge."""
@@ -313,7 +314,7 @@ def sharded_accumulate_matrices(
     def shard_fn(win_s, rot_s, sh_s, df_s, sub_s, w_s):
         acc = rec.accumulate_matrices(
             win_s, rot_s, sh_s, df_s, sub_s, w_s, n, pixel_size,
-            voltage_kv, cs_mm, amplitude_contrast, pad,
+            voltage_kv, cs_mm, amplitude_contrast, pad, iewald=iewald,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
 

@@ -264,6 +264,7 @@ def csp_swarm_one(
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
                 prev=prev_acc,
+                iewald=int(params.get("reconstruct_iewald") or 0),
             )
         else:
             acc = rec.accumulate_matrices(
@@ -278,6 +279,7 @@ def csp_swarm_one(
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
                 prev=prev_acc,
+                iewald=int(params.get("reconstruct_iewald") or 0),
             )
 
     # persist refined geometry back to metadata (resume + interop)
