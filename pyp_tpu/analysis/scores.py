@@ -199,3 +199,48 @@ def shape_scores(
                 "(%d angular x %d defocus groups)",
                 int(keep.sum()), len(keep), n_angles, n_defocuses)
     return table, keep
+
+
+def expand_symmetry(table, symmetry: str):
+    """Symmetry-expand a particle table: every particle is replicated once
+    per point-group rotation with the composed orientation (the
+    relion_particle_symmetry_expand role — used ahead of focused
+    classification/refinement of features that break the symmetry).
+
+    Pose composition: the particle maps reference coords through
+    R(phi,theta,psi); a symmetry mate is R @ S_k (the reference volume is
+    invariant under S_k), so the mate's eulers come from matrix_to_euler
+    (R @ S_k). Shifts/defoci/occupancies copy through; occupancy is
+    divided by the group order so total mass is conserved."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.geometry import (apply_symmetry_matrices,
+                                       euler_to_matrix, matrix_to_euler)
+    from pyp_tpu.io import cistem
+
+    mats = apply_symmetry_matrices(symmetry)
+    K = len(mats)
+    n = table.n_rows
+    R = np.asarray(euler_to_matrix(
+        jnp.asarray(np.asarray(table["phi"], np.float32)),
+        jnp.asarray(np.asarray(table["theta"], np.float32)),
+        jnp.asarray(np.asarray(table["psi"], np.float32))))   # (n, 3, 3)
+    out = cistem.Table.zeros(n * K)
+    for name in table.data:
+        out[name] = np.tile(np.asarray(table[name]), K)
+    phis, thetas, psis = [], [], []
+    for S in mats:
+        Rk = np.einsum("nij,jk->nik", R, S)
+        ph, th, ps = matrix_to_euler(jnp.asarray(Rk))
+        phis.append(np.asarray(ph))
+        thetas.append(np.asarray(th))
+        psis.append(np.asarray(ps))
+    out["phi"] = np.concatenate(phis)
+    out["theta"] = np.concatenate(thetas)
+    out["psi"] = np.concatenate(psis)
+    out["position_in_stack"] = np.tile(
+        np.asarray(table["position_in_stack"]), K)
+    if "occupancy" in table:
+        out["occupancy"] = np.tile(
+            np.asarray(table["occupancy"]) / K, K)
+    return out

@@ -994,10 +994,23 @@ def mode_filter(argv):
 
 def mode_kselection(argv):
     """Keep only particles in the given classes (the reference's kselection
-    driver): pyp_tpu kselection -keep_classes 1,3,5."""
+    driver): pyp_tpu kselection -keep_classes 1,3,5. With
+    -expand_symmetry <group> instead, symmetry-expand the particle table
+    (relion_particle_symmetry_expand role) for focused classification."""
     params = _project_params(argv)
     from pyp_tpu.analysis.scores import select_classes
     from pyp_tpu.io import cistem
+
+    sym = str(params.get("expand_symmetry") or "")
+    if sym:
+        from pyp_tpu.analysis.scores import expand_symmetry
+
+        table = cistem.read_parameters("stack.cistem")
+        out = expand_symmetry(table, sym)
+        cistem.write_parameters(out, "stack.cistem")
+        print(json.dumps({"expanded": out.n_rows, "from": table.n_rows,
+                          "symmetry": sym}))
+        return 0
 
     spec = str(params.get("keep_classes") or "")
     if not spec:

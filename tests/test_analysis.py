@@ -299,3 +299,63 @@ class TestSplineRegularization:
         sm = fit.fit_angular_trajectory(noisy, outlier_mads=4.0)
         assert np.abs(sm - true).max() < np.abs(noisy - true).max() * 0.5
         assert np.sqrt(np.mean((sm - true) ** 2)) < 1.0
+
+
+class TestSymmetryExpansion:
+    def test_expansion_preserves_projections_of_symmetric_volume(self,
+                                                                 tmp_path):
+        """relion_particle_symmetry_expand role: each mate's composed pose
+        must project a C4-symmetric volume identically to the original."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.analysis.scores import expand_symmetry
+        from pyp_tpu.core.geometry import apply_symmetry_matrices, euler_to_matrix
+        from pyp_tpu.io import cistem
+        from pyp_tpu.ops import fourier_slice as fs
+
+        rng = np.random.RandomState(0)
+        n = 32
+        # exactly C4-symmetric about the FFT center (n//2): Gaussian blobs
+        # placed analytically at 90-degree-related positions (np.rot90
+        # would rotate about (n-1)/2 and break the symmetry half a pixel)
+        g = np.stack(np.meshgrid(*[np.arange(n, dtype=np.float32)] * 3,
+                                 indexing="ij"), -1)
+        c = n // 2
+        vol = np.zeros((n, n, n), dtype=np.float32)
+        for _ in range(6):
+            dz = rng.uniform(-8, 8)
+            r = rng.uniform(3, 9)
+            th = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.5, 1.5)
+            for k in range(4):
+                a = th + k * np.pi / 2
+                p = np.array([c + dz, c + r * np.sin(a), c + r * np.cos(a)])
+                d2 = np.sum((g - p) ** 2, axis=-1)
+                vol += amp * np.exp(-d2 / 6.0)
+        _ = apply_symmetry_matrices  # (convention sanity import)
+
+        t = cistem.Table.zeros(3)
+        t["position_in_stack"] = [1, 2, 3]
+        t["phi"] = [10.0, 100.0, 250.0]
+        t["theta"] = [30.0, 75.0, 120.0]
+        t["psi"] = [5.0, 180.0, 300.0]
+        t["occupancy"] = np.full(3, 100.0)
+        out = expand_symmetry(t, "C4")
+        assert out.n_rows == 12
+        np.testing.assert_allclose(np.asarray(out["occupancy"]), 25.0)
+
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        R0 = euler_to_matrix(jnp.asarray(np.asarray(t["phi"], np.float32)),
+                             jnp.asarray(np.asarray(t["theta"], np.float32)),
+                             jnp.asarray(np.asarray(t["psi"], np.float32)))
+        p0 = np.asarray(fs.fourier_to_image(fs.project(Fv, R0, n), n))
+        Re = euler_to_matrix(
+            jnp.asarray(np.asarray(out["phi"], np.float32)),
+            jnp.asarray(np.asarray(out["theta"], np.float32)),
+            jnp.asarray(np.asarray(out["psi"], np.float32)))
+        pe = np.asarray(fs.fourier_to_image(fs.project(Fv, Re, n), n))
+        for k in range(4):
+            blk = pe[3 * k:3 * (k + 1)]
+            for i in range(3):
+                cc = np.corrcoef(blk[i].ravel(), p0[i].ravel())[0, 1]
+                assert cc > 0.98, (k, i, cc)
