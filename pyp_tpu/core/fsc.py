@@ -95,3 +95,35 @@ def apply_fsc_filter(vol, curve):
     w = fsc_weights(curve)
     filt = radial_shell_filter_3d(vol.shape[-3:], w)
     return jnp.fft.irfftn(jnp.fft.rfftn(vol) * filt, s=vol.shape[-3:])
+
+
+def amplitude_correlation_and_dpr(map1, map2, n_bins: int | None = None):
+    """Per-shell amplitude correlation and differential phase residual —
+    relion_postprocess --ampl_corr expert outputs (reference
+    postprocess/core.py:336). Returns (freqs, ampl_corr, dpr_degrees);
+    DPR is the amplitude-weighted RMS phase difference per shell."""
+    n = map1.shape[-1]
+    if n_bins is None:
+        n_bins = n // 2
+    f1 = jnp.fft.rfftn(jnp.asarray(map1)).reshape(-1)
+    f2 = jnp.fft.rfftn(jnp.asarray(map2)).reshape(-1)
+    bins = _shell_bins(n, n_bins)
+    a1, a2 = jnp.abs(f1), jnp.abs(f2)
+
+    def shell_sum(v):
+        return jnp.zeros(n_bins).at[bins].add(v)
+
+    cnt = shell_sum(jnp.ones_like(a1))
+    m1 = shell_sum(a1) / jnp.maximum(cnt, 1.0)
+    m2 = shell_sum(a2) / jnp.maximum(cnt, 1.0)
+    num = shell_sum((a1 - m1[bins]) * (a2 - m2[bins]))
+    d1 = shell_sum((a1 - m1[bins]) ** 2)
+    d2 = shell_sum((a2 - m2[bins]) ** 2)
+    ampl_corr = num / jnp.maximum(jnp.sqrt(d1 * d2), 1e-12)
+
+    dphi = jnp.angle(f1 * jnp.conj(f2))           # [-pi, pi]
+    w = a1 + a2
+    dpr = jnp.sqrt(shell_sum(w * dphi**2)
+                   / jnp.maximum(shell_sum(w), 1e-12))
+    freqs = (jnp.arange(n_bins) + 0.5) * (0.5 / n_bins)
+    return freqs, ampl_corr, jnp.degrees(dpr)

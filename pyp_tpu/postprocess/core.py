@@ -238,12 +238,27 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         np.stack([np.asarray(freqs) / pixel, np.asarray(curve)], 1),
         header="freq_1_per_A fsc_corrected",
     )
+    if params.get("sharpen_ampl_corr"):
+        # expert validation curves (relion_postprocess --ampl_corr role)
+        fa, ac, dpr = fsc_mod.amplitude_correlation_and_dpr(
+            half1 * mask, half2 * mask)
+        np.savetxt(
+            maps_dir / f"{dataset}_ampl_corr.txt",
+            np.stack([np.asarray(fa) / pixel, np.asarray(ac),
+                      np.asarray(dpr)], 1),
+            header="freq_1_per_A amplitude_correlation dpr_deg",
+        )
+        out_extra_ampl = str(maps_dir / f"{dataset}_ampl_corr.txt")
+    else:
+        out_extra_ampl = None
     out = {
         "resolution_A": res,
         "bfactor": float(bfac),
         "map": str(out_map),
         "halves": [str(h1p), str(h2p)],
     }
+    if out_extra_ampl:
+        out["ampl_corr"] = out_extra_ampl
 
     if params.get("sharpen_half_maps"):
         # postprocessed half maps for validation (--half_maps role)

@@ -101,6 +101,30 @@ class TestPostprocessIntegration:
         assert 2 * PIXEL <= np.median(lr) <= 50.0
         assert mrc.read(out["locfilt_map"]).shape == (N, N, N)
 
+    def test_ampl_corr_outputs(self, tmp_path):
+        """--ampl_corr role: amplitude correlation high in-band where the
+        halves share signal, DPR small there and large beyond."""
+        from pyp_tpu.core.fsc import amplitude_correlation_and_dpr
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        fa, ac, dpr = amplitude_correlation_and_dpr(h1, h2)
+        fa, ac, dpr = map(np.asarray, (fa, ac, dpr))
+        # halves share signal to ~6 A in the left zone -> low shells agree
+        assert np.median(ac[2:8]) > 0.8, ac[:8]
+        assert np.median(dpr[2:8]) < 30.0, dpr[:8]
+        assert np.median(dpr[-8:]) > np.median(dpr[2:8])
+
+        maps = tmp_path / "maps"
+        maps.mkdir()
+        mrc.write(h1, maps / "ds_r01_02_half1.mrc", pixel_size=PIXEL)
+        mrc.write(h2, maps / "ds_r01_02_half2.mrc", pixel_size=PIXEL)
+        out = postprocess_latest("ds", {"sharpen_ampl_corr": True},
+                                 tmp_path)
+        tab = np.loadtxt(out["ampl_corr"])
+        assert tab.shape[1] == 3 and len(tab) == N // 2
+
     def test_user_mask_and_half_maps(self, tmp_path):
         from pyp_tpu.io import mrc
         from pyp_tpu.postprocess.core import postprocess_latest
