@@ -111,11 +111,24 @@ def build_report(work_dir=".", dataset: str = "dataset",
         parts.append("</table>")
 
     if data["fscs"]:
+        # refine_loop's *_fsc.txt store cycles/PIXEL; convert to 1/Å when a
+        # half map is around to read the pixel size from
+        pixel = None
+        half = sorted((Path(work_dir) / "maps").glob("*_half1.mrc"))
+        if half:
+            try:
+                from pyp_tpu.io import mrc
+
+                pixel = float(mrc.read_header(half[-1]).pixel_size)
+            except (OSError, ValueError):
+                pixel = None
         fig, ax = plt.subplots(figsize=(5.5, 3.2))
         for name, tab in data["fscs"][-6:]:
-            ax.plot(tab[:, 0], tab[:, 1], label=name.replace("_fsc", ""))
+            x = tab[:, 0] / pixel if pixel else tab[:, 0]
+            ax.plot(x, tab[:, 1], label=name.replace("_fsc", ""))
         ax.axhline(0.143, color="k", lw=0.5, ls="--")
-        ax.set_xlabel("spatial frequency (1/Å)")
+        ax.set_xlabel("spatial frequency (1/Å)" if pixel
+                      else "spatial frequency (cycles/pixel)")
         ax.set_ylabel("FSC")
         ax.legend(fontsize=7)
         parts.append("<h2>Refinement FSC</h2>")

@@ -238,8 +238,6 @@ def expand_symmetry(table, symmetry: str):
     out["phi"] = np.concatenate(phis)
     out["theta"] = np.concatenate(thetas)
     out["psi"] = np.concatenate(psis)
-    out["position_in_stack"] = np.tile(
-        np.asarray(table["position_in_stack"]), K)
     if "occupancy" in table:
         out["occupancy"] = np.tile(
             np.asarray(table["occupancy"]) / K, K)

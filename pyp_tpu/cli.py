@@ -1612,11 +1612,15 @@ def main(argv=None) -> int:
         return 2
     profile = "-profile" in rest  # cProfile wrapper (bin/run/pyp:4260)
     rest = [a for a in rest if a != "-profile"]
-    try:  # invocation audit trail (the reference's .pyp_history)
+    try:  # invocation audit trail (the reference's .pyp_history);
+        # suppressed during history REPLAY so replays don't double the file
+        import os as _os
         import time as _time
 
         import shlex as _shlex
 
+        if _os.environ.get("PYP_TPU_NO_HISTORY"):
+            raise OSError("history suppressed")
         with open(".pyp_history", "a") as f:
             # shlex-quoted so tools/replay_history.py round-trips globs,
             # spaces, and criteria strings

@@ -27,6 +27,15 @@ def wavelength(voltage_kv):
     return 12.2639 / jnp.sqrt(v + 0.97845e-6 * v * v)
 
 
+def wavelength_host(voltage_kv: float) -> float:
+    """Python-scalar wavelength — safe to call AT TRACE TIME with a static
+    kV (the jnp version stages a tracer even for Python inputs)."""
+    import math
+
+    v = float(voltage_kv) * 1e3
+    return 12.2639 / math.sqrt(v + 0.97845e-6 * v * v)
+
+
 def defocus_at_azimuth(df1, df2, angast_deg, azimuth_rad):
     """Effective defocus (Å) at the given azimuth(s)."""
     ang = jnp.deg2rad(angast_deg)

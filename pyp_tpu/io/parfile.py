@@ -159,13 +159,18 @@ def to_cistem_table(pf: ParFile):
     from pyp_tpu.io import cistem
 
     n = pf.n_rows
+    # cclin spells NO/SHX/SHY as NUM/SX/SY
+    col = {c: c for c in pf.columns}
+    col.setdefault("NO", "NUM" if "NUM" in pf.columns else "NO")
+    col.setdefault("SHX", "SX" if "SX" in pf.columns else "SHX")
+    col.setdefault("SHY", "SY" if "SY" in pf.columns else "SHY")
     table = cistem.Table.zeros(n)
-    table["position_in_stack"] = pf["NO"]
+    table["position_in_stack"] = pf[col["NO"]]
     table["phi"] = pf["PHI"]
     table["theta"] = pf["THETA"]
     table["psi"] = pf["PSI"]
-    table["x_shift"] = -np.asarray(pf["SHX"], dtype=np.float64)
-    table["y_shift"] = -np.asarray(pf["SHY"], dtype=np.float64)
+    table["x_shift"] = -np.asarray(pf[col["SHX"]], dtype=np.float64)
+    table["y_shift"] = -np.asarray(pf[col["SHY"]], dtype=np.float64)
     table["defocus_1"] = pf["DF1"]
     table["defocus_2"] = pf["DF2"]
     table["defocus_angle"] = pf["ANGAST"]
@@ -181,17 +186,20 @@ def from_cistem_table(table, variant: str = "new", mag: float = 10000.0):
     `to_cistem_table` (SHX = -x_shift)."""
     n = table.n_rows
     pf = ParFile.zeros(n, variant=variant)
-    pf["NO"] = np.asarray(table["position_in_stack"])
+    cclin = variant == "cclin"
+    no_c, shx_c, shy_c = (("NUM", "SX", "SY") if cclin
+                          else ("NO", "SHX", "SHY"))
+    pf[no_c] = np.asarray(table["position_in_stack"])
     pf["PHI"] = np.asarray(table["phi"])
     pf["THETA"] = np.asarray(table["theta"])
     pf["PSI"] = np.asarray(table["psi"])
-    pf["SHX"] = -np.asarray(table["x_shift"])
-    pf["SHY"] = -np.asarray(table["y_shift"])
+    pf[shx_c] = -np.asarray(table["x_shift"])
+    pf[shy_c] = -np.asarray(table["y_shift"])
     pf["DF1"] = np.asarray(table["defocus_1"])
     pf["DF2"] = np.asarray(table["defocus_2"])
     pf["ANGAST"] = np.asarray(table["defocus_angle"])
     pf["MAG"] = np.full(n, mag)
-    if "occupancy" in table:
+    if "occupancy" in table and "OCC" in pf.columns:
         pf["OCC"] = np.asarray(table["occupancy"])
     if "score" in table and "SCORE" in pf.columns:
         pf["SCORE"] = np.asarray(table["score"])

@@ -55,9 +55,13 @@ def write_pdb(coords, path, elements=None, bfactors=None):
     with open(path, "w") as f:
         for i, ((x, y, z), el, bf) in enumerate(
                 zip(coords, elements, bfactors), start=1):
-            f.write(
-                f"ATOM  {i:5d}  {el:<3s}ALA A{1:4d}    "
-                f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{bf:6.2f}"
-                f"          {el:>2s}\n")
+            # exact v3 columns: record(1-6) serial(7-11) name(13-16)
+            # altLoc(17) resName(18-20) chain(22) resSeq(23-26) iCode(27)
+            # x(31-38) y z occ(55-60) b(61-66) element(77-78)
+            line = (f"ATOM  {i:5d} {el:<4s} ALA A{1:4d} "
+                    f"   {x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{bf:6.2f}"
+                    f"          {el:>2s}")
+            assert len(line) == 78 and line[30:38] == f"{x:8.3f}", line
+            f.write(line + "\n")
         f.write("END\n")
     return str(path)

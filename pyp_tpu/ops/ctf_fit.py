@@ -395,8 +395,16 @@ def fit_ctf_local(micrograph, pixel_size, grid=(2, 2), tile: int = 512, **kw):
             fits.append(fit_ctf_micrograph(jnp.asarray(sub), pixel_size, tile=t, **kw))
             centers.append(((iy + 0.5) * ny / gy, (ix + 0.5) * nx / gx))
     dfs = np.array([0.5 * (float(f.df1) + float(f.df2)) for f in fits])
-    C = np.array([[1.0, cy, cx] for cy, cx in centers])
-    plane, *_ = np.linalg.lstsq(C, dfs, rcond=None)
+    # center the design matrix: with collinear region centers (e.g. a 1x2
+    # grid) the raw lstsq min-norm solution leaks the CONSTANT defocus into
+    # the degenerate gradient column; centering maps it cleanly to df0 and
+    # zeroes the unconstrained direction instead
+    cen = np.asarray(centers, dtype=np.float64)
+    mean_c = cen.mean(axis=0)
+    C = np.column_stack([np.ones(len(cen)), cen - mean_c])
+    sol, *_ = np.linalg.lstsq(C, dfs, rcond=None)
+    df0 = sol[0] - sol[1] * mean_c[0] - sol[2] * mean_c[1]
+    plane = np.array([df0, sol[1], sol[2]])
     return fits, plane
 
 
@@ -522,46 +530,3 @@ def diagnostic_image(power, pixel_size, fit: CtfFit, voltage_kv=300.0,
     upper_left = (yy + xx) < size
     out = np.where(upper_left, model, data)
     return out.astype(np.float32)
-
-
-def detect_handedness(tilt_images, tilt_angles, axis_angle_deg: float,
-                      pixel_size: float, lower: float = 10.0,
-                      upper: float = 50.0, grid=(1, 2), tile: int = 256,
-                      **ctf_kw):
-    """Defocus handedness of a tilt-series (the reference's
-    detect_handedness, ctf/core.py:1935: compare the per-image defocus
-    GRADIENT measured by local CTF fitting against the gradient the tilt
-    geometry predicts).
-
-    For a tilt at angle t about an axis at `axis_angle_deg` (from the image
-    y-axis), defocus varies along the axis-perpendicular direction p by
-    tan(t) A per A of displacement. Each usable tilt votes
-    sign((grad . p) * tan(t)); the weighted majority is the handedness.
-
-    Returns (handedness +-1, confidence in [0, 1], votes list)."""
-    angs = np.asarray(tilt_angles, dtype=np.float64)
-    a = np.radians(axis_angle_deg)
-    p_hat = np.array([np.sin(a), np.cos(a)])          # (y, x) perpendicular
-    votes, weights = [], []
-    for t_idx, ang in enumerate(angs):
-        if not (lower <= abs(ang) <= upper):
-            continue
-        img = np.asarray(tilt_images[t_idx])
-        tl = min(tile, min(img.shape) // max(grid))
-        _fits, plane = fit_ctf_local(img, pixel_size, grid=grid, tile=tl,
-                                     **ctf_kw)
-        g = np.array([plane[1], plane[2]])            # Å/px (ddf/dy, ddf/dx)
-        proj = float(g @ p_hat)
-        expect = np.tan(np.radians(ang)) * pixel_size  # Å/px predicted (+1)
-        if abs(expect) < 1e-6:
-            continue
-        votes.append(1 if proj * expect > 0 else -1)
-        weights.append(abs(proj))
-    if not votes:
-        return 0, 0.0, []
-    votes = np.asarray(votes, dtype=np.float64)
-    weights = np.asarray(weights, dtype=np.float64)
-    score = float(np.sum(votes * weights) / (np.sum(weights) + 1e-12))
-    handedness = 1 if score >= 0 else -1
-    confidence = float(abs(score))
-    return handedness, confidence, votes.astype(int).tolist()

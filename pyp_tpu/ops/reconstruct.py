@@ -132,11 +132,12 @@ def accumulate(
 
     ewald_c = 0.0
     if iewald:
+        from pyp_tpu.core.ctf import wavelength_host
+
         # curvature in index units: dz_idx = lambda * k^2 / (2 n pixel);
-        # host-side math (core.ctf.wavelength is jnp and would trace)
-        v = voltage_kv * 1e3
-        lam = 12.2639 / float(np.sqrt(v + 0.97845e-6 * v * v))
-        ewald_c = float(np.sign(iewald)) * lam / (2.0 * n * pixel_size)
+        # voltage_kv is a static argname -> host-scalar wavelength
+        ewald_c = (float(np.sign(iewald)) * wavelength_host(voltage_kv)
+                   / (2.0 * n * pixel_size))
 
     num1, den1, num2, den2 = prev
     for k in range(n_sym):
@@ -291,9 +292,12 @@ def accumulate_matrices(
 
     ewald_c = 0.0
     if iewald:
-        v = voltage_kv * 1e3
-        lam = 12.2639 / float(np.sqrt(v + 0.97845e-6 * v * v))
-        ewald_c = float(np.sign(iewald)) * lam / (2.0 * n * pixel_size)
+        from pyp_tpu.core.ctf import wavelength_host
+
+        # curvature in index units: dz_idx = lambda * k^2 / (2 n pixel);
+        # voltage_kv is a static argname -> host-scalar wavelength
+        ewald_c = (float(np.sign(iewald)) * wavelength_host(voltage_kv)
+                   / (2.0 * n * pixel_size))
     a1, b1, a2, b2 = insert_slices_halves(X, ctfs, rotations, subset,
                                           weights, n, pad=pad,
                                           ewald_c=ewald_c)

@@ -186,6 +186,7 @@ def classify3d_iteration(
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
                 batch=batch,
+                iewald=int(params.get("reconstruct_iewald") or 0),
             ),
             batch=batch,
         )
@@ -236,6 +237,7 @@ def classify3d_loop(stack, table, initial_model, params, work_dir=".",
                 voltage_kv=float(params["scope_voltage"]),
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
+                iewald=int(params.get("reconstruct_iewald") or 0),
             )
             refs.append(np.asarray(out.volume, dtype=np.float32))
     else:  # no consensus alignment: fall back to jittered initial model

@@ -217,24 +217,6 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             ], axis=1)
     summary["mean_defocus"] = float(np.mean(meta["ctf"][:, :2]))
 
-    # ---- defocus handedness (reference detect_handedness, ctf/core.py:1935)
-    if params.get("tomo_ctf_handedness_auto") and \
-            "handedness" not in meta.scalars:
-        from pyp_tpu.ops.ctf_fit import detect_handedness
-
-        axis_now = float(np.asarray(meta["xf"])[0, 2]) \
-            if meta.is_done("xf") else 0.0
-        hand, conf, _votes = detect_handedness(
-            tilts, np.asarray(meta["tlt"]), axis_now, pixel,
-            dfmin=float(params["ctf_min_def"]),
-            dfmax=float(params["ctf_max_def"]))
-        if hand:
-            meta.scalars["handedness"] = int(hand)
-            summary["handedness"] = int(hand)
-            summary["handedness_confidence"] = round(conf, 3)
-            logger.info("defocus handedness: %+d (confidence %.2f)", hand,
-                        conf)
-
     # ---- tomogram reconstruction ------------------------------------------
     rec_bin = int(params.get("tomo_rec_binning") or 8)
     rec_bin = max(1, rec_bin // binning)

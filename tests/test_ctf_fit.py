@@ -154,44 +154,3 @@ class TestDiagnostic:
         assert np.isfinite(img).all()
         # model half in [0, 1], and there is ring contrast
         assert img.std() > 0.05
-
-
-class TestHandedness:
-    def _tilt_with_gradient(self, rng, n, pixel, df0, ddf_dx_per_px):
-        """Image whose left/right halves have CTFs at the plane's defocus."""
-        import jax.numpy as jnp
-
-        from pyp_tpu.ops.refine3d import _ctf_at_points
-
-        halves = []
-        for ix, xc in enumerate((n // 4, 3 * n // 4)):
-            df = df0 + (xc - n // 2) * ddf_dx_per_px
-            noise = rng.randn(n, n // 2).astype(np.float32)
-            F = np.fft.rfft2(noise)
-            ky = (np.fft.fftfreq(n) * n).astype(np.float32)
-            kx = np.arange(n // 4 + 1, dtype=np.float32) * 2.0  # half width
-            pts = jnp.asarray(np.stack(np.meshgrid(ky, kx, indexing="ij"),
-                                       -1))
-            c = np.asarray(_ctf_at_points(pts, n, pixel, jnp.float32(df),
-                                          jnp.float32(df), 0.0, 300.0, 2.7,
-                                          0.07, 0.0))
-            halves.append(np.fft.irfft2(F * c, s=(n, n // 2)))
-        return np.concatenate(halves, axis=1).astype(np.float32)
-
-    def test_detects_both_handedness_signs(self):
-        from pyp_tpu.ops.ctf_fit import detect_handedness
-
-        rng = np.random.RandomState(0)
-        n, pixel = 512, 2.0
-        angles = np.array([-30.0, 0.0, 30.0], np.float32)
-        for sign in (+1, -1):
-            tilts = []
-            for ang in angles:
-                ddf_dx = sign * np.tan(np.radians(ang)) * pixel  # Å per px
-                tilts.append(self._tilt_with_gradient(
-                    rng, n, pixel, 15000.0, ddf_dx))
-            hand, conf, votes = detect_handedness(
-                np.stack(tilts), angles, axis_angle_deg=0.0,
-                pixel_size=pixel, dfmin=8000, dfmax=25000)
-            assert hand == sign, (sign, hand, conf, votes)
-            assert conf > 0.5, conf

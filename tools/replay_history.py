@@ -44,8 +44,11 @@ def parse_history(path):
 def replay(path, only=None, skip=None, dry_run=False,
            stop_on_error=False, runner=None):
     """Re-run each recorded command. Returns a report list."""
+    import os
+
     from pyp_tpu import cli
 
+    os.environ["PYP_TPU_NO_HISTORY"] = "1"  # replays must not re-append
     if runner is None:
         runner = cli.main
     report = []
