@@ -134,6 +134,19 @@ def build_report(work_dir=".", dataset: str = "dataset",
         parts.append("<h2>Refinement FSC</h2>")
         parts.append(_img_tag(fig))
 
+    # existing image artifacts (class montages, CTF/drift plots, webp/png)
+    arts = []
+    for pat in ("*.png", "maps/*.png", "*.webp"):
+        arts += sorted(Path(work_dir).glob(pat))
+    arts = [a for a in arts if a.stat().st_size < 3_000_000][:12]
+    if arts:
+        parts.append("<h2>Artifacts</h2>")
+        for a in arts:
+            mime = "image/webp" if a.suffix == ".webp" else "image/png"
+            data64 = base64.b64encode(a.read_bytes()).decode()
+            parts.append(f"<p>{html.escape(a.name)}</p>"
+                         f'<img src="data:{mime};base64,{data64}"/>')
+
     if data["model_fit"]:
         fig, ax = plt.subplots(figsize=(4.0, 2.6))
         its, ccs = zip(*data["model_fit"])

@@ -34,11 +34,22 @@ class TestReport:
         assert len(data["fscs"]) == 2
         assert data["model_fit"] == [(2, 0.61), (3, 0.72)]
 
+        # a pre-existing artifact image must be embedded too
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(1, 1))
+        fig.savefig(tmp_path / "classes_montage.png")
+        plt.close(fig)
+
         out = build_report(tmp_path, "ds")
         text = (tmp_path / "ds_report.html").read_text()
         assert "data:image/png;base64," in text        # embedded plots
         assert "m0" in text and "m2" in text           # item table
         assert "Model fit" in text
+        assert "classes_montage.png" in text           # artifact embedded
         assert len(text) > 10000                       # real images inline
 
     def test_cli_mode(self, tmp_path, monkeypatch, capsys):
