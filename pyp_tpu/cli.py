@@ -1300,22 +1300,28 @@ def mode_heterogeneity(argv):
 
     stack = mrc.read("stack.mrc").astype(np.float32)
     table = cistem.read_parameters("stack.cistem")
-    model = het.train_heterogeneity(
-        stack, table_to_poses(table, pixel), table_to_ctf_params(table),
-        pixel,
-        latent_dim=int(params.get("het_latent") or 8),
-        steps=int(params.get("het_steps") or 500),
-        batch=int(params.get("het_batch") or 32),
-        lr=float(params.get("het_lr") or 1e-3),
-        low_res=float(params.get("het_rlref") or 60.0),
-        high_res=float(params.get("het_rhref") or 8.0),
-        kl_weight=float(params.get("het_kl") or 1e-3),
-        seed=int(params.get("het_seed") or 0),
-        hidden=int(params.get("het_hidden") or 128),
-        voltage_kv=float(params["scope_voltage"]),
-        cs_mm=float(params["scope_cs"]),
-        w=float(params["scope_wgh"]),
-    )
+    if params.get("het_eval") and Path("het_model.npz").exists():
+        # heterogeneityeval role: reuse the trained checkpoint
+        model = het.load_model("het_model.npz")
+        logger.info("heterogeneity: loaded het_model.npz (eval only)")
+    else:
+        model = het.train_heterogeneity(
+            stack, table_to_poses(table, pixel), table_to_ctf_params(table),
+            pixel,
+            latent_dim=int(params.get("het_latent") or 8),
+            steps=int(params.get("het_steps") or 500),
+            batch=int(params.get("het_batch") or 32),
+            lr=float(params.get("het_lr") or 1e-3),
+            low_res=float(params.get("het_rlref") or 60.0),
+            high_res=float(params.get("het_rhref") or 8.0),
+            kl_weight=float(params.get("het_kl") or 1e-3),
+            seed=int(params.get("het_seed") or 0),
+            hidden=int(params.get("het_hidden") or 128),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            w=float(params["scope_wgh"]),
+        )
+        het.save_model(model, "het_model.npz")
     latents = np.asarray(het.embed(model, stack))
     np.savez("heterogeneity_latents.npz", latents=latents)
     scores, comps, svals = het.latent_pca(latents, n_components=2)
@@ -1353,6 +1359,11 @@ def _heterogeneity_tilt(stack_files, params, pixel):
     poses = np.concatenate([p["poses"] for p in parts])
     ctf = np.concatenate([p["ctf"] for p in parts])
     weights = np.concatenate([p["weights"] for p in parts])
+    if params.get("het_eval") and Path("het_model.npz").exists():
+        model = het.load_model("het_model.npz")
+        logger.info("heterogeneity: loaded het_model.npz (eval only)")
+        latents = het.embed_tilt(model, stacks)
+        return _het_report(latents, model, params, pixel, stacks)
     model = het.train_heterogeneity_tilt(
         stacks, poses, ctf, pixel, tilt_weights=weights,
         latent_dim=int(params.get("het_latent") or 8),
@@ -1368,7 +1379,15 @@ def _heterogeneity_tilt(stack_files, params, pixel):
         cs_mm=float(params["scope_cs"]),
         w=float(params["scope_wgh"]),
     )
+    het.save_model(model, "het_model.npz")
     latents = het.embed_tilt(model, stacks)
+    return _het_report(latents, model, params, pixel, stacks)
+
+
+def _het_report(latents, model, params, pixel, stacks):
+    from pyp_tpu.io import mrc
+    from pyp_tpu.models import heterogeneity as het
+
     np.savez("heterogeneity_latents.npz", latents=latents)
     scores, comps, svals = het.latent_pca(latents, n_components=2)
     nvol = int(params.get("het_volumes") or 5)

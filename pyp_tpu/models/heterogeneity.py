@@ -341,3 +341,39 @@ def latent_pca(latents, n_components: int = 2):
     zc = z - z.mean(axis=0, keepdims=True)
     u, s, vt = np.linalg.svd(zc, full_matrices=False)
     return zc @ vt[:n_components].T, vt[:n_components], s
+
+
+def save_model(model: HetModel, path):
+    """Checkpoint a trained heterogeneity model (heterogeneitytrain role:
+    the reference keeps cryoDRGN/tomoDRGN weights for later eval)."""
+    from pyp_tpu.models import io as mio
+
+    mio.save_params(
+        (model.enc_params, model.dec_params), path,
+        hidden=model.hidden, latent_dim=model.latent_dim, n=model.n,
+        pixel_size=model.pixel_size, mask_pts=np.asarray(model.mask_pts))
+    return str(path)
+
+
+def load_model(path) -> HetModel:
+    """Load a checkpoint saved by save_model (heterogeneityeval role)."""
+    import jax as _jax
+
+    from pyp_tpu.models import io as mio
+
+    with np.load(path) as z:
+        meta = {k[6:]: z[k] for k in z.files if k.startswith("_meta_")}
+    n = int(meta["n"])
+    latent = int(meta["latent_dim"])
+    hidden = int(meta["hidden"])
+    mask_pts = np.asarray(meta["mask_pts"], dtype=np.float32)
+    G = len(mask_pts)
+    enc = Encoder(latent_dim=latent)
+    dec = SliceDecoder(latent_dim=latent, hidden=hidden)
+    key = _jax.random.PRNGKey(0)
+    ep = enc.init(key, jnp.zeros((1, n, n, 1)))
+    dp = dec.init(key, jnp.zeros((1, G, 3)), jnp.zeros((1, G, latent)))
+    (ep, dp), _m = mio.load_params(path, (ep, dp))
+    return HetModel(enc_params=ep, dec_params=dp, hidden=hidden,
+                    latent_dim=latent, n=n,
+                    pixel_size=float(meta["pixel_size"]), mask_pts=mask_pts)
