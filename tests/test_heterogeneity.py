@@ -136,3 +136,26 @@ class TestHeterogeneityTilt:
             return np.corrcoef(a.ravel(), b.ravel())[0, 1]
 
         assert cc(vA, volA) + cc(vB, volB) > cc(vA, volB) + cc(vB, volA)
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        """het_model.npz round-trips params and config; embeddings match
+        exactly (heterogeneitytrain/eval role)."""
+        vol = make_volume(seed=0)
+        imgs, cp, truth = make_particles(vol, n_particles=8, noise=0.1,
+                                         seed=1)
+        poses = np.stack([truth["phi"], truth["theta"], truth["psi"],
+                          -truth["shifts"][:, 0], -truth["shifts"][:, 1]],
+                         1).astype(np.float32)
+        model = het.train_heterogeneity(np.asarray(imgs), poses,
+                                        np.asarray(cp), PIXEL,
+                                        latent_dim=3, steps=5, batch=4)
+        p = tmp_path / "het_model.npz"
+        het.save_model(model, p)
+        back = het.load_model(p)
+        assert back.latent_dim == 3 and back.n == N
+        assert abs(back.pixel_size - PIXEL) < 1e-9
+        z1 = het.embed(model, np.asarray(imgs))
+        z2 = het.embed(back, np.asarray(imgs))
+        np.testing.assert_allclose(z1, z2, atol=1e-6)
