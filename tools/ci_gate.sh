@@ -24,4 +24,6 @@ EOF
 
 echo "[ci_gate] CLI modes + golden codecs + framework invariants..."
 python -m pytest tests/test_cli_modes.py tests/test_golden.py -q -x --no-header
+echo "[ci_gate] cross-engine pose-convention hand-off..."
+python -m pytest "tests/test_frm.py::TestCrossEngineConsistency" -q -x --no-header
 echo "[ci_gate] OK"
