@@ -159,3 +159,33 @@ class TestCheckpoint:
         z1 = het.embed(model, np.asarray(imgs))
         z2 = het.embed(back, np.asarray(imgs))
         np.testing.assert_allclose(z1, z2, atol=1e-6)
+
+
+class TestShiftConvention:
+    def test_trainer_centering_matches_pose_convention(self):
+        """The trainer multiplies data by exp(-i 2 pi k.s / n); with the
+        repo pose convention (stored s = centering translation, content at
+        -s) this must exactly recover the centered spectrum — the contract
+        the csp -csp_save_stacks export relies on."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.ops import fourier_slice as fs
+        from pyp_tpu.ops import reconstruct as rec
+
+        n, o = 32, np.array([3.0, -2.0], np.float32)
+        rng = np.random.RandomState(0)
+        img0 = rng.randn(n, n).astype(np.float32)
+        F0 = np.fft.rfft2(img0)
+        Fm = np.asarray(rec._shift_correct(
+            jnp.asarray(F0)[None], jnp.asarray(o)[None], n))[0]
+        img_shift = np.fft.irfft2(Fm, s=(n, n))      # content moved +o
+
+        X = np.asarray(fs.image_to_fourier(jnp.asarray(img_shift)[None]))[0]
+        ky = (np.fft.fftfreq(n) * n).astype(np.float32)
+        kx = np.arange(n // 2 + 1, dtype=np.float32)
+        s = -o                                        # pose convention
+        ph = 2 * np.pi * (ky[:, None] * s[0] + kx[None, :] * s[1]) / n
+        Xc = X * (np.cos(ph) - 1j * np.sin(ph))
+        X0 = np.asarray(fs.image_to_fourier(jnp.asarray(img0)[None]))[0]
+        err = np.abs(Xc - X0).max() / (np.abs(X0).max() + 1e-9)
+        assert err < 1e-4, err
