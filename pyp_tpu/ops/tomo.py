@@ -821,3 +821,73 @@ def wbp_reconstruct_halves(tilts, tilt_angles, shifts=None, thickness: int = 128
         halves.append(wbp_reconstruct(tilts[sel], angles[sel], shifts=sh,
                                       thickness=thickness, **kw))
     return halves[0], halves[1]
+
+
+# ---------------------------------------------------------------------------
+# CTF deconvolution (IsoNet `deconv` / Warp deconvolution filter role)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pixel_size", "voltage_kv", "cs_mm", "w",
+                     "snr_falloff", "deconv_strength", "highpass_nyquist",
+                     "phase_flipped"),
+)
+def _ctf_deconvolve_jit(vol, defocus, pixel_size, voltage_kv, cs_mm, w,
+                        snr_falloff, deconv_strength, highpass_nyquist,
+                        phase_flipped):
+    nz, ny, nx = vol.shape
+    F = jnp.fft.rfftn(vol)
+    gz = jnp.fft.fftfreq(nz)[:, None, None]
+    gy = jnp.fft.fftfreq(ny)[None, :, None]
+    gx = jnp.fft.rfftfreq(nx)[None, None, :]
+    # |g| as a fraction of Nyquist (cycles/px * 2); reaches sqrt(3) in corners
+    fnyq = 2.0 * jnp.sqrt(gz * gz + gy * gy + gx * gx)
+    g_abs = fnyq / (2.0 * pixel_size)  # cycles/Å for the CTF model
+
+    c = ctf_model.ctf_1d(g_abs, jnp.asarray(defocus, jnp.float32),
+                         voltage_kv, cs_mm, w=w)
+    c = jnp.where(phase_flipped, jnp.abs(c), c)
+
+    # assumed SSNR model: exponential falloff with frequency, scaled by the
+    # deconvolution strength, rolled off to zero at DC by a cosine highpass
+    # (suppresses gradient/illumination blowup where the CTF is ~0 at g=0)
+    hp = 1.0 - jnp.cos(jnp.minimum(fnyq / highpass_nyquist, 1.0) * jnp.pi)
+    snr = (jnp.exp(-100.0 * snr_falloff * fnyq / pixel_size)
+           * (10.0 ** (3.0 * deconv_strength)) * hp)
+    wiener = c / (c * c + 1.0 / jnp.maximum(snr, 1e-12))
+    return jnp.fft.irfftn(F * wiener, s=(nz, ny, nx))
+
+
+def ctf_deconvolve(vol, defocus, pixel_size,
+                   voltage_kv: float = 300.0, cs_mm: float = 2.7,
+                   w: float = 0.07, snr_falloff: float = 1.0,
+                   deconv_strength: float = 1.0,
+                   highpass_nyquist: float = 0.02,
+                   phase_flipped: bool = False):
+    """Wiener CTF deconvolution of a tomogram (or a stack of 2D images).
+
+    The IsoNet pre-processing step the reference shells out for
+    (isonet.py deconv, /root/reference/src/pyp/detect/isonet_tools.py:64:
+    snrfalloff/deconvstrength/highpassnyquist parameters) — restores low-
+    resolution contrast for visualization, segmentation, and picking. The
+    filter is radial: CTF(|g|) / (CTF^2 + 1/SSNR(|g|)) with an assumed
+    exponentially-falling SSNR; everything evaluates analytically per rfft
+    voxel (one fused elementwise pass between two FFTs — no profile
+    interpolation table needed on TPU).
+
+    vol: (nz, ny, nx) tomogram — or (ny, nx) single image.
+    defocus: mean defocus in Å (underfocus positive).
+    phase_flipped: the input was already CTF-corrected by phase flipping,
+        so deconvolve with |CTF| (reference ctfphaseflip + deconv order).
+    """
+    vol = jnp.asarray(vol, jnp.float32)
+    squeeze = vol.ndim == 2
+    if squeeze:
+        vol = vol[None]
+    out = _ctf_deconvolve_jit(
+        vol, float(defocus), float(pixel_size), float(voltage_kv),
+        float(cs_mm), float(w), float(snr_falloff), float(deconv_strength),
+        float(highpass_nyquist), bool(phase_flipped))
+    return out[0] if squeeze else out

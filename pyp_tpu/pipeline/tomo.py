@@ -352,7 +352,28 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
 
                     steps = int(params.get("denoise_epochs") or 60)
                     lr = float(params.get("denoise_lr") or 1e-3)
-                    if method_dn == "n2n":
+                    if method_dn == "deconv":
+                        # Wiener CTF deconvolution (IsoNet deconv role,
+                        # reference detect/isonet_tools.py:64) — analytic,
+                        # no training; uses the series' mean fitted defocus
+                        df_mean = float(np.mean(np.asarray(
+                            meta["ctf"])[:, :2]))
+                        den = tomo.ctf_deconvolve(
+                            np.asarray(recon, dtype=np.float32), df_mean,
+                            pixel * binning * rec_bin,
+                            voltage_kv=float(params["scope_voltage"]),
+                            cs_mm=float(params["scope_cs"]),
+                            w=float(params["scope_wgh"]),
+                            snr_falloff=float(
+                                params.get("denoise_deconv_snr") or 1.0),
+                            deconv_strength=float(
+                                params.get("denoise_deconv_strength") or 1.0),
+                            highpass_nyquist=float(
+                                params.get("denoise_deconv_highpass") or 0.02),
+                            phase_flipped=bool(
+                                params.get("tomo_rec_ctf_correct")),
+                        )
+                    elif method_dn == "n2n":
                         h1, h2 = tomo.wbp_reconstruct_halves(
                             jnp.asarray(t2), jnp.asarray(angles),
                             shifts=jnp.asarray(shifts_r.astype(np.float32)),

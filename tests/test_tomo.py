@@ -446,3 +446,64 @@ class TestSartReconstruct:
         rel = fs[1:10] / np.maximum(ramp[1:10], 1e-9)
         assert np.all(np.diff(rel) <= 1e-6)  # monotonically decreasing
         assert fs[1] <= ramp[1] + 1e-6       # never exceeds exact inverse
+
+
+class TestCtfDeconvolve:
+    """Wiener CTF deconvolution (IsoNet deconv role, isonet_tools.py:64)."""
+
+    def _ctf_modulated_phantom(self, seed=0):
+        import jax.numpy as jnp
+
+        from pyp_tpu.core import ctf as ctf_model
+
+        rng = np.random.default_rng(seed)
+        nz, ny, nx = 32, 64, 64
+        vol = np.zeros((nz, ny, nx), np.float32)
+        zz, yy, xx = np.mgrid[:nz, :ny, :nx]
+        for _ in range(6):
+            c = rng.uniform(10, 22), rng.uniform(16, 48), rng.uniform(16, 48)
+            r = rng.uniform(3, 6)
+            vol += ((zz - c[0]) ** 2 + (yy - c[1]) ** 2
+                    + (xx - c[2]) ** 2 < r * r).astype(np.float32)
+        pixel, df = 10.0, 30000.0
+        gz = np.fft.fftfreq(nz)[:, None, None]
+        gy = np.fft.fftfreq(ny)[None, :, None]
+        gx = np.fft.rfftfreq(nx)[None, None, :]
+        g = np.sqrt(gz**2 + gy**2 + gx**2) / pixel
+        c3 = np.asarray(ctf_model.ctf_1d(jnp.asarray(g), df, 300.0, 2.7))
+        meas = np.fft.irfftn(np.fft.rfftn(vol) * c3, s=vol.shape, axes=(0, 1, 2))
+        meas += rng.normal(scale=0.05 * vol.std(), size=vol.shape)
+        return vol, meas.astype(np.float32), df, pixel
+
+    def test_restores_contrast(self):
+        from pyp_tpu.ops.tomo import ctf_deconvolve
+
+        vol, meas, df, pixel = self._ctf_modulated_phantom()
+        dec = np.asarray(ctf_deconvolve(meas, df, pixel))
+        v = vol - vol.mean()
+        cc_in = np.corrcoef(v.ravel(), meas.ravel())[0, 1]
+        cc_out = np.corrcoef(v.ravel(), dec.ravel())[0, 1]
+        # a defocused acquisition inverts contrast bands; deconvolution
+        # must recover a markedly better (and correctly-signed) match
+        assert cc_out > cc_in + 0.1, (cc_in, cc_out)
+        assert cc_out > 0.5, cc_out
+
+    def test_phase_flipped_variant_and_2d(self):
+        from pyp_tpu.ops.tomo import ctf_deconvolve
+
+        vol, meas, df, pixel = self._ctf_modulated_phantom(seed=1)
+        out2 = np.asarray(ctf_deconvolve(meas[16], df, pixel,
+                                         phase_flipped=True))
+        assert out2.shape == meas[16].shape
+        assert np.isfinite(out2).all()
+
+    def test_dc_not_amplified(self):
+        from pyp_tpu.ops.tomo import ctf_deconvolve
+
+        rng = np.random.default_rng(2)
+        v = rng.normal(size=(16, 32, 32)).astype(np.float32) + 100.0
+        dec = np.asarray(ctf_deconvolve(v, 25000.0, 8.0))
+        # the cosine highpass zeroes the Wiener gain at DC: the huge mean
+        # must not blow up the output
+        assert abs(dec.mean()) < 1.0, dec.mean()
+        assert np.isfinite(dec).all()
