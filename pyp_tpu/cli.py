@@ -341,6 +341,20 @@ def _csp_one_series(item, params, ref):
     dump = Path("swarm") / f"{item['name']}.acc.npz"
     dump.parent.mkdir(exist_ok=True)
     save_accumulators(acc, dump)
+    if params.get("export_artiax", True):
+        # per-series "ministar" for ChimeraX/ArtiaX mapped-back display
+        # (reference generate_ministar, inout/metadata/core.py:3139)
+        from pyp_tpu.io.relion_tomo import export_artiax_star
+
+        meta2 = ItemMetadata(item["name"], ".", mode="tomo").load()
+        tb = max(1, int(params.get("tomo_rec_binning") or 8))
+        rec_shape = (int(nz) // tb, tilts.shape[-2] // tb,
+                     tilts.shape[-1] // tb)
+        export_artiax_star(
+            item["name"], np.asarray(refined.particle_pos),
+            np.asarray(refined.particle_eulers), rec_shape, tb,
+            Path("artiax") / f"{item['name']}_K1.star",
+            scores=(meta2["csp_scores"] if "csp_scores" in meta2 else None))
     if params.get("csp_save_stacks"):
         # per-particle tilt stacks at refined geometry (the reference's
         # Extraction "Save particle stacks" feeding tomoDRGN,

@@ -456,6 +456,7 @@ def csp_refine(
     grid_tols: dict | None = None,
     grid_steps: int = 9,
     spin_step: float = 0.0,
+    return_particle_scores: bool = False,
 ):
     """Full CSP pass on one tilt-series: extract windows at predicted
     positions, then refine each mode block in sequence (the reference runs
@@ -531,7 +532,19 @@ def csp_refine(
             amplitude_contrast=amplitude_contrast,
         )
         scores.append(float(score))
-    return params, scores
+    if not return_particle_scores:
+        return params, scores
+    # final per-particle CTF-weighted NCC at the refined parameters (the
+    # SCORE column of the reference's parameter files — feeds cleaning,
+    # ArtiaX colormaps, and class selection)
+    xv = gather_2d_hermitian_batched(windows_f, mask_pts)
+    ncc = _csp_ncc(params, xv, jnp.asarray(w_centers),
+                   jnp.asarray(tilt_defocus), mask_pts, Fref, n, pixel_size,
+                   voltage_kv, cs_mm, amplitude_contrast)
+    w = jnp.asarray(tilt_weights)[:, None] * jnp.asarray(valid)
+    per_particle = (jnp.sum(ncc * w, axis=0)
+                    / jnp.maximum(jnp.sum(w, axis=0), 1e-6))
+    return params, scores, np.asarray(per_particle)
 
 
 def csp_particles_for_reconstruction(params: CspParams, windows_f_shape=None):

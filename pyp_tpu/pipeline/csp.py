@@ -137,7 +137,7 @@ def csp_swarm_one(
             # stitch: every particle takes its region's refined copy
             cp = _stitch_regions(cp, per_region, region)
             modes = tuple(m for m in modes if m not in (5, 6, 7))
-        refined, scores = csp_ops.csp_refine(
+        refined, scores, particle_scores = csp_ops.csp_refine(
             cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
             box, modes=modes,
             iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
@@ -152,6 +152,7 @@ def csp_swarm_one(
             grid_tols=grid_tols,
             grid_steps=int(params.get("csp_GridSearchSteps") or 9),
             spin_step=float(params.get("csp_spin_search") or 0.0),
+            return_particle_scores=True,
         )
         if params.get("csp_rotreg"):
             # per-tilt geometry angle regularization across the series
@@ -283,6 +284,7 @@ def csp_swarm_one(
             )
 
     # persist refined geometry back to metadata (resume + interop)
+    meta["csp_scores"] = np.asarray(particle_scores, dtype=np.float32)
     meta["xf"] = np.concatenate([
         np.asarray(refined.tilt_shifts),
         np.asarray(refined.axis_angles)[:, None],

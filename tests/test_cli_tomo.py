@@ -61,3 +61,15 @@ class TestTomoCli:
         ])
         assert rc == 0
         assert list(Path("maps").glob("*_csp_*.mrc")), "csp merge wrote no maps"
+        # ArtiaX ministar written per series (reference generate_ministar)
+        from pyp_tpu.io.relion_tomo import import_artiax_star
+
+        stars = list(Path("artiax").glob("*_K1.star"))
+        assert stars, "csp wrote no ArtiaX ministar"
+        ax = import_artiax_star(stars[0])
+        assert len(ax["_rlnCoordinateX"]) == len(meta["box"])
+        assert np.isfinite(ax["_rlnLogLikeliContribution"]).all()
+        # per-particle scores persisted for cleaning/filtering
+        meta_after = ItemMetadata("ts01", ".", mode="tomo").load()
+        assert "csp_scores" in meta_after
+        assert len(meta_after["csp_scores"]) == len(meta["box"])

@@ -280,3 +280,21 @@ class TestGridSearch:
         e_spin = np.median(rot_err(refined))
         assert e_spin < 5.0, (e_spin, e_grad)
         assert e_grad > e_spin, (e_grad, e_spin)
+
+
+class TestPerParticleScores:
+    def test_refine_returns_particle_scores(self):
+        import jax.numpy as jnp
+
+        from pyp_tpu.ops import csp
+
+        # reuse the module's synthetic helpers: small series
+        vol = make_reference()
+        true, images, defocus = make_tilt_series(vol)
+        refined, scores, pscores = csp.csp_refine(
+            true, images, defocus, vol, PIXEL, NBOX, modes=(3,),
+            iters_per_mode=2, return_particle_scores=True)
+        assert pscores.shape == (np.asarray(true.particle_pos).shape[0],)
+        assert np.isfinite(pscores).all()
+        # at the true parameters every particle should correlate positively
+        assert (pscores > 0).all(), pscores

@@ -344,3 +344,36 @@ class TestParSemanticConversion:
         back = parfile.to_cistem_table(parfile.read(p))
         np.testing.assert_allclose(np.asarray(back["x_shift"]),
                                    np.asarray(t["x_shift"]), atol=1e-2)
+
+
+class TestArtiaxStar:
+    """Per-series ArtiaX ministar (reference generate_ministar role)."""
+
+    def test_round_trip_and_coordinate_frame(self, tmp_path):
+        from pyp_tpu.io.relion_tomo import (export_artiax_star,
+                                            import_artiax_star)
+
+        # two particles at known centered unbinned voxels
+        pos = np.array([[0.0, 0.0, 0.0],      # tomogram center
+                        [-64.0, 32.0, 80.0]])  # (z, y, x)
+        eul = np.array([[10.0, 20.0, 30.0], [40.0, 50.0, 60.0]])
+        rec_shape = (32, 128, 128)  # binned display tomogram
+        path = export_artiax_star(
+            "TS_01", pos, eul, rec_shape, 8.0,
+            tmp_path / "artiax" / "TS_01_K1.star",
+            scores=np.array([0.9, 0.4]))
+        out = import_artiax_star(path)
+        assert list(out["_rlnTomoName"]) == ["TS_01", "TS_01"]
+        # center particle lands at the center of the .rec, z flipped frame
+        assert out["_rlnCoordinateX"][0] == 64.0
+        assert out["_rlnCoordinateY"][0] == 64.0
+        assert out["_rlnCoordinateZ"][0] == 16.0
+        # second: x = 80/8 + 64, y = 32/8 + 64, z = 32 - (-64/8 + 16)
+        assert out["_rlnCoordinateX"][1] == 74.0
+        assert out["_rlnCoordinateY"][1] == 68.0
+        assert out["_rlnCoordinateZ"][1] == 24.0
+        np.testing.assert_allclose(out["_rlnAngleRot"], eul[:, 0])
+        np.testing.assert_allclose(out["_rlnAngleTilt"], eul[:, 1])
+        np.testing.assert_allclose(out["_rlnAnglePsi"], eul[:, 2])
+        np.testing.assert_allclose(out["_rlnLogLikeliContribution"],
+                                   [0.9, 0.4])
