@@ -456,8 +456,8 @@ def csp_classify(
         # HBM holds one tilt's windows at a time (the reference classifies
         # EMPIAR-10304-scale sets: thousands of subtomos x 41 tilts do not
         # fit as one (T*P, box, box) block).
-        num = np.zeros((P, K), np.float64)
-        den = np.zeros(P, np.float64)
+        scores = np.zeros((T, P, K), np.float64)
+        valid = np.zeros((T, P), np.float64)
         for t in range(T):
             ci, valid_t, dshift, df_t = tilt_geometry(t)
             wins_t = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci),
@@ -469,9 +469,16 @@ def csp_classify(
                     jnp.asarray(df_t), mask_pts, Frefs[k], box, pixel,
                     voltage, cs, w_amp,
                 )
-                num[:, k] += np.asarray(ncc) * valid_t
-            den += valid_t
-        logp = num / np.maximum(den, 1.0)[:, None]
+                scores[t, :, k] = np.asarray(ncc)
+            valid[t] = valid_t
+        # per-particle LogP = tilt-weighted score average (the reference's
+        # tomo occupancy weighting, occupancies.py:154-168: score-average
+        # weights under refine_score_weighting, tilt-angle Gaussian
+        # otherwise — NOT a uniform mean; high tilts are thicker/noisier)
+        tilt_deg = np.asarray(cp.tilt_angles)
+        logp = occ_mod.aggregate_tilt_logp(
+            scores, valid, tilt_deg,
+            score_weighting=bool(params.get("refine_score_weighting")))
         G = mask_pts.shape[0]
         occ = occ_mod.occupancies_from_logp(logp * G * 0.5)  # sharpen by band size
         occ_per_item.append(occ)

@@ -62,6 +62,62 @@ class TestOccupancies:
         assert occ.std() > 1.0  # jittered
 
 
+class TestTiltWeightedOccupancies:
+    """Tomo occupancy weighting parity (reference statistics.py:220/:272,
+    occupancies.py:154-168): per-particle LogP is a weighted average over
+    tilts, never a uniform mean."""
+
+    def test_tilt_gaussian_favors_low_tilt(self):
+        w = occupancies.tilt_angle_weights([-60.0, -30.0, 0.0, 30.0, 60.0])
+        assert w[2] == w.max()
+        assert w[0] < w[1] < w[2]
+        np.testing.assert_allclose(w[0], w[4])  # even in angle
+        # sigma = max|angle|/6 (reference gauss_function usage)
+        np.testing.assert_allclose(w[2] / w[4], np.exp(0.5 * 6.0 ** 2),
+                                   rtol=1e-6)
+
+    def test_zero_angles_uniform(self):
+        w = occupancies.tilt_angle_weights(np.zeros(5))
+        np.testing.assert_allclose(w, 1.0)
+
+    def test_score_average_weights_respect_validity(self):
+        T, P, K = 3, 4, 2
+        scores = np.zeros((T, P, K))
+        scores[0] = 5.0   # strong tilt
+        scores[1] = 1.0
+        scores[2] = 9.0   # strong but every particle invalid there
+        valid = np.ones((T, P))
+        valid[2] = 0.0
+        w = occupancies.score_average_weights(scores, valid)
+        assert w[0] > w[1]
+        assert w[2] == 0.0
+
+    def test_aggregate_low_tilt_evidence_dominates(self):
+        # class 0 wins at the 0-degree tilt, class 1 wins (same margin) at
+        # the 60-degree tilt: the Gaussian weighting must pick class 0
+        # where a uniform mean would tie.
+        tilt = np.array([0.0, 60.0])
+        scores = np.zeros((2, 3, 2))
+        scores[0, :, 0] = 1.0
+        scores[1, :, 1] = 1.0
+        valid = np.ones((2, 3))
+        logp = occupancies.aggregate_tilt_logp(scores, valid, tilt)
+        assert np.all(logp[:, 0] > logp[:, 1])
+        # score weighting path: boost tilt 1's scores so its average wins
+        scores[1, :, 1] = 3.0
+        logp_sw = occupancies.aggregate_tilt_logp(scores, valid, tilt,
+                                                  score_weighting=True)
+        assert np.all(logp_sw[:, 1] > logp_sw[:, 0])
+
+    def test_invalid_tilts_excluded(self):
+        tilt = np.array([0.0, 30.0])
+        scores = np.zeros((2, 2, 2))
+        scores[1, :, 1] = 100.0      # huge but invalid
+        valid = np.array([[1.0, 1.0], [0.0, 0.0]])
+        logp = occupancies.aggregate_tilt_logp(scores, valid, tilt)
+        np.testing.assert_allclose(logp[:, 1], 0.0)
+
+
 class TestFit:
     def test_spline_smooths_noise(self):
         rng = np.random.RandomState(4)
