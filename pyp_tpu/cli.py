@@ -696,6 +696,10 @@ def mode_clean(argv):
 
         table = cistem.read_parameters("stack.cistem")
         mode_rule = str(params.get("clean_mode") or "otsu")
+        if params.get("clean_spr_auto"):
+            # reference tabs.clean.spr_auto: automatic bimodal threshold
+            # wins over any fixed/percentile rule
+            mode_rule = "otsu"
         if mode_rule == "shape":
             # group-local score shaping (reference shape_phase_residuals):
             # percentile cutoffs inside each (view, defocus) group
@@ -725,7 +729,80 @@ def mode_clean(argv):
             act = np.asarray(table["image_is_active"]).astype(bool) & keep_d
             table["image_is_active"] = act.astype(np.int64)
             keep = keep & keep_d
+        # tilt-angle window (reference tabs.clean.mintilt/maxtilt,
+        # pyp_config.toml:10569): projections outside the window deactivate
+        min_tilt = float(params.get("clean_mintilt") if params.get(
+            "clean_mintilt") not in (None, "") else -90.0)
+        max_tilt = float(params.get("clean_maxtilt") if params.get(
+            "clean_maxtilt") not in (None, "") else 90.0)
+        if (min_tilt > -90.0 or max_tilt < 90.0) and "tilt_angle" in table:
+            ta = np.asarray(table["tilt_angle"], dtype=np.float64)
+            keep &= (ta >= min_tilt) & (ta <= max_tilt)
+        # particles left with too few active projections drop entirely
+        # (reference tabs.clean.min_num_projections)
+        min_proj = int(params.get("clean_min_num_projections") or 1)
+        if min_proj > 1 and "particle_index" in table:
+            keep &= sc.min_projections_keep(
+                table["particle_index"], keep, min_proj)
+        if "image_is_active" in table:
+            table["image_is_active"] = keep.astype(np.int64)
+        if "occupancy" in table:
+            occ = np.asarray(table["occupancy"]).copy()
+            occ[~keep] = 0.0
+            table["occupancy"] = occ
+        if params.get("clean_discard"):
+            # permanent removal (reference tabs.clean.discard) — the
+            # default keeps rows at occupancy 0 (FREALIGN semantics)
+            table = table.select(keep)
         cistem.write_parameters(table, "stack.cistem")
+        if params.get("clean_export_clean") and "original_x_position" in table:
+            # cleaned coordinates for re-extraction (reference
+            # generate_clean_spk, analysis/scores.py:1602)
+            sel_dir = Path("frealign/selected_particles")
+            sel_dir.mkdir(parents=True, exist_ok=True)
+            act = (np.asarray(table["image_is_active"]).astype(bool)
+                   if "image_is_active" in table
+                   else np.ones(table.n_rows, dtype=bool))
+            cols = [np.asarray(table["original_x_position"])[act],
+                    np.asarray(table["original_y_position"])[act]]
+            if "original_z_position" in table:
+                cols.append(np.asarray(table["original_z_position"])[act])
+            np.savetxt(sel_dir / "clean.spk",
+                       np.stack(cols, axis=1), fmt="%.2f")
+        if params.get("clean_check_reconstruction"):
+            # sanity reconstruction from the cleaned table (reference
+            # tabs.clean.check_reconstruction)
+            stack_path = Path("stack.mrc")
+            if stack_path.exists():
+                from pyp_tpu.io import mrc as mrc_io
+                from pyp_tpu.ops import reconstruct as rec
+                from pyp_tpu.pipeline.refine import (table_to_ctf_params,
+                                                     table_to_poses)
+
+                imgs = mrc_io.read(str(stack_path))
+                if params.get("clean_discard"):
+                    # table rows were dropped: align the stack to survivors
+                    imgs = imgs[keep]
+                pixel = (float(table["pixel_size"][0])
+                         if "pixel_size" in table
+                         else float(params.get("scope_pixel") or 1.0))
+                wts = (np.asarray(table["occupancy"], np.float32) / 100.0
+                       if "occupancy" in table
+                       else keep.astype(np.float32))
+                out = rec.reconstruct(
+                    np.asarray(imgs, np.float32),
+                    table_to_poses(table, pixel),
+                    table_to_ctf_params(table), pixel,
+                    subset=(np.arange(table.n_rows) % 2).astype(np.int32),
+                    weights=wts,
+                    symmetry=str(params.get("particle_sym") or "C1"),
+                    voltage_kv=float(params.get("scope_voltage") or 300.0),
+                    cs_mm=float(params.get("scope_cs") or 2.7),
+                    amplitude_contrast=float(params.get("scope_wgh") or 0.07),
+                )
+                Path("maps").mkdir(exist_ok=True)
+                mrc_io.write(np.asarray(out.volume, np.float32),
+                             "maps/clean_check.mrc", pixel_size=pixel)
         print(json.dumps({"kept": int(keep.sum()),
                           "total": int(len(keep))}))
         return 0

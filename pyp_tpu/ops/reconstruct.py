@@ -76,7 +76,7 @@ def _shift_correct(X, shifts, n):
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
                      "amplitude_contrast", "symmetry", "pad", "gridding",
-                     "iewald"),
+                     "iewald", "lblur"),
 )
 def accumulate(
     stack,               # (B, n, n) particle images
@@ -95,6 +95,7 @@ def accumulate(
     doses=None,
     gridding: str = "trilinear",
     iewald: int = 0,
+    lblur=None,
 ) -> Accumulators:
     """Insert a batch of particles into (possibly pre-existing) accumulators.
 
@@ -104,7 +105,15 @@ def accumulate(
 
     `iewald`: FREALIGN Ewald-sphere correction (reference reconstruct tab,
     frealign.py IEWALD card). +-1 = simple curved insertion (sign =
-    handedness); +-2 (reference-based) falls back to the simple mode."""
+    handedness); +-2 (reference-based) falls back to the simple mode.
+
+    `lblur`: likelihood blurring (the reference's reconstruct3d `blurring`
+    card, frealign.py:1772 / reconstruct_lblur + lblur_nrot params): a
+    (offsets_deg, rel_weights) pair — each particle inserts at every psi
+    offset around its refined in-plane angle with the given relative
+    weight (cisTEM blurs over the orientation likelihood; here the weights
+    are a Gaussian over the blur window, which matches cisTEM's behaviour
+    in the well-converged regime where the likelihood is unimodal)."""
     X = image_to_fourier(stack)
     X = _shift_correct(X, poses[:, 3:5], n)
     ctfs = _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, amplitude_contrast)
@@ -139,15 +148,46 @@ def accumulate(
         ewald_c = (float(np.sign(iewald)) * wavelength_host(voltage_kv)
                    / (2.0 * n * pixel_size))
 
+    # likelihood blurring: a bank of (in-plane offset, weight) insertions
+    if lblur is not None:
+        offsets_deg, rel_w = lblur
+        blur_terms = [
+            (euler_to_matrix(poses[:, 0], poses[:, 1],
+                             poses[:, 2] + float(off)),
+             weights * float(w))
+            for off, w in zip(np.asarray(offsets_deg), np.asarray(rel_w))
+        ]
+    else:
+        blur_terms = [(R, weights)]
+
     num1, den1, num2, den2 = prev
-    for k in range(n_sym):
-        Rk = R @ sym_mats[k][None]
-        a1, b1, a2, b2 = insert_slices_halves(
-            X, ctfs, Rk, subset, weights, n, pad=pad, gridding=gridding,
-            ewald_c=ewald_c)
-        num1, den1 = num1 + a1, den1 + b1
-        num2, den2 = num2 + a2, den2 + b2
+    for Rb, wb in blur_terms:
+        for k in range(n_sym):
+            Rk = Rb @ sym_mats[k][None]
+            a1, b1, a2, b2 = insert_slices_halves(
+                X, ctfs, Rk, subset, wb, n, pad=pad, gridding=gridding,
+                ewald_c=ewald_c)
+            num1, den1 = num1 + a1, den1 + b1
+            num2, den2 = num2 + a2, den2 + b2
     return Accumulators(num1, den1, num2, den2)
+
+
+def lblur_bank(lblur_nrot: int, lblur_range: float = 20.0):
+    """Likelihood-blurring (offsets, weights) bank, or None when disabled:
+    nrot psi offsets across lblur_range degrees centered on the refined
+    in-plane angle (reference lblur_start=-10, step=1, nrot=21 defaults =>
+    the same [-10, +10] window), Gaussian weights with FWHM = half the
+    window, normalized to unit mass."""
+    if not lblur_nrot or lblur_nrot <= 1:
+        return None
+    offs = np.linspace(-lblur_range / 2.0, lblur_range / 2.0,
+                       int(lblur_nrot))
+    sigma = max((lblur_range / 2.0) / 2.355, 1e-3)
+    rw = np.exp(-0.5 * (offs / sigma) ** 2)
+    rw = rw / rw.sum()
+    # tuples: the bank is a STATIC argument of the jitted accumulate (a
+    # handful of python floats, hashable, baked into the trace)
+    return tuple(float(o) for o in offs), tuple(float(w) for w in rw)
 
 
 def merge_accumulators(accs) -> Accumulators:
@@ -183,6 +223,7 @@ def reconstruct(
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
     batch: int = 256, pad: int = DEFAULT_PAD, gridding: str = "trilinear",
     crop_to: int = None, iewald: int = 0,
+    lblur_nrot: int = 0, lblur_range: float = 20.0,
 ) -> Reconstruction:
     """Single-call reconstruction of a full particle stack (batched insert).
 
@@ -217,6 +258,7 @@ def reconstruct(
         # framework test asserts ground-truth quality, not similarity.
         pad = int(np.ceil(pad * n / float(n_rec)))
     pixel_rec = pixel_size / ratio
+    lblur = lblur_bank(lblur_nrot, lblur_range)
     acc = None
     for i in range(0, B, batch):
         sl = slice(i, min(i + batch, B))
@@ -230,7 +272,7 @@ def reconstruct(
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
             jnp.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
-            iewald=iewald,
+            iewald=iewald, lblur=lblur,
         )
     return finalize(acc, n_rec, pad, wiener, gridding)
 

@@ -238,6 +238,7 @@ def sharded_accumulate(
     doses=None,
     gridding: str = "trilinear",
     iewald: int = 0,
+    lblur=None,
 ):
     """`reconstruct.accumulate` sharded over the mesh with one psum merge —
     the TPU-native local_merge3d+merge3d (frealign.py:1838,:1910). Padding
@@ -259,7 +260,7 @@ def sharded_accumulate(
         acc = rec.accumulate(
             stack_s, poses_s, ctf_s, subset_s, w_s, n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, symmetry, pad,
-            doses=dose_s, gridding=gridding, iewald=iewald,
+            doses=dose_s, gridding=gridding, iewald=iewald, lblur=lblur,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
 
@@ -336,6 +337,7 @@ def reconstruct_sharded(
     amplitude_contrast: float = 0.07, wiener: float = 0.5,
     batch: int = 256, pad: int = 2, crop_to: int = None,
     gridding: str = "trilinear", iewald: int = 0,
+    lblur_nrot: int = 0, lblur_range: float = 20.0,
 ):
     """Mesh-parallel mirror of `reconstruct.reconstruct`: superbatches of
     batch*ndev particles accumulate with a psum merge, then finalize.
@@ -356,6 +358,7 @@ def reconstruct_sharded(
         # reconstruct.reconstruct crop_to for the replicated evidence)
         pad = int(np.ceil(pad * n / float(n_rec)))
     pixel_rec = pixel_size / ratio
+    lblur = rec.lblur_bank(lblur_nrot, lblur_range)
     acc = None
     step = batch * ndev
     for i in range(0, B, step):
@@ -374,7 +377,7 @@ def reconstruct_sharded(
             np.asarray(ctf_params[sl]), np.asarray(subset[sl]),
             np.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
-            iewald=iewald,
+            iewald=iewald, lblur=lblur,
         )
     return rec.finalize(acc, n_rec, pad, wiener, gridding)
 

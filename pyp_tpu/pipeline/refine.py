@@ -103,6 +103,24 @@ def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
         freqs=jnp.asarray(np.arange(n_data // 2, dtype=np.float32) / n_data))
 
 
+def _shaping_requested(params) -> bool:
+    """True when any reconstruct-tab shaping window departs from its
+    no-op default (reference call_shape_phase_residuals gate)."""
+    defaults = {
+        "reconstruct_minazh": 0.0, "reconstruct_maxazh": 180.0,
+        "reconstruct_mindef": 0.0, "reconstruct_maxdef": 100000.0,
+        "reconstruct_minscore": 0.0, "reconstruct_maxscore": 1.0,
+        "reconstruct_mintilt": -90.0, "reconstruct_maxtilt": 90.0,
+        "reconstruct_firstframe": 0.0, "reconstruct_lastframe": -1.0,
+        "reconstruct_score_fraction": 1.0,
+    }
+    for key, dv in defaults.items():
+        v = params.get(key)
+        if v not in (None, "") and float(v) != dv:
+            return True
+    return str(params.get("reconstruct_shapr") or "none") != "none"
+
+
 def pixel_hint(table, params):
     return float(table["pixel_size"][0]) if "pixel_size" in table else float(
         params["scope_pixel"])
@@ -110,7 +128,7 @@ def pixel_hint(table, params):
 
 def refinement_iteration(
     stack, table: cistem.Table, ref_volume, params: dict, iteration: int,
-    batch: int = 256, fsc_curve=None, ref_halves=None,
+    batch: int = 256, fsc_curve=None, ref_halves=None, prev_table=None,
 ):
     """One iteration: refine poses (batched over particle ranges), then
     reconstruct half maps + FSC. Returns (table, Reconstruction).
@@ -416,6 +434,16 @@ def refinement_iteration(
         if thr_pct > 0 and "score" in table:
             sc = np.asarray(table["score"])
             weights = np.where(sc >= np.percentile(sc, thr_pct), weights, 0.0)
+        # reference-parity score shaping (shape_phase_residuals role,
+        # reference analysis/scores.py:300 via frealign.py:1731): group-local
+        # cutoffs + defocus/azimuth/tilt/frame windows + shapr
+        # reverse/consistency, folded into reconstruction weights
+        if _shaping_requested(params) and "score" in table:
+            from pyp_tpu.analysis import scores as _scores
+
+            keep_mask = _scores.shaping_mask_from_params(
+                table, params, previous=prev_table)
+            weights = np.where(keep_mask, weights, 0.0)
         batch = int(params.get("reconstruct_batch") or batch)
         rc_kwargs = dict(
             subset=subset.astype(np.int32), weights=weights.astype(np.float32),
@@ -429,6 +457,13 @@ def refinement_iteration(
             gridding=str(params.get("reconstruct_gridding") or "trilinear"),
             iewald=int(params.get("reconstruct_iewald") or 0),
         )
+        if params.get("reconstruct_lblur"):
+            # likelihood blurring (reconstruct3d blurring card,
+            # frealign.py:1772): insert over a psi-offset bank
+            rc_kwargs["lblur_nrot"] = int(
+                params.get("reconstruct_lblur_nrot") or 21)
+            rc_kwargs["lblur_range"] = float(
+                params.get("reconstruct_lblur_range") or 20.0)
         # reconstruct_norm: per-particle normalization ahead of insertion
         # (cisTEM reconstruct3d "normalize particles", SURVEY §A.2)
         rec_stack = stack
@@ -512,9 +547,12 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             while (maps_dir / "wait").exists():
                 _time.sleep(5.0)
             logger.info("maps/wait removed: resuming")
+        prev_table = (table.copy()
+                      if _shaping_requested(params) and "score" in table
+                      else None)
         table, recon, res_a = refinement_iteration(
             stack, table, ref, params, it, fsc_curve=fsc_curve,
-            ref_halves=ref_halves)
+            ref_halves=ref_halves, prev_table=prev_table)
         # keep the next iteration's references DEVICE-resident: a host
         # round-trip of three maps per iteration costs real wall time
         # (brutally so through the axon tunnel); numpy copies are made only

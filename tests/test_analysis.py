@@ -303,6 +303,156 @@ class TestScoreShaping:
         assert (~keep).sum() > 0
 
 
+class TestShapingParity:
+    """Reference shape_phase_residuals parity (analysis/scores.py:300-760):
+    bimodal auto threshold, tomo low-tilt particle means, view/frame/tilt
+    windows, consistency selection, odd/even halves."""
+
+    def _table(self, B=400, seed=0):
+        from pyp_tpu.io import cistem
+
+        rng = np.random.RandomState(seed)
+        t = cistem.Table.zeros(B)
+        t["theta"] = rng.uniform(0, 180, B)
+        t["defocus_1"] = rng.uniform(10000, 30000, B)
+        t["score"] = rng.normal(20, 5, B)
+        t["occupancy"] = np.full(B, 100.0)
+        t["image_is_active"] = np.ones(B, dtype=np.int64)
+        return t
+
+    def test_auto_bimodal_threshold(self):
+        """threshold=0: the optimal bimodal split separates junk from good
+        particles without any user cutoff (reference spr_auto)."""
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=600, seed=5)
+        rng = np.random.RandomState(6)
+        scores = np.concatenate([rng.normal(5, 1.5, 300),    # junk mode
+                                 rng.normal(25, 2.0, 300)])  # good mode
+        t["score"] = scores
+        t, keep = shape_scores(t, n_angles=1, n_defocuses=1, threshold=0.0)
+        assert keep[300:].mean() > 0.9   # good mode survives
+        assert keep[:300].mean() < 0.1   # junk mode cut
+
+    def test_tomo_low_tilt_particle_means(self):
+        """Tomo tables cut whole particles by their low-tilt mean score:
+        a particle whose high-tilt projections score badly but whose
+        low-tilt mean is good must keep ALL projections."""
+        from pyp_tpu.analysis.scores import shape_scores
+
+        P, T = 40, 11
+        B = P * T
+        t = self._table(B=B, seed=7)
+        t["theta"] = np.full(B, 90.0)
+        tilt = np.tile(np.linspace(-60, 60, T), P)
+        pind = np.repeat(np.arange(P), T)
+        t["particle_index"] = pind.astype(np.int64)
+        # particles 0..19 good (low-tilt mean ~30), 20..39 junk (~10);
+        # every particle's high-tilt rows score low (realistic dose falloff)
+        base = np.where(pind < 20, 30.0, 10.0) - 0.01 * pind
+        scores = base - 15.0 * (np.abs(tilt) > 40)
+        t["score"] = scores
+        t, keep = shape_scores(t, n_angles=1, n_defocuses=1, threshold=0.5,
+                               tilt_angles=tilt, min_group=10)
+        keep2 = keep.reshape(P, T)
+        assert keep2[:20].all()          # good particles fully kept
+        # whole-particle decisions: each junk particle is all-or-nothing,
+        # and at most the single boundary particle survives the 50% cut
+        per_particle = keep2[20:]
+        assert ((per_particle.all(axis=1)) | (~per_particle.any(axis=1))).all()
+        assert per_particle.all(axis=1).sum() <= 1
+
+    def test_azimuth_and_tilt_windows(self):
+        from pyp_tpu.analysis.scores import shape_scores
+
+        B = 200
+        t = self._table(B=B, seed=8)
+        tilt = np.linspace(-60, 60, B)
+        t, keep = shape_scores(t, threshold=1.0, min_azh=40, max_azh=140,
+                               tilt_angles=tilt, min_tilt=-45, max_tilt=45)
+        azh = np.mod(np.asarray(t["theta"]), 180.0)
+        assert ((azh[keep] >= 40) & (azh[keep] <= 140)).all()
+        assert ((tilt[keep] >= -45) & (tilt[keep] <= 45)).all()
+        assert (~keep).sum() > 0
+
+    def test_frame_window(self):
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=100, seed=9)
+        t["tilt_index"] = (np.arange(100) % 10).astype(np.int64)
+        t, keep = shape_scores(t, threshold=1.0, first_frame=2, last_frame=7)
+        ti = np.asarray(t["tilt_index"])
+        assert ((ti[keep] >= 2) & (ti[keep] <= 7)).all()
+        assert keep.sum() == 60
+
+    def test_consistency_selection(self):
+        """Particles whose pose jumped far more than the population between
+        iterations are outliers and get dropped."""
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=100, seed=10)
+        t["phi"] = np.zeros(100)
+        t["x_shift"] = np.zeros(100)
+        t["y_shift"] = np.zeros(100)
+        prev = t.copy()
+        phi = np.asarray(t["phi"]).copy()
+        phi[:90] += np.random.RandomState(11).normal(0, 1.0, 90)
+        phi[90:] += 120.0                # wild jumps
+        t["phi"] = phi
+        t, keep = shape_scores(t, threshold=1.0, previous=prev,
+                               consistency=True)   # jump percentile 0.9
+        assert not keep[90:].any()
+        assert keep[:90].mean() > 0.85
+
+    def test_odd_even_halves(self):
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=50, seed=12)
+        _, keep_o = shape_scores(t.copy(), threshold=1.0, odd=True)
+        _, keep_e = shape_scores(t.copy(), threshold=1.0, even=True)
+        assert not keep_o[::2].any() and keep_o[1::2].all()
+        assert keep_e[::2].all() and not keep_e[1::2].any()
+
+    def test_reverse_polarity(self):
+        """reverse: phase-residual style metrics (lower = better) keep the
+        LOW end after polarity flip."""
+        from pyp_tpu.analysis.scores import shape_scores
+
+        t = self._table(B=200, seed=13)
+        scores = np.linspace(0, 100, 200)
+        t["score"] = scores
+        _, keep = shape_scores(t, n_angles=1, n_defocuses=1, threshold=0.5,
+                               reverse=True)
+        assert keep[scores < 50].mean() > 0.9
+        assert keep[scores > 50].mean() < 0.1
+
+    def test_min_projections_keep(self):
+        from pyp_tpu.analysis.scores import min_projections_keep
+
+        pind = np.repeat(np.arange(3), 5)
+        active = np.ones(15, dtype=bool)
+        active[0:4] = False              # particle 0 left with 1 projection
+        keep = min_projections_keep(pind, active, 3)
+        assert not keep[:5].any() or keep[:5].sum() == 5  # all-or-nothing
+        assert (keep[:5] == keep[0]).all() and not keep[0]
+        assert keep[5:].all()
+
+    def test_shaping_mask_from_params(self):
+        """The reconstruct-tab spellings reach shape_scores and the table is
+        not mutated (weights-only application in the pipeline)."""
+        from pyp_tpu.analysis.scores import shaping_mask_from_params
+
+        t = self._table(B=200, seed=14)
+        occ_before = np.asarray(t["occupancy"]).copy()
+        keep = shaping_mask_from_params(
+            t, {"reconstruct_mindef": 15000.0, "reconstruct_maxdef": 25000.0,
+                "reconstruct_minscore": 15.0})
+        df = np.asarray(t["defocus_1"])
+        assert ((df[keep] >= 15000) & (df[keep] <= 25000)).all()
+        assert (np.asarray(t["score"])[keep] >= 15).all()
+        assert (np.asarray(t["occupancy"]) == occ_before).all()
+
+
 class TestSplineRegularization:
     """VERDICT r3 item 9 acceptance: drift recovery under a particle-sparse,
     high-noise synthetic with outlier frames — the regime where the round-2

@@ -60,6 +60,49 @@ def test_mode_kselection(project, capsys):
     assert main(["kselection"]) == 1
 
 
+def test_mode_clean_discard_and_export(project, capsys):
+    """clean -clean_particles with the reference's clean-tab knobs:
+    clean_discard permanently drops rows, clean_export_clean writes the
+    surviving coordinates (tabs.clean.discard/export_clean,
+    pyp_config.toml:10620-10640)."""
+    import os
+
+    from pyp_tpu.cli import main
+
+    t = _write_stack_and_table(n_particles=20)
+    t["score"] = np.array([5.0] * 10 + [25.0] * 10)
+    t["occupancy"] = np.full(20, 100.0)
+    t["image_is_active"] = np.ones(20, dtype=np.int64)
+    t["original_x_position"] = np.arange(20, dtype=np.float64)
+    t["original_y_position"] = np.arange(20, dtype=np.float64) * 2
+    cistem.write_parameters(t, "stack.cistem")
+    assert main(["clean", "-clean_particles", "-clean_mode", "fixed",
+                 "-clean_min_score", "15", "-clean_discard",
+                 "-clean_export_clean"]) == 0
+    t2 = cistem.read_parameters("stack.cistem")
+    assert t2.n_rows == 10                       # discard removed the junk
+    assert (np.asarray(t2["score"]) >= 15).all()
+    coords = np.loadtxt("frealign/selected_particles/clean.spk")
+    assert coords.shape[0] == 10
+
+
+def test_mode_clean_spr_auto(project, capsys):
+    """clean_spr_auto: automatic bimodal threshold needs no user cutoff
+    (tabs.clean.spr_auto)."""
+    from pyp_tpu.cli import main
+
+    t = _write_stack_and_table(n_particles=40)
+    rng = np.random.RandomState(3)
+    t["score"] = np.concatenate([rng.normal(5, 1, 20), rng.normal(25, 1, 20)])
+    t["occupancy"] = np.full(40, 100.0)
+    t["image_is_active"] = np.ones(40, dtype=np.int64)
+    cistem.write_parameters(t, "stack.cistem")
+    assert main(["clean", "-clean_particles", "-clean_spr_auto"]) == 0
+    t2 = cistem.read_parameters("stack.cistem")
+    active = np.asarray(t2["image_is_active"]).astype(bool)
+    assert active[20:].all() and not active[:20].any()
+
+
 def test_mode_stream_bounded(project, capsys):
     from pyp_tpu.cli import main
 
