@@ -343,7 +343,26 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        print("[bench] first attempt failed; retrying in 20 s",
+        print("[bench] first attempt failed; retrying in 120 s",
               file=sys.stderr, flush=True)
-        _time.sleep(20)
-        main()
+        _time.sleep(120)
+        try:
+            main()
+        except Exception as e:  # noqa: BLE001
+            # a dead tunnel must still leave the driver a JSON line:
+            # partial sections + the error + clearly-labeled stale numbers
+            traceback.print_exc(file=sys.stderr)
+            extras = dict(_PROGRESS["extras"])
+            extras["incomplete"] = {
+                "error": ("tunnel failure after retry: " + str(e)[:200])}
+            try:
+                with open("BENCH_r02.json") as f:
+                    prev = json.load(f)
+                extras["stale_last_recorded"] = {
+                    "note": "previous round's measured values (tunnel down "
+                    "this run; NOT fresh measurements)",
+                    "tail": prev.get("tail", "")[:800],
+                }
+            except Exception:  # noqa: BLE001
+                pass
+            _emit(_PROGRESS["headline"], extras)

@@ -637,6 +637,25 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
         mrc.write(np.asarray(recon.half1), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half1.mrc", pixel_size=pixel)
         mrc.write(np.asarray(recon.half2), maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half2.mrc", pixel_size=pixel)
         cistem.write_parameters(table, maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.cistem")
+        if params.get("reconstruct_fbfact") and it == maxiter + 1:
+            # determine-and-apply B-factor on the FINAL reconstruction
+            # (reference tabs.reconstruct.fbfact, pyp_config.toml:5902):
+            # Guinier fit over the refined band, negated sharpen, written
+            # alongside the unsharpened map
+            from pyp_tpu.postprocess.core import (guinier_bfactor,
+                                                  sharpen_map)
+
+            bfac = float(guinier_bfactor(
+                np.asarray(ref, dtype=np.float32), pixel,
+                max_res=max(res_a, 2.2 * pixel)))
+            sharp, _ = sharpen_map(
+                np.asarray(ref, dtype=np.float32), pixel, bfactor=-abs(bfac),
+                resolution=res_a)
+            mrc.write(np.asarray(sharp, dtype=np.float32),
+                      maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_sharp.mrc",
+                      pixel_size=pixel)
+            logger.info("fbfact: Guinier B %.1f Å² applied to final map",
+                        bfac)
         np.savetxt(
             maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_fsc.txt",
             np.stack([np.asarray(recon.freqs), np.asarray(recon.fsc)], 1),

@@ -434,6 +434,45 @@ class TestNotify:
 
 
 @pytest.mark.slow
+class TestFbfact:
+    def test_final_iteration_writes_sharpened_map(self, tmp_path):
+        """reconstruct_fbfact (FREALIGN fbfact card): the FINAL refine_loop
+        iteration determines a Guinier B and writes <ds>_rXX_II_sharp.mrc
+        next to the unsharpened map."""
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from test_refine3d import PIXEL, make_particles, make_volume
+
+        from pyp_tpu.config import schema
+        from pyp_tpu.io import cistem
+        from pyp_tpu.pipeline import refine as rp
+
+        vol = make_volume(seed=1)
+        stack, ctf_params, truth = make_particles(vol, n_particles=16, seed=2)
+        tt = cistem.Table.zeros(16)
+        tt["pixel_size"] = np.full(16, PIXEL)
+        tt["phi"] = truth["phi"]
+        tt["theta"] = truth["theta"]
+        tt["psi"] = truth["psi"]
+        tt["defocus_1"] = np.asarray(ctf_params)[:, 0]
+        tt["defocus_2"] = np.asarray(ctf_params)[:, 1]
+        tt["defocus_angle"] = np.asarray(ctf_params)[:, 2]
+        tt["occupancy"] = np.full(16, 100.0)
+        params = schema.defaults()
+        params.update({"scope_pixel": PIXEL, "refine_rhref": "8",
+                       "refine_skip": True, "reconstruct_crop": False,
+                       "refine_maxiter": 1, "reconstruct_fbfact": True})
+        rp.refine_loop(np.asarray(stack), tt, np.asarray(vol), params,
+                       work_dir=tmp_path, dataset="fb")
+        sharp = list((tmp_path / "maps").glob("*_sharp.mrc"))
+        assert len(sharp) == 1
+        from pyp_tpu.io import mrc
+
+        v = mrc.read(str(sharp[0]))
+        assert np.isfinite(v).all() and v.std() > 0
+
+
 class TestBandLimitedReconstruction:
     def test_cropped_matches_full_in_band(self):
         """reconstruct_crop: intermediate reconstruction on the band-limited
