@@ -34,7 +34,7 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
          "clean", "worker", "params", "gain", "stream", "kselection",
          "byp", "mine", "mask", "tomoedit", "boxedit", "sprtrain",
          "tomotrain", "heterogeneity", "sva", "export_session", "filter",
-         "prism", "workflow", "report")
+         "prism", "workflow", "report", "fsc")
 
 
 def _project_params(argv, work_dir=".", persist=True):
@@ -520,6 +520,71 @@ def mode_postprocess(argv):
     dataset = params.get("data_set") or "dataset"
     out = post.postprocess_latest(dataset, params)
     print(json.dumps(out, default=str))
+    return 0
+
+
+def mode_fsc(argv):
+    """Standalone FSC utility (the reference's pyp_fsc.py,
+    postprocess/pyp_fsc.py:179): FSC between consecutive map pairs given as
+    positionals, optional mask with phase-randomization correction
+    (-fsc_mask), resolutions at 0.5/0.143, <out>.txt + <out>.png."""
+    from pyp_tpu.analysis import plots
+    from pyp_tpu.core import fsc as fsc_mod
+    from pyp_tpu.io import mrc as mrc_io
+
+    maps, rest, prev_flag = [], [], False
+    for a in argv:
+        if (not prev_flag and not a.startswith("-")
+                and (a.endswith(".mrc") or a.endswith(".rec"))):
+            maps.append(a)           # positional map; flag VALUES stay put
+        else:
+            rest.append(a)
+            prev_flag = a.startswith("-")
+            continue
+        prev_flag = False
+    params = _project_params(rest, persist=False)
+    if len(maps) < 2 or len(maps) % 2 != 0:
+        print("usage: pyp_tpu fsc half1.mrc half2.mrc [h1b.mrc h2b.mrc ...] "
+              "[-fsc_mask mask.mrc] [-fsc_out fsc]")
+        return 1
+    mask = None
+    if params.get("fsc_mask"):
+        mask = np.asarray(mrc_io.read(str(params["fsc_mask"])), np.float32)
+    out_base = str(params.get("fsc_out") or "fsc")
+    curves, labels, freqs = [], [], None
+    results = []
+    pixel = 0.0
+    for i in range(0, len(maps), 2):
+        h1 = np.asarray(mrc_io.read(maps[i]), np.float32)
+        h2 = np.asarray(mrc_io.read(maps[i + 1]), np.float32)
+        hdr = mrc_io.read_header(maps[i])
+        pixel = float(hdr.pixel_size) or float(
+            params.get("scope_pixel") or 1.0)
+        if mask is not None:
+            from pyp_tpu.postprocess.core import masked_fsc
+
+            freqs, curve = masked_fsc(h1, h2, mask, pixel)
+        else:
+            freqs, curve = fsc_mod.fsc(h1, h2)
+        curves.append(np.asarray(curve))
+        label = f"{Path(maps[i]).stem} vs {Path(maps[i + 1]).stem}"
+        labels.append(label)
+        res = {
+            "pair": label,
+            "res_0.5_A": float(fsc_mod.resolution_at_threshold(
+                freqs, curve, pixel, 0.5)),
+            "res_0.143_A": float(fsc_mod.resolution_at_threshold(
+                freqs, curve, pixel, 0.143)),
+        }
+        results.append(res)
+    np.savetxt(out_base + ".txt",
+               np.stack([np.asarray(freqs)] + curves, axis=1),
+               header="freq_cyc_per_px " + " ".join(
+                   l.replace(" ", "_") for l in labels))
+    plots.plot_fsc(np.asarray(freqs), curves, pixel, out_base + ".png",
+                   labels=labels)
+    print(json.dumps({"pairs": results, "masked": mask is not None,
+                      "out": out_base}))
     return 0
 
 

@@ -103,6 +103,31 @@ def test_mode_clean_spr_auto(project, capsys):
     assert active[20:].all() and not active[:20].any()
 
 
+def test_mode_fsc(project, capsys):
+    """Standalone FSC utility (reference pyp_fsc.py role): map pairs ->
+    curves + resolutions, optional mask correction."""
+    from pathlib import Path
+
+    from pyp_tpu.cli import main
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(32, 32, 32).astype(np.float32)
+    h1 = base + 0.3 * rng.randn(32, 32, 32).astype(np.float32)
+    h2 = base + 0.3 * rng.randn(32, 32, 32).astype(np.float32)
+    mrc.write(h1, "h1.mrc", pixel_size=1.5)
+    mrc.write(h2, "h2.mrc", pixel_size=1.5)
+    assert main(["fsc", "h1.mrc", "h2.mrc"]) == 0
+    assert Path("fsc.txt").exists() and Path("fsc.png").exists()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["pairs"][0]["res_0.143_A"] >= 3.0   # Nyquist 3 A at 1.5 A/px
+    # identical halves -> FSC == 1 everywhere
+    assert main(["fsc", "h1.mrc", "h1.mrc", "-fsc_out", "self"]) == 0
+    txt = np.loadtxt("self.txt")
+    np.testing.assert_allclose(txt[:, 1], 1.0, atol=1e-3)
+    # odd map count -> usage error
+    assert main(["fsc", "h1.mrc"]) == 1
+
+
 def test_mode_stream_bounded(project, capsys):
     from pyp_tpu.cli import main
 
