@@ -1199,6 +1199,35 @@ def mode_byp(argv):
     box = int(params.get("extract_box") or 128)
     from pyp_tpu.io import boxfiles, imod
 
+    scaling = float(params.get("convert_scaling") or 1.0)
+    zheight = float(params.get("convert_z") or 256)
+    depth = float(params.get("convert_depth") or 256)
+    if src.suffix == ".cbox":
+        # crYOLO picks -> IMOD model (reference pyp_convert_coord
+        # cryolo2mod, analysis/geometry/pyp_convert_coord.py:83): rescale
+        # from the cryolo tomogram grid and re-center z on the pyp depth
+        centers, cbox_size, conf = boxfiles.read_cbox(src)
+        pts = centers / scaling
+        pts[:, 2] = pts[:, 2] - zheight / (2 * scaling) + depth / 2
+        out = src.with_suffix(".mod")
+        imod.write_point_model(out, pts)
+        boxfiles.write_spk(np.stack([pts[:, 2], pts[:, 1], pts[:, 0]], 1),
+                           src.with_suffix(".spk"))
+        print(json.dumps({"mode": "cryolo2mod", "picks": int(len(pts)),
+                          "mod": str(out)}))
+        return 0
+    if src.suffix == ".mod" and params.get("to_cbox"):
+        # IMOD model -> crYOLO picks (mod2cryolo,
+        # pyp_convert_coord.py:122): inverse of the transform above
+        pts = imod.read_points(src)            # (N, 3) x, y, z
+        xyz = np.array(pts[:, :3], dtype=np.float64)
+        xyz[:, 2] = xyz[:, 2] - depth / 2 + zheight / (2 * scaling)
+        xyz *= scaling
+        out = src.with_suffix(".cbox")
+        boxfiles.write_cbox(xyz, box * scaling, out)
+        print(json.dumps({"mode": "mod2cryolo", "picks": int(len(pts)),
+                          "cbox": str(out)}))
+        return 0
     if src.suffix == ".mod":
         pts = imod.read_points(src)            # (N, 3) x, y, z
         coords_yx = np.stack([pts[:, 1], pts[:, 0]], axis=1)

@@ -67,3 +67,65 @@ def read_spk(path):
     if rows.size == 0:
         return np.zeros((0, 3))
     return np.stack([rows[:, 2], rows[:, 1], rows[:, 0]], axis=1)
+
+
+_CBOX_HEADER = """data_global
+
+_cbox_format_version 1.0
+
+data_cryolo
+
+loop_
+_CoordinateX #1
+_CoordinateY #2
+_CoordinateZ #3
+_Width #4
+_Height #5
+_Depth #6
+_EstWidth #7
+_EstHeight #8
+_Confidence #9
+_NumBoxes #10
+"""
+
+
+def write_cbox(coords_xyz, boxsize: float, path, confidence=None):
+    """crYOLO .cbox tomogram picks (reference pyp_convert_coord.mod2cryolo,
+    analysis/geometry/pyp_convert_coord.py:122): STAR-like header + rows of
+    corner coordinates (center - box/2 in x/y, center z) with box extents.
+    `coords_xyz` (N, 3) particle CENTERS in (x, y, z)."""
+    coords = np.asarray(coords_xyz, dtype=np.float64)
+    conf = (np.asarray(confidence, dtype=np.float64)
+            if confidence is not None else np.ones(len(coords)))
+    with open(path, "w") as f:
+        f.write(_CBOX_HEADER)
+        for (x, y, z), c in zip(coords[:, :3], conf):
+            f.write(f"{x - boxsize / 2:.1f} {y - boxsize / 2:.1f} {z:.1f} "
+                    f"{boxsize:.1f} {boxsize:.1f} 1.0 <NA> <NA> "
+                    f"{c:.2f} <NA>\n")
+
+
+def read_cbox(path):
+    """crYOLO .cbox -> ((N, 3) particle CENTERS (x, y, z), boxsize,
+    (N,) confidences). Corner x/y are shifted back by width/height / 2
+    (reference cryolo2mod reads raw columns; centering happens at the
+    consumer — folded here so coordinates round-trip)."""
+    centers, conf, boxsize = [], [], 0.0
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if (line.startswith("_") or line.startswith("data_")
+                    or line.startswith("loop_") or len(parts) < 3):
+                continue
+            x, y, z = (float(parts[0]), float(parts[1]), float(parts[2]))
+            w = float(parts[3]) if len(parts) > 3 and parts[3] != "<NA>" \
+                else 0.0
+            h = float(parts[4]) if len(parts) > 4 and parts[4] != "<NA>" \
+                else 0.0
+            boxsize = max(boxsize, w, h)
+            centers.append([x + w / 2.0, y + h / 2.0, z])
+            conf.append(float(parts[8]) if len(parts) > 8
+                        and parts[8] != "<NA>" else 1.0)
+    if not centers:
+        return np.zeros((0, 3)), 0.0, np.zeros(0)
+    return np.asarray(centers), boxsize, np.asarray(conf)

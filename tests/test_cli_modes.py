@@ -175,6 +175,25 @@ def test_mode_byp_roundtrip(project):
     np.testing.assert_allclose(back[:, 0], pts[:, 0], atol=1.0)
 
 
+def test_mode_byp_cbox_roundtrip(project):
+    """crYOLO .cbox interop (reference pyp_convert_coord cryolo2mod /
+    mod2cryolo): scaling + z re-centering round-trips exactly."""
+    from pyp_tpu.cli import main
+    from pyp_tpu.io import boxfiles, imod
+
+    pts = (np.random.RandomState(0).rand(12, 3)
+           * [512, 512, 256]).astype(np.float64)
+    imod.write_point_model("picks.mod", pts)
+    assert main(["byp", "picks.mod", "-to_cbox", "-extract_box", "32",
+                 "-convert_scaling", "2", "-convert_z", "256"]) == 0
+    centers, size, conf = boxfiles.read_cbox("picks.cbox")
+    assert size == 64.0 and len(centers) == 12
+    assert main(["byp", "picks.cbox", "-convert_scaling", "2",
+                 "-convert_z", "256"]) == 0
+    back = imod.read_points("picks.mod")
+    np.testing.assert_allclose(back[:, :3], pts, atol=0.2)
+
+
 class TestAuxSubsystems:
     def test_history_and_profile_and_free_space(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
