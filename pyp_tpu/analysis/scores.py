@@ -427,6 +427,43 @@ def shape_scores(
     return table, keep
 
 
+def generate_cluster_stacks(stack, table, n_angles: int = 25,
+                            n_defocuses: int = 25, out_dir=".",
+                            base: str = "cluster"):
+    """Per-(angular, defocus)-group particle stacks for visual inspection
+    (reference generate_cluster_stacks, analysis/scores.py:274): each
+    populated group's particles, sorted by score, written as
+    <base>_<g>_<f>_stack.mrc; group means go into one montage stack
+    <base>_means.mrc. Returns the list of written stack paths."""
+    from pathlib import Path
+
+    from pyp_tpu.io import mrc
+
+    stack = np.asarray(stack)
+    ang_g, def_g = assign_angular_defocus_groups(table, n_angles, n_defocuses)
+    scores = (np.asarray(table["score"], dtype=np.float64)
+              if "score" in table else np.zeros(len(ang_g)))
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    written, means = [], []
+    for g in range(n_angles):
+        for f in range(n_defocuses):
+            idx = np.nonzero((ang_g == g) & (def_g == f))[0]
+            if idx.size == 0:
+                continue
+            idx = idx[np.argsort(scores[idx])]
+            path = out_dir / f"{base}_{g}_{f}_stack.mrc"
+            mrc.write(stack[idx].astype(np.float32), path)
+            written.append(str(path))
+            means.append(stack[idx].mean(axis=0))
+    if means:
+        mrc.write(np.stack(means).astype(np.float32),
+                  out_dir / f"{base}_means.mrc")
+    logger.info("cluster stacks: %d populated groups written to %s",
+                len(written), out_dir)
+    return written
+
+
 def shaping_mask_from_params(table, params, tilt_angles=None, previous=None):
     """Reconstruction-time score shaping driven by the reference's
     reconstruct-tab parameter spellings (pyp_config.toml tabs.reconstruct.*:

@@ -834,6 +834,20 @@ def mode_clean(argv):
                 cols.append(np.asarray(table["original_z_position"])[act])
             np.savetxt(sel_dir / "clean.spk",
                        np.stack(cols, axis=1), fmt="%.2f")
+        if params.get("clean_cluster_stacks") and Path("stack.mrc").exists():
+            # per-(view, defocus) group stacks for visual inspection
+            # (reference generate_cluster_stacks, analysis/scores.py:274)
+            from pyp_tpu.io import mrc as mrc_io
+
+            imgs_c = mrc_io.read("stack.mrc")
+            if imgs_c.shape[0] != table.n_rows and \
+                    imgs_c.shape[0] == len(keep):
+                imgs_c = imgs_c[keep]    # clean_discard dropped rows
+            sc.generate_cluster_stacks(
+                imgs_c, table,
+                n_angles=int(params.get("clean_shape_angles") or 25),
+                n_defocuses=int(params.get("clean_shape_defocuses") or 25),
+                out_dir="clusters", base="stack")
         if params.get("clean_check_reconstruction"):
             # sanity reconstruction from the cleaned table (reference
             # tabs.clean.check_reconstruction)

@@ -453,6 +453,28 @@ class TestShapingParity:
         assert (np.asarray(t["occupancy"]) == occ_before).all()
 
 
+class TestClusterStacks:
+    def test_groups_partition_and_sort(self, tmp_path):
+        """generate_cluster_stacks (reference analysis/scores.py:274):
+        every particle lands in exactly one group stack, sorted by score,
+        plus one group-mean montage."""
+        from pyp_tpu.analysis.scores import generate_cluster_stacks
+        from pyp_tpu.io import cistem, mrc
+
+        rng = np.random.RandomState(0)
+        stack = rng.randn(30, 16, 16).astype(np.float32)
+        t = cistem.Table.zeros(30)
+        t["theta"] = rng.uniform(0, 180, 30)
+        t["defocus_1"] = rng.uniform(10000, 30000, 30)
+        t["score"] = rng.normal(20, 5, 30)
+        written = generate_cluster_stacks(stack, t, 3, 2, tmp_path)
+        total = sum(mrc.read(w).shape[0] for w in written)
+        assert total == 30
+        assert (tmp_path / "cluster_means.mrc").exists()
+        means = mrc.read(str(tmp_path / "cluster_means.mrc"))
+        assert means.shape == (len(written), 16, 16)
+
+
 class TestSplineRegularization:
     """VERDICT r3 item 9 acceptance: drift recovery under a particle-sparse,
     high-noise synthetic with outlier frames — the regime where the round-2
