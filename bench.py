@@ -37,10 +37,16 @@ BASELINE_LOCAL_PPS = 40.0     # cisTEM2 refine3d local mode, 16-core node
 BASELINE_PREPROC_MPM = 4.0    # MotionCor3+CTFFIND GPU pipeline, mics/min
 BASELINE_WBP_VPS = 5e7        # IMOD tilt, 16-core node, voxels/sec
 BASELINE_INSERT_PPS = 45.0    # cisTEM2 reconstruct3d, 16-core node
+# CSP binary (Powell per block, MPI over cores): EMPIAR-10164-scale jobs
+# (~4k particles x 41 tilts = 164k projections) take 1-2 h per refinement
+# pass per node in the reference tutorials => ~25-45 projections/sec/node;
+# 50 is the generous end (favors the reference).
+BASELINE_CSP_PROJ_PS = 50.0
 
 N = 128
 PIXEL = 1.0
-BATCH = 64   # per-dispatch batch: gather-buffer working set stays HBM-friendly
+BATCH = 256  # measured sweet spot: insertion/gather throughput rises with
+             # batch (893 -> 1,156 p/s from 64 -> 256) as fixed cost amortizes
 ITERS = 16
 
 
@@ -173,6 +179,64 @@ def bench_insertion(jax, jnp):
     return B / dt
 
 
+def bench_csp(jax, jnp):
+    """CSP joint-refinement throughput (the cspswarm hot loop): a BATCH of
+    tilt-series through the full fused mode schedule 3:0:2:1 (gradient
+    polish, 20 iters/mode) in ONE dispatch (ops/csp.csp_refine_batch).
+    Production shape: 8 series x 41 tilts x 128 particles = 41,984
+    projections per dispatch. Grid search (csp_GS) is off here, matching
+    the schema default; the e2e benchmark exercises it separately.
+    Baseline: reference CSP binary ~50 projections/sec/node (see
+    BASELINE_CSP_PROJ_PS note)."""
+    from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+    from pyp_tpu.ops.refine3d import make_mask_points
+
+    S, T, P, box = 8, 41, 128, 64
+    pixel = 2.0
+    rng = np.random.RandomState(11)
+    vol = rng.randn(box, box, box).astype(np.float32)
+    vol *= np.asarray(soft_spherical_mask(box, box * 0.33, 2.0))
+    vol = np.asarray(lowpass_filter_3d(jnp.asarray(vol), pixel, 3.0 * pixel))
+    Fref = volume_to_fourier(jnp.asarray(vol))
+    mask_np = make_mask_points(box, pixel, 60.0, 8.0)
+    mask_pts = jnp.asarray(mask_np)
+    G = mask_np.shape[0]
+
+    cp_b = csp_ops.CspParams(
+        tilt_angles=jnp.asarray(np.tile(
+            np.linspace(-60, 60, T, dtype=np.float32), (S, 1))),
+        axis_angles=jnp.zeros((S, T), jnp.float32),
+        tilt_shifts=jnp.asarray(
+            rng.uniform(-2, 2, (S, T, 2)).astype(np.float32)),
+        particle_eulers=jnp.asarray(
+            rng.uniform(0, 360, (S, P, 3)).astype(np.float32)),
+        particle_pos=jnp.asarray(
+            rng.uniform(-100, 100, (S, P, 3)).astype(np.float32)),
+        defocus_offsets=jnp.zeros((S, T), jnp.float32),
+    )
+    xv_b = jnp.asarray(
+        (rng.randn(S, T, P, G) + 1j * rng.randn(S, T, P, G)
+         ).astype(np.complex64))
+    wc_b = jnp.zeros((S, T, P, 2), jnp.float32)
+    df_b = jnp.full((S, T, 2), 15000.0, jnp.float32)
+    tw_b = jnp.ones((S, T), jnp.float32)
+    va_b = jnp.ones((S, T, P), jnp.float32)
+    modes = (3, 0, 2, 1)
+
+    def run():
+        _, mode_scores, _ = csp_ops.csp_refine_batch(
+            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+            (None,) * len(modes), None, modes, box, pixel,
+            iters_per_mode=20)
+        return mode_scores
+
+    _sync(run())  # compile
+    dt = _timed(run, reps=2, inner=1)
+    return S * T * P / dt
+
+
 def bench_wbp(jax, jnp):
     from pyp_tpu.ops.tomo import wbp_reconstruct
 
@@ -224,7 +288,9 @@ def _arm_watchdog(timeout_s: float = 2100.0):
         # attach the LAST RECORDED round's numbers, clearly labeled stale —
         # an outage of the experimental tunnel says nothing about the code
         try:
-            with open("BENCH_r02.json") as f:
+            import glob
+            latest = sorted(glob.glob("BENCH_r*.json"))[-1]
+            with open(latest) as f:
                 prev = json.load(f)
             extras["stale_last_recorded"] = {
                 "note": "previous round's measured values (tunnel down "
@@ -319,6 +385,15 @@ def main():
     except Exception as e:  # noqa: BLE001
         extras["reconstruct_insertion_particles_per_sec_per_chip"] = {
             "error": str(e)[:200]}
+    print("[bench] csp...", file=sys.stderr, flush=True)
+    try:
+        c = bench_csp(jax, jnp)
+        extras["csp_projections_per_sec_per_chip"] = {
+            "value": round(c, 1), "unit": "projections/sec/chip",
+            "vs_baseline": round(c / BASELINE_CSP_PROJ_PS, 2),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["csp_projections_per_sec_per_chip"] = {"error": str(e)[:200]}
     print("[bench] wbp...", file=sys.stderr, flush=True)
     try:
         v = bench_wbp(jax, jnp)
@@ -328,6 +403,17 @@ def main():
         }
     except Exception as e:  # noqa: BLE001
         extras["tomo_wbp_voxels_per_sec_per_chip"] = {"error": str(e)[:200]}
+
+    # HBM high-water mark across the run — the regression guard for the
+    # production-scale work (VERDICT r3 item 8)
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        extras["hbm"] = {
+            "peak_bytes_in_use": int(stats.get("peak_bytes_in_use", 0)),
+            "bytes_limit": int(stats.get("bytes_limit", 0)),
+        }
+    except Exception as e:  # noqa: BLE001
+        extras["hbm"] = {"error": str(e)[:200]}
 
     _emit(frm_pps, extras)
 
@@ -356,7 +442,8 @@ if __name__ == "__main__":
             extras["incomplete"] = {
                 "error": ("tunnel failure after retry: " + str(e)[:200])}
             try:
-                with open("BENCH_r02.json") as f:
+                import glob as _glob
+                with open(sorted(_glob.glob("BENCH_r*.json"))[-1]) as f:
                     prev = json.load(f)
                 extras["stale_last_recorded"] = {
                     "note": "previous round's measured values (tunnel down "

@@ -305,14 +305,12 @@ def mode_classify2d(argv):
     return 0
 
 
-def _csp_one_series(item, params, ref):
-    """cspswarm element: one tilt-series refinement + accumulator dump to
-    disk (the reference's per-series csp job writing dump files that
-    cspmerge later sums, SURVEY §3.4)."""
+def _csp_load_item(item, params):
+    """Load one tilt-series' data + picks for a CSP pass. Returns
+    (item2 dict, meta, params-with-spin-default, nz) or None if the series
+    has no usable metadata/picks."""
     from pyp_tpu.io import mrc
     from pyp_tpu.io.metadata import ItemMetadata
-    from pyp_tpu.ops.reconstruct import save_accumulators
-    from pyp_tpu.pipeline import csp as csp_pipe
 
     meta = ItemMetadata(item["name"], ".", mode="tomo").load()
     if not (meta.exists() and "box" in meta and "tlt" in meta):
@@ -337,33 +335,95 @@ def _csp_one_series(item, params, ref):
         eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
     item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
              "eulers": eulers, "angles": meta["tlt"]}
-    refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")
-    dump = Path("swarm") / f"{item['name']}.acc.npz"
-    dump.parent.mkdir(exist_ok=True)
-    save_accumulators(acc, dump)
+    return item2, meta, params, nz
+
+
+def _csp_post_series(name, tilts, refined, meta, params, nz):
+    """Post-refinement per-series exports (ArtiaX ministar, tilt stacks)."""
+    from pyp_tpu.io.metadata import ItemMetadata
+
     if params.get("export_artiax", True):
         # per-series "ministar" for ChimeraX/ArtiaX mapped-back display
         # (reference generate_ministar, inout/metadata/core.py:3139)
         from pyp_tpu.io.relion_tomo import export_artiax_star
 
-        meta2 = ItemMetadata(item["name"], ".", mode="tomo").load()
+        meta2 = ItemMetadata(name, ".", mode="tomo").load()
         tb = max(1, int(params.get("tomo_rec_binning") or 8))
         rec_shape = (int(nz) // tb, tilts.shape[-2] // tb,
                      tilts.shape[-1] // tb)
         export_artiax_star(
-            item["name"], np.asarray(refined.particle_pos),
+            name, np.asarray(refined.particle_pos),
             np.asarray(refined.particle_eulers), rec_shape, tb,
-            Path("artiax") / f"{item['name']}_K1.star",
+            Path("artiax") / f"{name}_K1.star",
             scores=(meta2["csp_scores"] if "csp_scores" in meta2 else None))
     if params.get("csp_save_stacks"):
         # per-particle tilt stacks at refined geometry (the reference's
         # Extraction "Save particle stacks" feeding tomoDRGN,
         # docs/guide/tomodrgn.rst) -> stacks/<name>_stack.npz
-        _export_tilt_stacks(item["name"], tilts, refined, meta, params)
+        _export_tilt_stacks(name, tilts, refined, meta, params)
+
+
+def _csp_one_series(item, params, ref):
+    """cspswarm element: one tilt-series refinement + accumulator dump to
+    disk (the reference's per-series csp job writing dump files that
+    cspmerge later sums, SURVEY §3.4)."""
+    from pyp_tpu.ops.reconstruct import save_accumulators
+    from pyp_tpu.pipeline import csp as csp_pipe
+
+    loaded = _csp_load_item(item, params)
+    if loaded is None:
+        return None
+    item2, meta, params, nz = loaded
+    tilts = item2["tilts"]
+    refined, acc, scores = csp_pipe.csp_swarm_one(item2, params, ref, ".")
+    dump = Path("swarm") / f"{item['name']}.acc.npz"
+    dump.parent.mkdir(exist_ok=True)
+    save_accumulators(acc, dump)
+    _csp_post_series(item["name"], tilts, refined, meta, params, nz)
     logger.info("csp %s: scores %s", item["name"],
                 [round(s, 3) for s in scores])
     return {"name": item["name"], "dump": str(dump),
-            "particles": int(len(coords))}
+            "particles": int(len(item2["coords"]))}
+
+
+def _csp_series_batch(group, params, ref):
+    """cspswarm bundle: a BATCH of tilt-series refined in one fused TPU
+    dispatch (pipeline.csp.csp_swarm_batch) with their accumulators chained
+    into one dump — the TPU-native replacement for the reference's
+    tasks_per_arr bundling (jobs.py:137-170): instead of packing serial
+    commands into one array element, the chip packs series into one
+    compiled program."""
+    from pyp_tpu.ops.reconstruct import save_accumulators
+    from pyp_tpu.pipeline import csp as csp_pipe
+
+    loaded = [(_csp_load_item(it, params), it) for it in group]
+    usable = [(l, it) for l, it in loaded if l is not None]
+    if not usable:
+        return None
+    items2 = [l[0] for l, _ in usable]
+    # spin default: any series with orientation priors turns the ring on
+    # for the whole batch (one compiled schedule per batch)
+    batch_params = params
+    for l, _ in usable:
+        if l[2] is not params:
+            batch_params = l[2]
+            break
+    refined_list, acc, scores_list, _pscores = csp_pipe.csp_swarm_batch(
+        items2, batch_params, ref, ".")
+    first = usable[0][1]["name"]
+    dump = Path("swarm") / f"{first}.batch.acc.npz"
+    dump.parent.mkdir(exist_ok=True)
+    save_accumulators(acc, dump)
+    total = 0
+    for (l, it), refined, scores in zip(usable, refined_list, scores_list):
+        item2, meta, p2, nz = l
+        _csp_post_series(it["name"], item2["tilts"], refined, meta,
+                         batch_params, nz)
+        logger.info("csp %s: scores %s", it["name"],
+                    [round(s, 3) for s in scores])
+        total += len(item2["coords"])
+    return {"name": first, "dump": str(dump), "particles": int(total),
+            "series": [it["name"] for _, it in usable]}
 
 
 def _export_tilt_stacks(name, tilts, refined, meta, params):
@@ -448,13 +508,31 @@ def mode_csp(argv):
         return {"resolution": res, "series": len(accs), "missing": missing}
 
     graph = JobGraph("csp")
-    graph.swarm(
-        "cspswarm", items,
-        work_fn=lambda item: _csp_one_series(item, params, ref),
-        merge_fn=merge_fn,
-        max_retries=int(params.get("slurm_retries") or 2),
-        merge_retries=int(params.get("slurm_merge_retries") or 2),
-    )
+    # fused series batching: group B series per dispatch (csp_swarm_batch)
+    # unless a per-series-only path is requested (patch grids, frame
+    # refinement) — those keep per-series control flow
+    bsz = int(params.get("csp_batch_series") or 1)
+    grid_str = str(params.get("csp_Grid") or "").strip()
+    has_grid = bool(grid_str) and np.prod(
+        [int(v) for v in grid_str.replace(",", ":").split(":")]) > 1
+    batchable = (bsz > 1 and not params.get("csp_frames") and not has_grid)
+    if batchable and len(items) > 1:
+        groups = [items[i:i + bsz] for i in range(0, len(items), bsz)]
+        graph.swarm(
+            "cspswarm", groups,
+            work_fn=lambda group: _csp_series_batch(group, params, ref),
+            merge_fn=merge_fn,
+            max_retries=int(params.get("slurm_retries") or 2),
+            merge_retries=int(params.get("slurm_merge_retries") or 2),
+        )
+    else:
+        graph.swarm(
+            "cspswarm", items,
+            work_fn=lambda item: _csp_one_series(item, params, ref),
+            merge_fn=merge_fn,
+            max_retries=int(params.get("slurm_retries") or 2),
+            merge_retries=int(params.get("slurm_merge_retries") or 2),
+        )
     LocalExecutor(max_workers=int(params.get("slurm_local_tasks") or 0)
                   or int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["cspswarm.merge"]

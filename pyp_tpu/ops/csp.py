@@ -311,31 +311,12 @@ def make_spin_offsets(step_deg: float) -> np.ndarray:
     return off
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mode", "n", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast"),
-)
-def csp_grid_search_mode(
-    params: CspParams,
-    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
-    tilt_weights, valid,
-    offsets,             # (K, d) candidate offsets (make_mode_offsets)
-    mode: int,
-    n: int,
-    pixel_size: float,
-    voltage_kv: float = 300.0,
-    cs_mm: float = 2.7,
-    amplitude_contrast: float = 0.07,
+def _grid_search_xv(
+    params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid, offsets, mode, n, pixel_size,
+    voltage_kv, cs_mm, amplitude_contrast,
 ):
-    """Exhaustive discrete search of one mode's block — the csp_GS role
-    (local_run.py:363-463, align/core.py:696-701). The score separates over
-    the searched axis (per-tilt blocks are independent given the rest, and
-    per-particle blocks likewise), so every candidate offset is scored for
-    ALL tilts (or particles) in one batched NCC evaluation; the per-entity
-    argmax picks each entity's winner. Escapes initialization errors larger
-    than the gradient basin; follow with csp_refine_mode to polish."""
-    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    """Grid-search body on precomputed window samples xv (T, P, G)."""
     axis = MODE_AXIS[mode]
     w = tilt_weights[:, None] * valid  # (T, P)
     # shift/defocus candidates don't move the reference gather points:
@@ -359,26 +340,12 @@ def csp_grid_search_mode(
     return _apply_mode_offset(params, mode, off_best), jnp.max(scores, axis=0)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("mode", "iters", "n", "pixel_size", "voltage_kv",
-                     "cs_mm", "amplitude_contrast"),
-)
-def csp_refine_mode(
-    params: CspParams,
-    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
-    tilt_weights, valid,
-    mode: int,
-    n: int,
-    pixel_size: float,
-    iters: int = 20,
-    lr: float = 0.3,
-    reg_weight: float = 0.1,
-    voltage_kv: float = 300.0,
-    cs_mm: float = 2.7,
-    amplitude_contrast: float = 0.07,
+def _refine_mode_xv(
+    params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid, mode, n, pixel_size, iters, lr, reg_weight,
+    voltage_kv, cs_mm, amplitude_contrast,
 ):
-    """Refine one parameter block (a CSP mode) by masked gradient ascent."""
+    """Gradient-ascent body on precomputed window samples xv (T, P, G)."""
     blocks = MODE_BLOCKS[mode]
     # per-block step scales (degrees / pixels)
     scales = CspParams(
@@ -387,7 +354,6 @@ def csp_refine_mode(
         particle_pos=jnp.asarray(0.5), defocus_offsets=jnp.asarray(100.0),
     )
 
-    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
     # shift/defocus blocks leave the reference gather points fixed (the
     # frozen angle blocks are identical across iterations), so the whole
     # gradient loop reuses one reference gather
@@ -436,6 +402,207 @@ def csp_refine_mode(
     return p_final, jnp.where(better, s1, s0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "n", "pixel_size", "voltage_kv", "cs_mm",
+                     "amplitude_contrast"),
+)
+def csp_grid_search_mode(
+    params: CspParams,
+    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid,
+    offsets,             # (K, d) candidate offsets (make_mode_offsets)
+    mode: int,
+    n: int,
+    pixel_size: float,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Exhaustive discrete search of one mode's block — the csp_GS role
+    (local_run.py:363-463, align/core.py:696-701). The score separates over
+    the searched axis (per-tilt blocks are independent given the rest, and
+    per-particle blocks likewise), so every candidate offset is scored for
+    ALL tilts (or particles) in one batched NCC evaluation; the per-entity
+    argmax picks each entity's winner. Escapes initialization errors larger
+    than the gradient basin; follow with csp_refine_mode to polish."""
+    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    return _grid_search_xv(
+        params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+        tilt_weights, valid, offsets, mode, n, pixel_size,
+        voltage_kv, cs_mm, amplitude_contrast)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "iters", "n", "pixel_size", "voltage_kv",
+                     "cs_mm", "amplitude_contrast"),
+)
+def csp_refine_mode(
+    params: CspParams,
+    windows_f, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid,
+    mode: int,
+    n: int,
+    pixel_size: float,
+    iters: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Refine one parameter block (a CSP mode) by masked gradient ascent."""
+    xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
+    return _refine_mode_xv(
+        params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+        tilt_weights, valid, mode, n, pixel_size, iters, lr, reg_weight,
+        voltage_kv, cs_mm, amplitude_contrast)
+
+
+def _schedule_core(
+    params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid, offsets_by_mode, spin_offsets, modes, n,
+    pixel_size, iters_per_mode, lr, reg_weight, voltage_kv, cs_mm,
+    amplitude_contrast,
+):
+    """One tilt-series' ENTIRE mode schedule as a single traced program:
+    optional spin ring, then per mode an optional grid search (csp_GS)
+    followed by the gradient polish. The Python loop over `modes` unrolls
+    at trace time — the whole pass compiles to ONE XLA program, so a full
+    CSP pass costs one dispatch instead of 2 x len(modes) (the round-3
+    bottleneck: ~3.3 s of dispatch latency per mode through the tunnel)."""
+    if spin_offsets is not None:
+        params, _ = _grid_search_xv(
+            params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+            tilt_weights, valid, spin_offsets, 1, n, pixel_size,
+            voltage_kv, cs_mm, amplitude_contrast)
+    scores = []
+    for i, mode in enumerate(modes):
+        off = offsets_by_mode[i] if offsets_by_mode is not None else None
+        if off is not None:
+            params, _ = _grid_search_xv(
+                params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+                tilt_weights, valid, off, mode, n, pixel_size,
+                voltage_kv, cs_mm, amplitude_contrast)
+        params, s = _refine_mode_xv(
+            params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+            tilt_weights, valid, mode, n, pixel_size, iters_per_mode, lr,
+            reg_weight, voltage_kv, cs_mm, amplitude_contrast)
+        scores.append(s)
+    mode_scores = (jnp.stack(scores) if scores
+                   else jnp.zeros((0,), jnp.float32))
+    # final per-particle CTF-weighted NCC (the SCORE column)
+    ncc = _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+                   n, pixel_size, voltage_kv, cs_mm, amplitude_contrast)
+    w = tilt_weights[:, None] * valid
+    pscores = (jnp.sum(ncc * w, axis=0)
+               / jnp.maximum(jnp.sum(w, axis=0), 1e-6))
+    return params, mode_scores, pscores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("modes", "n", "pixel_size", "iters_per_mode",
+                     "voltage_kv", "cs_mm", "amplitude_contrast"),
+)
+def csp_refine_schedule(
+    params: CspParams,
+    xv, window_centers, tilt_defocus, mask_pts, Fref,
+    tilt_weights, valid,
+    offsets_by_mode,     # tuple aligned with modes: (K_i, d_i) array or None
+    spin_offsets,        # (K, 3) array or None
+    modes: tuple,
+    n: int,
+    pixel_size: float,
+    iters_per_mode: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Fused single-series CSP pass (see _schedule_core)."""
+    return _schedule_core(
+        params, xv, window_centers, tilt_defocus, mask_pts, Fref,
+        tilt_weights, valid, offsets_by_mode, spin_offsets, modes, n,
+        pixel_size, iters_per_mode, lr, reg_weight, voltage_kv, cs_mm,
+        amplitude_contrast)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("modes", "n", "pixel_size", "iters_per_mode",
+                     "voltage_kv", "cs_mm", "amplitude_contrast"),
+)
+def csp_refine_batch(
+    params_b: CspParams,  # every leaf carries a leading series axis S
+    xv_b,                 # (S, T, P, G) precomputed window samples
+    window_centers_b,     # (S, T, P, 2)
+    tilt_defocus_b,       # (S, T, 2)
+    mask_pts, Fref,       # shared across series
+    tilt_weights_b,       # (S, T)
+    valid_b,              # (S, T, P)
+    offsets_by_mode,
+    spin_offsets,
+    modes: tuple,
+    n: int,
+    pixel_size: float,
+    iters_per_mode: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+):
+    """Batched CSP: S tilt-series refined in ONE dispatch (vmapped over the
+    series axis; the reference fans one cspswarm array task per series —
+    here a chip runs a whole batch per dispatch and series batches are
+    data-parallel across chips). Series are padded to common (T, P) with
+    valid=0 rows; shorter series simply carry zero weight."""
+    def one(p, xv, c, d, tw, v):
+        return _schedule_core(
+            p, xv, c, d, mask_pts, Fref, tw, v, offsets_by_mode,
+            spin_offsets, modes, n, pixel_size, iters_per_mode, lr,
+            reg_weight, voltage_kv, cs_mm, amplitude_contrast)
+
+    return jax.vmap(one)(params_b, xv_b, window_centers_b, tilt_defocus_b,
+                         tilt_weights_b, valid_b)
+
+
+def prepare_series_windows(tilt_images, params: CspParams, n: int, mask_pts):
+    """Window every particle from every tilt at its predicted position and
+    sample the window spectra at the mask points — vectorized over tilts
+    (one dispatch, not T).
+
+    Returns (xv (T, P, G) complex, window_centers (T, P, 2) float32 centered
+    coords, valid (T, P) float32)."""
+    from pyp_tpu.ops.extract import window_particles
+
+    tilt_images = jnp.asarray(tilt_images)
+    T, ny, nx = tilt_images.shape
+    pred = np.asarray(project_positions(params))  # (T, P, 2) centered
+    center = np.array([ny // 2, nx // 2])
+    ci = np.round(pred + center).astype(np.int32)
+    inb = (
+        (ci[..., 0] >= n // 2) & (ci[..., 0] < ny - n // 2)
+        & (ci[..., 1] >= n // 2) & (ci[..., 1] < nx - n // 2)
+    )
+    ci = np.clip(ci, n // 2, [ny - n // 2 - 1, nx - n // 2 - 1])
+
+    @functools.partial(jax.jit, static_argnames=("box",))
+    def cut_and_sample(imgs, coords, pts, box):
+        wins = jax.vmap(lambda im, c: window_particles(im, c, box))(
+            imgs, coords)
+        wf = image_to_fourier(wins)
+        return gather_2d_hermitian_batched(wf, pts)
+
+    xv = cut_and_sample(tilt_images, jnp.asarray(ci), jnp.asarray(mask_pts),
+                        n)
+    w_centers = (ci - center).astype(np.float32)
+    return xv, w_centers, inb.astype(np.float32)
+
+
 def csp_refine(
     params: CspParams,
     tilt_images,         # (T, ny, nx) aligned tilt series
@@ -470,81 +637,52 @@ def csp_refine(
     spin_step: if > 0, an exhaustive in-plane spin ring (make_spin_offsets)
     runs once before the mode schedule — pairs with surface-normal
     orientation priors whose phi is a free parameter."""
-    from pyp_tpu.ops.extract import window_particles
     from pyp_tpu.ops.fourier_slice import volume_to_fourier
 
     tilt_images = jnp.asarray(tilt_images)
-    T, ny, nx = tilt_images.shape
+    T = tilt_images.shape[0]
     n = boxsize
     Fref = volume_to_fourier(jnp.asarray(ref_volume))
     mask_pts = jnp.asarray(make_mask_points(n, pixel_size, low_res, high_res))
     if tilt_weights is None:
         tilt_weights = jnp.ones(T)
 
-    # extract windows at currently-predicted positions
-    pred = np.asarray(project_positions(params))  # (T, P, 2) centered
-    centers_img = pred + np.array([ny // 2, nx // 2])
-    P = pred.shape[1]
-    windows = []
-    w_centers = np.zeros((T, P, 2), dtype=np.float32)
-    valid = np.ones((T, P), dtype=np.float32)
-    for t in range(T):
-        ci = np.round(centers_img[t]).astype(np.int32)
-        inb = (
-            (ci[:, 0] >= n // 2) & (ci[:, 0] < ny - n // 2)
-            & (ci[:, 1] >= n // 2) & (ci[:, 1] < nx - n // 2)
-        )
-        valid[t] = inb.astype(np.float32)
-        ci = np.clip(ci, n // 2, [ny - n // 2 - 1, nx - n // 2 - 1])
-        windows.append(window_particles(tilt_images[t], jnp.asarray(ci), n))
-        w_centers[t] = ci - np.array([ny // 2, nx // 2])
-    windows = jnp.stack(windows)  # (T, P, n, n)
-    windows_f = image_to_fourier(windows)
+    xv, w_centers, valid = prepare_series_windows(
+        tilt_images, params, n, mask_pts)
 
-    if spin_step and spin_step > 0:
-        params, _ = csp_grid_search_mode(
-            params, windows_f, jnp.asarray(w_centers),
-            jnp.asarray(tilt_defocus), mask_pts, Fref,
-            jnp.asarray(tilt_weights), jnp.asarray(valid),
-            jnp.asarray(make_spin_offsets(spin_step)), 1, n, pixel_size,
-            voltage_kv=voltage_kv, cs_mm=cs_mm,
-            amplitude_contrast=amplitude_contrast,
-        )
+    offsets_by_mode, spin_offsets = build_mode_offsets(
+        modes, grid_tols, grid_steps, spin_step)
 
-    scores = []
-    for mode in modes:
-        if grid_tols and mode in grid_tols and np.max(grid_tols[mode]) > 0:
-            offsets = make_mode_offsets(mode, grid_tols[mode], grid_steps)
-            params, _ = csp_grid_search_mode(
-                params, windows_f, jnp.asarray(w_centers),
-                jnp.asarray(tilt_defocus), mask_pts, Fref,
-                jnp.asarray(tilt_weights), jnp.asarray(valid),
-                jnp.asarray(offsets), mode, n, pixel_size,
-                voltage_kv=voltage_kv, cs_mm=cs_mm,
-                amplitude_contrast=amplitude_contrast,
-            )
-        params, score = csp_refine_mode(
-            params, windows_f, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
-            mask_pts, Fref, jnp.asarray(tilt_weights), jnp.asarray(valid),
-            mode, n, pixel_size, iters=iters_per_mode, lr=lr,
-            reg_weight=reg_weight,
-            voltage_kv=voltage_kv, cs_mm=cs_mm,
-            amplitude_contrast=amplitude_contrast,
-        )
-        scores.append(float(score))
+    params, mode_scores, pscores = csp_refine_schedule(
+        params, xv, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
+        mask_pts, Fref, jnp.asarray(tilt_weights), jnp.asarray(valid),
+        offsets_by_mode, spin_offsets, tuple(modes), n, pixel_size,
+        iters_per_mode=iters_per_mode, lr=lr, reg_weight=reg_weight,
+        voltage_kv=voltage_kv, cs_mm=cs_mm,
+        amplitude_contrast=amplitude_contrast,
+    )
+    scores = [float(s) for s in np.asarray(mode_scores)]
     if not return_particle_scores:
         return params, scores
-    # final per-particle CTF-weighted NCC at the refined parameters (the
-    # SCORE column of the reference's parameter files — feeds cleaning,
-    # ArtiaX colormaps, and class selection)
-    xv = gather_2d_hermitian_batched(windows_f, mask_pts)
-    ncc = _csp_ncc(params, xv, jnp.asarray(w_centers),
-                   jnp.asarray(tilt_defocus), mask_pts, Fref, n, pixel_size,
-                   voltage_kv, cs_mm, amplitude_contrast)
-    w = jnp.asarray(tilt_weights)[:, None] * jnp.asarray(valid)
-    per_particle = (jnp.sum(ncc * w, axis=0)
-                    / jnp.maximum(jnp.sum(w, axis=0), 1e-6))
-    return params, scores, np.asarray(per_particle)
+    # the final per-particle CTF-weighted NCC (the SCORE column of the
+    # reference's parameter files — feeds cleaning, ArtiaX colormaps, and
+    # class selection) is computed inside the fused schedule
+    return params, scores, np.asarray(pscores)
+
+
+def build_mode_offsets(modes, grid_tols, grid_steps: int = 9,
+                       spin_step: float = 0.0):
+    """Assemble the static candidate-offset pytrees for a mode schedule:
+    (offsets_by_mode tuple aligned with modes, spin_offsets or None)."""
+    offsets_by_mode = tuple(
+        jnp.asarray(make_mode_offsets(m, grid_tols[m], grid_steps))
+        if grid_tols and m in grid_tols and np.max(grid_tols[m]) > 0
+        else None
+        for m in modes
+    )
+    spin_offsets = (jnp.asarray(make_spin_offsets(spin_step))
+                    if spin_step and spin_step > 0 else None)
+    return offsets_by_mode, spin_offsets
 
 
 def csp_particles_for_reconstruction(params: CspParams, windows_f_shape=None):

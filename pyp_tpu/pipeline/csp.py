@@ -180,108 +180,9 @@ def csp_swarm_one(
 
     # ---- insert projections into accumulators (per-series "dump") ---------
     with Timer(f"csp reconstruction {name}"):
-        R_eff = np.asarray(csp_ops.effective_rotations(refined))  # (T, P, 3, 3)
-        pred = np.asarray(csp_ops.project_positions(refined))     # (T, P, 2)
-        depth = np.asarray(csp_ops.particle_depth(refined))       # (T, P)
-        P = pred.shape[1]
-        center = np.array([ny // 2, nx // 2])
-
-        # reconstruction dose weighting (reference reconstruct3d dose block,
-        # frealign.py:1731-1753): Grant-Grigorieff envelope per tilt in
-        # dose order (|angle| rank approximates acquisition order)
-        dose_env = None
-        if params.get("reconstruct_dose_weighting_enable"):
-            from pyp_tpu.core.ctf import dose_weight_2d
-
-            if params.get("scope_dose_symmetric", True):
-                # dose-symmetric scheme: |angle| rank = acquisition order
-                order = np.argsort(np.argsort(np.abs(
-                    np.asarray(refined.tilt_angles))))
-            else:  # sequential acquisition (-60 -> +60)
-                order = np.arange(len(np.asarray(refined.tilt_angles)))
-            if str(params.get("dose_weight_method") or "grant") == "frame":
-                # data-driven rank-falloff envelope (reference
-                # dose_weighting_fraction/transition/multiply family)
-                from pyp_tpu.core.ctf import frame_damage_weights
-
-                ranks = order.astype(np.float32) / max(len(order) - 1, 1)
-                dose_env = frame_damage_weights(
-                    (box, box), ranks,
-                    fraction=float(params.get("dose_weight_fraction")
-                                   or 4.0),
-                    transition=float(params.get("dose_weight_transition")
-                                     or 0.75),
-                    multiply=bool(params.get("dose_weight_multiply", True)))
-            else:
-                cum = ((order + 1.0)
-                       * float(params.get("scope_dose_rate") or 1.0)
-                       + float(params.get("scope_init_dose") or 0.0))
-                dose_env = dose_weight_2d(
-                    (box, box), pixel, jnp.asarray(cum.astype(np.float32)))
-
-        r_lo = int(params.get("csp_UseImagesForReconstructionMin") or 0)
-        r_hi = int(params.get("csp_UseImagesForReconstructionMax") or -1)
-        r_lo, r_hi = max(t_lo, r_lo), (t_hi if r_hi < 0 else min(t_hi, r_hi))
-        rows_R, rows_shift, rows_df, rows_sub, rows_w, wins = [], [], [], [], [], []
-        for t in range(r_lo, r_hi + 1):
-            ci = np.round(pred[t] + center).astype(np.int32)
-            inb = (
-                (ci[:, 0] >= box // 2) & (ci[:, 0] < ny - box // 2)
-                & (ci[:, 1] >= box // 2) & (ci[:, 1] < nx - box // 2)
-            )
-            ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
-            if polished is not None:
-                w = jnp.asarray(polished[t])
-            else:
-                w = window_particles(jnp.asarray(tilts[t]), jnp.asarray(ci),
-                                     box)
-            if dose_env is not None:
-                w = jnp.fft.irfft2(jnp.fft.rfft2(w) * dose_env[t],
-                                   s=(box, box))
-            wins.append(np.asarray(w))
-            # residual shift: content sits at pred - window_center
-            dsh = pred[t] + center - ci
-            rows_shift.append(-dsh)  # shift to apply to center the content
-            rows_R.append(R_eff[t])
-            rows_df.append(defocus[t, :2].mean() + depth[t] * pixel)
-            rows_sub.append(np.arange(P) % 2)
-            rows_w.append(inb.astype(np.float32))
-        windows = np.concatenate(wins)
-        from pyp_tpu.parallel import pipeline_mesh, sharded_accumulate_matrices
-
-        mesh = pipeline_mesh(params)
-        if mesh is not None:
-            # shard the (tilt x particle) projection rows across chips; one
-            # psum merges the accumulators (the cspmerge reduction, §3.4)
-            acc = sharded_accumulate_matrices(
-                mesh, windows,
-                np.concatenate(rows_R),
-                np.concatenate(rows_shift).astype(np.float32),
-                np.concatenate(rows_df).astype(np.float32),
-                np.concatenate(rows_sub),
-                np.concatenate(rows_w),
-                box, pixel,
-                voltage_kv=float(params["scope_voltage"]),
-                cs_mm=float(params["scope_cs"]),
-                amplitude_contrast=float(params["scope_wgh"]),
-                prev=prev_acc,
-                iewald=int(params.get("reconstruct_iewald") or 0),
-            )
-        else:
-            acc = rec.accumulate_matrices(
-                jnp.asarray(windows),
-                jnp.asarray(np.concatenate(rows_R)),
-                jnp.asarray(np.concatenate(rows_shift).astype(np.float32)),
-                jnp.asarray(np.concatenate(rows_df).astype(np.float32)),
-                jnp.asarray(np.concatenate(rows_sub)),
-                jnp.asarray(np.concatenate(rows_w)),
-                box, pixel,
-                voltage_kv=float(params["scope_voltage"]),
-                cs_mm=float(params["scope_cs"]),
-                amplitude_contrast=float(params["scope_wgh"]),
-                prev=prev_acc,
-                iewald=int(params.get("reconstruct_iewald") or 0),
-            )
+        acc = _reconstruct_series(
+            tilts, refined, defocus, params, t_lo, t_hi,
+            polished=polished, prev_acc=prev_acc)
 
     # persist refined geometry back to metadata (resume + interop)
     meta["csp_scores"] = np.asarray(particle_scores, dtype=np.float32)
@@ -292,6 +193,323 @@ def csp_swarm_one(
     meta["tlt"] = np.asarray(refined.tilt_angles)
     meta.save()
     return refined, acc, scores
+
+
+def _dose_envelope(refined, params, box: int, pixel: float):
+    """Reconstruction dose weighting (reference reconstruct3d dose block,
+    frealign.py:1731-1753): Grant-Grigorieff envelope per tilt in dose
+    order (|angle| rank approximates acquisition order). Returns (T, box,
+    box//2+1) weights or None."""
+    import jax.numpy as jnp
+
+    if not params.get("reconstruct_dose_weighting_enable"):
+        return None
+    from pyp_tpu.core.ctf import dose_weight_2d
+
+    if params.get("scope_dose_symmetric", True):
+        # dose-symmetric scheme: |angle| rank = acquisition order
+        order = np.argsort(np.argsort(np.abs(
+            np.asarray(refined.tilt_angles))))
+    else:  # sequential acquisition (-60 -> +60)
+        order = np.arange(len(np.asarray(refined.tilt_angles)))
+    if str(params.get("dose_weight_method") or "grant") == "frame":
+        # data-driven rank-falloff envelope (reference
+        # dose_weighting_fraction/transition/multiply family)
+        from pyp_tpu.core.ctf import frame_damage_weights
+
+        ranks = order.astype(np.float32) / max(len(order) - 1, 1)
+        return frame_damage_weights(
+            (box, box), ranks,
+            fraction=float(params.get("dose_weight_fraction") or 4.0),
+            transition=float(params.get("dose_weight_transition") or 0.75),
+            multiply=bool(params.get("dose_weight_multiply", True)))
+    cum = ((order + 1.0)
+           * float(params.get("scope_dose_rate") or 1.0)
+           + float(params.get("scope_init_dose") or 0.0))
+    return dose_weight_2d((box, box), pixel,
+                          jnp.asarray(cum.astype(np.float32)))
+
+
+def _reconstruct_series(tilts, refined, defocus, params, t_lo, t_hi,
+                        polished=None, prev_acc=None):
+    """Insert one refined series' projections into reconstruction
+    accumulators — windowing vectorized over tilts (one cut dispatch + one
+    accumulate dispatch, not T each)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops import reconstruct as rec
+    from pyp_tpu.ops.extract import window_particles
+
+    T, ny, nx = np.asarray(tilts).shape[-3:]
+    box = int(params.get("csp_box") or 64)
+    pixel = float(params["scope_pixel"])
+    R_eff = np.asarray(csp_ops.effective_rotations(refined))  # (T, P, 3, 3)
+    pred = np.asarray(csp_ops.project_positions(refined))     # (T, P, 2)
+    depth = np.asarray(csp_ops.particle_depth(refined))       # (T, P)
+    P = pred.shape[1]
+    center = np.array([ny // 2, nx // 2])
+
+    dose_env = _dose_envelope(refined, params, box, pixel)
+
+    r_lo = int(params.get("csp_UseImagesForReconstructionMin") or 0)
+    r_hi = int(params.get("csp_UseImagesForReconstructionMax") or -1)
+    r_lo, r_hi = max(t_lo, r_lo), (t_hi if r_hi < 0 else min(t_hi, r_hi))
+    ts = np.arange(r_lo, r_hi + 1)
+    Tr = len(ts)
+
+    pred_s = pred[ts]                                       # (Tr, P, 2)
+    ci = np.round(pred_s + center).astype(np.int32)
+    inb = (
+        (ci[..., 0] >= box // 2) & (ci[..., 0] < ny - box // 2)
+        & (ci[..., 1] >= box // 2) & (ci[..., 1] < nx - box // 2)
+    )
+    ci = np.clip(ci, box // 2, [ny - box // 2 - 1, nx - box // 2 - 1])
+
+    if polished is not None:
+        wins = jnp.asarray(np.asarray(polished)[ts])
+    else:
+        wins = jax.vmap(
+            lambda im, c: window_particles(im, c, box)
+        )(jnp.asarray(np.asarray(tilts)[ts]), jnp.asarray(ci))
+    if dose_env is not None:
+        wins = jnp.fft.irfft2(
+            jnp.fft.rfft2(wins) * jnp.asarray(dose_env)[ts][:, None],
+            s=(box, box))
+    windows = jnp.reshape(wins, (Tr * P, box, box))
+
+    # residual shift: content sits at pred - window_center; the stored
+    # shift centers it
+    rows_shift = (-(pred_s + center - ci)).reshape(Tr * P, 2).astype(np.float32)
+    rows_R = R_eff[ts].reshape(Tr * P, 3, 3)
+    rows_df = (defocus[ts, :2].mean(axis=1, keepdims=True)
+               + depth[ts] * pixel).reshape(Tr * P).astype(np.float32)
+    rows_sub = np.tile(np.arange(P) % 2, Tr)
+    rows_w = inb.reshape(Tr * P).astype(np.float32)
+
+    from pyp_tpu.parallel import pipeline_mesh, sharded_accumulate_matrices
+
+    mesh = pipeline_mesh(params)
+    kw = dict(
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        amplitude_contrast=float(params["scope_wgh"]),
+        prev=prev_acc,
+        iewald=int(params.get("reconstruct_iewald") or 0),
+    )
+    if mesh is not None:
+        # shard the (tilt x particle) projection rows across chips; one
+        # psum merges the accumulators (the cspmerge reduction, §3.4)
+        return sharded_accumulate_matrices(
+            mesh, np.asarray(windows), rows_R, rows_shift, rows_df,
+            rows_sub, rows_w, box, pixel, **kw)
+    return rec.accumulate_matrices(
+        windows, jnp.asarray(rows_R), jnp.asarray(rows_shift),
+        jnp.asarray(rows_df), jnp.asarray(rows_sub), jnp.asarray(rows_w),
+        box, pixel, **kw)
+
+
+def _csp_config(params: dict, iteration: int, pixel: float):
+    """Shared mode-schedule configuration for a CSP pass (modes, band,
+    grid-search tolerances) — one place so the single-series and batched
+    paths cannot drift."""
+    modes = tuple(
+        int(m) for m in str(params.get("csp_refine_modes") or "3:0:2:1").split(":")
+    )
+    rhref = float(param(params.get("csp_rhref") or "12", iteration))
+    grid_tols = None
+    if params.get("csp_GridSearch"):
+        grid_tols = {
+            0: (float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
+                float(params.get("csp_ToleranceMicrographTiltAxisAngles")
+                      or 0.0)),
+            3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
+            5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
+            4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
+            1: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
+                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
+            7: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
+                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
+                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
+            2: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
+            6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
+        }
+    return dict(
+        modes=modes,
+        rhref=rhref,
+        low_res=float(params.get("csp_rlref") or 60.0),
+        high_res=max(rhref, 2.5 * pixel),
+        iters=int(params.get("csp_OptimizerIters") or 20),
+        lr=float(params.get("csp_OptimizerStepLength") or 0.3),
+        reg_weight=float(params.get("csp_transreg") or 0.1),
+        grid_tols=grid_tols,
+        grid_steps=int(params.get("csp_GridSearchSteps") or 9),
+        spin_step=float(params.get("csp_spin_search") or 0.0),
+        voltage_kv=float(params["scope_voltage"]),
+        cs_mm=float(params["scope_cs"]),
+        amplitude_contrast=float(params["scope_wgh"]),
+    )
+
+
+def _pad_edge(a, n_target, axis=0):
+    """Pad along axis to n_target by edge replication."""
+    a = np.asarray(a)
+    pad = n_target - a.shape[axis]
+    if pad <= 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return np.pad(a, widths, mode="edge")
+
+
+def csp_swarm_batch(
+    items: list, params: dict, ref_volume, work_dir=".", iteration: int = 2,
+    prev_acc=None,
+):
+    """Batched cspswarm: refine S tilt-series in ONE fused dispatch
+    (ops.csp.csp_refine_batch) and chain their reconstruction accumulators.
+
+    The reference fans one SLURM array element per tilt-series
+    (launch_csp, slurm.py:600); a TPU chip is itself massively parallel, so
+    a chip processes a whole batch of series per dispatch and batches are
+    data-parallel across chips. Series are padded to common (T, P) with
+    zero validity weights.
+
+    items: list of dicts as csp_swarm_one takes. Returns (refined list of
+    CspParams, chained accumulators, mode-score lists, per-particle-score
+    list)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.ops import csp as csp_ops
+    from pyp_tpu.ops.fourier_slice import volume_to_fourier
+    from pyp_tpu.ops.refine3d import make_mask_points
+
+    pixel = float(params["scope_pixel"])
+    box = int(params.get("csp_box") or 64)
+    cfg = _csp_config(params, iteration, pixel)
+    Fref = volume_to_fourier(jnp.asarray(ref_volume))
+    mask_pts = jnp.asarray(make_mask_points(
+        box, pixel, cfg["low_res"], cfg["high_res"]))
+
+    # ---- per-series setup + window sampling (cheap dispatches) ------------
+    setups = []
+    for item in items:
+        meta = ItemMetadata(item["name"], work_dir, mode="tomo").load()
+        tilts = np.asarray(item["tilts"], dtype=np.float32)
+        T = tilts.shape[0]
+        cp = series_params_from_metadata(meta, item["coords"], item["eulers"])
+        defocus = (
+            meta["ctf"][:, :2].astype(np.float32)
+            if "ctf" in meta else np.full((T, 2), 20000.0, dtype=np.float32)
+        )
+        t_lo = int(params.get("csp_UseImagesForRefinementMin") or 0)
+        t_hi = int(params.get("csp_UseImagesForRefinementMax") or -1)
+        if t_hi < 0:
+            t_hi = T - 1
+        tw = np.zeros(T, dtype=np.float32)
+        tw[t_lo:t_hi + 1] = 1.0
+        xv, w_centers, valid = csp_ops.prepare_series_windows(
+            tilts, cp, box, mask_pts)
+        setups.append(dict(
+            meta=meta, tilts=tilts, cp=cp, defocus=defocus, tw=tw,
+            xv=np.asarray(xv), w_centers=w_centers, valid=valid,
+            t_lo=t_lo, t_hi=t_hi, name=item["name"],
+        ))
+
+    # ---- pad to common (T, P) and stack ------------------------------------
+    Tm = max(s["tilts"].shape[0] for s in setups)
+    Pm = max(s["cp"].particle_pos.shape[0] for s in setups)
+    G = setups[0]["xv"].shape[-1]
+    S = len(setups)
+
+    def pad_series(s):
+        cp = s["cp"]
+        T = s["tilts"].shape[0]
+        P = np.asarray(cp.particle_pos).shape[0]
+        cp_p = csp_ops.CspParams(
+            tilt_angles=jnp.asarray(_pad_edge(cp.tilt_angles, Tm)),
+            axis_angles=jnp.asarray(_pad_edge(cp.axis_angles, Tm)),
+            tilt_shifts=jnp.asarray(_pad_edge(cp.tilt_shifts, Tm)),
+            particle_eulers=jnp.asarray(_pad_edge(cp.particle_eulers, Pm)),
+            particle_pos=jnp.asarray(_pad_edge(cp.particle_pos, Pm)),
+            defocus_offsets=jnp.asarray(_pad_edge(cp.defocus_offsets, Tm)),
+        )
+        xv = np.zeros((Tm, Pm, G), dtype=s["xv"].dtype)
+        xv[:s["xv"].shape[0], :s["xv"].shape[1]] = s["xv"]
+        wc = np.zeros((Tm, Pm, 2), dtype=np.float32)
+        wc[:T, :P] = s["w_centers"]
+        va = np.zeros((Tm, Pm), dtype=np.float32)
+        va[:T, :P] = s["valid"]
+        df = _pad_edge(s["defocus"], Tm)
+        tw = np.zeros(Tm, dtype=np.float32)
+        tw[:T] = s["tw"]
+        return cp_p, xv, wc, va, df, tw
+
+    import jax as _jax
+
+    padded = [pad_series(s) for s in setups]
+    cp_b = _jax.tree.map(lambda *xs: jnp.stack(xs), *[p[0] for p in padded])
+    xv_b = jnp.asarray(np.stack([p[1] for p in padded]))
+    wc_b = jnp.asarray(np.stack([p[2] for p in padded]))
+    va_b = jnp.asarray(np.stack([p[3] for p in padded]))
+    df_b = jnp.asarray(np.stack([p[4] for p in padded]).astype(np.float32))
+    tw_b = jnp.asarray(np.stack([p[5] for p in padded]))
+
+    offsets_by_mode, spin_offsets = csp_ops.build_mode_offsets(
+        cfg["modes"], cfg["grid_tols"], cfg["grid_steps"], cfg["spin_step"])
+
+    with Timer(f"csp batch refinement ({S} series)"):
+        refined_b, mode_scores_b, pscores_b = csp_ops.csp_refine_batch(
+            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+            offsets_by_mode, spin_offsets, cfg["modes"], box, pixel,
+            iters_per_mode=cfg["iters"], lr=cfg["lr"],
+            reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
+            cs_mm=cfg["cs_mm"], amplitude_contrast=cfg["amplitude_contrast"],
+        )
+        mode_scores_b = np.asarray(mode_scores_b)
+        pscores_b = np.asarray(pscores_b)
+
+    # ---- unpad, persist, reconstruct ---------------------------------------
+    refined_list, scores_list, pscore_list = [], [], []
+    acc = prev_acc
+    for i, s in enumerate(setups):
+        T = s["tilts"].shape[0]
+        P = np.asarray(s["cp"].particle_pos).shape[0]
+        r = _jax.tree.map(lambda x: x[i], refined_b)
+        r = r._replace(
+            tilt_angles=r.tilt_angles[:T], axis_angles=r.axis_angles[:T],
+            tilt_shifts=r.tilt_shifts[:T],
+            particle_eulers=r.particle_eulers[:P],
+            particle_pos=r.particle_pos[:P],
+            defocus_offsets=r.defocus_offsets[:T],
+        )
+        if params.get("csp_rotreg"):
+            from pyp_tpu.analysis.fit import fit_spline_trajectory
+
+            r = r._replace(
+                tilt_angles=jnp.asarray(fit_spline_trajectory(
+                    np.asarray(r.tilt_angles),
+                    outlier_mads=5.0).astype(np.float32)),
+                axis_angles=jnp.asarray(fit_spline_trajectory(
+                    np.asarray(r.axis_angles),
+                    outlier_mads=5.0).astype(np.float32)))
+        acc = _reconstruct_series(
+            s["tilts"], r, s["defocus"], params, s["t_lo"], s["t_hi"],
+            prev_acc=acc)
+        meta = s["meta"]
+        meta["csp_scores"] = pscores_b[i, :P].astype(np.float32)
+        meta["xf"] = np.concatenate([
+            np.asarray(r.tilt_shifts),
+            np.asarray(r.axis_angles)[:, None],
+        ], axis=1)
+        meta["tlt"] = np.asarray(r.tilt_angles)
+        meta.save()
+        refined_list.append(r)
+        scores_list.append([float(v) for v in mode_scores_b[i]])
+        pscore_list.append(pscores_b[i, :P])
+    return refined_list, acc, scores_list, pscore_list
 
 
 def csp_merge(accumulators, box: int, params: dict, work_dir=".",

@@ -298,3 +298,114 @@ class TestPerParticleScores:
         assert np.isfinite(pscores).all()
         # at the true parameters every particle should correlate positively
         assert (pscores > 0).all(), pscores
+
+
+class TestBatchedEngine:
+    """csp_refine_batch (one fused dispatch for S series) must match the
+    single-series path exactly — same schedule, same math, just vmapped."""
+
+    def test_batch_matches_single(self):
+        import jax
+
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+        from pyp_tpu.ops.refine3d import make_mask_points
+
+        vol = make_reference()
+        rng = np.random.RandomState(7)
+        series = []
+        for seed in (1, 5):
+            true, images, defocus = make_tilt_series(vol, seed=seed)
+            pert = true._replace(
+                tilt_shifts=true.tilt_shifts + jnp.asarray(
+                    rng.uniform(-2, 2, (T, 2)).astype(np.float32)))
+            series.append((pert, images, defocus))
+
+        modes = (3, 1)
+        kw = dict(iters_per_mode=5, high_res=8.0, reg_weight=0.05)
+
+        singles = [
+            csp.csp_refine(p, im, df, vol, PIXEL, NBOX, modes=modes,
+                           return_particle_scores=True, **kw)
+            for p, im, df in series
+        ]
+
+        Fref = volume_to_fourier(jnp.asarray(vol))
+        mask_pts = jnp.asarray(make_mask_points(NBOX, PIXEL, 60.0, 8.0))
+        prep = [csp.prepare_series_windows(im, p, NBOX, mask_pts)
+                for p, im, df in series]
+        cp_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[p for p, _, _ in series])
+        xv_b = jnp.stack([jnp.asarray(x) for x, _, _ in prep])
+        wc_b = jnp.stack([jnp.asarray(w) for _, w, _ in prep])
+        va_b = jnp.stack([jnp.asarray(v) for _, _, v in prep])
+        df_b = jnp.stack([df for _, _, df in series])
+        tw_b = jnp.ones((2, T), jnp.float32)
+
+        refined_b, mode_scores_b, pscores_b = csp.csp_refine_batch(
+            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+            (None, None), None, modes, NBOX, PIXEL,
+            iters_per_mode=5, reg_weight=0.05)
+
+        for i, (p_single, s_single, ps_single) in enumerate(singles):
+            p_batch = jax.tree.map(lambda x: np.asarray(x[i]), refined_b)
+            for name in csp.CspParams._fields:
+                np.testing.assert_allclose(
+                    getattr(p_batch, name),
+                    np.asarray(getattr(p_single, name)),
+                    rtol=2e-4, atol=2e-4, err_msg=f"series {i} field {name}")
+            np.testing.assert_allclose(
+                np.asarray(mode_scores_b[i]), np.asarray(s_single),
+                rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(pscores_b[i]), ps_single, rtol=1e-4, atol=1e-5)
+
+    def test_swarm_batch_pipeline(self, tmp_path):
+        """csp_swarm_batch end-to-end: padded series of different P, metadata
+        persisted, accumulators chained."""
+        import os
+
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.pipeline.csp import csp_swarm_batch
+
+        vol = make_reference()
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            items = []
+            for i, seed in enumerate((1, 5)):
+                true, images, defocus = make_tilt_series(vol, seed=seed)
+                name = f"series{i}"
+                meta = ItemMetadata(name, ".", mode="tomo")
+                meta["tlt"] = ANGLES
+                meta["ctf"] = np.asarray(defocus)
+                meta["box"] = np.zeros((P, 5), dtype=np.float32)
+                meta.save()
+                n_keep = P if i == 0 else P - 2  # different particle counts
+                items.append({
+                    "name": name,
+                    "tilts": np.asarray(images),
+                    "coords": np.asarray(true.particle_pos)[:n_keep],
+                    "eulers": np.asarray(true.particle_eulers)[:n_keep],
+                })
+            params = {
+                "scope_pixel": PIXEL, "scope_voltage": 300.0,
+                "scope_cs": 2.7, "scope_wgh": 0.07, "csp_box": NBOX,
+                "csp_refine_modes": "3", "csp_OptimizerIters": 3,
+            }
+            refined, acc, scores, pscores = csp_swarm_batch(
+                items, params, vol, ".")
+            assert len(refined) == 2
+            assert refined[0].particle_pos.shape[0] == P
+            assert refined[1].particle_pos.shape[0] == P - 2
+            assert len(pscores[1]) == P - 2
+            assert all(np.isfinite(s).all() for s in pscores)
+            # accumulators chained over both series and finalizable
+            from pyp_tpu.ops import reconstruct as rec
+
+            out = rec.finalize(acc, NBOX)
+            assert np.isfinite(np.asarray(out.volume)).all()
+            meta2 = ItemMetadata("series1", ".", mode="tomo").load()
+            assert "csp_scores" in meta2
+            assert len(meta2["csp_scores"]) == P - 2
+        finally:
+            os.chdir(cwd)
