@@ -60,6 +60,28 @@ def _ctf_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, w):
     return jax.vmap(one)(ctf_params)
 
 
+def _chi_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm, w):
+    """Total aberration phase grids chi_tot (B, n, n//2+1) such that
+    CTF = -sin(chi_tot) — the branch phase for the reference-based Ewald
+    insertion (insert_slices_halves chi argument)."""
+    from pyp_tpu.core import ctf as ctf_model
+
+    ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32)
+    kx = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    pts = jnp.stack(jnp.meshgrid(ky, kx, indexing="ij"), axis=-1)
+    amp = float(np.arctan2(w, np.sqrt(max(1.0 - w * w, 0.0))))
+
+    def one(cp):
+        gy = pts[..., 0] / (n * pixel_size)
+        gx = pts[..., 1] / (n * pixel_size)
+        g = jnp.sqrt(gy * gy + gx * gx)
+        azim = jnp.arctan2(gy, gx)
+        df = ctf_model.defocus_at_azimuth(cp[0], cp[1], cp[2], azim)
+        return ctf_model.chi(g, df, voltage_kv, cs_mm, cp[3]) + amp
+
+    return jax.vmap(one)(ctf_params)
+
+
 def _shift_correct(X, shifts, n):
     """Apply refined shifts: X * exp(-2*pi*i g.s / n) (centers particles)."""
     ky = jnp.asarray(np.fft.fftfreq(n) * n, dtype=jnp.float32).reshape(n, 1)
@@ -96,6 +118,7 @@ def accumulate(
     gridding: str = "trilinear",
     iewald: int = 0,
     lblur=None,
+    ref_fourier=None,
 ) -> Accumulators:
     """Insert a batch of particles into (possibly pre-existing) accumulators.
 
@@ -104,8 +127,11 @@ def accumulate(
     weighting block (SURVEY §A.2).
 
     `iewald`: FREALIGN Ewald-sphere correction (reference reconstruct tab,
-    frealign.py IEWALD card). +-1 = simple curved insertion (sign =
-    handedness); +-2 (reference-based) falls back to the simple mode.
+    frealign.py IEWALD card). +-1 = simple curved insertion (handedness-
+    invariant: both branches insert explicitly); +-2 = reference-based
+    unmixing (requires `ref_fourier`, the padded spectrum of the current
+    reference map; sign = handedness, which now matters). +-2 without a
+    reference degrades to the simple mode.
 
     `lblur`: likelihood blurring (the reference's reconstruct3d `blurring`
     card, frealign.py:1772 / reconstruct_lblur + lblur_nrot params): a
@@ -160,13 +186,19 @@ def accumulate(
     else:
         blur_terms = [(R, weights)]
 
+    chi = None
+    if abs(iewald) >= 2 and ref_fourier is not None and ewald_c:
+        chi = _chi_grids(n, pixel_size, ctf_params, voltage_kv, cs_mm,
+                         amplitude_contrast)
     num1, den1, num2, den2 = prev
     for Rb, wb in blur_terms:
         for k in range(n_sym):
             Rk = Rb @ sym_mats[k][None]
             a1, b1, a2, b2 = insert_slices_halves(
                 X, ctfs, Rk, subset, wb, n, pad=pad, gridding=gridding,
-                ewald_c=ewald_c)
+                ewald_c=ewald_c,
+                ref_fourier=(ref_fourier if chi is not None else None),
+                chi=chi)
             num1, den1 = num1 + a1, den1 + b1
             num2, den2 = num2 + a2, den2 + b2
     return Accumulators(num1, den1, num2, den2)
@@ -224,6 +256,7 @@ def reconstruct(
     batch: int = 256, pad: int = DEFAULT_PAD, gridding: str = "trilinear",
     crop_to: int = None, iewald: int = 0,
     lblur_nrot: int = 0, lblur_range: float = 20.0,
+    ref_volume=None,
 ) -> Reconstruction:
     """Single-call reconstruction of a full particle stack (batched insert).
 
@@ -259,6 +292,19 @@ def reconstruct(
         pad = int(np.ceil(pad * n / float(n_rec)))
     pixel_rec = pixel_size / ratio
     lblur = lblur_bank(lblur_nrot, lblur_range)
+    ref_fourier = None
+    if abs(iewald) >= 2 and ref_volume is not None:
+        # reference-based Ewald unmixing: one padded spectrum of the
+        # current map, shared by every batch (Fourier-cropped with the
+        # stack when reconstructing on the band-limited grid)
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+        rv = jnp.asarray(ref_volume, dtype=jnp.float32)
+        if n_rec < n:
+            from pyp_tpu.core.fft import fourier_crop_3d
+
+            rv = fourier_crop_3d(rv, out_shape=(n_rec, n_rec, n_rec))
+        ref_fourier = volume_to_fourier(rv, pad=2)
     acc = None
     for i in range(0, B, batch):
         sl = slice(i, min(i + batch, B))
@@ -272,7 +318,7 @@ def reconstruct(
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),
             jnp.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
-            iewald=iewald, lblur=lblur,
+            iewald=iewald, lblur=lblur, ref_fourier=ref_fourier,
         )
     return finalize(acc, n_rec, pad, wiener, gridding)
 
@@ -315,11 +361,13 @@ def accumulate_matrices(
     pad: int = DEFAULT_PAD,
     prev: Accumulators | None = None,
     iewald: int = 0,
+    ref_fourier=None,
 ) -> Accumulators:
     """Insertion with explicit rotation matrices — the CSPT path: each
     (tilt, particle) projection window contributes a slice at pose
     R_eff = R_tilt @ M_particle (SURVEY §3.4; ops.csp produces these).
-    iewald: Ewald-sphere simple curved insertion (see `accumulate`)."""
+    iewald: Ewald-sphere correction (see `accumulate`; magnitude 2 +
+    ref_fourier = reference-based unmixing)."""
     X = image_to_fourier(windows)
     X = _shift_correct(X, shifts, n)
     cp = jnp.stack([defoci, defoci, jnp.zeros_like(defoci), jnp.zeros_like(defoci)], 1)
@@ -340,8 +388,12 @@ def accumulate_matrices(
         # voltage_kv is a static argname -> host-scalar wavelength
         ewald_c = (float(np.sign(iewald)) * wavelength_host(voltage_kv)
                    / (2.0 * n * pixel_size))
-    a1, b1, a2, b2 = insert_slices_halves(X, ctfs, rotations, subset,
-                                          weights, n, pad=pad,
-                                          ewald_c=ewald_c)
+    chi = None
+    if abs(iewald) >= 2 and ref_fourier is not None and ewald_c:
+        chi = _chi_grids(n, pixel_size, cp, voltage_kv, cs_mm,
+                         amplitude_contrast)
+    a1, b1, a2, b2 = insert_slices_halves(
+        X, ctfs, rotations, subset, weights, n, pad=pad, ewald_c=ewald_c,
+        ref_fourier=(ref_fourier if chi is not None else None), chi=chi)
     return Accumulators(prev.num1 + a1, prev.den1 + b1,
                         prev.num2 + a2, prev.den2 + b2)

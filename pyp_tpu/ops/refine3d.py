@@ -100,6 +100,44 @@ def make_mask_points(n: int, pixel_size: float, low_res: float, high_res: float)
     return pts.astype(np.float32)
 
 
+def focus_mask_2d(poses, focus, n: int, pixel_size: float,
+                  edge_px: float = 4.0):
+    """Per-particle soft 2D masks selecting the PROJECTION of a focus
+    sphere — the cisTEM refine3d focus-mask sphere + "apply 2D masking"
+    cards (reference stdin lines 29-32/44, frealign.py:3958; enabled by
+    class_focusmask). focus = (x, y, z, radius) in Å relative to the box
+    center in volume coordinates; the sphere center projects through each
+    particle's pose (a sphere projects to a circle of the same radius),
+    and the particle's centering shift moves the content by -shift.
+    Returns (B, n, n) masks in [0, 1] with a cosine-soft edge."""
+    poses = jnp.asarray(poses)
+    fx, fy, fz, fr = (float(v) for v in focus)
+    R = euler_to_matrix(poses[:, 0], poses[:, 1], poses[:, 2])
+    p = jnp.asarray([fx, fy, fz], dtype=jnp.float32) / pixel_size
+    c = R @ p                       # (B, 3) image coords (x, y, z) in px
+    # pose shifts are the CENTERING translation: raw content sits at
+    # projected position minus the stored shift
+    cx = c[:, 0] - poses[:, 4]
+    cy = c[:, 1] - poses[:, 3]
+    ax = jnp.arange(n, dtype=jnp.float32) - n // 2
+    d2 = ((ax[None, :, None] - cy[:, None, None]) ** 2
+          + (ax[None, None, :] - cx[:, None, None]) ** 2)
+    t = (jnp.sqrt(d2) - fr / pixel_size) / max(edge_px, 1e-3)
+    return 1.0 - jnp.clip(t, 0.0, 1.0)
+
+
+def parse_focus_mask(value) -> tuple | None:
+    """class_focusmask string "x,y,z,r" (or colon-separated) -> tuple of
+    floats, None when empty/zero-radius (reference semantics: 0 = off)."""
+    s = str(value or "").strip()
+    if not s:
+        return None
+    parts = [float(v) for v in s.replace(":", ",").split(",")]
+    if len(parts) != 4 or parts[3] <= 0:
+        return None
+    return tuple(parts)
+
+
 def _rotate_points_2d(pts, psi_deg):
     """Rotate (ky, kx) points by Rz(psi): output point = Rz(psi) @ p."""
     a = jnp.deg2rad(psi_deg)

@@ -239,6 +239,7 @@ def sharded_accumulate(
     gridding: str = "trilinear",
     iewald: int = 0,
     lblur=None,
+    ref_fourier=None,
 ):
     """`reconstruct.accumulate` sharded over the mesh with one psum merge —
     the TPU-native local_merge3d+merge3d (frealign.py:1838,:1910). Padding
@@ -261,6 +262,7 @@ def sharded_accumulate(
             stack_s, poses_s, ctf_s, subset_s, w_s, n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, symmetry, pad,
             doses=dose_s, gridding=gridding, iewald=iewald, lblur=lblur,
+            ref_fourier=ref_fourier,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
 
@@ -297,6 +299,7 @@ def sharded_accumulate_matrices(
     pad: int = 2,
     prev=None,
     iewald: int = 0,
+    ref_fourier=None,
 ):
     """`reconstruct.accumulate_matrices` (the CSPT matrix-pose insertion,
     SURVEY §3.4) sharded over the mesh with one psum merge."""
@@ -316,6 +319,7 @@ def sharded_accumulate_matrices(
         acc = rec.accumulate_matrices(
             win_s, rot_s, sh_s, df_s, sub_s, w_s, n, pixel_size,
             voltage_kv, cs_mm, amplitude_contrast, pad, iewald=iewald,
+            ref_fourier=ref_fourier,
         )
         return jax.tree.map(lambda x: jax.lax.psum(x, axes), acc)
 
@@ -338,6 +342,7 @@ def reconstruct_sharded(
     batch: int = 256, pad: int = 2, crop_to: int = None,
     gridding: str = "trilinear", iewald: int = 0,
     lblur_nrot: int = 0, lblur_range: float = 20.0,
+    ref_volume=None,
 ):
     """Mesh-parallel mirror of `reconstruct.reconstruct`: superbatches of
     batch*ndev particles accumulate with a psum merge, then finalize.
@@ -359,6 +364,19 @@ def reconstruct_sharded(
         pad = int(np.ceil(pad * n / float(n_rec)))
     pixel_rec = pixel_size / ratio
     lblur = rec.lblur_bank(lblur_nrot, lblur_range)
+    ref_fourier = None
+    if abs(iewald) >= 2 and ref_volume is not None:
+        # reference-based Ewald unmixing: replicated padded ref spectrum
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+        import jax.numpy as jnp
+
+        rv = jnp.asarray(ref_volume, dtype=jnp.float32)
+        if n_rec < n:
+            from pyp_tpu.core.fft import fourier_crop_3d
+
+            rv = fourier_crop_3d(rv, out_shape=(n_rec, n_rec, n_rec))
+        ref_fourier = volume_to_fourier(rv, pad=2)
     acc = None
     step = batch * ndev
     for i in range(0, B, step):
@@ -377,7 +395,7 @@ def reconstruct_sharded(
             np.asarray(ctf_params[sl]), np.asarray(subset[sl]),
             np.asarray(weights[sl]), n_rec, pixel_rec, voltage_kv, cs_mm,
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
-            iewald=iewald, lblur=lblur,
+            iewald=iewald, lblur=lblur, ref_fourier=ref_fourier,
         )
     return rec.finalize(acc, n_rec, pad, wiener, gridding)
 

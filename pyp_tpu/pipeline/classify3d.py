@@ -74,9 +74,28 @@ def classify3d_iteration(
                                         for r in references]), axis=0)
         score_refs = [consensus * (1 - sph) + _np.asarray(r) * sph
                       for r in references]
+    focus = refine3d.parse_focus_mask(fm) if K > 1 else None
+    focused_scoring = focus is not None and bool(
+        np.any(np.abs(init_poses[:, :3]) > 1e-6))
     per_class = []
+    if focused_scoring:
+        # focused E-step ("apply 2D masking", SURVEY §A.1 line 44): poses
+        # stay at the consensus; per-class scores are masked NCCs between
+        # the particle and each class's projection, BOTH cut to the
+        # projection of the focus sphere — so only the density inside the
+        # sphere drives the assignment. (Refining poses per class against
+        # masked images is unstable — the off-center mask starves the
+        # polar rings — and defeats the point: the consensus alignment is
+        # the fixed frame focused classification compares classes in.)
+        with Timer(f"focused classification iteration {iteration} "
+                   f"({K} classes)"):
+            per_class = _focused_class_scores(
+                stack, init_poses, ctf_params, score_refs, focus, pixel,
+                params, batch=batch)
     with Timer(f"classification iteration {iteration} ({K} classes)"):
-        if engine == "frm":
+        if focused_scoring:
+            pass  # scored above at fixed poses
+        elif engine == "frm":
             from pyp_tpu.ops import frm
             from pyp_tpu.ops.fourier_slice import volume_to_fourier
 
@@ -106,7 +125,8 @@ def classify3d_iteration(
                 for lo in range(0, B, batch):
                     hi = min(lo + batch, B)
                     poses_k, scores_k = frm.frm_refine(
-                        np.asarray(stack[lo:hi]), ctf_params[lo:hi], None,
+                        np.asarray(stack[lo:hi]), ctf_params[lo:hi],
+                        None,
                         cfg, bank=bank,
                         init_poses=init_poses[lo:hi] if has_poses else None,
                         prior_cone_deg=cone)
@@ -121,7 +141,8 @@ def classify3d_iteration(
                 for lo in range(0, B, batch):
                     hi = min(lo + batch, B)
                     res = refine3d.refine_batch(
-                        jnp.asarray(stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                        jnp.asarray(stack[lo:hi]),
+                        jnp.asarray(ctf_params[lo:hi]),
                         jnp.asarray(score_refs[k]), pixel,
                         mode="local", init_poses=init_poses[lo:hi],
                         low_res=float(params["refine_rlref"]),
@@ -197,6 +218,96 @@ def classify3d_iteration(
                 iteration, np.round(prior, 1).tolist(),
                 np.round(resolutions, 2).tolist())
     return table, new_refs, occ, resolutions
+
+
+def _focused_class_scores(stack, init_poses, ctf_params, score_refs, focus,
+                          pixel, params, batch: int = 256):
+    """Fixed-pose focused per-class scoring (cisTEM refine3d focus sphere
+    + "apply 2D masking", SURVEY §A.1 lines 29-32/44): particles are
+    Fourier-centered by their stored shifts, each class reference is
+    projected with CTF at the consensus pose, and BOTH are cut to the
+    projection of the focus sphere before a masked NCC. LogP uses the mask
+    area as the effective sample count (the focused analog of the FRM
+    band-point count). Returns a list of RefineResult (poses unchanged)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.geometry import euler_to_matrix
+    from pyp_tpu.ops import refine3d
+    from pyp_tpu.ops.fourier_slice import (fourier_to_image,
+                                           image_to_fourier, project,
+                                           volume_to_fourier)
+    from pyp_tpu.ops.reconstruct import _ctf_grids, _shift_correct
+
+    n = stack.shape[-1]
+    B = len(stack)
+    K = len(score_refs)
+    Frefs = [volume_to_fourier(jnp.asarray(np.asarray(r, dtype=np.float32)))
+             for r in score_refs]
+    # classification band (class_rlcls/class_rhcls): the masked NCC compares
+    # only the resolution shells the classes are judged on — same band the
+    # unfocused FRM E-step matches in
+    lo_res = float(params.get("class_rlcls") or params.get("refine_rlref")
+                   or 100.0)
+    hi_res = max(float(params.get("class_rhcls") or 8.0), 2.1 * pixel)
+    ky = np.fft.fftfreq(n) * n
+    kx = np.arange(n // 2 + 1)
+    kr = np.sqrt(ky[:, None] ** 2 + kx[None, :] ** 2)
+    r_lo = n * pixel / lo_res
+    r_hi = n * pixel / hi_res
+    band = jnp.asarray(((kr >= r_lo) & (kr <= r_hi)).astype(np.float32))
+    # masks in the CENTERED frame (shifts zeroed: the images are centered
+    # below, so the mask follows only the pose rotation)
+    poses_c = np.asarray(init_poses, dtype=np.float32).copy()
+    poses_c[:, 3:5] = 0.0
+
+    @jax.jit
+    def _score(xs, cp, poses_b, Fref, masks):
+        Xc = _shift_correct(image_to_fourier(xs), poses_b[:, 3:5], n)
+        imgs_c = fourier_to_image(Xc * band, n)
+        R = euler_to_matrix(poses_b[:, 0], poses_b[:, 1], poses_b[:, 2])
+        ctfs = _ctf_grids(n, pixel, cp,
+                          float(params["scope_voltage"]),
+                          float(params["scope_cs"]),
+                          float(params["scope_wgh"]))
+        proj = fourier_to_image(project(Fref, R, n) * ctfs * band, n)
+        xm = imgs_c * masks
+        pm = proj * masks
+        area = jnp.sum(masks, axis=(1, 2)) + 1e-6
+        xm = xm - (jnp.sum(xm, axis=(1, 2)) / area)[:, None, None] * masks
+        pm = pm - (jnp.sum(pm, axis=(1, 2)) / area)[:, None, None] * masks
+        num = jnp.sum(xm * pm, axis=(1, 2))
+        den = (jnp.sqrt(jnp.sum(xm * xm, axis=(1, 2)))
+               * jnp.sqrt(jnp.sum(pm * pm, axis=(1, 2))) + 1e-9)
+        return num / den, area
+
+    out = []
+    for k in range(K):
+        sc_parts, ar_parts = [], []
+        for lo in range(0, B, batch):
+            hi = min(lo + batch, B)
+            masks = refine3d.focus_mask_2d(poses_c[lo:hi], focus, n, pixel)
+            s, a = _score(jnp.asarray(np.asarray(stack[lo:hi])),
+                          jnp.asarray(ctf_params[lo:hi]),
+                          jnp.asarray(np.asarray(init_poses[lo:hi],
+                                                 dtype=np.float32)),
+                          Frefs[k], masks)
+            sc_parts.append(np.asarray(s))
+            ar_parts.append(np.asarray(a))
+        scores = np.clip(np.concatenate(sc_parts), -1.0, 1.0)
+        area = np.concatenate(ar_parts)
+        sigma = np.sqrt(np.maximum(1.0 - scores**2, 1e-6))
+        logp = -0.5 * area * np.log(np.maximum(sigma, 1e-6))
+        p = np.asarray(init_poses, dtype=np.float32)
+        out.append(refine3d.RefineResult(
+            phi=jnp.asarray(np.mod(p[:, 0], 360.0)),
+            theta=jnp.asarray(np.mod(p[:, 1], 360.0)),
+            psi=jnp.asarray(np.mod(p[:, 2], 360.0)),
+            shift_y=jnp.asarray(p[:, 3]), shift_x=jnp.asarray(p[:, 4]),
+            score=jnp.asarray(scores * 100.0),
+            logp=jnp.asarray(logp),
+            sigma=jnp.asarray(sigma)))
+    return out
 
 
 def classify3d_loop(stack, table, initial_model, params, work_dir=".",

@@ -182,7 +182,7 @@ def csp_swarm_one(
     with Timer(f"csp reconstruction {name}"):
         acc = _reconstruct_series(
             tilts, refined, defocus, params, t_lo, t_hi,
-            polished=polished, prev_acc=prev_acc)
+            polished=polished, prev_acc=prev_acc, ref_volume=ref_volume)
 
     # persist refined geometry back to metadata (resume + interop)
     meta["csp_scores"] = np.asarray(particle_scores, dtype=np.float32)
@@ -231,7 +231,7 @@ def _dose_envelope(refined, params, box: int, pixel: float):
 
 
 def _reconstruct_series(tilts, refined, defocus, params, t_lo, t_hi,
-                        polished=None, prev_acc=None):
+                        polished=None, prev_acc=None, ref_volume=None):
     """Insert one refined series' projections into reconstruction
     accumulators — windowing vectorized over tilts (one cut dispatch + one
     accumulate dispatch, not T each)."""
@@ -298,6 +298,18 @@ def _reconstruct_series(tilts, refined, defocus, params, t_lo, t_hi,
         prev=prev_acc,
         iewald=int(params.get("reconstruct_iewald") or 0),
     )
+    if abs(kw["iewald"]) >= 2 and ref_volume is not None:
+        # reference-based Ewald (IEWALD ±2): predict the opposite sphere
+        # branch from the current map (cropped to the window box if needed)
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+
+        rv = jnp.asarray(np.asarray(ref_volume), dtype=jnp.float32)
+        if rv.shape[-1] > box:
+            from pyp_tpu.core.fft import fourier_crop_3d
+
+            rv = fourier_crop_3d(rv, out_shape=(box, box, box))
+        if rv.shape[-1] == box:
+            kw["ref_fourier"] = volume_to_fourier(rv, pad=2)
     if mesh is not None:
         # shard the (tilt x particle) projection rows across chips; one
         # psum merges the accumulators (the cspmerge reduction, §3.4)
@@ -497,7 +509,7 @@ def csp_swarm_batch(
                     outlier_mads=5.0).astype(np.float32)))
         acc = _reconstruct_series(
             s["tilts"], r, s["defocus"], params, s["t_lo"], s["t_hi"],
-            prev_acc=acc)
+            prev_acc=acc, ref_volume=ref_volume)
         meta = s["meta"]
         meta["csp_scores"] = pscores_b[i, :P].astype(np.float32)
         meta["xf"] = np.concatenate([

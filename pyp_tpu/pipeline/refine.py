@@ -177,6 +177,17 @@ def refinement_iteration(
             stack.shape[-1], rad_a / pixel, 4.0))
         match_stack = np.asarray(stack) * m2d[None]
 
+    # focused refinement (cisTEM refine3d focus sphere + "apply 2D
+    # masking", SURVEY §A.1 lines 29-32/44, class_focusmask): in local
+    # mode each particle's matching image is masked to the projection of
+    # the focus sphere at its current pose; the reconstruction keeps the
+    # full images
+    focus = refine3d.parse_focus_mask(params.get("class_focusmask"))
+    if focus is not None and not global_search:
+        fmasks = np.asarray(refine3d.focus_mask_2d(
+            table_to_poses(table, pixel), focus, stack.shape[-1], pixel))
+        match_stack = np.asarray(match_stack) * fmasks
+
     shell_w = None
     if fsc_curve is not None:
         from pyp_tpu.ops.refine3d import make_mask_points, shell_weights_from_fsc
@@ -457,6 +468,11 @@ def refinement_iteration(
             gridding=str(params.get("reconstruct_gridding") or "trilinear"),
             iewald=int(params.get("reconstruct_iewald") or 0),
         )
+        if abs(rc_kwargs["iewald"]) >= 2:
+            # reference-based Ewald (IEWALD ±2): the CURRENT map predicts
+            # the opposite sphere branch during insertion
+            rc_kwargs["ref_volume"] = np.asarray(ref_volume,
+                                                 dtype=np.float32)
         if params.get("reconstruct_lblur"):
             # likelihood blurring (reconstruct3d blurring card,
             # frealign.py:1772): insert over a psi-offset bank
