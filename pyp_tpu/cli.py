@@ -38,6 +38,20 @@ MODES = ("spr", "tomo", "extract", "refine", "classify2d", "classify3d",
 
 
 def _project_params(argv, work_dir=".", persist=True):
+    # nextPYP project-file interop: a reference `.pyp_config.toml` in the
+    # project dir seeds the parameter namespace when this framework's own
+    # project file does not exist yet (first run inside an existing
+    # nextPYP project) — known ids load, external-tool ids are tolerated,
+    # recognized-but-unconsumed ids warn (config.params.load_reference_config)
+    ref_cfg = Path(work_dir) / ".pyp_config.toml"
+    if ref_cfg.exists() and not (Path(work_dir) / cfg.PROJECT_FILE).exists():
+        ref_params, report = cfg.load_reference_config(ref_cfg)
+        logger.info("imported nextPYP project config: %d loaded / %d "
+                    "tolerated / %d unimplemented / %d unknown",
+                    len(report["loaded"]), len(report["tolerated"]),
+                    len(report["unimplemented"]), len(report["unknown"]))
+        if persist:
+            cfg.save_parameters(ref_params, work_dir)
     overrides = cfg.parse_arguments(argv)
     # an argument is explicit iff its flag appears on the command line —
     # value-vs-default comparison would let a stale saved project value
@@ -206,7 +220,7 @@ def mode_refine(argv):
     init_path = model_path if model_path.exists() else Path("initial_model.mrc")
     if init_path.exists():
         initial = mrc.read(init_path).astype(np.float32)
-    elif params.get("refine_abinit"):
+    elif params.get("refine_abinit") and not params.get("abinit_skip"):
         # marginalized ab initio from scratch (create_initial_model role)
         from pyp_tpu.ops.ab_initio import ab_initio_frm
         from pyp_tpu.pipeline.refine import table_to_ctf_params
@@ -250,6 +264,10 @@ def mode_refine(argv):
                 polish_rounds=int(params.get("abinit_polish_rounds") or 2),
                 seed=int(params.get("abinit_seed") or 0),
                 soft_shifts=str(params.get("abinit_soft_shifts") or "zero"),
+                seed_particles=int(params.get("abinit_random_particles")
+                                   or 8),
+                random_skip_ratio=float(
+                    params.get("abinit_random_skip_ratio") or 0.0),
                 voltage_kv=float(params["scope_voltage"]),
                 cs_mm=float(params["scope_cs"]),
                 amplitude_contrast=float(params["scope_wgh"]),
@@ -322,7 +340,29 @@ def _csp_load_item(item, params):
     nz = float(params.get("tomo_rec_thickness") or tilts.shape[-1])
     center = np.array([nz / 2, tilts.shape[-2] / 2, tilts.shape[-1] / 2])
     coords = picks - center
-    if "spk_eulers" in meta and len(meta["spk_eulers"]) == len(coords):
+    pf = str(params.get("csp_parfile") or "")
+    ext_eulers = None
+    if pf:
+        # external parameter-table initialization (reference csp block
+        # `parfile` field): per-series <dir>/<name>.cistem or a single
+        # table file; its refined eulers seed this pass
+        from pyp_tpu.io import cistem as _cistem
+
+        cand = Path(pf)
+        if cand.is_dir():
+            cand = cand / f"{item['name']}.cistem"
+        if cand.exists():
+            t = _cistem.read_parameters(cand)
+            if t.n_rows == len(coords):
+                ext_eulers = np.stack(
+                    [t["phi"], t["theta"], t["psi"]], 1).astype(np.float32)
+            else:
+                logger.warning(
+                    "csp_parfile %s: %d rows vs %d picks — ignored",
+                    cand, t.n_rows, len(coords))
+    if ext_eulers is not None:
+        eulers = ext_eulers
+    elif "spk_eulers" in meta and len(meta["spk_eulers"]) == len(coords):
         # surface-normal orientation priors (membrane-perpendicular
         # spikes, reference detect_particles_from_surface); the spin about
         # the spike axis is free — turn on the exhaustive spin ring unless
@@ -370,6 +410,12 @@ def _csp_one_series(item, params, ref):
     from pyp_tpu.ops.reconstruct import save_accumulators
     from pyp_tpu.pipeline import csp as csp_pipe
 
+    dump = Path("swarm") / f"{item['name']}.acc.npz"
+    if params.get("csp_resume") and dump.exists():
+        # stage-level idempotency (reference csp block `resume`): a series
+        # whose accumulator dump survives is not re-refined
+        logger.info("csp %s: resume — reusing %s", item["name"], dump)
+        return {"name": item["name"], "dump": str(dump), "resumed": True}
     loaded = _csp_load_item(item, params)
     if loaded is None:
         return None
@@ -482,18 +528,31 @@ def mode_csp(argv):
     merge summing the dumps — the reference's split/swarm/merge shape with
     retries and missing-item tolerance)."""
     params = _project_params(argv)
+    from pyp_tpu.config.blocks import apply_block_overrides
     from pyp_tpu.io import mrc
     from pyp_tpu.ops.reconstruct import load_accumulators
     from pyp_tpu.pipeline import csp as csp_pipe
     from pyp_tpu.sched import JobGraph, LocalExecutor
 
+    if not params.get("csp_parfile") and params.get("csp_parfile_tomo"):
+        # csp_tomo_free's tomography parfile feeds the same init path
+        params = {**params, "csp_parfile": params["csp_parfile_tomo"]}
+    block = str(params.get("csp_block") or "")
+    if block:
+        # per-block stage overrides (reference [tabs.csp_tomo_*] munging,
+        # bin/run/pyp:5254-5420): the block tab's values land in the
+        # engine namespace before any pipeline code reads it
+        params = apply_block_overrides(params, block)
+        logger.info("csp block %s: modes %s", block,
+                    params.get("csp_refine_modes"))
     items = _discover_items(params)
     rc = _maybe_slurm_swarm("csp", argv, params, items)
     if rc is not None:
         return rc
-    ref_path = Path("initial_model.mrc")
+    ref_path = Path(str(params.get("csp_reference_model") or "")
+                    or "initial_model.mrc")
     if not ref_path.exists():
-        logger.error("csp needs initial_model.mrc (reference map)")
+        logger.error("csp needs %s (reference map)", ref_path)
         return 1
     ref = mrc.read(ref_path).astype(np.float32)
     box = int(params.get("csp_box") or ref.shape[-1])
@@ -690,9 +749,19 @@ def mode_import_star(argv):
                      "-import_refine_star/-import_tomo_star <file.star>")
         return 2
 
+    # declared format (import_format, the csp_tomo_free block field): the
+    # dispatch below is content-based; a declared format that disagrees
+    # with the detected one is surfaced instead of silently honored
+    declared = str(ip.get("import_format") or "none")
     report = {}
     for path in paths:
         text = Path(path).read_text()
+        detected = ("tomo" if "_rlnTomoProjX" in text else "spa")
+        if declared not in ("none", "") and declared.lower() not in (
+                "relion", "relion5", "star", detected):
+            logger.warning("import_format=%s declared but %s looks like a "
+                           "%s star file — importing by content", declared,
+                           path, detected)
         if "_rlnTomoProjX" in text:
             series, gparams = relion_tomo.import_tomograms_star(path)
             from pyp_tpu.io.metadata import ItemMetadata

@@ -135,6 +135,8 @@ def ab_initio_frm(
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
     soft_shifts: str = "zero",
+    seed_particles: int = 8,
+    random_skip_ratio: float = 0.0,
 ):
     """Marginalized ab initio on the FRM engine (the cryoSPARC-style
     branch-and-bound role, reference frealign.py:4552): each round scores
@@ -160,8 +162,10 @@ def ab_initio_frm(
     mask = np.asarray(soft_spherical_mask(n, n * 0.4, 4.0))
     res_ladder = np.geomspace(start_res, end_res, n_rounds)
 
-    # lumpy asymmetric seed: a few particles at random poses
-    seed_idx = rng.choice(B, size=min(8, B), replace=False)
+    # lumpy asymmetric seed: a few particles at random poses (the
+    # reference's RandomParticles count, csp_tomo_init tab)
+    seed_idx = rng.choice(B, size=min(max(int(seed_particles), 1), B),
+                          replace=False)
     poses0 = np.stack([
         rng.uniform(0, 360, len(seed_idx)),
         np.degrees(np.arccos(rng.uniform(-1, 1, len(seed_idx)))),
@@ -238,11 +242,18 @@ def ab_initio_frm(
                 dirs, p_top[..., None], sh_top,
             ], axis=2).reshape(B * T, 5).astype(np.float32)
             rows = np.repeat(np.arange(B), T)
+            w_round = w.copy()
+            if random_skip_ratio > 0.0:
+                # stochastic particle dropout per round (the reference's
+                # RandomSkipRatio): decorrelates successive models from any
+                # one particle's wrong early assignment
+                keep = rng.rand(B) >= min(random_skip_ratio, 0.95)
+                w_round = w_round * keep[:, None]
             out = rec.reconstruct(
                 stack[rows], jnp.asarray(poses_soft),
                 jnp.asarray(ctf_params[rows]), pixel_size,
                 subset=subset[rows].astype(np.int32),
-                weights=w.reshape(-1).astype(np.float32),
+                weights=w_round.reshape(-1).astype(np.float32),
                 symmetry=symmetry, voltage_kv=voltage_kv, cs_mm=cs_mm,
                 amplitude_contrast=amplitude_contrast,
             )

@@ -256,13 +256,38 @@ def _apply_mode_offset(params: CspParams, mode: int, off) -> CspParams:
     raise ValueError(f"mode {mode} has no searchable block")
 
 
-def make_mode_offsets(mode: int, tol, steps: int = 9) -> np.ndarray:
+def make_mode_offsets(mode: int, tol, steps: int = 9,
+                      random_iters: int = 0) -> np.ndarray:
     """Candidate offset grid for a mode (the csp_GS uniform build,
     pyp_config csp_GridSearch/csp_Tolerance*): (K, d) covering ±tol.
 
     tol may be a scalar or a per-dimension tuple (e.g. mode 0 takes
     (ToleranceMicrographTiltAngles, ToleranceMicrographTiltAxisAngles);
-    mode 1/7 take (Psi, Theta, Phi))."""
+    mode 1/7 take (Psi, Theta, Phi)).
+
+    random_iters: the reference's csp_NumberOfRandomIterations — that many
+    additional random candidates drawn uniformly within the tolerance
+    region (deterministic seed), the random-search alternative to the
+    uniform grid (SURVEY §A.3)."""
+    out = _make_mode_offsets_grid(mode, tol, steps)
+    if random_iters and random_iters > 0:
+        rng = np.random.RandomState(0)
+        tols = np.atleast_1d(np.asarray(tol, dtype=np.float32))
+        d = out.shape[1]
+        tvec = np.array([tols[min(i, len(tols) - 1)] for i in range(d)],
+                        dtype=np.float32)
+        rand = rng.uniform(-1.0, 1.0, (int(random_iters), d)).astype(
+            np.float32) * tvec
+        if mode in (2, 3, 5, 6):
+            # shift modes search a disk of radius tol
+            nrm = np.linalg.norm(rand, axis=1, keepdims=True)
+            lim = tvec[0]
+            rand = np.where(nrm > lim, rand * (lim / (nrm + 1e-9)), rand)
+        out = np.concatenate([out, rand], axis=0)
+    return out
+
+
+def _make_mode_offsets_grid(mode: int, tol, steps: int = 9) -> np.ndarray:
     tols = np.atleast_1d(np.asarray(tol, dtype=np.float32))
 
     def axis(i, n_steps=steps):
@@ -344,8 +369,16 @@ def _refine_mode_xv(
     params, xv, window_centers, tilt_defocus, mask_pts, Fref,
     tilt_weights, valid, mode, n, pixel_size, iters, lr, reg_weight,
     voltage_kv, cs_mm, amplitude_contrast,
+    step_tol: float = 0.0, value_tol: float = 0.0,
 ):
-    """Gradient-ascent body on precomputed window samples xv (T, P, G)."""
+    """Gradient-ascent body on precomputed window samples xv (T, P, G).
+
+    step_tol / value_tol: the reference optimizer's termination criteria
+    (csp_OptimizerStepTolerance / csp_OptimizerValueTolerance, pyp_config
+    :6289-6312) as update-freezing under jit: once the parameter step norm
+    or the score improvement falls below its tolerance, later scan steps
+    stop moving the parameters (same trip count — lax.scan is static — but
+    the optimizer's answer matches an early-terminated run). 0 = off."""
     blocks = MODE_BLOCKS[mode]
     # per-block step scales (degrees / pixels)
     scales = CspParams(
@@ -371,11 +404,15 @@ def _refine_mode_xv(
         )
         return score - reg_weight * reg
 
-    grad_fn = jax.grad(loss_fn)
+    use_tols = (step_tol > 0.0) or (value_tol > 0.0)
+    grad_fn = jax.value_and_grad(loss_fn) if use_tols else jax.grad(loss_fn)
 
     def step(carry, t):
-        p, m = carry
-        g = grad_fn(p)
+        p, m, done, prev = carry
+        if use_tols:
+            loss, g = grad_fn(p)
+        else:
+            loss, g = prev, grad_fn(p)
         # zero gradients of frozen blocks
         g = CspParams(*(
             gi if name in blocks else jnp.zeros_like(gi)
@@ -385,14 +422,25 @@ def _refine_mode_xv(
         g = jax.tree.map(lambda gi: gi / gnorm, g)
         m = jax.tree.map(lambda mi, gi: 0.7 * mi + gi, m, g)
         decay = 0.5 * (1 + jnp.cos(jnp.pi * t / iters))
-        p = CspParams(*(
-            pi + lr * decay * si * mi
-            for pi, si, mi in zip(p, scales, m)
+        gate = 1.0 - done
+        upd = CspParams(*(
+            gate * lr * decay * si * mi for si, mi in zip(scales, m)
         ))
-        return (p, m), None
+        p = CspParams(*(pi + ui for pi, ui in zip(p, upd)))
+        if use_tols:
+            unorm = jnp.sqrt(sum(jnp.sum(ui * ui) for ui in upd) + 1e-18)
+            stalled = jnp.where(
+                t > 0,
+                ((loss - prev < value_tol) if value_tol > 0.0 else False)
+                | ((unorm < step_tol) if step_tol > 0.0 else False),
+                False)
+            done = jnp.maximum(done, stalled.astype(jnp.float32))
+            prev = loss
+        return (p, m, done, prev), None
 
     m0 = jax.tree.map(jnp.zeros_like, params)
-    (p_out, _), _ = jax.lax.scan(step, (params, m0), jnp.arange(iters))
+    carry0 = (params, m0, jnp.asarray(0.0), jnp.asarray(-jnp.inf))
+    (p_out, _, _, _), _ = jax.lax.scan(step, carry0, jnp.arange(iters))
     s0 = loss_fn(params)
     s1 = loss_fn(p_out)
     better = s1 >= s0
@@ -436,7 +484,8 @@ def csp_grid_search_mode(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "iters", "n", "pixel_size", "voltage_kv",
-                     "cs_mm", "amplitude_contrast"),
+                     "cs_mm", "amplitude_contrast", "step_tol",
+                     "value_tol"),
 )
 def csp_refine_mode(
     params: CspParams,
@@ -451,20 +500,23 @@ def csp_refine_mode(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
 ):
     """Refine one parameter block (a CSP mode) by masked gradient ascent."""
     xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
     return _refine_mode_xv(
         params, xv, window_centers, tilt_defocus, mask_pts, Fref,
         tilt_weights, valid, mode, n, pixel_size, iters, lr, reg_weight,
-        voltage_kv, cs_mm, amplitude_contrast)
+        voltage_kv, cs_mm, amplitude_contrast, step_tol=step_tol,
+        value_tol=value_tol)
 
 
 def _schedule_core(
     params, xv, window_centers, tilt_defocus, mask_pts, Fref,
     tilt_weights, valid, offsets_by_mode, spin_offsets, modes, n,
     pixel_size, iters_per_mode, lr, reg_weight, voltage_kv, cs_mm,
-    amplitude_contrast,
+    amplitude_contrast, step_tol=0.0, value_tol=0.0,
 ):
     """One tilt-series' ENTIRE mode schedule as a single traced program:
     optional spin ring, then per mode an optional grid search (csp_GS)
@@ -488,7 +540,8 @@ def _schedule_core(
         params, s = _refine_mode_xv(
             params, xv, window_centers, tilt_defocus, mask_pts, Fref,
             tilt_weights, valid, mode, n, pixel_size, iters_per_mode, lr,
-            reg_weight, voltage_kv, cs_mm, amplitude_contrast)
+            reg_weight, voltage_kv, cs_mm, amplitude_contrast,
+            step_tol=step_tol, value_tol=value_tol)
         scores.append(s)
     mode_scores = (jnp.stack(scores) if scores
                    else jnp.zeros((0,), jnp.float32))
@@ -504,7 +557,8 @@ def _schedule_core(
 @functools.partial(
     jax.jit,
     static_argnames=("modes", "n", "pixel_size", "iters_per_mode",
-                     "voltage_kv", "cs_mm", "amplitude_contrast"),
+                     "voltage_kv", "cs_mm", "amplitude_contrast",
+                     "step_tol", "value_tol"),
 )
 def csp_refine_schedule(
     params: CspParams,
@@ -521,19 +575,22 @@ def csp_refine_schedule(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
 ):
     """Fused single-series CSP pass (see _schedule_core)."""
     return _schedule_core(
         params, xv, window_centers, tilt_defocus, mask_pts, Fref,
         tilt_weights, valid, offsets_by_mode, spin_offsets, modes, n,
         pixel_size, iters_per_mode, lr, reg_weight, voltage_kv, cs_mm,
-        amplitude_contrast)
+        amplitude_contrast, step_tol=step_tol, value_tol=value_tol)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("modes", "n", "pixel_size", "iters_per_mode",
-                     "voltage_kv", "cs_mm", "amplitude_contrast"),
+                     "voltage_kv", "cs_mm", "amplitude_contrast",
+                     "step_tol", "value_tol"),
 )
 def csp_refine_batch(
     params_b: CspParams,  # every leaf carries a leading series axis S
@@ -554,6 +611,8 @@ def csp_refine_batch(
     voltage_kv: float = 300.0,
     cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
 ):
     """Batched CSP: S tilt-series refined in ONE dispatch (vmapped over the
     series axis; the reference fans one cspswarm array task per series —
@@ -564,7 +623,8 @@ def csp_refine_batch(
         return _schedule_core(
             p, xv, c, d, mask_pts, Fref, tw, v, offsets_by_mode,
             spin_offsets, modes, n, pixel_size, iters_per_mode, lr,
-            reg_weight, voltage_kv, cs_mm, amplitude_contrast)
+            reg_weight, voltage_kv, cs_mm, amplitude_contrast,
+            step_tol=step_tol, value_tol=value_tol)
 
     return jax.vmap(one)(params_b, xv_b, window_centers_b, tilt_defocus_b,
                          tilt_weights_b, valid_b)
@@ -624,6 +684,11 @@ def csp_refine(
     grid_steps: int = 9,
     spin_step: float = 0.0,
     return_particle_scores: bool = False,
+    angle_step: float = 0.0,
+    shift_step: float = 0.0,
+    random_iters: int = 0,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
 ):
     """Full CSP pass on one tilt-series: extract windows at predicted
     positions, then refine each mode block in sequence (the reference runs
@@ -651,7 +716,8 @@ def csp_refine(
         tilt_images, params, n, mask_pts)
 
     offsets_by_mode, spin_offsets = build_mode_offsets(
-        modes, grid_tols, grid_steps, spin_step)
+        modes, grid_tols, grid_steps, spin_step, angle_step=angle_step,
+        shift_step=shift_step, random_iters=random_iters)
 
     params, mode_scores, pscores = csp_refine_schedule(
         params, xv, jnp.asarray(w_centers), jnp.asarray(tilt_defocus),
@@ -660,6 +726,7 @@ def csp_refine(
         iters_per_mode=iters_per_mode, lr=lr, reg_weight=reg_weight,
         voltage_kv=voltage_kv, cs_mm=cs_mm,
         amplitude_contrast=amplitude_contrast,
+        step_tol=step_tol, value_tol=value_tol,
     )
     scores = [float(s) for s in np.asarray(mode_scores)]
     if not return_particle_scores:
@@ -671,11 +738,29 @@ def csp_refine(
 
 
 def build_mode_offsets(modes, grid_tols, grid_steps: int = 9,
-                       spin_step: float = 0.0):
+                       spin_step: float = 0.0, angle_step: float = 0.0,
+                       shift_step: float = 0.0, random_iters: int = 0):
     """Assemble the static candidate-offset pytrees for a mode schedule:
-    (offsets_by_mode tuple aligned with modes, spin_offsets or None)."""
+    (offsets_by_mode tuple aligned with modes, spin_offsets or None).
+
+    angle_step / shift_step (degrees / pixels): explicit grid spacings
+    (the reference's csp AngleStep/ShiftStep block fields) — when set they
+    derive each mode's step count as ceil(2*tol/step)+1 instead of the
+    uniform grid_steps. random_iters adds csp_NumberOfRandomIterations
+    random candidates within the tolerance region."""
+
+    def steps_for(m):
+        sp = angle_step if m in (0, 1, 7, 4) else shift_step
+        if m == 4:
+            sp = 0.0  # defocus keeps the uniform count
+        if sp and sp > 0 and grid_tols and m in grid_tols:
+            t = float(np.max(np.atleast_1d(grid_tols[m])))
+            return int(np.clip(round(2.0 * t / sp) + 1, 3, 21))
+        return grid_steps
+
     offsets_by_mode = tuple(
-        jnp.asarray(make_mode_offsets(m, grid_tols[m], grid_steps))
+        jnp.asarray(make_mode_offsets(m, grid_tols[m], steps_for(m),
+                                      random_iters=random_iters))
         if grid_tols and m in grid_tols and np.max(grid_tols[m]) > 0
         else None
         for m in modes

@@ -324,7 +324,25 @@ def classify3d_loop(stack, table, initial_model, params, work_dir=".",
         int(params["refine_maxiter"])
     start = int(params.get("refine_iter") or 2)
 
-    occ = occ_mod.classification_initialization(B, K, seed=0)
+    # resume: a previous classification table restores occupancies and
+    # assignments unless class3d_force_init discards them (the reference
+    # classification block's force_init switch)
+    occ = None
+    if not params.get("class3d_force_init"):
+        prev = sorted(maps_dir.glob(f"{dataset}_classes_*.cistem"))
+        if prev:
+            t_prev = cistem.read_parameters(prev[-1])
+            if (t_prev.n_rows == B and "occupancy" in t_prev
+                    and "best_2d_class" in t_prev):
+                assign = np.clip(np.asarray(
+                    t_prev["best_2d_class"]).astype(int) - 1, 0, K - 1)
+                o = np.asarray(t_prev["occupancy"], dtype=np.float64)
+                occ = np.full((B, K), 1.0)
+                occ[np.arange(B), assign] = np.maximum(o, 1.0)
+                occ = occ / occ.sum(axis=1, keepdims=True) * 100.0
+                logger.info("resuming classification from %s", prev[-1].name)
+    if occ is None:
+        occ = occ_mod.classification_initialization(B, K, seed=0)
     # seed class references with occupancy-jittered weighted reconstructions
     # (classification_initialization semantics, occupancies.py:324): each
     # seed is biased toward a random particle subset, so the seeds differ

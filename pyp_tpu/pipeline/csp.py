@@ -80,35 +80,13 @@ def csp_swarm_one(
     tilt_weights = np.zeros(T, dtype=np.float32)
     tilt_weights[t_lo:t_hi + 1] = 1.0
 
-    modes = tuple(
-        # default order: micrograph shifts -> tilt geometry -> particle
-        # POSITIONS -> particle angles. Measured on synthetic series with
-        # all four error sources: angles-before-positions makes euler
-        # error WORSE (2.4 -> 4.1 deg) because the angle mode absorbs the
-        # position error; positions-first recovers both (1.1 deg, 0.2 vx).
-        int(m) for m in str(params.get("csp_refine_modes") or "3:0:2:1").split(":")
-    )
-    rhref = float(param(params.get("csp_rhref") or "12", iteration))
-
-    # coarse discrete search (csp_GS role) ahead of each gradient mode
-    grid_tols = None
-    if params.get("csp_GridSearch"):
-        grid_tols = {
-            0: (float(params.get("csp_ToleranceMicrographTiltAngles") or 10.0),
-                float(params.get("csp_ToleranceMicrographTiltAxisAngles")
-                      or 0.0)),
-            3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
-            5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
-            4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
-            1: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
-                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
-                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
-            7: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
-                float(params.get("csp_ToleranceParticlesTheta") or 10.0),
-                float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
-            2: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
-            6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
-        }
+    # shared schedule config — the batched path reads the same dict, so the
+    # two paths cannot drift (default mode order: micrograph shifts -> tilt
+    # geometry -> particle POSITIONS -> particle angles; measured rationale
+    # in _csp_config/docs)
+    cfg = _csp_config(params, iteration, pixel)
+    modes = cfg["modes"]
+    grid_tols = cfg["grid_tols"]
 
     # region/patch grid (csp_Grid "x,y,z"): patch modes 5/6/7 refine local
     # copies of the tilt geometry per spatial region
@@ -125,14 +103,12 @@ def csp_swarm_one(
                 cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume,
                 pixel, box, grid=patch_grid,
                 modes=tuple(m for m in modes if m in (5, 6, 7)),
-                iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
-                low_res=float(params.get("csp_rlref") or 60.0),
-                high_res=max(rhref, 2.5 * pixel),
-                reg_weight=float(params.get("csp_transreg") or 0.1),
+                iters_per_mode=cfg["iters"],
+                low_res=cfg["low_res"], high_res=cfg["high_res"],
+                reg_weight=cfg["reg_weight"],
                 tilt_weights=jnp.asarray(tilt_weights),
-                voltage_kv=float(params["scope_voltage"]),
-                cs_mm=float(params["scope_cs"]),
-                amplitude_contrast=float(params["scope_wgh"]),
+                voltage_kv=cfg["voltage_kv"], cs_mm=cfg["cs_mm"],
+                amplitude_contrast=cfg["amplitude_contrast"],
             )
             # stitch: every particle takes its region's refined copy
             cp = _stitch_regions(cp, per_region, region)
@@ -140,18 +116,17 @@ def csp_swarm_one(
         refined, scores, particle_scores = csp_ops.csp_refine(
             cp, jnp.asarray(tilts), jnp.asarray(defocus), ref_volume, pixel,
             box, modes=modes,
-            iters_per_mode=int(params.get("csp_OptimizerIters") or 20),
-            lr=float(params.get("csp_OptimizerStepLength") or 0.3),
-            low_res=float(params.get("csp_rlref") or 60.0),
-            high_res=max(rhref, 2.5 * pixel),
-            reg_weight=float(params.get("csp_transreg") or 0.1),
+            iters_per_mode=cfg["iters"], lr=cfg["lr"],
+            low_res=cfg["low_res"], high_res=cfg["high_res"],
+            reg_weight=cfg["reg_weight"],
             tilt_weights=jnp.asarray(tilt_weights),
-            voltage_kv=float(params["scope_voltage"]),
-            cs_mm=float(params["scope_cs"]),
-            amplitude_contrast=float(params["scope_wgh"]),
-            grid_tols=grid_tols,
-            grid_steps=int(params.get("csp_GridSearchSteps") or 9),
-            spin_step=float(params.get("csp_spin_search") or 0.0),
+            voltage_kv=cfg["voltage_kv"], cs_mm=cfg["cs_mm"],
+            amplitude_contrast=cfg["amplitude_contrast"],
+            grid_tols=grid_tols, grid_steps=cfg["grid_steps"],
+            spin_step=cfg["spin_step"],
+            angle_step=cfg["angle_step"], shift_step=cfg["shift_step"],
+            random_iters=cfg["random_iters"],
+            step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
             return_particle_scores=True,
         )
         if params.get("csp_rotreg"):
@@ -338,7 +313,13 @@ def _csp_config(params: dict, iteration: int, pixel: float):
                       or 0.0)),
             3: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
             5: float(params.get("csp_ToleranceMicrographShifts") or 20.0),
-            4: float(params.get("csp_ToleranceMicrographDefocus1") or 2000.0),
+            # mode 4 refines one per-tilt defocus OFFSET (applied to both
+            # df1/df2): the search radius covers whichever axis tolerance
+            # is wider
+            4: max(float(params.get("csp_ToleranceMicrographDefocus1")
+                         or 2000.0),
+                   float(params.get("csp_ToleranceMicrographDefocus2")
+                         or 0.0)),
             1: (float(params.get("csp_ToleranceParticlesPsi") or 10.0),
                 float(params.get("csp_ToleranceParticlesTheta") or 10.0),
                 float(params.get("csp_ToleranceParticlesPhi") or 10.0)),
@@ -348,6 +329,15 @@ def _csp_config(params: dict, iteration: int, pixel: float):
             2: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
             6: float(params.get("csp_ToleranceParticlesShifts") or 10.0),
         }
+        if float(params.get("csp_ToleranceMicrographAstigmatism") or 0) > 0:
+            # the joint model refines a scalar per-tilt defocus offset;
+            # per-tilt astigmatism is not a refinable block (the CTF here
+            # uses the mean defocus per tilt) — surface that instead of
+            # silently accepting the tolerance
+            logger.warning(
+                "csp_ToleranceMicrographAstigmatism set, but per-tilt "
+                "astigmatism is not a refinable CSP block (defocus offset "
+                "only); value ignored")
     return dict(
         modes=modes,
         rhref=rhref,
@@ -359,6 +349,15 @@ def _csp_config(params: dict, iteration: int, pixel: float):
         grid_tols=grid_tols,
         grid_steps=int(params.get("csp_GridSearchSteps") or 9),
         spin_step=float(params.get("csp_spin_search") or 0.0),
+        # explicit grid spacings + random search (reference AngleStep/
+        # ShiftStep/NumberOfRandomIterations block fields, SURVEY §A.3)
+        angle_step=float(params.get("csp_AngleStep") or 0.0),
+        shift_step=float(params.get("csp_ShiftStep") or 0.0),
+        random_iters=int(params.get("csp_NumberOfRandomIterations") or 0),
+        # optimizer termination (csp_OptimizerStepTolerance /
+        # csp_OptimizerValueTolerance): update freezing under jit
+        step_tol=float(params.get("csp_OptimizerStepTolerance") or 0.0),
+        value_tol=float(params.get("csp_OptimizerValueTolerance") or 0.0),
         voltage_kv=float(params["scope_voltage"]),
         cs_mm=float(params["scope_cs"]),
         amplitude_contrast=float(params["scope_wgh"]),
@@ -470,7 +469,9 @@ def csp_swarm_batch(
     tw_b = jnp.asarray(np.stack([p[5] for p in padded]))
 
     offsets_by_mode, spin_offsets = csp_ops.build_mode_offsets(
-        cfg["modes"], cfg["grid_tols"], cfg["grid_steps"], cfg["spin_step"])
+        cfg["modes"], cfg["grid_tols"], cfg["grid_steps"], cfg["spin_step"],
+        angle_step=cfg["angle_step"], shift_step=cfg["shift_step"],
+        random_iters=cfg["random_iters"])
 
     with Timer(f"csp batch refinement ({S} series)"):
         refined_b, mode_scores_b, pscores_b = csp_ops.csp_refine_batch(
@@ -479,6 +480,7 @@ def csp_swarm_batch(
             iters_per_mode=cfg["iters"], lr=cfg["lr"],
             reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
             cs_mm=cfg["cs_mm"], amplitude_contrast=cfg["amplitude_contrast"],
+            step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
         )
         mode_scores_b = np.asarray(mode_scores_b)
         pscores_b = np.asarray(pscores_b)

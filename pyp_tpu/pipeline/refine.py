@@ -210,6 +210,18 @@ def refinement_iteration(
 
     mesh = pipeline_mesh(params)
     engine = str(params.get("refine_engine") or "frm")
+    if engine != "frm" and n_total * stack.shape[-1] ** 2 > 2**27:
+        # production-size guardrail: the gather engine is the autodiff /
+        # verification twin, measured ~15x slower per particle than the
+        # FRM engine on TPU (BENCH_r03: 168 vs 2487 p/s at box 128) —
+        # deliberate small-job use (tests, polish) stays silent
+        logger.warning(
+            "refine_engine=%s selected for %d particles at box %d: the "
+            "gather engine runs ~15x slower than the default FRM engine "
+            "on production-size jobs (measured 168 vs 2487 particles/s "
+            "at box 128 on one v5e chip); set refine_engine=frm unless "
+            "you need the autodiff verification path",
+            engine, n_total, stack.shape[-1])
     dang = float(param(params["refine_dang"], iteration))
     rb_kwargs = dict(
         angular_step=dang,

@@ -23,11 +23,28 @@ def _source_blob():
 
 
 def test_every_param_is_consumed():
+    from pyp_tpu.config.blocks import BLOCK_FIELDS, apply_block_overrides
     from pyp_tpu.config.schema import all_params
 
+    # UI-block tab params are consumed compositionally: apply_block_overrides
+    # reads params[f"{block}_{field}"] for every field in BLOCK_FIELDS —
+    # prove it here instead of string-grepping, by checking that a sentinel
+    # value set on each block param actually reaches the engine namespace
+    # (or a refine switch / forced-mode branch).
+    block_ids = set()
+    for tab, fields in BLOCK_FIELDS.items():
+        base = apply_block_overrides({}, tab)
+        for f in fields:
+            probe = {f"{tab}_{f}": 1}
+            out = apply_block_overrides(probe, tab)
+            assert out != base or f.startswith("refine_") or out.get(
+                "csp_refine_modes"), (tab, f)
+            block_ids.add(f"{tab}_{f}")
+
     blob = _source_blob()
-    dead = [name for name in all_params() if f'"{name}"' not in blob
-            and f"'{name}'" not in blob]
+    dead = [name for name in all_params()
+            if name not in block_ids
+            and f'"{name}"' not in blob and f"'{name}'" not in blob]
     assert not dead, (
         f"{len(dead)} schema params are never consumed outside the schema: "
         f"{dead[:20]}{'...' if len(dead) > 20 else ''}")
@@ -35,7 +52,8 @@ def test_every_param_is_consumed():
 
 def test_param_count_target():
     """Coverage floor so the schema keeps growing toward the reference's
-    ~1,524 params (pyp_config.toml); round-3 target >= 400 (VERDICT)."""
+    ~1,524 params (pyp_config.toml); round-4 target: 600+ on the way to
+    >= 900 (VERDICT r3 item 3)."""
     from pyp_tpu.config.schema import all_params
 
-    assert len(all_params()) >= 400, len(all_params())
+    assert len(all_params()) >= 600, len(all_params())
