@@ -216,9 +216,15 @@ def bench_csp(jax, jnp):
             rng.uniform(-100, 100, (S, P, 3)).astype(np.float32)),
         defocus_offsets=jnp.zeros((S, T), jnp.float32),
     )
-    xv_b = jnp.asarray(
-        (rng.randn(S, T, P, G) + 1j * rng.randn(S, T, P, G)
-         ).astype(np.complex64))
+    # complex window samples are synthesized ON DEVICE: the axon tunnel
+    # cannot transfer complex arrays host<->device (verify SKILL gotcha —
+    # a host-side complex jnp.asarray threw UNIMPLEMENTED here and then
+    # wedged every later fresh compile in the process, taking the WBP
+    # axis down with it)
+    xv_b = jax.jit(lambda k: jax.lax.complex(
+        jax.random.normal(k, (S, T, P, G), jnp.float32),
+        jax.random.normal(jax.random.fold_in(k, 1), (S, T, P, G),
+                          jnp.float32)))(jax.random.PRNGKey(11))
     wc_b = jnp.zeros((S, T, P, 2), jnp.float32)
     df_b = jnp.full((S, T, 2), 15000.0, jnp.float32)
     tw_b = jnp.ones((S, T), jnp.float32)

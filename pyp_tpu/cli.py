@@ -62,13 +62,18 @@ def _project_params(argv, work_dir=".", persist=True):
         k: v for k, v in overrides.items()
         if k in given or defaults.get(k) != v
     }
+    from pyp_tpu.config.blocks import apply_reference_aliases
+
     if not persist:
         # one-shot modes (edits): apply without writing to the project
         # config, so e.g. -edit_remove_circle can't replay on the next run
         saved = {**defaults, **(cfg.load_parameters(work_dir) or {})}
         saved.update(explicit)
-        return saved
-    return cfg.update_parameters(work_dir, explicit)
+        return apply_reference_aliases(saved)
+    # reference-spelled ids (metric_*, sharpen_cistem_*, sharpen_relion_*,
+    # dose_weighting_*, class2d_* aliases) land on their engine targets
+    # AFTER persistence, so the project file keeps the user's spelling
+    return apply_reference_aliases(cfg.update_parameters(work_dir, explicit))
 
 
 def _discover_items(params):
@@ -295,23 +300,34 @@ def mode_classify2d(argv):
 
     stack = mrc.read("stack.mrc").astype(np.float32)
     table = cistem.read_parameters("stack.cistem")
-    res = refine2d.classify2d(
-        stack, table_to_ctf_params(table),
-        int(params.get("class_num") or 10),
-        float(params["scope_pixel"]),
-        iters=int(params.get("class_2d_iters") or 10),
-        high_res=float(params.get("class_rhcls") or 10.0),
-        low_res=float(params.get("class_rlcls") or 100.0),
-        shift_extent=float(params.get("class_shift") or 5.0),
-        shift_step=float(params.get("class_shift_step") or 2.0),
-        psi_step=float(params.get("class_psi_step") or 15.0),
-        seed=int(params.get("class_seed") or 0),
-        engine=str(params.get("class_engine") or "polar"),
-        wiener=float(params.get("class_wiener") or 10.0),
-        voltage_kv=float(params["scope_voltage"]),
-        cs_mm=float(params["scope_cs"]),
-        amplitude_contrast=float(params["scope_wgh"]),
-    )
+    if params.get("class2d_staged"):
+        # the reference's three-phase class2d protocol (ab initio ->
+        # seeded -> refinement over growing subsets, [tabs.class2d])
+        res = refine2d.classify2d_staged(
+            stack, table_to_ctf_params(table), params,
+            float(params["scope_pixel"]),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+        )
+    else:
+        res = refine2d.classify2d(
+            stack, table_to_ctf_params(table),
+            int(params.get("class_num") or 10),
+            float(params["scope_pixel"]),
+            iters=int(params.get("class_2d_iters") or 10),
+            high_res=float(params.get("class_rhcls") or 10.0),
+            low_res=float(params.get("class_rlcls") or 100.0),
+            shift_extent=float(params.get("class_shift") or 5.0),
+            shift_step=float(params.get("class_shift_step") or 2.0),
+            psi_step=float(params.get("class_psi_step") or 15.0),
+            seed=int(params.get("class_seed") or 0),
+            engine=str(params.get("class_engine") or "polar"),
+            wiener=float(params.get("class_wiener") or 10.0),
+            voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"]),
+            amplitude_contrast=float(params["scope_wgh"]),
+        )
     mrc.write(np.asarray(res.class_avgs), "classes_2d.mrc",
               pixel_size=float(params["scope_pixel"]))
     table["best_2d_class"] = np.asarray(res.assignments) + 1
@@ -370,9 +386,14 @@ def _csp_load_item(item, params):
         eulers = np.asarray(meta["spk_eulers"], dtype=np.float32)
         if not float(params.get("csp_spin_search") or 0.0):
             params = {**params, "csp_spin_search": 15.0}
-    else:
+    elif params.get("tomo_pick_rand", True):
         rng = np.random.RandomState(abs(hash(item["name"])) % (2**31))
         eulers = rng.uniform(0, 360, (len(coords), 3)).astype(np.float32)
+    else:
+        # tomo_pick rand=false: deterministic zero-euler init (the
+        # reference's no-randomization card) — the spin/grid searches do
+        # the orientation work
+        eulers = np.zeros((len(coords), 3), dtype=np.float32)
     item2 = {"name": item["name"], "tilts": tilts, "coords": coords,
              "eulers": eulers, "angles": meta["tlt"]}
     return item2, meta, params, nz

@@ -152,6 +152,150 @@ def block_mode_schedule(micrographs: bool, particles: bool,
     return ":".join(str(m) for m in modes) if modes else "2:1"
 
 
+# ---------------------------------------------------------------------------
+# Reference-id aliases: nextPYP tabs whose fields are alternate spellings of
+# engine parameters this framework already consumes (metric, sharpen_cistem,
+# sharpen_relion, dose_weighting, class2d — pyp_config.toml). Each entry is
+# reference_id -> (target, transform|None) or (targets tuple, transform).
+# Applied by apply_reference_aliases for every explicitly-set key.
+
+def _neg(v):
+    return not bool(v)
+
+
+def _auto_b(v):
+    # relion auto_bfac=true == "fit the B-factor" == our sharpen_bfactor 0
+    return 0.0 if v else None
+
+
+def _pick_method(v):
+    # reference tomo_pick method enum -> engine tomo_spk_method values
+    return {"pytom": "template", "virions": "surface", "manual": "import",
+            "milo": "nn"}.get(str(v), str(v))
+
+
+def _x16(v):
+    # reference level-set iteration counts -> SH-refinement gradient steps
+    return int(round(float(v) * 16))
+
+
+REFERENCE_ALIASES: dict[str, tuple] = {
+    # ---- metric tab (refinement metric selection, pyp_config [tabs.metric])
+    "metric_UseImagesForRefinementMin": ("csp_UseImagesForRefinementMin",
+                                         None),
+    "metric_UseImagesForRefinementMax": ("csp_UseImagesForRefinementMax",
+                                         None),
+    "metric_RefineProjectionCutoff": ("csp_RefineProjectionCutoff", None),
+    "metric_rlref": (("refine_rlref", "csp_rlref"), None),
+    "metric_rhref": (("refine_rhref", "csp_rhref"), None),
+    "metric_fboost": ("refine_fboost", None),
+    "metric_fboostlim": ("refine_fboostlim", None),
+    "metric_fssnr": ("refine_fssnr", None),
+    "metric_priors": ("refine_priors", None),
+    "metric_score_weighting": ("refine_score_weighting", None),
+    "metric_masking_method": ("refine_masking_method", None),
+    "metric_srad": ("refine_srad", None),
+    "metric_maskth": ("refine_maskth", None),
+    # ---- sharpen_cistem tab (cisTEM sharpen_map stdin card)
+    "sharpen_cistem_input_map": ("sharpen_input_map", None),
+    "sharpen_cistem_inner_mask_radius": ("sharpen_inner_mask_radius", None),
+    "sharpen_cistem_outer_mask_radius": ("sharpen_outer_mask_radius", None),
+    "sharpen_cistem_low_res_bfactor": ("sharpen_low_res_bfactor", None),
+    "sharpen_cistem_high_res_bfactor": ("sharpen_high_res_bfactor", None),
+    "sharpen_cistem_low_res_flattening": ("sharpen_flatten_res", None),
+    "sharpen_cistem_high_res_limit": ("sharpen_high_res_limit", None),
+    "sharpen_cistem_filter_edge_width": ("sharpen_edge_width", None),
+    "sharpen_cistem_use_mask": ("sharpen_apply_mask", None),
+    "sharpen_cistem_invert_handedness": ("sharpen_invert_handedness", None),
+    # ---- sharpen_relion tab (relion_postprocess flags)
+    "sharpen_relion_first_half": ("sharpen_first_half", None),
+    "sharpen_relion_second_half": ("sharpen_second_half", None),
+    "sharpen_relion_auto_mask": ("sharpen_apply_mask", None),
+    "sharpen_relion_inimask_threshold": ("sharpen_mask_threshold", None),
+    "sharpen_relion_extend_inimask": ("sharpen_mask_dilation", None),
+    "sharpen_relion_width_mask_edge": ("sharpen_mask_soft", None),
+    "sharpen_relion_mask": ("sharpen_mask", None),
+    "sharpen_relion_mtf": ("sharpen_mtf", None),
+    "sharpen_relion_auto_bfac": ("sharpen_bfactor", _auto_b),
+    "sharpen_relion_autob_lowres": ("sharpen_bfac_lowres", None),
+    "sharpen_relion_autob_highres": ("sharpen_bfac_highres", None),
+    "sharpen_relion_adhoc_bfac": ("sharpen_bfactor", None),
+    "sharpen_relion_skip_fsc_weighting": ("sharpen_fsc_weight", _neg),
+    "sharpen_relion_low_pass": ("sharpen_high_res_limit", None),
+    "sharpen_relion_locres": ("sharpen_locres", None),
+    "sharpen_relion_locres_sampling": ("sharpen_locres_sampling", None),
+    "sharpen_relion_locres_maskrad": ("sharpen_locres_maskrad", None),
+    "sharpen_relion_locres_edgwidth": ("sharpen_locres_edgwidth", None),
+    "sharpen_relion_locres_randomize_at": ("sharpen_locres_randomize_at",
+                                           None),
+    "sharpen_relion_locres_minres": ("sharpen_locres_minres", None),
+    "sharpen_relion_ampl_corr": ("sharpen_ampl_corr", None),
+    "sharpen_relion_randomize_at_fsc": ("sharpen_randomize_at_fsc", None),
+    "sharpen_relion_randomize_at_A": ("sharpen_rand_res", None),
+    "sharpen_relion_filter_edge_width": ("sharpen_edge_width", None),
+    "sharpen_relion_random_seed": ("sharpen_random_seed", None),
+    # ---- dose_weighting tab -> the engine's dose model
+    "dose_weighting_enable": ("reconstruct_dose_weighting_enable", None),
+    "dose_weighting_fraction": ("dose_weight_fraction", None),
+    "dose_weighting_transition": ("dose_weight_transition", None),
+    "dose_weighting_multiply": ("dose_weight_multiply", None),
+    "dose_weighting_global": ("dose_weight_global", None),
+    "dose_weighting_weights": ("dose_weight_weights", None),
+    # ---- tomo_pick tab -> the 3D picking dispatch + native template match
+    "tomo_pick_method": ("tomo_spk_method", _pick_method),
+    "tomo_pick_rad": ("tomo_spk_rad", None),
+    "tomo_pick_dilation_3d": ("tomo_spk_dist", None),
+    "tomo_pick_pytom_template": ("tomo_pick_ref", None),
+    "tomo_pick_pytom_template_size": ("tomo_pick_template_size", None),
+    "tomo_pick_pytom_template_invert": ("tomo_pick_template_invert", None),
+    "tomo_pick_pytom_template_mirror": ("tomo_pick_template_mirror", None),
+    "tomo_pick_pytom_mask_method": ("tomo_pick_mask_method", None),
+    "tomo_pick_pytom_mask_sigma": ("tomo_pick_mask_sigma", None),
+    "tomo_pick_pytom_mask_file": ("tomo_pick_mask_file", None),
+    "tomo_pick_pytom_angular_search": ("tomo_pick_ang", None),
+    "tomo_pick_pytom_low_pass": ("tomo_pick_low_pass", None),
+    "tomo_pick_pytom_high_pass": ("tomo_pick_high_pass", None),
+    "tomo_pick_pytom_spectral_whitening":
+        ("tomo_pick_spectral_whitening", None),
+    "tomo_pick_pytom_random_phase_correction":
+        ("tomo_pick_random_phase_correction", None),
+    "tomo_pick_pytom_estimate_cutoff": ("tomo_pick_estimate_cutoff", None),
+    "tomo_pick_pytom_cutoff": ("tomo_pick_cutoff", None),
+    "tomo_pick_pytom_number_of_particles": ("tomo_spk_max", None),
+    "tomo_pick_pytom_number_of_false_positives":
+        ("tomo_pick_n_false_positives", None),
+    "tomo_pick_vir_rad": ("tomo_vir_rad", None),
+    "tomo_pick_vir_number": ("tomo_vir_detect_max", None),
+    "tomo_pick_vir_det_tol": ("tomo_vir_det_tol", None),
+    "tomo_pick_vir_iterations": ("tomo_vir_sh_iters", _x16),
+    "tomo_pick_vir_binn": ("tomo_vir_binn", None),
+    # ---- class2d tab -> 2D classification protocol
+    "class2d_num": ("class_num", None),
+    "class2d_rlref": ("class_rlcls", None),
+    "class2d_rhref": ("class_rhcls", None),
+}
+
+
+def apply_reference_aliases(params: dict) -> dict:
+    """Translate explicitly-set reference-spelled parameters into this
+    framework's namespace. A key participates only when its value is not
+    None (unset aliases never clobber engine values). Returns a NEW dict."""
+    out = dict(params)
+    for src, (targets, fn) in REFERENCE_ALIASES.items():
+        val = params.get(src)
+        if val in (None, ""):
+            continue
+        if fn is not None:
+            val = fn(val)
+            if val is None:
+                continue
+        if isinstance(targets, str):
+            targets = (targets,)
+        for t in targets:
+            out[t] = val
+    return out
+
+
 def apply_block_overrides(params: dict, block: str) -> dict:
     """Translate a block tab's values into the engine namespace. Unset tab
     values (None) leave the engine value alone. Returns a NEW dict."""

@@ -54,6 +54,11 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "Grant-Grigorieff critical-exposure a (Ne = a*g^b + c)"),
         P("dose_critical_b", float, -1.6649, "critical-exposure exponent b"),
         P("dose_critical_c", float, 2.8141, "critical-exposure offset c"),
+        P("dose_weight_global", bool, False,
+          "dataset-global acquisition order for the damage envelope "
+          "(vs per-series |angle| re-ranking)"),
+        P("dose_weight_weights", str, "",
+          "external per-tilt weight table (one scalar per tilt)"),
         P("dose_weight_method", str, "grant",
           "per-tilt/frame damage envelope: grant (critical-exposure "
           "model) or frame (data-driven rank falloff, merge/weights.py:76)",
@@ -387,6 +392,10 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "trained once on procedural membranes and cached)"),
         P("tomo_vir_nn_model", str, "",
           "membrane segmenter weights path (default membrane_model.npz)"),
+        P("tomo_vir_det_tol", float, 0.0,
+          "virion seed minimum separation (Å; 0 = default)"),
+        P("tomo_vir_binn", int, 1,
+          "virion detection binning (sphere Hough on a binned volume)"),
         P("tomo_vir_rad", float, 500.0, "virion radius (Å)"),
         P("tomo_vir_detect_band", float, 800.0, "detection band (Å)"),
         P("tomo_vir_detect_max", int, 8, "max virions per tomogram"),
@@ -530,6 +539,19 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("refine_fboost", bool, False,
           "boost weights of shells below fboostlim (signed-CC boost)"),
         P("refine_fboostlim", float, 0.0, "signed-CC boost resolution (Å)"),
+        P("refine_fssnr", bool, True,
+          "weight matching shells by the half-map FSC (SSNR statistics "
+          "role; off = unweighted band)"),
+        P("refine_priors", bool, True,
+          "restrict the FRM local search to a cone prior around the "
+          "current pose (off = full-lattice local search)"),
+        P("refine_masking_method", str, "spherical",
+          "reference-map masking before matching",
+          enum=("spherical", "auto", "file")),
+        P("refine_maskth", str, "",
+          "mask volume path (refine_masking_method=file)"),
+        P("refine_srad", float, 0.0,
+          "global-search mask radius (Å; 0 = particle_rad)"),
         P("refine_lr_angles", float, 2.0,
           "local gradient polish: angular step size (deg-scale)"),
         P("refine_lr_shifts", float, 0.4,
@@ -716,6 +738,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
           "reuse per-series accumulator dumps that already exist"),
         P("csp_reference_model", str, "",
           "reference map path override (default initial_model.mrc)"),
+        P("csp_RefineProjectionCutoff", int, 0,
+          "refine against only the N lowest-|angle| projections "
+          "(0 = all in the exposure window)"),
         P("csp_block", str, "",
           "UI block whose tab overrides the engine namespace "
           "(csp_tomo_init/coarse/reference/movie/movie_after/"
@@ -959,6 +984,35 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("sharpen_mtf_angpix", float, -1.0,
           "original detector pixel size for the MTF axis (Å; -1 = map "
           "pixel)"),
+        P("sharpen_input_map", str, "",
+          "postprocess this single map instead of the newest half pair "
+          "(no FSC; cisTEM sharpen_map input card)"),
+        P("sharpen_first_half", str, "",
+          "explicit half-map 1 path (relion --i role)"),
+        P("sharpen_second_half", str, "", "explicit half-map 2 path"),
+        P("sharpen_inner_mask_radius", float, 0.0,
+          "spherical shell mask: inner radius (Å; 0 = solid sphere)"),
+        P("sharpen_outer_mask_radius", float, 0.0,
+          "spherical mask outer radius (Å; 0 = auto/user mask instead)"),
+        P("sharpen_low_res_bfactor", float, 0.0,
+          "split-B: B-factor below the flattening resolution (Å²)"),
+        P("sharpen_high_res_bfactor", float, 0.0,
+          "split-B: B-factor beyond the flattening resolution (Å²)"),
+        P("sharpen_flatten_res", float, 0.0,
+          "split-B transition resolution (Å; 0 = single B)"),
+        P("sharpen_high_res_limit", float, 0.0,
+          "hard final lowpass (Å; 0 = FSC resolution)"),
+        P("sharpen_edge_width", float, 0.0,
+          "final lowpass cosine edge width (Fourier px; 0 = default)"),
+        P("sharpen_invert_handedness", bool, False,
+          "mirror the written map through the xy plane"),
+        P("sharpen_bfac_highres", float, 0.0,
+          "Guinier auto-B fit: high-res bound (Å; 0 = 2.5 px)"),
+        P("sharpen_randomize_at_fsc", float, 0.0,
+          "randomize phases where the unmasked FSC crosses this value "
+          "(overrides sharpen_rand_res)"),
+        P("sharpen_random_seed", int, 0,
+          "phase-randomization seed offset"),
         P("sharpen_half_maps", bool, False,
           "also write postprocessed half maps for validation"),
         P("sharpen_ampl_corr", bool, False,
@@ -995,10 +1049,123 @@ SCHEMA: dict[str, list[ParamDef]] = {
         P("notify_on", str, "always", "when to email",
           enum=("always", "fail", "never")),
     ],
+    # ------------------------------------------------------------- tomo_pick
+    # 3D picking surface ([tabs.tomo_pick]): direct knobs; the pytom_*/
+    # vir_* reference spellings alias onto these + the engine ids
+    "tomo_pick": [
+        P("tomo_pick_files", str, "",
+          "coordinate import: <dir>/<series>.{spk,box,mod,cbox} or a file"),
+        P("tomo_pick_files_flip", bool, False,
+          "flip imported z against tomo_rec_thickness"),
+        P("tomo_pick_rand", bool, True,
+          "random particle eulers when no orientation priors exist "
+          "(off = zero eulers)"),
+        P("tomo_pick_gaussian_3d", bool, False,
+          "gaussian pre-smoothing before intensity picking"),
+        P("tomo_pick_sigma_3d", float, 15.0, "pre-smoothing sigma"),
+        P("tomo_pick_stdtimes_filt_3d", float, 0.0,
+          "picking threshold in background sigmas (0 = engine default)"),
+        P("tomo_pick_remove_edge_3d", bool, False,
+          "widen the excluded edge band to 2 particle radii"),
+        P("tomo_pick_radiustimes_3d", float, 0.0,
+          "duplicate-removal distance in particle radii (0 = default)"),
+        P("tomo_pick_template_size", int, 0,
+          "resize the template to this box (px; 0 = as-is)"),
+        P("tomo_pick_template_invert", bool, False,
+          "invert template contrast"),
+        P("tomo_pick_template_mirror", bool, False,
+          "mirror the template through z"),
+        P("tomo_pick_mask_method", str, "auto", "template masking",
+          enum=("auto", "gaussian", "file", "none")),
+        P("tomo_pick_mask_sigma", float, 1.0,
+          "gaussian template mask width (fractions of box/6)"),
+        P("tomo_pick_mask_file", str, "", "template mask volume path"),
+        P("tomo_pick_low_pass", float, 0.0,
+          "tomogram lowpass before matching (Å; 0 = off)"),
+        P("tomo_pick_high_pass", float, 0.0,
+          "tomogram highpass before matching (Å; 0 = off)"),
+        P("tomo_pick_spectral_whitening", bool, False,
+          "flatten the tomogram's radial power spectrum before matching"),
+        P("tomo_pick_random_phase_correction", bool, False,
+          "subtract the phase-randomized template's score map "
+          "(matched-filter noise floor)"),
+        P("tomo_pick_estimate_cutoff", bool, False,
+          "derive the score threshold from the false-positive budget"),
+        P("tomo_pick_cutoff", float, 0.0,
+          "explicit score threshold (0 = off)"),
+        P("tomo_pick_n_false_positives", float, 1.0,
+          "allowed false positives per tomogram for cutoff estimation"),
+    ],
+    # -------------------------------------------------------------- class2d
+    # staged 2D classification protocol ([tabs.class2d]; fyp_daemon roles)
+    "class2d": [
+        P("class2d_staged", bool, False,
+          "run the three-phase protocol (ab initio -> seeded -> "
+          "refinement over growing subsets) instead of one EM run"),
+        P("class2d_enable", bool, False,
+          "streaming: incremental 2D classification in the session daemon"),
+        P("class2d_min", int, 5000,
+          "streaming: particles required before the first classification"),
+        P("class2d_inc", int, 5000,
+          "streaming: new particles between re-classifications"),
+        P("class2d_num", int, None, "number of classes (alias of class_num)"),
+        P("class2d_box", int, 0,
+          "classification box (px; 0 = class2d_bin or full box)"),
+        P("class2d_bin", int, 1, "classification binning factor"),
+        P("class2d_rad", float, 0.0, "mask radius (Å; 0 = none)"),
+        P("class2d_fraction", float, 1.0,
+          "random fraction of particles classified per phase"),
+        P("class2d_rlref", float, None,
+          "low-res limit (Å; alias of class_rlcls)"),
+        P("class2d_rhini", float, 40.0, "ab-initio phase high-res limit (Å)"),
+        P("class2d_rhref", float, None,
+          "refinement-phase high-res limit (Å; alias of class_rhcls)"),
+        P("class2d_iters_init", int, 15, "ab-initio phase EM iterations"),
+        P("class2d_iters_seed", int, 10, "seeded phase EM iterations"),
+        P("class2d_iters_refine", int, 3, "refinement phase EM iterations"),
+        P("class2d_max_ab_initio", int, 10000,
+          "particle cap for the ab-initio phase"),
+        P("class2d_max_seeded", int, 50000,
+          "particle cap for the seeded phase"),
+        P("class2d_max_refinement", int, 100000,
+          "particle cap for the refinement phase"),
+    ],
 }
 
 
-# ------------------------------------------------------------- UI block tabs
+def _alias_tabs():
+    """Schema tabs for the reference-spelled alias ids (metric,
+    sharpen_cistem, sharpen_relion, dose_weighting — config.blocks
+    REFERENCE_ALIASES): default None so an unset alias never clobbers its
+    engine target; types follow the target definition."""
+    from pyp_tpu.config.blocks import REFERENCE_ALIASES
+
+    flat = {d.name: d for defs in SCHEMA.values() for d in defs}
+    tabs = ("metric", "sharpen_cistem", "sharpen_relion", "dose_weighting",
+            "tomo_pick", "class2d")
+    existing = {d.name for defs in SCHEMA.values() for d in defs}
+    for tab in tabs:
+        entries = []
+        for src, (targets, fn) in REFERENCE_ALIASES.items():
+            if not src.startswith(tab + "_") or src in existing:
+                continue
+            t0 = targets if isinstance(targets, str) else targets[0]
+            td = flat.get(t0)
+            typ = str if fn is not None else (td.type if td else str)
+            if fn is not None and fn.__name__ in ("_neg", "_auto_b"):
+                typ = bool
+            elif fn is not None and fn.__name__ == "_x16":
+                typ = int
+            t_names = targets if isinstance(targets, tuple) else (targets,)
+            entries.append(P(src, typ, None,
+                             f"nextPYP spelling of {'/'.join(t_names)}"))
+        if entries:
+            SCHEMA.setdefault(tab, [])
+            SCHEMA[tab] = list(SCHEMA[tab]) + entries
+
+
+_alias_tabs()
+
 # Per-block stage tabs mirroring the reference's [tabs.csp_tomo_*] groups
 # (pyp_config.toml): each field overrides its engine-namespace target via
 # config.blocks.apply_block_overrides when the block is selected

@@ -129,3 +129,27 @@ def read_cbox(path):
     if not centers:
         return np.zeros((0, 3)), 0.0, np.zeros(0)
     return np.asarray(centers), boxsize, np.asarray(conf)
+
+
+def read_coords(path):
+    """Extension-dispatched 3D coordinate reader -> (N, 3) float32 rows
+    (z, y, x) — the tomo_pick files-import card accepts any supported pick
+    format (.spk/.cbox/.box/.mod/.next)."""
+    p = str(path)
+    if p.endswith(".spk"):
+        return np.asarray(read_spk(p), dtype=np.float32)
+    if p.endswith(".cbox"):
+        centers_xyz, _box, _conf = read_cbox(p)
+        c = np.asarray(centers_xyz, dtype=np.float32)
+        return c[:, ::-1]  # (x, y, z) -> (z, y, x)
+    if p.endswith(".mod"):
+        from pyp_tpu.io.imod import read_model
+
+        pts = np.asarray(read_model(p), dtype=np.float32)  # (N, 3) x,y,z
+        return pts[:, ::-1]
+    if p.endswith(".box"):
+        rows = np.asarray(read_box(p), dtype=np.float32)   # (N, 2) (y, x)
+        return np.concatenate(
+            [np.zeros((len(rows), 1), np.float32), rows[:, :2]], axis=1)
+    rows = np.atleast_2d(np.loadtxt(p, ndmin=2)).astype(np.float32)
+    return rows[:, :3]

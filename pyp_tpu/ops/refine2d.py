@@ -288,8 +288,13 @@ def classify2d(
     voltage_kv: float = 300.0, cs_mm: float = 2.7,
     amplitude_contrast: float = 0.07, seed: int = 0,
     engine: str = "polar", wiener: float = 10.0,
+    init_avgs=None,
 ) -> Classify2DResult:
     """Full 2D classification: random init -> alternating E/M steps.
+
+    init_avgs: warm-start class averages (K, n, n) — skips random seeding
+    (the staged class2d protocol's seeded/refinement stages and the
+    streaming daemon's incremental updates).
 
     engine="polar" (default) runs the E-step on the MXU polar machinery
     (particle polar transform once, class tables per iteration, all psi by
@@ -300,22 +305,26 @@ def classify2d(
     B, n, _ = stack.shape
     rng = np.random.RandomState(seed)
     weights = jnp.ones(B)
-    # seed each class from a small disjoint random subset (a symmetric
-    # everyone-everywhere init would make all averages identical and EM
-    # could never break the tie — cisTEM seeds from random particles too)
-    perm = rng.permutation(B)
-    seeds_per_class = max(1, min(3, B // n_classes))
-    init_assign = np.full(B, -1, dtype=np.int64)
-    for k in range(n_classes):
-        init_assign[perm[k * seeds_per_class:(k + 1) * seeds_per_class]] = k
-    seed_mask = init_assign >= 0
-    avgs, occ = update_class_averages(
-        stack, ctf_params, jnp.asarray(np.maximum(init_assign, 0)),
-        jnp.zeros(B), jnp.zeros((B, 2)),
-        jnp.asarray(seed_mask.astype(np.float32)), n, n_classes, pixel_size,
-        voltage_kv, cs_mm, amplitude_contrast, wiener=wiener,
-    )
-    init_assign = jnp.asarray(np.maximum(init_assign, 0))
+    if init_avgs is not None:
+        avgs = jnp.asarray(init_avgs)
+        init_assign = jnp.zeros(B, dtype=jnp.int64)
+    else:
+        # seed each class from a small disjoint random subset (a symmetric
+        # everyone-everywhere init would make all averages identical and EM
+        # could never break the tie — cisTEM seeds from random particles too)
+        perm = rng.permutation(B)
+        seeds_per_class = max(1, min(3, B // n_classes))
+        init_assign = np.full(B, -1, dtype=np.int64)
+        for k in range(n_classes):
+            init_assign[perm[k * seeds_per_class:(k + 1) * seeds_per_class]] = k
+        seed_mask = init_assign >= 0
+        avgs, occ = update_class_averages(
+            stack, ctf_params, jnp.asarray(np.maximum(init_assign, 0)),
+            jnp.zeros(B), jnp.zeros((B, 2)),
+            jnp.asarray(seed_mask.astype(np.float32)), n, n_classes, pixel_size,
+            voltage_kv, cs_mm, amplitude_contrast, wiener=wiener,
+        )
+        init_assign = jnp.asarray(np.maximum(init_assign, 0))
     psis = np.arange(0.0, 360.0, psi_step, dtype=np.float32)
     mask_pts = make_mask_points(n, pixel_size, low_res, high_res)
     shift_grid = make_shift_grid(shift_extent, shift_step)
@@ -347,3 +356,102 @@ def classify2d(
         shift_y=shifts[:, 0], shift_x=shifts[:, 1], scores=scores,
         occupancy=occ,
     )
+
+
+def classify2d_staged(
+    stack, ctf_params, params: dict, pixel_size: float,
+    voltage_kv: float = 300.0, cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+) -> Classify2DResult:
+    """The reference's staged class2d protocol (pyp_config [tabs.class2d],
+    driven by fyp_daemon): three EM phases over growing particle subsets —
+    ab initio on up to class2d_max_ab_initio particles at class2d_rhini,
+    a seeded phase on up to class2d_max_seeded at the intermediate band,
+    and a refinement phase on up to class2d_max_refinement at class_rhcls —
+    each warm-starting from the previous phase's class averages.
+    class2d_fraction caps the random subset per phase; class2d_bin /
+    class2d_box classify on a reduced grid (Fourier crop) for speed, with
+    the final E-step assignment computed on the reduced grid too (the
+    averages are what matter downstream)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.fft import fourier_crop
+
+    stack = np.asarray(stack, dtype=np.float32)
+    B, n_full, _ = stack.shape
+    n_classes = int(params.get("class_num") or 20)
+    rhini = float(params.get("class2d_rhini") or 40.0)
+    rhref = float(params.get("class_rhcls") or 8.0)
+    rlref = float(params.get("class_rlcls") or 100.0)
+    frac = float(params.get("class2d_fraction") or 1.0)
+    seed = int(params.get("class_seed") or 0)
+    rng = np.random.RandomState(seed)
+
+    # classification grid: class2d_box/class2d_bin pick the working box
+    box = int(params.get("class2d_box") or 0)
+    binf = int(params.get("class2d_bin") or 1)
+    n_work = n_full
+    if box and box < n_full:
+        n_work = box
+    elif binf > 1:
+        n_work = max(32, n_full // binf)
+    n_work -= n_work % 2
+    if n_work < n_full:
+        work_stack = np.asarray(
+            fourier_crop(jnp.asarray(stack), (n_work, n_work)),
+            dtype=np.float32)
+        pixel_work = pixel_size * n_full / n_work
+    else:
+        work_stack, pixel_work = stack, pixel_size
+
+    # mask radius (class2d_rad, Å)
+    rad = float(params.get("class2d_rad") or 0.0)
+    if rad > 0:
+        from pyp_tpu.core.filters import soft_circular_mask
+
+        m = np.asarray(soft_circular_mask(n_work, rad / pixel_work, 4.0))
+        work_stack = work_stack * m[None]
+
+    stages = (
+        (int(params.get("class2d_max_ab_initio") or 10000),
+         int(params.get("class2d_iters_init") or 15), rhini),
+        (int(params.get("class2d_max_seeded") or 50000),
+         int(params.get("class2d_iters_seed") or 10),
+         0.5 * (rhini + rhref)),
+        (int(params.get("class2d_max_refinement") or 100000),
+         int(params.get("class2d_iters_refine") or 3), rhref),
+    )
+    avgs = None
+    res = None
+    for cap, iters, band in stages:
+        n_use = min(B, cap, max(n_classes * 2, int(round(B * frac))))
+        idx = (np.arange(B) if n_use >= B
+               else rng.choice(B, size=n_use, replace=False))
+        res = classify2d(
+            work_stack[idx], np.asarray(ctf_params)[idx], n_classes,
+            pixel_work, iters=iters, low_res=rlref,
+            high_res=max(band, 2.5 * pixel_work),
+            psi_step=float(params.get("class_psi_step") or 15.0),
+            shift_extent=float(params.get("class_shift") or 5.0),
+            shift_step=float(params.get("class_shift_step") or 2.0),
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast, seed=seed,
+            engine=str(params.get("class_engine") or "polar"),
+            wiener=float(params.get("class_wiener") or 10.0),
+            init_avgs=avgs)
+        avgs = res.class_avgs
+    if len(np.asarray(res.assignments)) != B:
+        # final pass assigned a subset: run ONE assignment E-step over all
+        # particles against the final averages
+        res = classify2d(
+            work_stack, np.asarray(ctf_params), n_classes, pixel_work,
+            iters=1, low_res=rlref, high_res=max(rhref, 2.5 * pixel_work),
+            psi_step=float(params.get("class_psi_step") or 15.0),
+            shift_extent=float(params.get("class_shift") or 5.0),
+            shift_step=float(params.get("class_shift_step") or 2.0),
+            voltage_kv=voltage_kv, cs_mm=cs_mm,
+            amplitude_contrast=amplitude_contrast, seed=seed,
+            engine=str(params.get("class_engine") or "polar"),
+            wiener=float(params.get("class_wiener") or 10.0),
+            init_avgs=avgs)
+    return res

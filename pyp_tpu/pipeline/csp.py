@@ -77,8 +77,7 @@ def csp_swarm_one(
     t_hi = int(params.get("csp_UseImagesForRefinementMax") or -1)
     if t_hi < 0:
         t_hi = T - 1
-    tilt_weights = np.zeros(T, dtype=np.float32)
-    tilt_weights[t_lo:t_hi + 1] = 1.0
+    tilt_weights = _tilt_window_weights(cp.tilt_angles, params, t_lo, t_hi)
 
     # shared schedule config — the batched path reads the same dict, so the
     # two paths cannot drift (default mode order: micrograph shifts -> tilt
@@ -170,6 +169,23 @@ def csp_swarm_one(
     return refined, acc, scores
 
 
+def _tilt_window_weights(tilt_angles, params, t_lo, t_hi):
+    """Exposure-window tilt weights + metric RefineProjectionCutoff: keep
+    only the N lowest-|angle| (least-dosed, highest-SNR) projections for
+    refinement when the cutoff is set (reference metric tab)."""
+    T = len(np.asarray(tilt_angles))
+    tw = np.zeros(T, dtype=np.float32)
+    tw[t_lo:t_hi + 1] = 1.0
+    cutoff = int(params.get("csp_RefineProjectionCutoff") or 0)
+    if 0 < cutoff < int(tw.sum()):
+        order = np.argsort(np.abs(np.asarray(tilt_angles)))
+        keep = [t for t in order if tw[t] > 0][:cutoff]
+        tw2 = np.zeros(T, dtype=np.float32)
+        tw2[keep] = 1.0
+        tw = tw2
+    return tw
+
+
 def _dose_envelope(refined, params, box: int, pixel: float):
     """Reconstruction dose weighting (reference reconstruct3d dose block,
     frealign.py:1731-1753): Grant-Grigorieff envelope per tilt in dose
@@ -181,12 +197,32 @@ def _dose_envelope(refined, params, box: int, pixel: float):
         return None
     from pyp_tpu.core.ctf import dose_weight_2d
 
-    if params.get("scope_dose_symmetric", True):
+    if params.get("dose_weight_global"):
+        # dataset-global frame weighting (dose_weighting_global role):
+        # acquisition order taken as-is across the dataset rather than
+        # re-ranked per series
+        order = np.arange(len(np.asarray(refined.tilt_angles)))
+    elif params.get("scope_dose_symmetric", True):
         # dose-symmetric scheme: |angle| rank = acquisition order
         order = np.argsort(np.argsort(np.abs(
             np.asarray(refined.tilt_angles))))
     else:  # sequential acquisition (-60 -> +60)
         order = np.arange(len(np.asarray(refined.tilt_angles)))
+    wpath = str(params.get("dose_weight_weights") or "")
+    if wpath:
+        # external per-tilt weight table (reconstruct3d dose block's
+        # weight-file card, frealign.py:1731-1753): one scalar per tilt
+        from pathlib import Path as _Path
+
+        if _Path(wpath).exists():
+            wtab = np.loadtxt(wpath, dtype=np.float32).reshape(-1)
+            T_here = len(np.asarray(refined.tilt_angles))
+            if len(wtab) >= T_here:
+                env = np.ones((T_here, box, box // 2 + 1), dtype=np.float32)
+                env *= wtab[:T_here, None, None]
+                return jnp.asarray(env)
+        logger.warning("dose_weight_weights %s unusable — falling back to "
+                       "the analytic envelope", wpath)
     if str(params.get("dose_weight_method") or "grant") == "frame":
         # data-driven rank-falloff envelope (reference
         # dose_weighting_fraction/transition/multiply family)
@@ -419,8 +455,7 @@ def csp_swarm_batch(
         t_hi = int(params.get("csp_UseImagesForRefinementMax") or -1)
         if t_hi < 0:
             t_hi = T - 1
-        tw = np.zeros(T, dtype=np.float32)
-        tw[t_lo:t_hi + 1] = 1.0
+        tw = _tilt_window_weights(cp.tilt_angles, params, t_lo, t_hi)
         xv, w_centers, valid = csp_ops.prepare_series_windows(
             tilts, cp, box, mask_pts)
         setups.append(dict(

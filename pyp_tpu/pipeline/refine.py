@@ -170,6 +170,10 @@ def refinement_iteration(
     match_stack = stack
     rad_a = float(params.get("refine_maskrad") or 0.0) or float(
         params.get("particle_rad") or 0.0)
+    if global_search and float(params.get("refine_srad") or 0.0) > 0:
+        # global-search mask radius (metric srad / cisTEM line 23): wider
+        # than the particle radius so rotational search sees full context
+        rad_a = float(params["refine_srad"])
     if rad_a > 0:
         from pyp_tpu.core.filters import soft_circular_mask
 
@@ -188,8 +192,34 @@ def refinement_iteration(
             table_to_poses(table, pixel), focus, stack.shape[-1], pixel))
         match_stack = np.asarray(match_stack) * fmasks
 
+    # reference-map masking ahead of matching (metric tab masking_method:
+    # spherical is the projection-side default; "auto" automasks the
+    # reference; "file" multiplies a user mask volume — cisTEM refine3d's
+    # input-3D masking cards)
+    mm = str(params.get("refine_masking_method") or "spherical")
+    if mm in ("auto", "file"):
+        import jax.numpy as _jnp
+
+        if mm == "auto":
+            from pyp_tpu.postprocess.core import auto_mask
+
+            m3 = auto_mask(np.asarray(ref_volume, dtype=np.float32),
+                           pixel_size=pixel)
+        else:
+            from pyp_tpu.io import mrc as _mrc
+
+            m3 = _jnp.asarray(_mrc.read(
+                str(params["refine_maskth"])).astype(np.float32))
+        ref_volume = np.asarray(ref_volume, dtype=np.float32) * np.asarray(
+            m3, dtype=np.float32)
+        if ref_halves is not None:
+            ref_halves = tuple(
+                _jnp.asarray(np.asarray(h, dtype=np.float32)
+                             * np.asarray(m3, dtype=np.float32))
+                for h in ref_halves)
+
     shell_w = None
-    if fsc_curve is not None:
+    if fsc_curve is not None and params.get("refine_fssnr", True):
         from pyp_tpu.ops.refine3d import make_mask_points, shell_weights_from_fsc
 
         n_box = stack.shape[-1]
@@ -284,7 +314,11 @@ def refinement_iteration(
                 else:
                     bank = cfg.bank(volume_to_fourier(jnp.asarray(ref_volume),
                                                       pad=iblow))
+                # refine_priors (metric tab): pose priors restrict the
+                # local search to a cone around the current pose; without
+                # priors the local mode still searches the full lattice
                 cone = (None if global_search
+                        or not params.get("refine_priors", True)
                         else float(params.get("refine_frm_cone") or 20.0))
                 G_pts = len(cfg.radii) * cfg.n_psi
                 ndev = (1 if mesh is None

@@ -8,6 +8,8 @@ reconstruction by WBP, 3D particle picking — with metadata-driven resume.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 from pyp_tpu.io.metadata import ItemMetadata
@@ -426,8 +428,37 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
 
     # ---- 3D particle picking ---------------------------------------------
     method = params.get("tomo_spk_method", "none")
-    if not meta.is_done("box") and method in ("auto", "surface", "template",
-                                              "filament"):
+    if not meta.is_done("box") and method == "import" and params.get(
+            "tomo_pick_files"):
+        # coordinate import ([tabs.tomo_pick] files/files_flip cards):
+        # <dir>/<name>.{spk,box,mod,cbox} per series, optional z flip
+        with Timer("3D pick import"):
+            from pyp_tpu.io import boxfiles
+
+            base = Path(str(params["tomo_pick_files"]))
+            rows = None
+            for ext in (".spk", ".box", ".mod", ".cbox", ".next"):
+                cand = (base / f"{name}{ext}") if base.is_dir() else base
+                if cand.exists() and str(cand).endswith(ext):
+                    rows = np.asarray(boxfiles.read_coords(str(cand)),
+                                      dtype=np.float32)
+                    break
+            if rows is not None and len(rows):
+                coords3 = rows[:, :3]
+                if params.get("tomo_pick_files_flip"):
+                    nz = float(params.get("tomo_rec_thickness")
+                               or coords3[:, 0].max() + 1)
+                    coords3 = coords3.copy()
+                    coords3[:, 0] = nz - coords3[:, 0]
+                box4 = np.concatenate(
+                    [coords3, np.ones((len(coords3), 1), np.float32)], 1)
+                meta["box"] = box4
+                summary["particles"] = len(box4)
+            else:
+                logger.warning("tomo_pick import: no coordinate file for "
+                               "%s under %s", name, base)
+    elif not meta.is_done("box") and method in ("auto", "surface",
+                                                "template", "filament"):
         with Timer("3D particle picking"):
             from pyp_tpu.io import mrc
 
@@ -488,13 +519,28 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
 
             det_vol = np.asarray(lowpass_filter_3d(
                 jnp.asarray(recon), eff_pixel, band_a))
+        det_tol_px = (float(params.get("tomo_vir_det_tol") or 0.0)
+                      / eff_pixel) or None
+        vbin = int(params.get("tomo_vir_binn") or 1)
+        if vbin > 1:
+            # detection binning (tomo_pick vir_binn): the sphere Hough on a
+            # Fourier-binned volume, seeds scaled back up
+            from pyp_tpu.core.fft import fourier_crop_3d
+
+            small = tuple(max(16, d // vbin) for d in det_vol.shape)
+            det_vol = np.asarray(fourier_crop_3d(
+                jnp.asarray(det_vol), out_shape=small), dtype=np.float32)
+            radii = radii / vbin
+            if det_tol_px:
+                det_tol_px /= vbin
         vir_method = str(params.get("tomo_vir_method") or "none")
         if vir_method == "template":
             # spherical-shell NCC template instead of the Canny+Hough-style
             # edge detector (reference Correlation3DNew virion seeding)
             centers, rads, scores, valid = tm.detect_spheres_template(
                 jnp.asarray(det_vol), radii,
-                n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+                n_peaks=int(params.get("tomo_vir_detect_max") or 8),
+                min_distance=det_tol_px)
         elif vir_method == "nn":
             # MemBrain-seg role: per-slice membrane segmentation NN, then
             # the sphere Hough votes on the (clean) probability map
@@ -526,9 +572,13 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
         else:
             centers, rads, scores, valid = tm.detect_spheres(
                 jnp.asarray(det_vol), radii,
-                n_peaks=int(params.get("tomo_vir_detect_max") or 8))
+                n_peaks=int(params.get("tomo_vir_detect_max") or 8),
+                min_distance=det_tol_px)
         centers, rads, scores = (np.asarray(centers), np.asarray(rads),
                                  np.asarray(scores))
+        if vbin > 1:
+            centers = centers * float(vbin)
+            rads = rads * float(vbin)
         vir_rows = []
         n_pts = int(params.get("tomo_vir_points") or 200)
         margin = 2.0
@@ -588,30 +638,77 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
         if not ref_path:
             raise ValueError(
                 "tomo_spk_method=template requires -tomo_pick_ref <map.mrc>")
-        template = np.asarray(_mrc.read(ref_path), dtype=np.float32)
+        template = _prepare_pick_template(
+            _mrc.read(ref_path), params, eff_pixel)
+        # tomogram conditioning (pytom low/high pass + whitening roles)
+        vol = recon
+        lp = float(params.get("tomo_pick_low_pass") or 0.0)
+        hp = float(params.get("tomo_pick_high_pass") or 0.0)
+        if lp > 0 or hp > 0:
+            from pyp_tpu.core.filters import apply_bandpass
+
+            lo_frac = (eff_pixel / hp) if hp > 0 else 0.0
+            hi_frac = (eff_pixel / lp) if lp > 0 else 0.5
+            # per-slab 2D bandpass keeps HBM bounded on big tomograms
+            vol = np.asarray(apply_bandpass(
+                jnp.asarray(vol), lo_frac, hi_frac), dtype=np.float32)
+        if params.get("tomo_pick_spectral_whitening"):
+            vol = _whiten_volume(vol)
         step = float(params.get("tomo_pick_ang") or 30.0)
         dirs = make_directions(step, params.get("particle_sym", "C1"))
         psis = np.arange(0.0, 360.0, step, dtype=np.float32)
         angles = np.array([(d[0], d[1], p) for d in dirs for p in psis],
                           dtype=np.float32)
-        score, _ = tm.match_template_3d(jnp.asarray(recon),
+        score, _ = tm.match_template_3d(jnp.asarray(vol),
                                         jnp.asarray(template), angles)
+        score = np.asarray(score)
+        if params.get("tomo_pick_random_phase_correction"):
+            # background estimate from a phase-randomized template scored
+            # at a single rotation (pytom random-phase correction): the
+            # randomized template has the same spectrum but no structure,
+            # so its score map is the match's noise floor
+            rng_t = np.random.RandomState(0)
+            Ft = np.fft.rfftn(np.asarray(template))
+            Ft = np.abs(Ft) * np.exp(
+                1j * rng_t.uniform(0, 2 * np.pi, Ft.shape))
+            t_rand = np.fft.irfftn(Ft, s=template.shape).astype(np.float32)
+            bg, _ = tm.match_template_3d(jnp.asarray(vol),
+                                         jnp.asarray(t_rand),
+                                         np.zeros((1, 3), np.float32))
+            score = score - np.asarray(bg)
+        thresh = float(params.get("tomo_spk_thresh") or 0.0)
+        if params.get("tomo_pick_estimate_cutoff") and not thresh:
+            thresh = _score_cutoff_from_fp(
+                score,
+                float(params.get("tomo_pick_n_false_positives") or 1.0))
+        elif float(params.get("tomo_pick_cutoff") or 0.0) and not thresh:
+            thresh = float(params["tomo_pick_cutoff"])
         pk, vals, valid = tm.pick_peaks_3d(
-            score, int(params.get("tomo_spk_max") or 200),
-            min_distance=rad_px,
-            threshold=float(params.get("tomo_spk_thresh") or 0.0))
+            jnp.asarray(score), int(params.get("tomo_spk_max") or 200),
+            min_distance=rad_px, threshold=thresh)
         for (z, y, x), s, v in zip(np.asarray(pk), np.asarray(vals),
                                    np.asarray(valid)):
             if v:
                 coords.append((z, y, x, float(s)))
     else:  # "auto": slab-wise intensity picking
-        for z in range(recon.shape[0]):
+        det = recon
+        if params.get("tomo_pick_gaussian_3d"):
+            # pre-smoothing ahead of detection (tomo_pick gaussian_3d /
+            # sigma_3d cards): suppresses voxel noise before peak finding
+            import scipy.ndimage as _ndi
+
+            det = _ndi.gaussian_filter(
+                recon, float(params.get("tomo_pick_sigma_3d") or 15.0) / 10.0)
+        thr_sig = float(params.get("tomo_pick_stdtimes_filt_3d") or 0.0) \
+            or float(params.get("tomo_spk_slab_thresh") or 4.0)
+        edge = (2 * rad_px if params.get("tomo_pick_remove_edge_3d")
+                else rad_px)
+        for z in range(det.shape[0]):
             res = pick.pick_particles(
-                jnp.asarray(recon[z]), particle_radius_px=rad_px,
+                jnp.asarray(det[z]), particle_radius_px=rad_px,
                 max_picks=int(params.get("tomo_spk_slab_max") or 64),
-                threshold_sigma=float(params.get("tomo_spk_slab_thresh")
-                                      or 4.0),
-                edge_px=rad_px,
+                threshold_sigma=thr_sig,
+                edge_px=edge,
                 invert=False,
             )
             valid = np.asarray(res.valid)
@@ -624,6 +721,9 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
     # detect dist behavior in 3D. Surface points are a mesh, not
     # duplicates — NMS only when explicitly requested there.
     dist_px = float(params.get("tomo_spk_dist") or 0.0) / eff_pixel
+    rt = float(params.get("tomo_pick_radiustimes_3d") or 0.0)
+    if dist_px <= 0 and rt > 0:
+        dist_px = rt * rad_px          # tomo_pick radiustimes_3d card
     if dist_px <= 0 and method == "auto":
         dist_px = 2.0 * rad_px
     eulers = (np.asarray(euler_rows, dtype=np.float32)
@@ -647,3 +747,81 @@ def tomo_merge(results: dict, missing: list, work_dir=".") -> dict:
     }
     logger.info("merged %d tilt-series (%d missing)", len(ok), len(missing))
     return out
+
+
+def _prepare_pick_template(template, params, eff_pixel: float):
+    """Template conditioning for 3D matching (the pytom_* template cards of
+    [tabs.tomo_pick]): optional resize to tomo_pick_template_size, contrast
+    inversion, mirror, and masking (auto sphere / gaussian / file)."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core.fft import fourier_crop_3d
+    from pyp_tpu.core.filters import soft_spherical_mask
+
+    t = np.asarray(template, dtype=np.float32)
+    size = int(params.get("tomo_pick_template_size") or 0)
+    if size and size != t.shape[-1]:
+        t = np.asarray(fourier_crop_3d(jnp.asarray(t),
+                                       out_shape=(size, size, size)),
+                       dtype=np.float32)
+    if params.get("tomo_pick_template_invert"):
+        t = -t
+    if params.get("tomo_pick_template_mirror"):
+        t = t[::-1].copy()
+    mm = str(params.get("tomo_pick_mask_method") or "auto")
+    n_t = t.shape[-1]
+    if mm == "file" and params.get("tomo_pick_mask_file"):
+        from pyp_tpu.io import mrc as _mrc
+
+        t = t * np.asarray(_mrc.read(str(params["tomo_pick_mask_file"])),
+                           dtype=np.float32)
+    elif mm == "gaussian":
+        sig = float(params.get("tomo_pick_mask_sigma") or 1.0) * n_t / 6.0
+        ax = np.arange(n_t) - n_t // 2
+        g = np.exp(-0.5 * (ax / max(sig, 1e-3)) ** 2).astype(np.float32)
+        t = t * g[:, None, None] * g[None, :, None] * g[None, None, :]
+    elif mm == "auto":
+        t = t * np.asarray(soft_spherical_mask(n_t, n_t * 0.45, 3.0))
+    return t
+
+
+def _whiten_volume(vol):
+    """Spectral whitening: divide the volume's Fourier coefficients by the
+    radial amplitude profile (pytom_spectral_whitening role) — flattens the
+    power spectrum so matching is not dominated by low-frequency contrast."""
+    import jax.numpy as jnp
+
+    from pyp_tpu.core import fsc as fsc_mod
+
+    v = jnp.asarray(vol, dtype=jnp.float32)
+    n = v.shape[-1]
+    F = jnp.fft.rfftn(v)
+    n_bins = n // 2
+    bins = fsc_mod._shell_bins(n, n_bins)
+    amp2 = jnp.zeros(n_bins).at[bins].add(jnp.abs(F.reshape(-1)) ** 2)
+    cnt = jnp.zeros(n_bins).at[bins].add(1.0)
+    prof = jnp.sqrt(jnp.maximum(amp2 / jnp.maximum(cnt, 1.0), 1e-12))
+    w = (1.0 / prof)[jnp.clip(bins, 0, n_bins - 1)].reshape(F.shape)
+    return np.asarray(jnp.fft.irfftn(F * w, s=v.shape), dtype=np.float32)
+
+
+def _score_cutoff_from_fp(score_map, n_false_positives: float):
+    """Threshold from a Gaussian background model: pick the value whose
+    upper-tail expectation over the search volume equals the allowed
+    false-positive count (pytom_estimate_cutoff role)."""
+    import math
+
+    s = np.asarray(score_map, dtype=np.float32).ravel()
+    mu, sd = float(s.mean()), float(s.std() + 1e-9)
+    n_vox = s.size
+    # P(X > mu + k sd) = erfc(k/sqrt(2))/2 = n_fp / n_vox
+    target = max(float(n_false_positives), 1e-3) / n_vox
+    # invert erfc by bisection (k in [0, 8])
+    lo, hi = 0.0, 8.0
+    for _ in range(60):
+        k = 0.5 * (lo + hi)
+        if 0.5 * math.erfc(k / math.sqrt(2.0)) > target:
+            lo = k
+        else:
+            hi = k
+    return mu + 0.5 * (lo + hi) * sd

@@ -61,9 +61,10 @@ def _phase_randomize(F, bins, cutoff_bin, seed=0):
     return jnp.where(bins[..., :] > cutoff_bin, rand, F)
 
 
-def masked_fsc(half1, half2, mask, pixel_size, rand_res_a=10.0):
+def masked_fsc(half1, half2, mask, pixel_size, rand_res_a=10.0, seed=0):
     """Mask-corrected FSC ("part FSC"): masked FSC with noise substitution
-    beyond the randomization shell. Returns (freqs, corrected_curve)."""
+    beyond the randomization shell. Returns (freqs, corrected_curve).
+    `seed` offsets the randomization (relion --random_seed role)."""
     n = half1.shape[-1]
     n_bins = n // 2
     freqs, fsc_masked = fsc_mod.fsc(half1 * mask, half2 * mask, n_bins)
@@ -73,8 +74,10 @@ def masked_fsc(half1, half2, mask, pixel_size, rand_res_a=10.0):
     bins3 = fsc_mod._shell_bins(n, n_bins).reshape(n, n, n // 2 + 1)
     F1 = jnp.fft.rfftn(jnp.asarray(half1))
     F2 = jnp.fft.rfftn(jnp.asarray(half2))
-    r1 = jnp.fft.irfftn(_phase_randomize(F1, bins3, cutoff_bin, 1), s=half1.shape)
-    r2 = jnp.fft.irfftn(_phase_randomize(F2, bins3, cutoff_bin, 2), s=half2.shape)
+    r1 = jnp.fft.irfftn(_phase_randomize(F1, bins3, cutoff_bin,
+                                         1 + 2 * int(seed)), s=half1.shape)
+    r2 = jnp.fft.irfftn(_phase_randomize(F2, bins3, cutoff_bin,
+                                         2 + 2 * int(seed)), s=half2.shape)
     _, fsc_rand = fsc_mod.fsc(r1 * mask, r2 * mask, n_bins)
     corrected = fsc_mod.part_fsc(fsc_masked, fsc_rand, cutoff_bin + 2)
     return freqs, corrected
@@ -151,29 +154,43 @@ def mtf_correct(vol, pixel_size, mtf_path, mtf_angpix: float = 0.0):
 
 
 def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
-                fsc_curve=None, guinier_min_res: float = 10.0):
+                fsc_curve=None, guinier_min_res: float = 10.0,
+                guinier_max_res=None, bfactor_low=None, flatten_res=None,
+                edge_width_px: float = 0.0):
     """Sharpen: apply -B (auto if None), optional Cref FSC weighting, and a
-    cosine lowpass at `resolution`."""
+    cosine lowpass at `resolution`.
+
+    bfactor_low + flatten_res: cisTEM sharpen_map's split-B card
+    (low_res_bfactor applied below the flattening resolution,
+    high_res_bfactor = `bfactor` beyond it). edge_width_px: cosine lowpass
+    edge width in Fourier pixels (sharpen_cistem filter_edge_width role)."""
     from pyp_tpu.core.filters import lowpass_filter_3d
 
     vol = jnp.asarray(vol)
     n = vol.shape[-1]
     if bfactor is None:
         bfactor = float(guinier_bfactor(vol, pixel_size,
-                                        min_res=guinier_min_res))
+                                        min_res=guinier_min_res,
+                                        max_res=guinier_max_res))
         logger.info("auto B-factor: %.1f Å²", bfactor)
     F = jnp.fft.rfftn(vol)
     fz = jnp.fft.fftfreq(n, d=pixel_size).reshape(n, 1, 1)
     fy = jnp.fft.fftfreq(n, d=pixel_size).reshape(1, n, 1)
     fx = jnp.fft.rfftfreq(n, d=pixel_size).reshape(1, 1, -1)
     g2 = fz * fz + fy * fy + fx * fx
-    F = F * jnp.exp(-0.25 * bfactor * g2)  # bfactor < 0 -> sharpening
+    if bfactor_low is not None and flatten_res:
+        B = jnp.where(g2 < (1.0 / float(flatten_res)) ** 2,
+                      float(bfactor_low), float(bfactor))
+        F = F * jnp.exp(-0.25 * B * g2)
+    else:
+        F = F * jnp.exp(-0.25 * bfactor * g2)  # bfactor < 0 -> sharpening
     if fsc_curve is not None:
         w = fsc_mod.fsc_weights(jnp.clip(jnp.asarray(fsc_curve), 0.0, 1.0))
         F = F * fsc_mod.radial_shell_filter_3d((n, n, n), w)
     out = jnp.fft.irfftn(F, s=vol.shape)
     if resolution is not None:
-        out = lowpass_filter_3d(out, pixel_size, resolution)
+        width = (edge_width_px / n) if edge_width_px else 0.01
+        out = lowpass_filter_3d(out, pixel_size, resolution, width=width)
     return out, bfactor
 
 
@@ -183,13 +200,27 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
     from pyp_tpu.io import mrc
 
     maps_dir = Path(work_dir) / "maps"
-    halves = sorted(maps_dir.glob(f"{dataset}_r??_??_half1.mrc"))
-    if not halves:
-        raise FileNotFoundError(f"no half maps under {maps_dir}")
-    h1p = halves[-1]
-    h2p = Path(str(h1p).replace("half1", "half2"))
+    # explicit half-map inputs (sharpen_relion first/second_half role) win
+    # over the newest maps/ pair; a single-map input (sharpen_cistem
+    # input_map) postprocesses without an FSC
+    h1_user = str(params.get("sharpen_first_half") or "")
+    h2_user = str(params.get("sharpen_second_half") or "")
+    single = str(params.get("sharpen_input_map") or "")
+    if single and Path(single).exists():
+        h1p = h2p = Path(single)
+    elif h1_user and h2_user and Path(h1_user).exists() \
+            and Path(h2_user).exists():
+        h1p, h2p = Path(h1_user), Path(h2_user)
+    else:
+        halves = sorted(maps_dir.glob(f"{dataset}_r??_??_half1.mrc"))
+        if not halves:
+            raise FileNotFoundError(f"no half maps under {maps_dir}")
+        h1p = halves[-1]
+        h2p = Path(str(h1p).replace("half1", "half2"))
+    maps_dir.mkdir(parents=True, exist_ok=True)
     half1 = mrc.read(h1p).astype(np.float32)
     half2 = mrc.read(h2p).astype(np.float32)
+    have_halves = str(h1p) != str(h2p)
     pixel = mrc.read_header(h1p).pixel_size
 
     # detector MTF division ahead of everything downstream (--mtf role)
@@ -203,8 +234,20 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         logger.info("MTF-corrected halves with %s", mtf_path)
 
     user_mask = str(params.get("sharpen_mask") or "")
+    outer_rad = float(params.get("sharpen_outer_mask_radius") or 0.0)
     if user_mask and Path(user_mask).exists():
         mask = jnp.asarray(mrc.read(user_mask).astype(np.float32))
+    elif outer_rad > 0:
+        # spherical (shell) mask in Å (sharpen_cistem inner/outer mask
+        # radius cards)
+        from pyp_tpu.core.filters import soft_spherical_mask
+
+        n_box = half1.shape[-1]
+        mask = soft_spherical_mask(n_box, outer_rad / pixel, 4.0)
+        inner_rad = float(params.get("sharpen_inner_mask_radius") or 0.0)
+        if inner_rad > 0:
+            mask = mask * (1.0 - soft_spherical_mask(
+                n_box, inner_rad / pixel, 4.0))
     else:
         mask = auto_mask(
             half1 + half2, pixel_size=pixel,
@@ -215,23 +258,53 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
             soft_px=int(params.get("sharpen_mask_soft") or 6),
             mw_kda=float(params.get("particle_mw") or 0.0),
         )
-    freqs, curve = masked_fsc(
-        half1, half2, mask, pixel,
-        rand_res_a=float(params.get("sharpen_rand_res") or 10.0))
-    res = float(fsc_mod.resolution_at_threshold(
-        freqs, curve, pixel,
-        float(params.get("sharpen_fsc_cut") or 0.143)))
+    hard_limit = float(params.get("sharpen_high_res_limit") or 0.0)
+    if have_halves:
+        rand_res = float(params.get("sharpen_rand_res") or 10.0)
+        rand_fsc = float(params.get("sharpen_randomize_at_fsc") or 0.0)
+        if rand_fsc > 0:
+            # randomize where the UNMASKED FSC first crosses the value
+            # (relion --randomize_at_fsc role)
+            f0, c0 = fsc_mod.fsc(half1, half2)
+            rand_res = float(fsc_mod.resolution_at_threshold(
+                f0, c0, pixel, rand_fsc))
+        freqs, curve = masked_fsc(
+            half1, half2, mask, pixel, rand_res_a=rand_res,
+            seed=int(params.get("sharpen_random_seed") or 0))
+        res = float(fsc_mod.resolution_at_threshold(
+            freqs, curve, pixel,
+            float(params.get("sharpen_fsc_cut") or 0.143)))
+    else:  # single-map input: no FSC; the hard limit is the lowpass
+        freqs = jnp.arange(half1.shape[-1] // 2) / half1.shape[-1]
+        curve = jnp.ones_like(freqs)
+        res = hard_limit or 2.5 * pixel
+    if hard_limit > 0:
+        res = max(res, hard_limit)
     combined = (half1 + half2) * 0.5
     bfac_user = float(params.get("sharpen_bfactor") or 0.0)
+    bfac_low = params.get("sharpen_low_res_bfactor")
+    bfac_high = params.get("sharpen_high_res_bfactor")
+    if bfac_high not in (None, "") and float(bfac_high) and not bfac_user:
+        bfac_user = float(bfac_high)
     sharp, bfac = sharpen_map(
         combined, pixel,
         resolution=(res if params.get("sharpen_final_lowpass", True)
                     else None),
-        fsc_curve=(curve if params.get("sharpen_fsc_weight", True) else None),
+        fsc_curve=(curve if params.get("sharpen_fsc_weight", True)
+                   and have_halves else None),
         bfactor=bfac_user if bfac_user else None,
-        guinier_min_res=float(params.get("sharpen_bfac_lowres") or 10.0))
+        guinier_min_res=float(params.get("sharpen_bfac_lowres") or 10.0),
+        guinier_max_res=(float(params.get("sharpen_bfac_highres"))
+                         if params.get("sharpen_bfac_highres") else None),
+        bfactor_low=(float(bfac_low)
+                     if bfac_low not in (None, "", 0, 0.0) else None),
+        flatten_res=float(params.get("sharpen_flatten_res") or 0.0) or None,
+        edge_width_px=float(params.get("sharpen_edge_width") or 0.0))
     out_map = maps_dir / f"{dataset}_sharpened.mrc"
     out_vol = sharp * mask if params.get("sharpen_apply_mask", True) else sharp
+    if params.get("sharpen_invert_handedness"):
+        # mirror through the xy plane (cisTEM invert_handedness card)
+        out_vol = jnp.asarray(out_vol)[::-1]
     mrc.write(np.asarray(out_vol, dtype=np.float32), out_map, pixel_size=pixel)
     np.savetxt(
         maps_dir / f"{dataset}_fsc_masked.txt",

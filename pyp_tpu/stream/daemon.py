@@ -31,8 +31,18 @@ class SessionDaemon:
         self.params = params
         self.work_dir = Path(work_dir)
         self.poll_interval = poll_interval
+        # class2d tab streaming thresholds ([tabs.class2d], the fyp_daemon
+        # accumulation contract): enable switches incremental 2D on, `min`
+        # particles gate the first run, `inc` new particles space re-runs
+        self.class2d_enable = bool(params.get("class2d_enable"))
+        if self.class2d_enable and not classify_every:
+            classify_every = 1  # particle thresholds drive the cadence
         self.classify_every = classify_every
-        self.n_classes = int(params.get("stream_classes") or n_classes)
+        self.classify_min_particles = int(params.get("class2d_min") or 0)
+        self.classify_inc_particles = int(params.get("class2d_inc") or 0)
+        self._last_classify_particles = 0
+        self.n_classes = int(params.get("class2d_num")
+                             or params.get("stream_classes") or n_classes)
         self.processed: set[str] = set()
         self._settle: dict = {}  # path -> consecutive stable-size polls
         self.summaries: list[dict] = []
@@ -142,6 +152,15 @@ class SessionDaemon:
             return None
         if len(self.summaries) - self._last_classify_count < self.classify_every:
             return None
+        total_particles = sum(s.get("particles", 0) or 0
+                              for s in self.summaries)
+        if self.class2d_enable:
+            if total_particles < self.classify_min_particles:
+                return None
+            if (self.classify_inc_particles and self._last_classify_particles
+                    and total_particles - self._last_classify_particles
+                    < self.classify_inc_particles):
+                return None
         from pyp_tpu.pipeline import spr as spr_pipe
         from pyp_tpu.ops import refine2d
         from pyp_tpu.pipeline.refine import table_to_ctf_params
@@ -149,7 +168,8 @@ class SessionDaemon:
         items = [{"name": s["name"]} for s in self.summaries]
         stack, table = spr_pipe.extract_stack(items, self.params, self.work_dir,
                                               out_stack="stream_stack.mrc")
-        if stack is None or len(stack) < self.n_classes * 2:
+        if stack is None or len(stack) < max(
+                self.n_classes * 2, self.classify_min_particles):
             return None
         res = refine2d.classify2d(
             stack, table_to_ctf_params(table), self.n_classes,
@@ -159,6 +179,7 @@ class SessionDaemon:
         )
         self.class_result = res
         self._last_classify_count = len(self.summaries)
+        self._last_classify_particles = total_particles
         from pyp_tpu.analysis.plots import class_montage
 
         montage_path = self.work_dir / "stream_classes.png"

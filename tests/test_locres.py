@@ -190,3 +190,82 @@ class TestMtfCorrection:
         f, v = read_mtf_curve(p)
         assert np.allclose(f, [0.0, 0.25, 0.5])
         assert np.allclose(v, [1.0, 0.7, 0.4])
+
+
+class TestSharpenCards:
+    """New sharpen cards (sharpen_cistem/sharpen_relion alias targets):
+    explicit inputs, spherical shell mask, split-B, handedness flip,
+    randomize-at-FSC."""
+
+    def test_single_map_input_and_invert_handedness(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        single = tmp_path / "my_map.mrc"
+        mrc.write(((h1 + h2) / 2).astype(np.float32), single,
+                  pixel_size=PIXEL)
+        out = postprocess_latest("ds", {
+            "sharpen_input_map": str(single),
+            "sharpen_invert_handedness": True,
+            "sharpen_high_res_limit": 3.0 * PIXEL,
+            "sharpen_apply_mask": False,
+            "sharpen_fsc_weight": False,
+        }, tmp_path)
+        flipped = mrc.read(out["map"])
+        # re-run without the flip: the two outputs mirror through z
+        out2 = postprocess_latest("ds", {
+            "sharpen_input_map": str(single),
+            "sharpen_high_res_limit": 3.0 * PIXEL,
+            "sharpen_apply_mask": False,
+            "sharpen_fsc_weight": False,
+        }, tmp_path)
+        plain = mrc.read(out2["map"])
+        np.testing.assert_allclose(flipped, plain[::-1], atol=1e-5)
+
+    def test_explicit_halves_and_spherical_mask(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        p1, p2 = tmp_path / "a_half1.mrc", tmp_path / "b_half2.mrc"
+        mrc.write(h1, p1, pixel_size=PIXEL)
+        mrc.write(h2, p2, pixel_size=PIXEL)
+        out = postprocess_latest("ds", {
+            "sharpen_first_half": str(p1),
+            "sharpen_second_half": str(p2),
+            "sharpen_outer_mask_radius": N * PIXEL * 0.3,
+        }, tmp_path)
+        m = mrc.read(out["map"])
+        assert m.shape == (N, N, N)
+        # spherical mask: corners are (softly) zeroed
+        assert abs(m[0, 0, 0]) < 1e-6
+        assert out["resolution_A"] > 0
+
+    def test_split_bfactor_changes_spectrum(self):
+        from pyp_tpu.postprocess.core import sharpen_map
+
+        vol, _, _ = make_halves()
+        flat, _ = sharpen_map(vol, PIXEL, bfactor=0.0)
+        split, _ = sharpen_map(vol, PIXEL, bfactor=-300.0, bfactor_low=0.0,
+                               flatten_res=8.0)
+        # the split-B map boosts high frequencies relative to the flat one
+        def hf_power(v):
+            F = np.abs(np.fft.rfftn(np.asarray(v))) ** 2
+            return F[N // 4:, :, :].sum()
+        assert hf_power(split) > 1.5 * hf_power(flat)
+
+    def test_randomize_at_fsc_picks_cutoff(self, tmp_path):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        maps = tmp_path / "maps"
+        maps.mkdir()
+        mrc.write(h1, maps / "ds_r01_02_half1.mrc", pixel_size=PIXEL)
+        mrc.write(h2, maps / "ds_r01_02_half2.mrc", pixel_size=PIXEL)
+        out = postprocess_latest("ds", {
+            "sharpen_randomize_at_fsc": 0.8,
+            "sharpen_random_seed": 3,
+        }, tmp_path)
+        assert out["resolution_A"] > 0

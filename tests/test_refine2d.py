@@ -97,3 +97,64 @@ class TestClassify2D:
                                   psi_step=10.0, high_res=3.0 * PIXEL)
         assert float(jnp.mean(res.scores)) > 0.3
         assert int(res.occupancy[0]) == 16
+
+
+class TestClassify2DStaged:
+    """The reference's staged class2d protocol ([tabs.class2d]): three EM
+    phases over growing particle subsets, warm-started averages, optional
+    reduced classification grid."""
+
+    def test_staged_separates_classes(self):
+        from pyp_tpu.config.params import defaults
+
+        classes = make_class_images(2, seed=5)
+        imgs, ctf, labels = make_dataset(classes, per_class=16, noise=0.25,
+                                         seed=6)
+        params = defaults()
+        params.update({
+            "class_num": 2, "class_rhcls": 3.0 * PIXEL,
+            "class_rlcls": 100.0, "class_psi_step": 20.0,
+            "class2d_iters_init": 4, "class2d_iters_seed": 3,
+            "class2d_iters_refine": 2,
+            "class2d_max_ab_initio": 16,   # phase 1 sees half the data
+            "class2d_fraction": 1.0, "class_seed": 4,
+        })
+        res = refine2d.classify2d_staged(np.asarray(imgs), np.asarray(ctf),
+                                         params, PIXEL)
+        assert len(np.asarray(res.assignments)) == len(labels)
+        purity = cluster_purity(np.asarray(res.assignments), labels, 2)
+        assert purity > 0.75, purity
+
+    def test_staged_reduced_grid(self):
+        """class2d_bin classifies on a Fourier-cropped grid; assignments
+        still cover every particle and the averages live on the small box."""
+        from pyp_tpu.config.params import defaults
+
+        classes = make_class_images(2, seed=7)
+        imgs, ctf, labels = make_dataset(classes, per_class=10, noise=0.2,
+                                         seed=8)
+        params = defaults()
+        params.update({
+            "class_num": 2, "class_rhcls": 5.0 * PIXEL,
+            "class2d_bin": 2, "class2d_rad": N * PIXEL * 0.4,
+            "class2d_iters_init": 3, "class2d_iters_seed": 2,
+            "class2d_iters_refine": 2, "class_seed": 4,
+        })
+        res = refine2d.classify2d_staged(np.asarray(imgs), np.asarray(ctf),
+                                         params, PIXEL)
+        # the working grid floors at 32 px (smaller boxes starve the polar
+        # machinery): N=48 at bin 2 -> 32, not 24
+        assert res.class_avgs.shape[-1] == max(32, N // 2)
+        assert len(np.asarray(res.assignments)) == len(labels)
+
+    def test_warm_start_keeps_averages(self):
+        """classify2d(init_avgs=...) with zero-ish iterations returns
+        assignments against the provided averages (no random re-seed)."""
+        classes = make_class_images(2, seed=9)
+        imgs, ctf, labels = make_dataset(classes, per_class=8, noise=0.15,
+                                         seed=10)
+        res = refine2d.classify2d(imgs, ctf, 2, PIXEL, iters=1,
+                                  psi_step=20.0, high_res=3.0 * PIXEL,
+                                  init_avgs=classes)
+        purity = cluster_purity(np.asarray(res.assignments), labels, 2)
+        assert purity > 0.9, purity

@@ -22,8 +22,27 @@ def _source_blob():
     return "\n".join(blobs)
 
 
+def test_every_alias_reaches_a_consumed_target():
+    """REFERENCE_ALIASES entries are consumed compositionally: each alias
+    must (a) move a sentinel into its target(s) through
+    apply_reference_aliases and (b) target a param that is itself consumed
+    (in the schema and grep-consumed, checked by the main test)."""
+    from pyp_tpu.config.blocks import REFERENCE_ALIASES, apply_reference_aliases
+    from pyp_tpu.config.schema import all_params
+
+    ap = all_params()
+    for src, (targets, fn) in REFERENCE_ALIASES.items():
+        if isinstance(targets, str):
+            targets = (targets,)
+        out = apply_reference_aliases({src: True})
+        assert any(t in out for t in targets), src
+        for t in targets:
+            assert t in ap, (src, t)
+
+
 def test_every_param_is_consumed():
-    from pyp_tpu.config.blocks import BLOCK_FIELDS, apply_block_overrides
+    from pyp_tpu.config.blocks import (BLOCK_FIELDS, REFERENCE_ALIASES,
+                                       apply_block_overrides)
     from pyp_tpu.config.schema import all_params
 
     # UI-block tab params are consumed compositionally: apply_block_overrides
@@ -41,9 +60,10 @@ def test_every_param_is_consumed():
                 "csp_refine_modes"), (tab, f)
             block_ids.add(f"{tab}_{f}")
 
+    alias_ids = set(REFERENCE_ALIASES)
     blob = _source_blob()
     dead = [name for name in all_params()
-            if name not in block_ids
+            if name not in block_ids and name not in alias_ids
             and f'"{name}"' not in blob and f"'{name}'" not in blob]
     assert not dead, (
         f"{len(dead)} schema params are never consumed outside the schema: "

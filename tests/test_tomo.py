@@ -507,3 +507,74 @@ class TestCtfDeconvolve:
         # must not blow up the output
         assert abs(dec.mean()) < 1.0, dec.mean()
         assert np.isfinite(dec).all()
+
+
+class TestTomoPickCards:
+    """[tabs.tomo_pick] native wiring: template conditioning, spectral
+    whitening, false-positive cutoff estimation, coordinate import."""
+
+    def test_prepare_template_invert_mirror_resize(self):
+        from pyp_tpu.pipeline.tomo import _prepare_pick_template
+
+        rng = np.random.RandomState(0)
+        t = rng.randn(24, 24, 24).astype(np.float32)
+        out = _prepare_pick_template(t, {
+            "tomo_pick_template_invert": True,
+            "tomo_pick_template_mirror": True,
+            "tomo_pick_template_size": 16,
+            "tomo_pick_mask_method": "none",
+        }, 2.0)
+        assert out.shape == (16, 16, 16)
+        plain = _prepare_pick_template(t, {
+            "tomo_pick_template_size": 16,
+            "tomo_pick_mask_method": "none",
+        }, 2.0)
+        np.testing.assert_allclose(out, -plain[::-1], atol=1e-4)
+
+    def test_whiten_flattens_spectrum(self):
+        import jax.numpy as jnp
+
+        from pyp_tpu.core import fsc as fsc_mod
+        from pyp_tpu.core.filters import lowpass_filter_3d
+        from pyp_tpu.pipeline.tomo import _whiten_volume
+
+        rng = np.random.RandomState(1)
+        v = rng.randn(32, 32, 32).astype(np.float32)
+        v = np.asarray(lowpass_filter_3d(jnp.asarray(v), 1.0, 4.0))
+        w = _whiten_volume(v)
+
+        def shell_amp(vol):
+            F = jnp.fft.rfftn(jnp.asarray(vol))
+            bins = fsc_mod._shell_bins(32, 16)
+            a = jnp.zeros(16).at[bins].add(jnp.abs(F.reshape(-1)) ** 2)
+            c = jnp.zeros(16).at[bins].add(1.0)
+            return np.sqrt(np.asarray(a / jnp.maximum(c, 1)))
+
+        a0, a1 = shell_amp(v), shell_amp(w)
+        # colored input: orders of magnitude between shells; whitened:
+        # within a small factor
+        assert a0[2] / max(a0[12], 1e-12) > 50
+        assert a1[2] / max(a1[12], 1e-12) < 5
+
+    def test_cutoff_matches_false_positive_budget(self):
+        from pyp_tpu.pipeline.tomo import _score_cutoff_from_fp
+
+        rng = np.random.RandomState(2)
+        score = rng.randn(64, 64, 64).astype(np.float32)
+        for n_fp in (1.0, 100.0):
+            thr = _score_cutoff_from_fp(score, n_fp)
+            n_above = int((score > thr).sum())
+            assert 0 <= n_above <= 8 * n_fp + 8, (n_fp, thr, n_above)
+        assert _score_cutoff_from_fp(score, 100.0) < _score_cutoff_from_fp(
+            score, 1.0)
+
+    def test_read_coords_dispatch(self, tmp_path):
+        from pyp_tpu.io import boxfiles
+
+        coords = np.array([[10.0, 20.0, 30.0], [5.0, 6.0, 7.0]])
+        boxfiles.write_spk(coords, tmp_path / "a.spk")
+        back = boxfiles.read_coords(tmp_path / "a.spk")
+        np.testing.assert_allclose(back, coords, atol=0.1)
+        boxfiles.write_cbox(coords[:, ::-1], 32.0, tmp_path / "a.cbox")
+        back2 = boxfiles.read_coords(tmp_path / "a.cbox")
+        np.testing.assert_allclose(back2, coords, atol=0.1)
