@@ -139,6 +139,11 @@ def mode_spr(argv):
     LocalExecutor(max_workers=int(params.get("slurm_local_tasks") or 0)
                   or int(params.get("slurm_tasks") or 1)).run(graph)
     merge = graph.jobs["sprswarm.merge"]
+    if merge.status == "done" and params.get("prism_enable"):
+        # prism tab enable card: quality assessment runs as part of
+        # preprocessing (scores land in metadata for the filter mode)
+        logger.info("prism_enable: scoring micrograph quality")
+        mode_prism([])
     print(json.dumps(merge.result, indent=1, default=str))
     return 0 if merge.status == "done" else 1
 
@@ -1920,6 +1925,19 @@ def mode_sprtrain(argv):
         return 1
     pixel = float(params["scope_pixel"])
     radius_px = max(4, int(float(params["detect_rad"]) / pixel))
+    tb = int(params.get("train_bin") or 1)
+    if tb > 1:
+        # training binning (detect_nn2d bin / detect_nn3d down_ratio):
+        # Fourier-crop inputs and scale picks/radius to the small grid
+        import jax.numpy as _jnp
+
+        from pyp_tpu.core.fft import fourier_crop
+
+        mics = [np.asarray(fourier_crop(
+            _jnp.asarray(m), (m.shape[0] // tb, m.shape[1] // tb)),
+            dtype=np.float32) for m in mics]
+        coords = [np.asarray(c, dtype=np.float32) / tb for c in coords]
+        radius_px = max(2, radius_px // tb)
     patch = int(params.get("train_patch") or 128)
     features = (8, 16, 32)
     model = nn_picker.train_picker(
@@ -1960,6 +1978,12 @@ def mode_tomotrain(argv):
         spk = rec_path.with_name(rec_path.name.replace(".rec.mrc", ".spk"))
         if not spk.exists():
             continue
+        # detect_nn3d use_denoised: train on the denoised tomogram when one
+        # exists beside the raw reconstruction
+        den = rec_path.with_name(rec_path.name.replace(".rec.mrc",
+                                                       ".den.mrc"))
+        if params.get("detect_nn3d_use_denoised", True) and den.exists():
+            rec_path = den
         vol = mrc.read(rec_path).astype(np.float32)
         picks = boxfiles.read_spk(spk)          # (N, >=3) (z, y, x)
         for z in np.unique(np.round(picks[:, 0]).astype(int)):
@@ -1972,9 +1996,14 @@ def mode_tomotrain(argv):
         logger.error("tomotrain: no *.rec.mrc with matching .spk picks")
         return 1
     patch = int(params.get("train_patch") or 128)
+    steps = int(params.get("train_steps") or 300)
+    if params.get("detect_nn3d_num_epochs"):
+        # detect_nn3d num_epochs: one "epoch" covers the slice set with
+        # ~100 sampled patches
+        steps = int(params["detect_nn3d_num_epochs"]) * 100
     model = nn_picker.train_picker(
         slices, coords, rad_px, patch=patch,
-        steps=int(params.get("train_steps") or 300),
+        steps=steps,
         batch=int(params.get("train_batch") or 16),
         lr=float(params.get("train_lr") or 3e-4),
         seed=int(params.get("train_seed") or 0),

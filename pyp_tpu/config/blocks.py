@@ -179,6 +179,15 @@ def _x16(v):
     return int(round(float(v) * 16))
 
 
+def _fiber(v):
+    # detect_nn3d fiber_mode=true -> the native filament tracer
+    return "filament" if v else None
+
+
+def _hamming(v):
+    return "hamming" if v else None
+
+
 REFERENCE_ALIASES: dict[str, tuple] = {
     # ---- metric tab (refinement metric selection, pyp_config [tabs.metric])
     "metric_UseImagesForRefinementMin": ("csp_UseImagesForRefinementMin",
@@ -269,6 +278,71 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "tomo_pick_vir_det_tol": ("tomo_vir_det_tol", None),
     "tomo_pick_vir_iterations": ("tomo_vir_sh_iters", _x16),
     "tomo_pick_vir_binn": ("tomo_vir_binn", None),
+    # ---- detect_nn2d tab -> the native 2D picker trainer (models/picker)
+    "detect_nn2d_iterations": ("train_steps", None),
+    "detect_nn2d_batch_size": ("train_batch", None),
+    "detect_nn2d_patch_size": ("train_patch", None),
+    "detect_nn2d_thresh": ("detect_nn_threshold", None),
+    "detect_nn2d_ref": ("detect_nn_model", None),
+    "detect_nn2d_bin": ("train_bin", None),
+    # ---- detect_nn3d tab -> the native tomogram picker trainer
+    "detect_nn3d_lr": ("train_lr", None),
+    "detect_nn3d_patch_size": ("train_patch", None),
+    "detect_nn3d_thresh": ("detect_nn_threshold", None),
+    "detect_nn3d_ref": ("detect_nn_model", None),
+    "detect_nn3d_rad": ("tomo_spk_rad", None),
+    "detect_nn3d_max_objects": ("tomo_spk_max", None),
+    "detect_nn3d_down_ratio": ("train_bin", None),
+    "detect_nn3d_distance_cutoff": ("tomo_spk_dist", None),
+    "detect_nn3d_fiber_mode": ("tomo_spk_method", _fiber),
+    # ---- tomo_denoise tab (core) -> the native denoiser trainers
+    "tomo_denoise_method": ("denoise_method", None),
+    "tomo_denoise_iterations": ("denoise_epochs", None),
+    "tomo_denoise_batchsize": ("denoise_batch", None),
+    "tomo_denoise_learningrate": ("denoise_lr", None),
+    "tomo_denoise_window": ("denoise_patch", None),
+    "tomo_denoise_lowpass": ("denoise_lowpass", None),
+    # ---- tomo_srf tab -> surface-constrained picking
+    "tomo_srf_detect_rad": ("tomo_spk_rad", None),
+    "tomo_srf_detect_thre": ("tomo_spk_thresh", None),
+    "tomo_srf_detect_dist": ("tomo_spk_dist", None),
+    "tomo_srf_detect_band": ("tomo_vir_detect_band", None),
+    "tomo_srf_detect_rand": ("tomo_pick_rand", None),
+    "tomo_srf_detect_method": ("tomo_vir_method", None),
+    "tomo_srf_detect_ref": ("tomo_pick_ref", None),
+    "tomo_srf_detect_offset": ("tomo_srf_offset", None),
+    # ---- tomo_sphere tab -> SH membrane refinement
+    "tomo_sphere_smoothness": ("tomo_vir_sh_smoothness", None),
+    "tomo_sphere_iterations": ("tomo_vir_sh_iters", _x16),
+    "tomo_sphere_seg_tol": ("tomo_sphere_seg_tol_px", None),
+    # ---- tomo_ext tab -> extraction / WBP filter windows
+    "tomo_ext_fmt": ("extract_fmt", None),
+    "tomo_ext_size": ("extract_box", None),
+    "tomo_ext_binn": ("extract_bin", None),
+    "tomo_ext_mtfilter_cutoff": ("tomo_rec_filter_cutoff", None),
+    "tomo_ext_mtfilter_falloff": ("tomo_rec_filter_falloff", None),
+    "tomo_ext_lpradial_cutoff": ("tomo_rec_filter_cutoff", None),
+    "tomo_ext_lpradial_falloff": ("tomo_rec_filter_falloff", None),
+    "tomo_ext_hamming": ("tomo_rec_filter_window", _hamming),
+    "tomo_ext_fake_sirt_iterations": ("tomo_rec_fake_sirt", None),
+    "tomo_ext_erase_fiducials": ("tomo_rec_erase_fiducials", None),
+    # ---- movie tab (motioncor spellings) -> the TPU motion kernel
+    "movie_motioncor_bin": ("movie_align_bin", None),
+    "movie_motioncor_bfactor_global": ("movie_bfactor", None),
+    "movie_motioncor_bfactor_local": ("movie_patch_bfactor", None),
+    "movie_motioncor_iter": ("movie_iters", None),
+    "movie_motioncor_tol": ("movie_tol", None),
+    "movie_motioncor_patch_x": ("movie_patches", None),
+    "movie_motioncor_patch_y": ("movie_patches", None),
+    "movie_motioncor_phase_only": ("movie_phase_only", None),
+    "movie_motioncor_sumrange_min": ("movie_first", None),
+    "movie_motioncor_sumrange_max": ("movie_last", None),
+    # ---- prism tab -> the native quality model
+    "prism_train_epochs": ("prism_steps", None),
+    "prism_train_batch_size": ("prism_batch", None),
+    "prism_train_lr": ("prism_lr", None),
+    "prism_train_seed": ("prism_seed", None),
+    "prism_train_dim": ("prism_latent", None),
     # ---- class2d tab -> 2D classification protocol
     "class2d_num": ("class_num", None),
     "class2d_rlref": ("class_rlcls", None),

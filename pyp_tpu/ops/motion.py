@@ -158,7 +158,8 @@ def _polyfit_smooth(shifts, order):
     jax.jit,
     static_argnames=(
         "pixel_size", "bfactor", "low_res", "high_res", "max_iters",
-        "search_radius", "smooth_order", "center", "ref",
+        "search_radius", "smooth_order", "center", "ref", "phase_only",
+        "tol",
     ),
 )
 def align_movie(
@@ -172,18 +173,25 @@ def align_movie(
     smooth_order: int = 3,
     center: bool = True,
     ref: str = "average",
+    phase_only: bool = False,
+    tol: float = 0.0,
 ) -> MotionResult:
     """Align movie frames to their common average (global motion).
 
     frames: (n_frames, ny, nx) float. Returns shifts such that
     shift_images(frames[i], shifts[i]) aligns frame i to the average.
-    """
+
+    phase_only: correlate unit-magnitude cross spectra (MotionCor's
+    phase-only switch) — robust to fixed-pattern amplitude structure.
+    tol: convergence tolerance in px (MotionCor tol card): once the max
+    per-frame shift update drops below it, later iterations stop moving
+    (same trip count under jit; the answer matches early termination)."""
     n_frames, ny, nx = frames.shape
     w = _weight_filter(ny, nx, pixel_size, bfactor, low_res, high_res)
     F = jnp.fft.rfft2(frames)
     shifts, last_delta = _align_spectra(
         F * w, ny, nx, max_iters=max_iters, search_radius=search_radius,
-        smooth_order=smooth_order, ref=ref)
+        smooth_order=smooth_order, ref=ref, phase_only=phase_only, tol=tol)
     if center:
         shifts = shifts - jnp.mean(shifts, axis=0, keepdims=True)
     ramps = _phase_ramp(shifts, ny, nx)
@@ -193,7 +201,8 @@ def align_movie(
 
 def _align_spectra(Fw, ny, nx, max_iters: int = 8,
                    search_radius: float = 48.0, smooth_order: int = 3,
-                   ref: str = "average"):
+                   ref: str = "average", phase_only: bool = False,
+                   tol: float = 0.0):
     """Iterative leave-one-out alignment on weighted spectra Fw
     (n_frames, ny, nx//2+1). The per-iteration correlation surface is
     evaluated with a zoom DFT on a window just covering the search radius
@@ -208,7 +217,7 @@ def _align_spectra(Fw, ny, nx, max_iters: int = 8,
     mid = n_frames // 2
 
     def iteration(carry, _):
-        shifts, _prev = carry
+        shifts, _prev, done = carry
         ramps = _phase_ramp(shifts, ny, nx)
         aligned = Fw * ramps
         if ref == "middle":
@@ -220,7 +229,10 @@ def _align_spectra(Fw, ny, nx, max_iters: int = 8,
             total = jnp.sum(aligned, axis=0, keepdims=True)
             reference = total - aligned  # leave-one-out per frame
         # xcorr of reference against *unshifted* frame gives absolute shift
-        cc = _zoom_cc(reference * jnp.conj(Fw), Ay, Bx)
+        S = reference * jnp.conj(Fw)
+        if phase_only:
+            S = S / jnp.maximum(jnp.abs(S), 1e-12)
+        cc = _zoom_cc(S, Ay, Bx)
         new_shifts = _subpixel_peak_win(cc, window)
         r = jnp.sqrt(jnp.sum(new_shifts**2, axis=-1, keepdims=True))
         scale = jnp.where(r > search_radius, search_radius / jnp.maximum(r, 1e-6), 1.0)
@@ -228,10 +240,15 @@ def _align_spectra(Fw, ny, nx, max_iters: int = 8,
         if smooth_order > 0 and n_frames > smooth_order + 1:
             new_shifts = _polyfit_smooth(new_shifts, smooth_order)
         delta = jnp.max(jnp.abs(new_shifts - shifts))
-        return (new_shifts, delta), None
+        new_shifts = jnp.where(done > 0.5, shifts, new_shifts)
+        if tol > 0:
+            done = jnp.maximum(done, (delta < tol).astype(jnp.float32))
+        return (new_shifts, delta, done), None
 
-    init = (jnp.zeros((n_frames, 2), dtype=jnp.float32), jnp.float32(1e9))
-    (shifts, last_delta), _ = jax.lax.scan(iteration, init, None, length=max_iters)
+    init = (jnp.zeros((n_frames, 2), dtype=jnp.float32), jnp.float32(1e9),
+            jnp.float32(0.0))
+    (shifts, last_delta, _), _ = jax.lax.scan(iteration, init, None,
+                                              length=max_iters)
     return shifts, last_delta
 
 

@@ -199,6 +199,8 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                     search_radius=float(params["movie_search"]),
                     smooth_order=int(params["movie_smooth_order"]),
                     ref=str(params.get("movie_ref") or "average"),
+                    phase_only=bool(params.get("movie_phase_only")),
+                    tol=float(params.get("movie_tol") or 0.0),
                 )
                 if params.get("movie_weights"):
                     avg = motion.dose_weighted_average(f, res.shifts, doses, pixel)

@@ -402,6 +402,16 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                             patch=min(32, thickness),
                         )
                         den = dn.restore_wedge(model, np.asarray(recon))
+                    lp_a = float(params.get("denoise_lowpass") or 0.0)
+                    if lp_a > 0:
+                        # tomo_denoise lowpass card: smooth the denoised
+                        # volume to the requested resolution
+                        from pyp_tpu.core.filters import lowpass_filter_3d
+
+                        den = np.asarray(lowpass_filter_3d(
+                            jnp.asarray(np.asarray(den, dtype=np.float32)),
+                            pixel * binning * rec_bin, lp_a),
+                            dtype=np.float32)
                     den_path = f"{work_dir}/{name}.den.mrc"
                     mrc.write(np.asarray(den, dtype=np.float32), den_path,
                               pixel_size=pixel * binning * rec_bin)
@@ -589,6 +599,10 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
             if (np.any(c - 1.3 * r < margin)
                     or np.any(c + 1.3 * r > np.asarray(recon.shape) - margin)):
                 continue
+            search_band = float(params.get("tomo_vir_search_band") or 0.3)
+            tol_px = float(params.get("tomo_sphere_seg_tol_px") or 0.0)
+            if tol_px > 0:  # tomo_sphere seg_tol card: band given in px
+                search_band = min(0.6, tol_px / max(float(r), 1.0))
             pts, normals, rr = tm.refine_surface_sh(
                 recon, c, float(r), n_points=n_pts,
                 l_max=int(params.get("tomo_vir_lmax") or 4),
@@ -596,8 +610,13 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                 lr=float(params.get("tomo_vir_sh_lr") or 0.3),
                 smoothness=float(params.get("tomo_vir_sh_smoothness")
                                  or 0.05),
-                search=float(params.get("tomo_vir_search_band") or 0.3),
+                search=search_band,
                 n_radial=int(params.get("tomo_vir_radial_samples") or 31))
+            off_px = float(params.get("tomo_srf_offset") or 0.0) / eff_pixel
+            if off_px:
+                # tomo_srf detect_offset: spikes sit a protein length above
+                # the membrane — displace picks along the outward normal
+                pts = pts + off_px * np.asarray(normals)
             vir_rows.append((*c, float(np.mean(rr)), float(s)))
             # surface-normal orientation priors (the reference's
             # detect_particles_from_surface euler initialization: spikes

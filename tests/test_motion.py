@@ -121,3 +121,28 @@ class TestLargeMovie:
         a = motion._average_scan(jnp.asarray(frames), shifts, doses, 1.0, True)
         b = motion.dose_weighted_average(jnp.asarray(frames), shifts, doses, 1.0)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+class TestMotionCorCards:
+    """movie_motioncor_* alias targets: phase-only correlation and the
+    convergence-tolerance early stop."""
+
+    def test_phase_only_recovers_drift(self):
+        frames, traj, _ = make_movie(noise=0.3)
+        res = motion.align_movie(jnp.asarray(frames), bfactor=200.0,
+                                 search_radius=20.0, phase_only=True)
+        expected = -(traj - traj.mean(axis=0))
+        err = np.abs(np.asarray(res.shifts) - expected)
+        assert err.max() < 1.0, err.max()
+
+    def test_tolerance_freezes_iterations(self):
+        frames, traj, _ = make_movie(noise=0.3)
+        # huge tolerance: converged after the first update, so the result
+        # equals a single-iteration run
+        res_tol = motion.align_movie(jnp.asarray(frames), bfactor=200.0,
+                                     search_radius=20.0, max_iters=8,
+                                     tol=1e6)
+        res_one = motion.align_movie(jnp.asarray(frames), bfactor=200.0,
+                                     search_radius=20.0, max_iters=1)
+        np.testing.assert_allclose(np.asarray(res_tol.shifts),
+                                   np.asarray(res_one.shifts), atol=1e-4)

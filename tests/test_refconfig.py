@@ -10,7 +10,9 @@ from pathlib import Path
 import pytest
 
 from pyp_tpu.config import params as cfg
-from pyp_tpu.config.params import (OUT_OF_SCOPE_PREFIXES, _reference_ids,
+from pyp_tpu.config.params import (OUT_OF_SCOPE_PREFIXES,
+                                   TOLERATED_IMPL_IDS,
+                                   TOLERATED_IMPL_PREFIXES, _reference_ids,
                                    load_reference_config)
 from pyp_tpu.config.schema import all_params
 
@@ -50,7 +52,9 @@ class TestReferenceConfig:
         assert n == len(_reference_ids())
         assert len(report["loaded"]) >= 270, len(report["loaded"])
         for k in report["tolerated"]:
-            assert k.startswith(OUT_OF_SCOPE_PREFIXES), k
+            assert (k.startswith(OUT_OF_SCOPE_PREFIXES)
+                    or k.startswith(TOLERATED_IMPL_PREFIXES)
+                    or k in TOLERATED_IMPL_IDS), k
 
     def test_garbage_key_is_reported_unknown(self, tmp_path):
         p = tmp_path / ".pyp_config.toml"
