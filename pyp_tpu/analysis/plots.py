@@ -155,6 +155,189 @@ def write_bild_angular_distribution(phi, theta, out_path, radius: float = 50.0):
             )
 
 
+def plot_tilt_series_panel(angles, xf, ctf, out_path):
+    """Per-series alignment + CTF diagnostics: tilt-shift trajectory,
+    per-tilt defocus/astigmatism, and per-tilt fit quality (the reference's
+    plot_trajectory_raw + plot_tomo_ctf panels, analysis/plot/core.py:497,
+    :1678 — one combined sheet per tilt-series here).
+
+    angles: (T,) tilt angles in degrees; xf: (T, 3) [sy, sx, axis_angle]
+    from tilt alignment; ctf: (T, 5) [df1, df2, angast, cc, fit_res]."""
+    angles = np.asarray(angles)
+    xf = np.asarray(xf) if xf is not None else None
+    ctf = np.asarray(ctf) if ctf is not None else None
+    n_rows = 1 + (xf is not None) + (ctf is not None)
+    fig, axes = plt.subplots(n_rows, 2, figsize=(9, 2.6 * n_rows),
+                             squeeze=False)
+    order = np.argsort(angles)
+    ax = axes[0][0]
+    ax.plot(np.arange(len(angles)), angles, "o-", ms=3)
+    ax.set_xlabel("acquisition index")
+    ax.set_ylabel("tilt angle (°)")
+    ax.set_title("tilt scheme", fontsize=9)
+    axes[0][1].axis("off")
+    row = 1
+    if xf is not None:
+        ax = axes[row][0]
+        ax.plot(xf[order, 1], xf[order, 0], "o-", ms=3)
+        ax.set_xlabel("x shift (px)")
+        ax.set_ylabel("y shift (px)")
+        ax.set_title("tilt-shift trajectory (angle order)", fontsize=9)
+        ax.set_aspect("equal")
+        ax = axes[row][1]
+        ax.plot(angles[order], np.hypot(xf[order, 0], xf[order, 1]), "o-",
+                ms=3)
+        ax.set_xlabel("tilt angle (°)")
+        ax.set_ylabel("|shift| (px)")
+        ax.set_title(f"axis angle {xf[0, 2]:.1f}°", fontsize=9)
+        row += 1
+    if ctf is not None:
+        ax = axes[row][0]
+        ax.plot(angles[order], ctf[order, 0] / 1e4, "o-", ms=3,
+                label="df1")
+        ax.plot(angles[order], ctf[order, 1] / 1e4, "o-", ms=3,
+                label="df2")
+        ax.set_xlabel("tilt angle (°)")
+        ax.set_ylabel("defocus (µm)")
+        ax.legend(fontsize=7)
+        ax.set_title("per-tilt defocus", fontsize=9)
+        ax = axes[row][1]
+        ax.plot(angles[order], ctf[order, 4], "o-", ms=3, color="tab:red")
+        ax.set_xlabel("tilt angle (°)")
+        ax.set_ylabel("CTF fit resolution (Å)")
+        ax.set_title("per-tilt fit quality", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_iteration_changes(d_angles, d_shifts, scores, out_path,
+                           iteration=None):
+    """Per-iteration refinement-change histograms: angular change, shift
+    change, and score distribution (the reference's generate_plots panels,
+    analysis/plot/core.py:557 — rotation/translation deltas between
+    consecutive .par files + occ/score histograms)."""
+    fig, axes = plt.subplots(1, 3, figsize=(10.5, 2.8))
+    axes[0].hist(np.asarray(d_angles), bins=40, color="tab:blue")
+    axes[0].set_xlabel("angular change (°)")
+    axes[0].set_ylabel("particles")
+    axes[1].hist(np.asarray(d_shifts), bins=40, color="tab:orange")
+    axes[1].set_xlabel("shift change (px)")
+    axes[2].hist(np.asarray(scores), bins=40, color="tab:green")
+    axes[2].set_xlabel("score")
+    if iteration is not None:
+        fig.suptitle(f"iteration {iteration}", fontsize=10)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_occupancy_history(history, out_path):
+    """Class occupancy vs iteration (reference occupancy plots in
+    mclassmerge, analysis/plot/core.py generate_plots occ panel).
+
+    history: list of dicts with 'iteration' and 'occupancies' (or
+    'occupancy') — per-class mean occupancy %, list."""
+    rows = [(h["iteration"], h.get("occupancies", h.get("occupancy")))
+            for h in history
+            if h.get("occupancies", h.get("occupancy")) is not None]
+    if not rows:
+        return
+    its = [r[0] for r in rows]
+    occ = np.asarray([r[1] for r in rows])  # (n_iter, K)
+    fig, ax = plt.subplots(figsize=(5.5, 3.2))
+    for k in range(occ.shape[1]):
+        ax.plot(its, occ[:, k], "o-", ms=3, label=f"class {k + 1}")
+    ax.set_xlabel("iteration")
+    ax.set_ylabel("mean occupancy (%)")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_dataset_timeseries(items, out_path,
+                            keys=("defocus", "ctf_res", "drift",
+                                  "particles")):
+    """Dataset-wide per-item metric traces in acquisition order (the
+    reference's plot_dataset, analysis/plot/core.py:251 — the web
+    Table-view time series).
+
+    items: {name: {metric: value}} as produced by report.collect_project."""
+    names = sorted(items)
+    present = [k for k in keys if any(k in items[n] for n in names)]
+    if not present:
+        return
+    fig, axes = plt.subplots(len(present), 1,
+                             figsize=(8, 1.9 * len(present)), sharex=True)
+    axes = np.atleast_1d(axes)
+    for ax, k in zip(axes, present):
+        xs = [i for i, n in enumerate(names) if k in items[n]]
+        ys = [items[n][k] for n in names if k in items[n]]
+        ax.plot(xs, ys, ".-", ms=3, lw=0.7)
+        ax.set_ylabel(k, fontsize=8)
+    axes[-1].set_xlabel("item (acquisition order)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_local_trajectories(coords, local_shifts, shape, out_path,
+                            scale: float = 20.0):
+    """Per-particle local motion trajectories over the micrograph footprint
+    (the reference's plot_trajectories, analysis/plot/core.py:1722).
+
+    coords: (P, 2) particle centers (y, x) px; local_shifts: (P, F, 2)
+    per-frame shifts px; shape: (ny, nx)."""
+    coords = np.asarray(coords)
+    traj = np.asarray(local_shifts)
+    fig, ax = plt.subplots(figsize=(6, 6 * shape[0] / max(shape[1], 1)))
+    for c, t in zip(coords, traj):
+        path = c[None] + scale * (t - t.mean(axis=0, keepdims=True))
+        ax.plot(path[:, 1], path[:, 0], "-", lw=0.8)
+        ax.plot(path[0, 1], path[0, 0], "k.", ms=2)
+    ax.set_xlim(0, shape[1])
+    ax.set_ylim(shape[0], 0)
+    ax.set_title(f"local trajectories (×{scale:g})", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def plot_guinier(freqs2, ln_amp, fit_slope, fit_intercept, out_path):
+    """Guinier plot: ln|F| vs 1/d² with the fitted B-factor line (the
+    reference's guinier_plot, analysis/plot/core.py:60)."""
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    ax.plot(np.asarray(freqs2), np.asarray(ln_amp), ".", ms=3,
+            label="spherically averaged ln|F|")
+    ax.plot(np.asarray(freqs2),
+            fit_intercept + fit_slope * np.asarray(freqs2), "r-",
+            label=f"B = {-4 * fit_slope:.0f} Å²")
+    ax.set_xlabel("1/d² (1/Å²)")
+    ax.set_ylabel("ln |F|")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
+def histogram_particle_scores(scores, threshold, out_path, title=""):
+    """Score histogram with the cleaning threshold marked (the reference's
+    histogram_particle_tomo, analysis/plot/core.py:1833)."""
+    fig, ax = plt.subplots(figsize=(5, 3.2))
+    ax.hist(np.asarray(scores), bins=50)
+    ax.axvline(float(threshold), color="r", ls="--",
+               label=f"threshold {float(threshold):.3g}")
+    ax.set_xlabel("score")
+    ax.set_ylabel("particles")
+    if title:
+        ax.set_title(title, fontsize=9)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=110)
+    plt.close(fig)
+
+
 def volume_montage(volume, out_path, axis: int = 0, n_slices: int = 9):
     """Slice montage of a 3D map (the reference's map montage in
     mreconstruct_post, frealign.py:2376)."""

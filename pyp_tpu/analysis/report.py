@@ -56,7 +56,15 @@ def collect_project(work_dir=".", mode: str = "spr") -> dict:
             toks = line.split()
             if len(toks) >= 2:
                 model_fit.append((int(toks[0]), float(toks[1])))
-    return {"items": items, "fscs": fscs, "model_fit": model_fit}
+    history = []
+    for f in (sorted(maps_dir.glob("*_history.json"))
+              if maps_dir.exists() else []):
+        try:
+            history.extend(json.loads(f.read_text()))
+        except (ValueError, OSError):
+            continue
+    return {"items": items, "fscs": fscs, "model_fit": model_fit,
+            "history": history}
 
 
 def build_report(work_dir=".", dataset: str = "dataset",
@@ -94,6 +102,21 @@ def build_report(work_dir=".", dataset: str = "dataset",
                 ax.set_title(k, fontsize=9)
             parts.append("<h2>Per-item metrics</h2>")
             parts.append(_img_tag(fig))
+
+        # acquisition-order traces of the headline metrics (the
+        # reference's plot_dataset time series, analysis/plot/core.py:251)
+        if len(items) >= 3:
+            import tempfile
+
+            from pyp_tpu.analysis.plots import plot_dataset_timeseries
+
+            with tempfile.NamedTemporaryFile(suffix=".png") as tf:
+                plot_dataset_timeseries(items, tf.name)
+                png = Path(tf.name).read_bytes()
+            if png:
+                parts.append("<h2>Dataset time series</h2>")
+                parts.append('<img src="data:image/png;base64,'
+                             f'{base64.b64encode(png).decode()}"/>')
 
         parts.append("<h2>Items</h2><table><tr><th>name</th>")
         cols = sorted({k for m in items.values() for k in m})
@@ -146,6 +169,48 @@ def build_report(work_dir=".", dataset: str = "dataset",
             data64 = base64.b64encode(a.read_bytes()).decode()
             parts.append(f"<p>{html.escape(a.name)}</p>"
                          f'<img src="data:{mime};base64,{data64}"/>')
+
+    hist = data.get("history") or []
+    if hist:
+        # refinement history: resolution, pose-change, occupancy traces
+        res_rows = [(h["iteration"], h["resolution"]) for h in hist
+                    if "resolution" in h]
+        chg_rows = [(h["iteration"], h["median_angular_change_deg"])
+                    for h in hist if "median_angular_change_deg" in h]
+        occ_rows = [h for h in hist
+                    if h.get("occupancies", h.get("occupancy"))]
+        n_panels = bool(res_rows) + bool(chg_rows) + bool(occ_rows)
+        if n_panels:
+            fig, axes = plt.subplots(1, n_panels,
+                                     figsize=(4.0 * n_panels, 2.8),
+                                     squeeze=False)
+            col = 0
+            if res_rows:
+                ax = axes[0][col]; col += 1
+                ax.plot(*zip(*res_rows), "o-")
+                ax.set_xlabel("iteration")
+                ax.set_ylabel("FSC(0.143) resolution (Å)")
+                ax.invert_yaxis()
+            if chg_rows:
+                ax = axes[0][col]; col += 1
+                ax.plot(*zip(*chg_rows), "o-", color="tab:orange")
+                ax.set_xlabel("iteration")
+                ax.set_ylabel("median angular change (°)")
+            if occ_rows:
+                ax = axes[0][col]
+                its = [h["iteration"] for h in occ_rows]
+                occ = np.asarray([
+                    h.get("occupancies", h.get("occupancy"))
+                    for h in occ_rows])
+                for k in range(occ.shape[1]):
+                    ax.plot(its, occ[:, k], "o-", ms=3,
+                            label=f"class {k + 1}")
+                ax.set_xlabel("iteration")
+                ax.set_ylabel("mean occupancy (%)")
+                ax.legend(fontsize=6)
+            fig.tight_layout()
+            parts.append("<h2>Refinement history</h2>")
+            parts.append(_img_tag(fig))
 
     if data["model_fit"]:
         fig, ax = plt.subplots(figsize=(4.0, 2.6))

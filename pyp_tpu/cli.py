@@ -671,6 +671,17 @@ def mode_polish(argv):
         sign = -1.0 if params.get("extract_inv", True) else 1.0
         new_stack[sel] = sign * np.asarray(stack_p)
         n_polished += len(sel)
+        if params.get("plot_per_item", True):
+            # per-particle trajectory overlay (reference plot_trajectories,
+            # analysis/plot/core.py:1722)
+            try:
+                from pyp_tpu.analysis.plots import plot_local_trajectories
+
+                plot_local_trajectories(
+                    coords, np.asarray(traj), frames.shape[-2:],
+                    f"{item['name']}_trajectories.png")
+            except (OSError, ValueError) as e:
+                logger.warning("trajectory plot skipped: %s", e)
     mrc.write(new_stack, "stack.mrc", pixel_size=pixel)
     print(json.dumps({"polished": n_polished}))
     return 0
@@ -955,9 +966,26 @@ def mode_clean(argv):
                 cut = float(np.percentile(
                     np.asarray(table["score"]),
                     float(params.get("clean_percentile") or 20.0)))
+            if cut is None:
+                cut = float(sc.score_threshold(
+                    np.asarray(table["score"], dtype=np.float64), "otsu"))
             table, keep = sc.particle_cleaning(
                 table, score_cut=cut,
                 min_occ=float(params.get("clean_min_occ") or 0.0))
+        if params.get("plot_per_item", True) and "score" in table:
+            # score histogram with the applied threshold (reference
+            # histogram_particle_tomo, plot/core.py:1833)
+            try:
+                from pyp_tpu.analysis.plots import histogram_particle_scores
+
+                histogram_particle_scores(
+                    np.asarray(table["score"]),
+                    cut if mode_rule != "shape" else float(np.min(
+                        np.asarray(table["score"])[keep])) if keep.any()
+                    else 0.0,
+                    "clean_scores.png", title=f"clean ({mode_rule})")
+            except (OSError, ValueError) as e:
+                logger.warning("clean score plot skipped: %s", e)
         dist = float(params.get("clean_dist") or 0.0)
         if dist > 0 and "original_x_position" in table:
             pos = np.stack([np.asarray(table["original_y_position"]),

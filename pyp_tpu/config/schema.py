@@ -132,6 +132,9 @@ SCHEMA: dict[str, list[ParamDef]] = {
     "web": [
         P("web_host", str, "", "nextPYP web server RPC endpoint"),
         P("web_token", str, "", "web RPC auth token"),
+        P("plot_per_item", bool, True,
+          "render per-item diagnostic panels (drift/CTF/tilt trajectories, "
+          "iteration changes, occupancies) for the HTML report"),
     ],
     # ------------------------------------------------------------- selection
     "select": [

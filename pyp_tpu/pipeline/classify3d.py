@@ -13,6 +13,7 @@ chips).
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -388,4 +389,15 @@ def classify3d_loop(stack, table, initial_model, params, work_dir=".",
             "iteration": it, "resolutions": resolutions,
             "occupancy": occ.mean(axis=0).tolist(),
         })
+    if params.get("plot_per_item", True) and history:
+        # occupancy-vs-iteration panel (reference occ plots in classmerge)
+        try:
+            from pyp_tpu.analysis.plots import plot_occupancy_history
+
+            plot_occupancy_history(
+                history, maps_dir / f"{dataset}_occupancy.png")
+        except (OSError, ValueError) as e:
+            logger.warning("occupancy plot skipped: %s", e)
+        (maps_dir / f"{dataset}_history.json").write_text(
+            json.dumps(history))
     return table, refs, occ, history

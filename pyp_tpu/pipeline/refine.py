@@ -76,19 +76,23 @@ def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
             return reconstruct_sharded(
                 mesh, np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
         return rec.reconstruct(
-            np.asarray(stack), poses, ctf_params, pixel, **rc_kwargs)
+            np.asarray(stack) if isinstance(stack, np.ndarray) else stack,
+            poses, ctf_params, pixel, **rc_kwargs)
 
     from pyp_tpu.core.fft import fourier_crop_3d
 
+    host_np = isinstance(stack, np.ndarray)
     if mesh is not None:
         out = reconstruct_sharded(
             mesh, np.asarray(stack), poses, ctf_params, pixel,
             crop_to=n_rec, **rc_kwargs)
     else:
         # crop happens ON DEVICE inside reconstruct (host-side pre-crop
-        # measured slower through the axon tunnel: extra stack transfer)
+        # measured slower through the axon tunnel: extra stack transfer);
+        # device-resident stacks pass straight through
         out = rec.reconstruct(
-            np.asarray(stack), poses, ctf_params, pixel, crop_to=n_rec,
+            np.asarray(stack) if host_np else stack,
+            poses, ctf_params, pixel, crop_to=n_rec,
             **rc_kwargs)
     # shell k on the crop grid IS data wavenumber k: remap the FSC onto the
     # data shell axis (zero beyond the band) and upsample the maps by
@@ -164,22 +168,26 @@ def refinement_iteration(
     has_poses = np.any(np.abs(table_to_poses(table, pixel)[:, :3]) > 1e-6)
     global_search = mode == "global" or not has_poses
 
+    # device-resident stacks (production problem sizes: 49k x 256^2 does
+    # not want a host round-trip per batch per iteration — callers may
+    # jnp.device_put the whole stack, bf16 or f32, and every per-batch
+    # transform below then runs on device)
+    on_device = not isinstance(stack, np.ndarray)
+
     # outer mask radius (particle_rad, Å — cisTEM refine3d line 18,
     # SURVEY §A.1): matching sees the soft-masked particle; reconstruction
     # keeps the raw images
-    match_stack = stack
     rad_a = float(params.get("refine_maskrad") or 0.0) or float(
         params.get("particle_rad") or 0.0)
     if global_search and float(params.get("refine_srad") or 0.0) > 0:
         # global-search mask radius (metric srad / cisTEM line 23): wider
         # than the particle radius so rotational search sees full context
         rad_a = float(params["refine_srad"])
+    m2d = None
     if rad_a > 0:
         from pyp_tpu.core.filters import soft_circular_mask
 
-        m2d = np.asarray(soft_circular_mask(
-            stack.shape[-1], rad_a / pixel, 4.0))
-        match_stack = np.asarray(stack) * m2d[None]
+        m2d = soft_circular_mask(stack.shape[-1], rad_a / pixel, 4.0)
 
     # focused refinement (cisTEM refine3d focus sphere + "apply 2D
     # masking", SURVEY §A.1 lines 29-32/44, class_focusmask): in local
@@ -187,10 +195,28 @@ def refinement_iteration(
     # the focus sphere at its current pose; the reconstruction keeps the
     # full images
     focus = refine3d.parse_focus_mask(params.get("class_focusmask"))
+    fmasks = None
     if focus is not None and not global_search:
-        fmasks = np.asarray(refine3d.focus_mask_2d(
-            table_to_poses(table, pixel), focus, stack.shape[-1], pixel))
-        match_stack = np.asarray(match_stack) * fmasks
+        fmasks = refine3d.focus_mask_2d(
+            table_to_poses(table, pixel), focus, stack.shape[-1], pixel)
+
+    if on_device:
+        def match_batch(lo, hi):
+            xs = jnp.asarray(stack[lo:hi], dtype=jnp.float32)
+            if m2d is not None:
+                xs = xs * jnp.asarray(m2d)[None]
+            if fmasks is not None:
+                xs = xs * jnp.asarray(fmasks[lo:hi])
+            return xs
+    else:
+        match_stack = stack
+        if m2d is not None:
+            match_stack = np.asarray(stack) * np.asarray(m2d)[None]
+        if fmasks is not None:
+            match_stack = np.asarray(match_stack) * np.asarray(fmasks)
+
+        def match_batch(lo, hi):
+            return np.asarray(match_stack[lo:hi])
 
     # reference-map masking ahead of matching (metric tab masking_method:
     # spherical is the projection-side default; "auto" automasks the
@@ -346,14 +372,16 @@ def refinement_iteration(
                             jnp.asarray(ref_volume), pad=iblow)]
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
-                    xs = np.asarray(match_stack[lo:hi])
+                    xs = match_batch(lo, hi)
                     cp = ctf_params[lo:hi]
                     init = (None if global_search
                             else table_to_poses(table, pixel)[lo:hi])
                     b0 = hi - lo
                     padb = (-b0) % ndev
                     if padb:  # pad so the batch shards evenly; trim after
-                        xs = np.concatenate([xs, xs[-1:].repeat(padb, 0)])
+                        xp = jnp if on_device else np
+                        xs = xp.concatenate(
+                            [xs, xp.repeat(xs[-1:], padb, axis=0)])
                         cp = np.concatenate([cp, cp[-1:].repeat(padb, 0)])
                         if init is not None:
                             init = np.concatenate(
@@ -434,13 +462,15 @@ def refinement_iteration(
                     init = None if global_search else table_to_poses(table, pixel)[lo:hi]
                     if mesh is not None:
                         res = sharded_refine_batch(
-                            mesh, np.asarray(match_stack[lo:hi]), ctf_params[lo:hi],
+                            mesh, np.asarray(match_batch(lo, hi)),
+                            ctf_params[lo:hi],
                             np.asarray(ref_volume), pixel,
                             init_poses=init, shell_weights=shell_w, **rb_kwargs,
                         )
                     else:
                         res = refine3d.refine_batch(
-                            jnp.asarray(match_stack[lo:hi]), jnp.asarray(ctf_params[lo:hi]),
+                            jnp.asarray(match_batch(lo, hi)),
+                            jnp.asarray(ctf_params[lo:hi]),
                             jnp.asarray(ref_volume), pixel,
                             init_poses=init, shell_weights=shell_w, **rb_kwargs,
                         )
@@ -532,7 +562,9 @@ def refinement_iteration(
         if params.get("reconstruct_norm"):
             from pyp_tpu.core.filters import normalize_images
 
-            rec_stack = np.asarray(normalize_images(jnp.asarray(stack)))
+            rec_stack = (normalize_images(jnp.asarray(stack)) if on_device
+                         else np.asarray(normalize_images(
+                             jnp.asarray(stack))))
         # reconstruct_rrec: hard reconstruction resolution limit (Å) — the
         # reference's "rec resolution limit" (frealign.py:1794); wins over
         # the band-limited auto-crop band when coarser
@@ -564,7 +596,8 @@ def refinement_iteration(
             )
         else:
             out = rec.reconstruct(
-                np.asarray(rec_stack), poses, ctf_params, pixel, **rc_kwargs
+                rec_stack if on_device else np.asarray(rec_stack),
+                poses, ctf_params, pixel, **rc_kwargs
             )
     res_a = float(fsc_mod.resolution_at_threshold(
         out.freqs, out.fsc, pixel,
@@ -612,6 +645,8 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
         prev_table = (table.copy()
                       if _shaping_requested(params) and "score" in table
                       else None)
+        prev_poses = (table_to_poses(table, pixel)
+                      if params.get("plot_per_item", True) else None)
         table, recon, res_a = refinement_iteration(
             stack, table, ref, params, it, fsc_curve=fsc_curve,
             ref_halves=ref_halves, prev_table=prev_table)
@@ -724,6 +759,42 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             header="freq_cyc_per_px fsc",
         )
         entry = {"iteration": it, "resolution": res_a}
+        if prev_poses is not None:
+            # per-iteration change panels (reference generate_plots,
+            # analysis/plot/core.py:557: pose deltas between consecutive
+            # .par files + score histogram) + occupancy tracking
+            try:
+                import jax.numpy as _jnp
+
+                from pyp_tpu.analysis import plots as _plots
+                from pyp_tpu.core.geometry import euler_to_matrix as _e2m
+
+                now = table_to_poses(table, pixel)
+                Ra = np.asarray(_e2m(_jnp.asarray(prev_poses[:, 0]),
+                                     _jnp.asarray(prev_poses[:, 1]),
+                                     _jnp.asarray(prev_poses[:, 2])))
+                Rb = np.asarray(_e2m(_jnp.asarray(now[:, 0]),
+                                     _jnp.asarray(now[:, 1]),
+                                     _jnp.asarray(now[:, 2])))
+                tr = np.einsum("bij,bij->b", Ra, Rb)
+                d_ang = np.degrees(np.arccos(np.clip((tr - 1) / 2, -1, 1)))
+                d_sh = np.hypot(now[:, 3] - prev_poses[:, 3],
+                                now[:, 4] - prev_poses[:, 4])
+                sc = (np.asarray(table["score"])
+                      if "score" in table else np.zeros(table.n_rows))
+                _plots.plot_iteration_changes(
+                    d_ang, d_sh, sc,
+                    maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_changes.png",
+                    iteration=it)
+                entry["median_angular_change_deg"] = round(
+                    float(np.median(d_ang)), 3)
+                entry["median_shift_change_px"] = round(
+                    float(np.median(d_sh)), 3)
+            except (ValueError, OSError) as e:
+                logger.warning("iteration-change plot skipped: %s", e)
+        if "occupancy" in table:
+            entry["occupancies"] = [round(
+                float(np.mean(np.asarray(table["occupancy"]))), 2)]
         if params.get("model_fit"):
             # Model-fitting tab: evaluate the PDB against this iteration's
             # map (pyp_config.toml [tabs.model]); appended to
@@ -749,6 +820,10 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
             except (OSError, ValueError) as e:
                 logger.warning("model fit skipped: %s", e)
         history.append(entry)
+        import json as _json
+
+        (maps_dir / f"{dataset}_r{cls:02d}_history.json").write_text(
+            _json.dumps(history))
         from pyp_tpu.stream.web import Web
 
         web = Web()

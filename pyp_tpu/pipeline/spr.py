@@ -413,6 +413,29 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
     else:
         summary["particles"] = 0
 
+    if params.get("plot_per_item", True):
+        # per-micrograph diagnostics (reference: webp CTF/drift panels per
+        # item for the web UI; here pngs the HTML report embeds)
+        try:
+            from types import SimpleNamespace
+
+            from pyp_tpu.analysis import plots as _plots
+
+            if meta.is_done("drift"):
+                _plots.plot_drift(meta["drift"],
+                                  f"{work_dir}/{name}_drift.png")
+            if meta.is_done("ctf_avgrot") and meta.is_done("ctf"):
+                g, radial, norm_radial, model = np.asarray(
+                    meta["ctf_avgrot"])
+                c = np.asarray(meta["ctf"])
+                _plots.plot_ctf_fit(
+                    g, radial, norm_radial, model,
+                    SimpleNamespace(df1=c[0], df2=c[1], angast=c[2],
+                                    fit_res=c[5]),
+                    f"{work_dir}/{name}_ctf.png")
+        except (OSError, ValueError, KeyError) as e:
+            logger.warning("per-item plots skipped: %s", e)
+
     meta.scalars.update(
         {"pixel": pixel, "voltage": float(params["scope_voltage"])}
     )

@@ -484,6 +484,20 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                 summary["virions"] = len(vir)
             summary["particles"] = len(box)
 
+    if params.get("plot_per_item", True):
+        # per-series diagnostics sheet (the reference renders webp panels
+        # per tilt-series for the web UI; here a png the report embeds)
+        try:
+            from pyp_tpu.analysis.plots import plot_tilt_series_panel
+
+            plot_tilt_series_panel(
+                meta["tlt"],
+                meta["xf"] if meta.is_done("xf") else None,
+                meta["ctf"] if meta.is_done("ctf") else None,
+                f"{work_dir}/{name}_tilts.png")
+        except (OSError, ValueError, KeyError) as e:
+            logger.warning("per-series plot skipped: %s", e)
+
     meta.scalars.update({"pixel": pixel, "binning": binning * rec_bin})
     meta.save()
     return summary

@@ -110,6 +110,22 @@ def guinier_bfactor(vol, pixel_size, min_res=10.0, max_res=None):
     return 4.0 * slope  # negative for falling amplitudes
 
 
+def guinier_curve(vol, pixel_size):
+    """Spherically averaged (1/d², ln|F|) table for Guinier plotting
+    (reference guinier_plot, analysis/plot/core.py:60)."""
+    n = vol.shape[-1]
+    F = jnp.fft.rfftn(jnp.asarray(vol))
+    amps2 = jnp.abs(F) ** 2
+    n_bins = n // 2
+    bins = fsc_mod._shell_bins(n, n_bins)
+    sums = jnp.zeros(n_bins).at[bins].add(amps2.reshape(-1))
+    counts = jnp.zeros(n_bins).at[bins].add(1.0)
+    amp = jnp.sqrt(sums / jnp.maximum(counts, 1.0))
+    g = (jnp.arange(n_bins) + 0.5) * 0.5 / n_bins / pixel_size
+    return np.asarray(g * g), np.asarray(
+        jnp.log(jnp.maximum(amp, 1e-12)))
+
+
 def read_mtf_curve(path):
     """Detector MTF curve as (freqs cycles/pixel, values).
 
@@ -300,6 +316,21 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
                      if bfac_low not in (None, "", 0, 0.0) else None),
         flatten_res=float(params.get("sharpen_flatten_res") or 0.0) or None,
         edge_width_px=float(params.get("sharpen_edge_width") or 0.0))
+    if params.get("plot_per_item", True):
+        # Guinier panel of the pre-sharpen map with the applied B line
+        try:
+            from pyp_tpu.analysis.plots import plot_guinier
+
+            g2, ln_amp = guinier_curve(combined, pixel)
+            lo = 1.0 / float(params.get("sharpen_bfac_lowres") or 10.0)
+            band = (g2 > lo * lo) & np.isfinite(ln_amp)
+            slope = float(bfac) / 4.0
+            icpt = (float(np.mean(ln_amp[band] - slope * g2[band]))
+                    if band.any() else 0.0)
+            plot_guinier(g2[band], ln_amp[band], slope, icpt,
+                         maps_dir / f"{dataset}_guinier.png")
+        except (OSError, ValueError) as e:
+            logger.warning("guinier plot skipped: %s", e)
     out_map = maps_dir / f"{dataset}_sharpened.mrc"
     out_vol = sharp * mask if params.get("sharpen_apply_mask", True) else sharp
     if params.get("sharpen_invert_handedness"):

@@ -219,6 +219,50 @@ class TestPlots:
         for f in ["drift.png", "fsc.png", "ang.png", "df.png", "classes.png", "ang.bild"]:
             assert (tmp_path / f).stat().st_size > 0
 
+    def test_gallery_panels_render(self, tmp_path):
+        """Round-4 gallery parity (reference plot/core.py): tilt-series
+        panel, iteration changes, occupancy history, dataset time series,
+        local trajectories, Guinier, score histogram."""
+        from pyp_tpu.analysis import plots
+
+        rng = np.random.RandomState(1)
+        T = 41
+        angles = np.linspace(-60, 60, T)
+        xf = np.concatenate(
+            [np.cumsum(rng.randn(T, 2), 0), np.full((T, 1), 85.3)], axis=1)
+        ctf = np.stack([rng.uniform(1e4, 3e4, T), rng.uniform(1e4, 3e4, T),
+                        rng.uniform(0, 180, T), rng.uniform(0, 1, T),
+                        rng.uniform(4, 20, T)], 1)
+        plots.plot_tilt_series_panel(angles, xf, ctf,
+                                     tmp_path / "tilts.png")
+        plots.plot_tilt_series_panel(angles, None, None,
+                                     tmp_path / "tilts_bare.png")
+        plots.plot_iteration_changes(rng.uniform(0, 10, 200),
+                                     rng.uniform(0, 2, 200),
+                                     rng.randn(200),
+                                     tmp_path / "changes.png", iteration=3)
+        plots.plot_occupancy_history(
+            [{"iteration": 2, "occupancies": [60.0, 40.0]},
+             {"iteration": 3, "occupancy": [70.0, 30.0]}],
+            tmp_path / "occ.png")
+        plots.plot_dataset_timeseries(
+            {f"m{i:03d}": {"defocus": 15000 + 100 * i, "drift": i * 0.5,
+                           "particles": 100 + i}
+             for i in range(20)},
+            tmp_path / "series.png")
+        plots.plot_local_trajectories(
+            rng.uniform(50, 450, (12, 2)), rng.randn(12, 8, 2) * 0.5,
+            (512, 512), tmp_path / "traj.png")
+        g2 = np.linspace(0.001, 0.1, 40)
+        plots.plot_guinier(g2, -30 * g2 + rng.randn(40) * 0.1, -30.0, 0.0,
+                           tmp_path / "guinier.png")
+        plots.histogram_particle_scores(rng.randn(300), 0.2,
+                                        tmp_path / "scores.png",
+                                        title="clean")
+        for f in ["tilts.png", "tilts_bare.png", "changes.png", "occ.png",
+                  "series.png", "traj.png", "guinier.png", "scores.png"]:
+            assert (tmp_path / f).stat().st_size > 0
+
 
 class TestClassSelection:
     def test_select_classes(self):

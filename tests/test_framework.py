@@ -549,3 +549,71 @@ class TestBandLimitedReconstruction:
         tr = lp(vol)
         cc_crop = np.corrcoef(lp(v_crop).ravel(), tr.ravel())[0, 1]
         assert cc_crop > 0.4, cc_crop  # crop map genuinely reconstructs
+
+
+class TestDeviceResidentStack:
+    def test_device_stack_matches_host_stack(self):
+        """Production data layout: a jnp device-resident stack must produce
+        the same poses/scores/maps as the host numpy path (the 49k x 256^2
+        regime keeps the stack in HBM; per-batch host re-uploads are the
+        tunnel/PCIe tax this layout removes)."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.filters import lowpass_filter_3d, soft_spherical_mask
+        from pyp_tpu.core.geometry import euler_to_matrix
+        from pyp_tpu.io import cistem
+        from pyp_tpu.ops import fourier_slice as fs
+        from pyp_tpu.ops import reconstruct as rec
+        from pyp_tpu.pipeline.refine import refinement_iteration
+
+        box, B, pixel = 48, 64, 1.5
+        rng = np.random.RandomState(0)
+        vol = rng.randn(box, box, box).astype(np.float32)
+        vol *= np.asarray(soft_spherical_mask(box, box * 0.35, 3.0))
+        vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 6.0)) * 10
+        Fv = fs.volume_to_fourier(jnp.asarray(vol))
+        phi = rng.uniform(0, 360, B).astype(np.float32)
+        theta = np.degrees(np.arccos(rng.uniform(-1, 1, B))).astype(
+            np.float32)
+        psi = rng.uniform(0, 360, B).astype(np.float32)
+        sh = rng.uniform(-2, 2, (B, 2)).astype(np.float32)
+        df = rng.uniform(10000, 20000, B).astype(np.float32)
+        cp = np.stack([df + 200, df - 200, np.zeros(B), np.zeros(B)],
+                      1).astype(np.float32)
+        R = euler_to_matrix(jnp.asarray(phi), jnp.asarray(theta),
+                            jnp.asarray(psi))
+        F = fs.project(Fv, R, box)
+        ctfs = rec._ctf_grids(box, pixel, jnp.asarray(cp), 300.0, 2.7, 0.07)
+        F = rec._shift_correct(F * ctfs, jnp.asarray(sh), box)
+        imgs = np.array(fs.fourier_to_image(F, box), dtype=np.float32,
+                        copy=True)
+        imgs = imgs + np.std(imgs) * rng.randn(*imgs.shape).astype(
+            np.float32)
+
+        def run(stack):
+            table = cistem.Table.zeros(B)
+            table["position_in_stack"] = np.arange(1, B + 1)
+            table["pixel_size"] = np.full(B, pixel)
+            table["defocus_1"], table["defocus_2"] = cp[:, 0], cp[:, 1]
+            table["defocus_angle"] = cp[:, 2]
+            table["occupancy"] = np.full(B, 100.0)
+            params = {
+                "scope_pixel": pixel, "scope_voltage": 300.0,
+                "scope_cs": 2.7, "scope_wgh": 0.07, "refine_rlref": 40.0,
+                "refine_rhref": "8", "refine_dang": 20.0,
+                "refine_psi_step": 10.0, "refine_searchx": 4.0,
+                "refine_searchy": 4.0, "particle_sym": "C1",
+                "refine_mode": "global", "refine_engine": "frm",
+                "reconstruct_wiener": 0.5, "refine_maskrad": 30.0,
+            }
+            return refinement_iteration(stack, table, vol, params, 2,
+                                        batch=32)
+
+        t1, out1, r1 = run(imgs)
+        t2, out2, r2 = run(jnp.asarray(imgs))
+        np.testing.assert_allclose(np.asarray(t1["phi"]),
+                                   np.asarray(t2["phi"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(t1["score"]),
+                                   np.asarray(t2["score"]), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out1.volume),
+                                   np.asarray(out2.volume), atol=1e-4)

@@ -22,6 +22,12 @@ def seed_project(tmp_path):
         np.savetxt(maps / f"ds_r01_{it:02d}_fsc.txt",
                    np.stack([freqs, curve], 1))
     (maps / "ds_model_fit.txt").write_text("2 0.61 0 0 0\n3 0.72 0 0 0\n")
+    (maps / "ds_r01_history.json").write_text(json.dumps([
+        {"iteration": 2, "resolution": 8.1,
+         "median_angular_change_deg": 12.0, "occupancies": [100.0]},
+        {"iteration": 3, "resolution": 5.2,
+         "median_angular_change_deg": 2.5, "occupancies": [100.0]},
+    ]))
 
 
 class TestReport:
@@ -50,6 +56,8 @@ class TestReport:
         assert "m0" in text and "m2" in text           # item table
         assert "Model fit" in text
         assert "classes_montage.png" in text           # artifact embedded
+        assert "Refinement history" in text            # history panels
+        assert "Dataset time series" in text
         assert len(text) > 10000                       # real images inline
 
     def test_cli_mode(self, tmp_path, monkeypatch, capsys):

@@ -31,7 +31,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
-         n_iters=4, seed=0):
+         n_iters=4, seed=0, content_a=5.0, resident=False, rhref=None,
+         batch=512, pixel=1.0):
+    """content_a: phantom content limit (Å) — push past 3 for the
+    production-scale (EMPIAR-10025-class) run so FSC has signal to find.
+    resident: keep the full stack DEVICE-resident in bfloat16 across
+    iterations (production design at 49k x 256^2 — per-batch host->device
+    re-uploads through the shared axon tunnel would otherwise dominate
+    wall time; on a real TPU VM the same layout also wins, PCIe ~10 GB/s
+    vs HBM slices at memory speed)."""
     import jax
     import jax.numpy as jnp
 
@@ -43,7 +51,6 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     from pyp_tpu.ops import reconstruct as rec
     from pyp_tpu.pipeline.refine import refinement_iteration
 
-    pixel = 1.0
     rng = np.random.RandomState(seed)
     t_all = time.perf_counter()
 
@@ -51,7 +58,8 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     t0 = time.perf_counter()
     vol = rng.randn(box, box, box).astype(np.float32)
     vol *= np.asarray(soft_spherical_mask(box, box * 0.35, 4.0))
-    vol = np.array(lowpass_filter_3d(jnp.asarray(vol), pixel, 5.0)) * 10.0
+    vol = np.array(lowpass_filter_3d(
+        jnp.asarray(vol), pixel, max(content_a, 2.0 * pixel))) * 10.0
 
     Fvol = fs.volume_to_fourier(jnp.asarray(vol))
     phi = rng.uniform(0, 360, n_particles).astype(np.float32)
@@ -76,16 +84,31 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         noise = jax.random.normal(key, imgs.shape) * noise_x * jnp.std(imgs)
         return imgs + noise
 
-    stack = np.empty((n_particles, box, box), dtype=np.float32)
     bs = 512
     key = jax.random.PRNGKey(seed + 1)
-    for lo in range(0, n_particles, bs):
-        hi = min(lo + bs, n_particles)
-        key, sub = jax.random.split(key)
-        stack[lo:hi] = np.asarray(make_batch(
-            Fvol, jnp.asarray(phi[lo:hi]), jnp.asarray(theta[lo:hi]),
-            jnp.asarray(psi[lo:hi]), jnp.asarray(shifts[lo:hi]),
-            jnp.asarray(ctf_params[lo:hi]), sub))
+    if resident:
+        # assemble the dataset ON DEVICE in bf16 (half the HBM of f32; the
+        # matcher upcasts per batch) — functional .set() updates double-
+        # buffer one stack copy transiently, nothing leaves the chip
+        stack = jnp.zeros((n_particles, box, box), dtype=jnp.bfloat16)
+        for lo in range(0, n_particles, bs):
+            hi = min(lo + bs, n_particles)
+            key, sub = jax.random.split(key)
+            xb = make_batch(
+                Fvol, jnp.asarray(phi[lo:hi]), jnp.asarray(theta[lo:hi]),
+                jnp.asarray(psi[lo:hi]), jnp.asarray(shifts[lo:hi]),
+                jnp.asarray(ctf_params[lo:hi]), sub)
+            stack = stack.at[lo:hi].set(xb.astype(jnp.bfloat16))
+        stack.block_until_ready()
+    else:
+        stack = np.empty((n_particles, box, box), dtype=np.float32)
+        for lo in range(0, n_particles, bs):
+            hi = min(lo + bs, n_particles)
+            key, sub = jax.random.split(key)
+            stack[lo:hi] = np.asarray(make_batch(
+                Fvol, jnp.asarray(phi[lo:hi]), jnp.asarray(theta[lo:hi]),
+                jnp.asarray(psi[lo:hi]), jnp.asarray(shifts[lo:hi]),
+                jnp.asarray(ctf_params[lo:hi]), sub))
     t_synth = time.perf_counter() - t0
 
     # ---- production refinement: global iteration + local iterations -------
@@ -100,7 +123,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     params = {
         "scope_pixel": pixel, "scope_voltage": 300.0, "scope_cs": 2.7,
         "scope_wgh": 0.07, "refine_rlref": 50.0,
-        "refine_rhref": "12:10:8:7:6:5", "refine_dang": 7.5,
+        "refine_rhref": rhref or "12:10:8:7:6:5", "refine_dang": 7.5,
         "refine_psi_step": 5.0, "refine_searchx": 6.0, "refine_searchy": 6.0,
         "particle_sym": "C1", "refine_mode": "global",
         "refine_engine": "frm", "refine_frm_cone": 15.0,
@@ -128,7 +151,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         params["refine_mode"] = mode
         t0 = time.perf_counter()
         table, out, res_a = refinement_iteration(
-            stack, table, ref, params, it, batch=512, fsc_curve=fsc_curve,
+            stack, table, ref, params, it, batch=batch, fsc_curve=fsc_curve,
             ref_halves=ref_halves)
         # keep maps device-resident between iterations (tunnel transfers
         # of 8 MB maps cost tens of seconds each)
@@ -136,11 +159,14 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
         ref_halves = (out.half1, out.half2)
         fsc_curve = np.asarray(out.fsc)
         dt = time.perf_counter() - t0
+        ms = jax.local_devices()[0].memory_stats() or {}
+        hbm_gib = round(ms.get("peak_bytes_in_use", 0) / 2**30, 2)
         stages.append({"iteration": it, "mode": mode,
                        "seconds": round(dt, 1),
-                       "fsc143_A": round(res_a, 2)})
+                       "fsc143_A": round(res_a, 2),
+                       "hbm_peak_GiB": hbm_gib})
         print(f"iter {it} ({mode}): {dt:.1f} s, half-map FSC(0.143) = "
-              f"{res_a:.2f} A", flush=True)
+              f"{res_a:.2f} A, HBM peak {hbm_gib} GiB", flush=True)
 
     # ---- ground-truth validation ------------------------------------------
     from pyp_tpu.core.geometry import euler_to_matrix as _e2m
@@ -170,6 +196,7 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
 
     report = {
         "n_particles": n_particles, "box": box, "pixel_A": pixel,
+        "content_A": content_a, "resident_bf16": bool(resident),
         "seed": seed,
         "synth_seconds": round(t_synth, 1),
         "stages": stages,
@@ -197,6 +224,19 @@ if __name__ == "__main__":
     ap.add_argument("n_particles", nargs="?", type=int, default=4096)
     ap.add_argument("box", nargs="?", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--content-A", type=float, default=5.0,
+                    help="phantom content limit (Å); 2.5 for the "
+                         "production sub-3-Å run")
+    ap.add_argument("--resident", action="store_true",
+                    help="keep the stack device-resident (bf16) — the "
+                         "production layout for 49k x 256^2 problems")
+    ap.add_argument("--rhref", default=None,
+                    help="refinement high-res schedule override, e.g. "
+                         "12:8:6:5:4:3")
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--pixel", type=float, default=1.0)
+    ap.add_argument("--noise", type=float, default=3.0)
+    ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--replicates", type=int, default=1,
                     help=">=3 for trustworthy A/Bs (same seed; replicate "
                          "spread = TPU scatter-order nondeterminism)")
@@ -212,7 +252,10 @@ if __name__ == "__main__":
         s = args.seed + (k if args.vary_seed else 0)
         print(f"=== replicate {k + 1}/{args.replicates} (seed {s}) ===",
               flush=True)
-        rep = main(args.n_particles, args.box, seed=s)
+        rep = main(args.n_particles, args.box, seed=s,
+                   noise_x=args.noise, n_iters=args.iters,
+                   content_a=args.content_A, resident=args.resident,
+                   rhref=args.rhref, batch=args.batch, pixel=args.pixel)
         runs.append(rep)
         if args.out:
             Path(f"{args.out}.run{k}").write_text(json.dumps(rep, indent=1))
