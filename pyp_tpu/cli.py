@@ -1209,6 +1209,13 @@ def mode_stream(argv):
     if not pattern:
         logger.error("stream needs -data_path <watch glob>")
         return 1
+    from pyp_tpu.sched import bridge
+
+    if bridge.slurm_requested(params):
+        # the daemon itself runs as one long scheduler job (streampyp's
+        # pyp_daemon submission; resources from the slurm daemon tier)
+        print(json.dumps(bridge.submit_daemon(params, argv), indent=1))
+        return 0
     daemon = SessionDaemon(
         pattern, params,
         poll_interval=float(params.get("stream_poll_interval") or 5.0),

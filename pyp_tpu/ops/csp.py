@@ -393,10 +393,6 @@ def _refine_mode_xv(
     u0 = (_csp_model_gather(params, mask_pts, Fref, n)
           if mode in SHIFT_MODES else None)
 
-    # remat: recompute the forward correlation during the backward pass
-    # instead of holding its (T, P, G) complex intermediates — the
-    # activation footprint is what limits series batching on one chip
-    @jax.checkpoint
     def loss_fn(p):
         score = csp_score(
             p, xv, window_centers, tilt_defocus, mask_pts, Fref,
@@ -596,7 +592,7 @@ def csp_refine_schedule(
                      "voltage_kv", "cs_mm", "amplitude_contrast",
                      "step_tol", "value_tol"),
 )
-def csp_refine_batch(
+def _csp_refine_batch_chunk(
     params_b: CspParams,  # every leaf carries a leading series axis S
     xv_b,                 # (S, T, P, G) precomputed window samples
     window_centers_b,     # (S, T, P, 2)
@@ -618,18 +614,19 @@ def csp_refine_batch(
     step_tol: float = 0.0,
     value_tol: float = 0.0,
 ):
-    """Batched CSP: S tilt-series refined in ONE dispatch (lax.map over the
-    series axis; the reference fans one cspswarm array task per series —
-    here a chip runs a whole batch per compiled program and series batches
-    are data-parallel across chips). Series are padded to common (T, P)
+    """Batched CSP kernel: a chunk of tilt-series through the full fused
+    mode schedule in ONE dispatch (sequential lax.map over the series
+    axis — one production series' schedule already fills the chip, and
+    vmapping multiplies every gradient-step activation by S: measured on
+    the v5e tunnel, S=4 x 41 x 128 vmapped blows up where the sequential
+    map runs at single-series memory). Series are padded to common (T, P)
     with valid=0 rows; shorter series simply carry zero weight.
 
-    lax.map (sequential), NOT vmap: one production series' schedule already
-    fills the chip (T*P*G-point matmuls per gradient step), while vmapping
-    S series multiplies every gradient-step activation by S — measured on
-    the v5e tunnel, S=4 x 41 x 128 vmapped CRASHES the TPU worker (HBM
-    blow-up inside one program) where the sequential map runs the same
-    batch in one dispatch at single-series memory."""
+    Use `csp_refine_batch` (the host wrapper) rather than calling this
+    directly: whole-batch single dispatches exceed the ~60 s RPC budget
+    of shared-tunnel runtimes (measured: S=2 x 41 x 128 @ 20 iters = 30 s
+    OK, S=4 = ~60 s kills the TPU worker), so the wrapper bounds series
+    per dispatch."""
     def one(args):
         p, xv, c, d, tw, v = args
         return _schedule_core(
@@ -640,6 +637,69 @@ def csp_refine_batch(
 
     return jax.lax.map(one, (params_b, xv_b, window_centers_b,
                              tilt_defocus_b, tilt_weights_b, valid_b))
+
+
+def csp_refine_batch(
+    params_b: CspParams,
+    xv_b, window_centers_b, tilt_defocus_b, mask_pts, Fref,
+    tilt_weights_b, valid_b,
+    offsets_by_mode, spin_offsets,
+    modes: tuple,
+    n: int,
+    pixel_size: float,
+    iters_per_mode: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
+    series_per_dispatch: int = 2,
+):
+    """Batched CSP: S tilt-series refined in ceil(S/chunk) dispatches of
+    one compiled program (the reference fans one cspswarm array task per
+    series; here a chip runs whole chunks and series batches are
+    data-parallel across chips).
+
+    series_per_dispatch bounds single-dispatch wall time: long-running
+    dispatches trip RPC deadlines on shared-tunnel runtimes (~60 s on the
+    axon v5e path — see _csp_refine_batch_chunk). The final short chunk is
+    padded to the chunk size (valid=0) so every chunk reuses ONE compiled
+    program."""
+    S = int(valid_b.shape[0])
+    c = max(1, min(int(series_per_dispatch), S))
+    if S <= c:
+        return _csp_refine_batch_chunk(
+            params_b, xv_b, window_centers_b, tilt_defocus_b, mask_pts,
+            Fref, tilt_weights_b, valid_b, offsets_by_mode, spin_offsets,
+            modes, n, pixel_size, iters_per_mode, lr, reg_weight,
+            voltage_kv, cs_mm, amplitude_contrast, step_tol, value_tol)
+
+    def pad(x, lo, hi):
+        sl = x[lo:hi]
+        short = c - (hi - lo)
+        if short:
+            sl = jnp.concatenate([sl, jnp.repeat(sl[-1:], short, axis=0)])
+        return sl
+
+    outs = []
+    for lo in range(0, S, c):
+        hi = min(lo + c, S)
+        p_c = CspParams(*(pad(leaf, lo, hi) for leaf in params_b))
+        v_c = pad(valid_b, lo, hi)
+        if hi - lo < c:  # padded rows carry zero weight
+            v_c = v_c.at[hi - lo:].set(0.0)
+        out = _csp_refine_batch_chunk(
+            p_c, pad(xv_b, lo, hi), pad(window_centers_b, lo, hi),
+            pad(tilt_defocus_b, lo, hi), mask_pts, Fref,
+            pad(tilt_weights_b, lo, hi), v_c, offsets_by_mode,
+            spin_offsets, modes, n, pixel_size, iters_per_mode, lr,
+            reg_weight, voltage_kv, cs_mm, amplitude_contrast, step_tol,
+            value_tol)
+        keep = hi - lo
+        outs.append(jax.tree.map(lambda a: a[:keep], out))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
 
 
 def prepare_series_windows(tilt_images, params: CspParams, n: int, mask_pts):

@@ -397,6 +397,9 @@ def _csp_config(params: dict, iteration: int, pixel: float):
         voltage_kv=float(params["scope_voltage"]),
         cs_mm=float(params["scope_cs"]),
         amplitude_contrast=float(params["scope_wgh"]),
+        # dispatch-duration bound (csp_series_per_dispatch): shared-tunnel
+        # runtimes kill single dispatches past ~60 s (ops/csp measured)
+        series_per_dispatch=int(params.get("csp_series_per_dispatch") or 2),
     )
 
 
@@ -516,6 +519,7 @@ def csp_swarm_batch(
             reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
             cs_mm=cfg["cs_mm"], amplitude_contrast=cfg["amplitude_contrast"],
             step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
+            series_per_dispatch=cfg["series_per_dispatch"],
         )
         mode_scores_b = np.asarray(mode_scores_b)
         pscores_b = np.asarray(pscores_b)

@@ -72,19 +72,43 @@ def slurm_requested(params: dict) -> bool:
 def select_executor(params: dict):
     """(kind, executor) — 'slurm' when any slurm_* selection param is set."""
     if slurm_requested(params):
+        tasks = int(params.get("slurm_tasks") or 1)
+        # reference memory model: flat slurm_memory wins; otherwise
+        # memory_per_task x tasks (tabs.slurm.memory_per_task)
+        mem = int(params.get("slurm_memory") or 0) or (
+            int(params.get("slurm_memory_per_task") or 0) * tasks) or 16
+        # array concurrency caps -> sbatch %K throttle
+        throttle = 0
+        if int(params.get("slurm_max_cpus") or 0) > 0:
+            throttle = max(1, int(params["slurm_max_cpus"]) // max(tasks, 1))
+        if int(params.get("slurm_max_memory") or 0) > 0:
+            by_mem = max(1, int(params["slurm_max_memory"]) // max(mem, 1))
+            throttle = min(throttle, by_mem) if throttle else by_mem
+        level = str(params.get("slurm_verbose_level") or "info")
+        if params.get("slurm_verbose") and level == "info":
+            level = "debug"
+        env = {}
+        if level != "info":
+            env["PYP_TPU_LOG_LEVEL"] = level
+        if params.get("slurm_profile"):
+            env["PYP_TPU_TRACE"] = "1"
         return "slurm", SlurmExecutor(
             script_dir=str(params.get("slurm_script_dir") or "swarm"),
             queue=str(params.get("slurm_queue") or ""),
             walltime=str(params.get("slurm_walltime") or "24:00:00"),
-            tasks=int(params.get("slurm_tasks") or 1),
-            memory_gb=int(params.get("slurm_memory") or 16),
-            bundle=int(params.get("slurm_bundle") or 1),
+            tasks=tasks,
+            memory_gb=mem,
+            bundle=int(params.get("slurm_bundle_size") or 0)
+            or int(params.get("slurm_bundle") or 1),
             submit=bool(params.get("slurm_submit")),
             gres=str(params.get("slurm_gres") or ""),
             submit_via="ssh" if params.get("slurm_host") else "local",
             host=str(params.get("slurm_host") or ""),
             account=str(params.get("slurm_account") or ""),
             qos=str(params.get("slurm_qos") or ""),
+            throttle=throttle,
+            env_exports=env,
+            zombie_minutes=int(params.get("slurm_zombie") or 0),
         )
     return "local", LocalExecutor(
         max_workers=int(params.get("slurm_tasks") or 1))
@@ -111,6 +135,10 @@ def submit_training(mode: str, params: dict, argv: list[str]) -> dict:
                       or params.get("slurm_walltime") or "24:00:00")
     if params.get("slurm_train_gres"):
         ex.gres = str(params["slurm_train_gres"])
+        if params.get("slurm_queue_gpu"):
+            # accelerator jobs land on the GPU partition
+            # (tabs.slurm.queue_gpu)
+            ex.queue = str(params["slurm_queue_gpu"])
     sd = Path(ex.script_dir)
     payload = _payload(sd, f"{mode}_train", mode,
                        strip_slurm_flags(list(argv)))
@@ -118,6 +146,37 @@ def submit_training(mode: str, params: dict, argv: list[str]) -> dict:
     jid = ex.sbatch(script)
     return {"scripts": [str(script)], "job_ids": [j for j in (jid,) if j],
             "n_items": 1}
+
+
+def submit_daemon(params: dict, argv: list[str]) -> dict:
+    """Single long-running sbatch for the streaming session daemon (the
+    reference submits streampyp's pyp_daemon as one scheduler job,
+    stream/pyp_daemon.py) — resources come from the slurm daemon tier."""
+    ex = select_executor(params)[1]
+    assert isinstance(ex, SlurmExecutor)
+    ex.walltime = str(params.get("slurm_daemon_walltime")
+                      or params.get("slurm_walltime") or "7-00:00:00")
+    if params.get("slurm_daemon_tasks"):
+        ex.tasks = int(params["slurm_daemon_tasks"])
+    if params.get("slurm_daemon_memory"):
+        ex.memory_gb = int(params["slurm_daemon_memory"])
+    elif params.get("slurm_daemon_memory_per_task"):
+        ex.memory_gb = (int(params["slurm_daemon_memory_per_task"])
+                        * max(ex.tasks, 1))
+    if params.get("slurm_daemon_queue"):
+        ex.queue = str(params["slurm_daemon_queue"])
+    if params.get("slurm_daemon_account"):
+        ex.account = str(params["slurm_daemon_account"])
+    if params.get("slurm_daemon_gres"):
+        ex.gres = str(params["slurm_daemon_gres"])
+    sd = Path(ex.script_dir)
+    payload = _payload(sd, "stream_daemon", "stream",
+                       strip_slurm_flags(list(argv)))
+    script = ex.write_array_script("streamdaemon",
+                                   [worker_command(payload)])
+    jid = ex.sbatch(script)
+    return {"scripts": [str(script)],
+            "job_ids": [j for j in (jid,) if j], "n_items": 1}
 
 
 def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
@@ -136,23 +195,59 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
     # system/slurm.py:446-540): these override the generic values for this
     # stage's array
     tiers = {
-        "spr": ("slurm_spr_walltime", "slurm_spr_tasks", "slurm_spr_memory"),
-        "tomo": ("slurm_tomo_walltime", "slurm_tomo_tasks",
-                 "slurm_tomo_memory"),
-        "csp": ("slurm_csp_walltime", "slurm_csp_tasks", "slurm_csp_memory"),
-        "classify2d": ("slurm_class_walltime", "slurm_class_tasks",
-                       "slurm_class_memory"),
-        "classify3d": ("slurm_class_walltime", "slurm_class_tasks",
-                       "slurm_class_memory"),
+        "spr": {"walltime": "slurm_spr_walltime",
+                "tasks": "slurm_spr_tasks", "memory": "slurm_spr_memory"},
+        "tomo": {"walltime": "slurm_tomo_walltime",
+                 "tasks": "slurm_tomo_tasks",
+                 "memory": "slurm_tomo_memory"},
+        "csp": {"walltime": "slurm_csp_walltime",
+                "tasks": "slurm_csp_tasks", "memory": "slurm_csp_memory"},
+        "classify3d": {"walltime": "slurm_class_walltime",
+                       "tasks": "slurm_class_tasks",
+                       "memory": "slurm_class_memory"},
+        # class2d has its own reference tier, falling back to class_*
+        "classify2d": {
+            "walltime": ("slurm_class2d_walltime", "slurm_class_walltime"),
+            "tasks": ("slurm_class2d_tasks", "slurm_class_tasks"),
+            "memory": ("slurm_class2d_memory", "slurm_class_memory"),
+            "memory_per_task": "slurm_class2d_memory_per_task",
+            "queue": "slurm_class2d_queue",
+            "account": "slurm_class2d_account",
+            "gres": "slurm_class2d_gres"},
+        # streaming daemon tier (tabs.slurm.daemon_*)
+        "stream": {"walltime": "slurm_daemon_walltime",
+                   "tasks": "slurm_daemon_tasks",
+                   "memory": "slurm_daemon_memory",
+                   "memory_per_task": "slurm_daemon_memory_per_task",
+                   "queue": "slurm_daemon_queue",
+                   "account": "slurm_daemon_account",
+                   "gres": "slurm_daemon_gres"},
     }
-    wt_key, tasks_key, mem_key = tiers.get(
-        mode, (f"slurm_{mode}_walltime", f"slurm_{mode}_tasks",
-               f"slurm_{mode}_memory"))
-    tier_wt = str(params.get(wt_key) or "")
-    if params.get(tasks_key):
-        ex.tasks = int(params[tasks_key])
-    if params.get(mem_key):
-        ex.memory_gb = int(params[mem_key])
+    tier = tiers.get(mode, {"walltime": f"slurm_{mode}_walltime",
+                            "tasks": f"slurm_{mode}_tasks",
+                            "memory": f"slurm_{mode}_memory"})
+
+    def tval(suffix):
+        keys = tier.get(suffix) or ()
+        for k in (keys,) if isinstance(keys, str) else keys:
+            v = params.get(k)
+            if v not in (None, "", 0, 0.0):
+                return v
+        return None
+
+    tier_wt = str(tval("walltime") or "")
+    if tval("tasks"):
+        ex.tasks = int(tval("tasks"))
+    if tval("memory"):
+        ex.memory_gb = int(tval("memory"))
+    elif tval("memory_per_task"):
+        ex.memory_gb = int(tval("memory_per_task")) * max(ex.tasks, 1)
+    if tval("queue"):
+        ex.queue = str(tval("queue"))
+    if tval("account"):
+        ex.account = str(tval("account"))
+    if tval("gres"):
+        ex.gres = str(tval("gres"))
     sd = Path(ex.script_dir)
     argv = strip_slurm_flags(list(argv))  # workers must not re-submit
     commands = []
@@ -161,11 +256,18 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
         payload = _payload(sd, f"{mode}_{i:05d}", mode,
                            list(argv) + [f"-{item_flag}", path])
         commands.append(worker_command(payload))
-    ex.walltime = tier_wt or scale_walltime(
-        str(params.get("slurm_walltime") or "4:00:00"), len(items),
-        ex.bundle)
-    script = ex.write_array_script(f"{mode}swarm", commands)
-    jid = ex.sbatch(script)
+    script = jid = None
+    if params.get("slurm_merge_only"):
+        # merge-before-split resume (reference tabs.slurm.merge_only):
+        # reduce whatever previous split runs produced, no new array
+        logger.info("%s: merge_only set — skipping the %d-element array",
+                    mode, len(items))
+    else:
+        ex.walltime = tier_wt or scale_walltime(
+            str(params.get("slurm_walltime") or "4:00:00"), len(items),
+            ex.bundle)
+        script = ex.write_array_script(f"{mode}swarm", commands)
+        jid = ex.sbatch(script)
     # dependent merge: full mode re-run (resume-aware -> reduce only)
     merge_payload = _payload(sd, f"{mode}_merge", mode, list(argv))
     ex.walltime = str(params.get("slurm_merge_walltime") or "48:00:00")
@@ -173,6 +275,15 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
         ex.tasks = int(params["slurm_merge_tasks"])
     if params.get("slurm_merge_memory"):
         ex.memory_gb = int(params["slurm_merge_memory"])
+    elif params.get("slurm_merge_memory_per_task"):
+        ex.memory_gb = (int(params["slurm_merge_memory_per_task"])
+                        * max(ex.tasks, 1))
+    if params.get("slurm_merge_queue"):
+        ex.queue = str(params["slurm_merge_queue"])
+    if params.get("slurm_merge_account"):
+        ex.account = str(params["slurm_merge_account"])
+    if params.get("slurm_merge_gres"):
+        ex.gres = str(params["slurm_merge_gres"])
     merge_script = ex.write_array_script(
         f"{mode}merge", [worker_command(merge_payload)],
         dependency=jid)
@@ -180,7 +291,8 @@ def submit_swarm(mode: str, items: list, params: dict, argv: list[str],
     logger.info("%s: emitted %d-element array + merge under %s%s",
                 mode, len(items), sd,
                 f" (job {jid} -> {mjid})" if jid else " (not submitted)")
-    return {"scripts": [str(script), str(merge_script)],
+    scripts = ([str(script)] if script else []) + [str(merge_script)]
+    return {"scripts": scripts,
             "job_ids": [j for j in (jid, mjid) if j],
             "n_items": len(items)}
 

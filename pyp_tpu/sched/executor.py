@@ -150,7 +150,8 @@ class SlurmExecutor:
                  tasks: int = 1, memory_gb: int = 16, bundle: int = 1,
                  submit: bool = False, gres: str = "",
                  submit_via: str = "local", host: str = "",
-                 account: str = "", qos: str = ""):
+                 account: str = "", qos: str = "", throttle: int = 0,
+                 env_exports: dict | None = None, zombie_minutes: int = 0):
         self.script_dir = Path(script_dir)
         self.queue = queue
         self.walltime = walltime
@@ -163,6 +164,14 @@ class SlurmExecutor:
         self.host = host
         self.account = account
         self.qos = qos
+        # array concurrency throttle (sbatch --array=1-N%K): the
+        # slurm_max_cpus / slurm_max_memory caps land here
+        self.throttle = int(throttle)
+        # env exported to every element (log level, trace profiling)
+        self.env_exports = dict(env_exports or {})
+        # reference slurm.zombie: sweep split scratch dirs idle longer
+        # than this before starting work
+        self.zombie_minutes = int(zombie_minutes)
 
     def write_array_script(self, stage: str, commands: list[str],
                            dependency: str | None = None) -> Path:
@@ -173,10 +182,13 @@ class SlurmExecutor:
         cmd_file.write_text("\n".join(commands) + "\n")
         n = len(commands)
         n_elems = (n + self.bundle - 1) // self.bundle
+        arr = f"1-{n_elems}"
+        if self.throttle > 0:
+            arr += f"%{max(1, self.throttle)}"
         lines = [
             "#!/bin/bash",
             f"#SBATCH --job-name={stage}",
-            f"#SBATCH --array=1-{n_elems}",
+            f"#SBATCH --array={arr}",
             f"#SBATCH --cpus-per-task={self.tasks}",
             f"#SBATCH --mem={self.memory_gb}G",
             f"#SBATCH --time={self.walltime}",
@@ -192,8 +204,17 @@ class SlurmExecutor:
             lines.append(f"#SBATCH --gres={self.gres}")
         if dependency:
             lines.append(f"#SBATCH --dependency=afterany:{dependency}")
+        lines.append("set -u")
+        for k, v in self.env_exports.items():
+            lines.append(f"export {k}={v}")
+        if self.zombie_minutes > 0:
+            # zombie sweep (reference slurm.zombie): clear split scratch
+            # dirs idle longer than the timeout before starting work
+            lines.append(
+                "find ${TMPDIR:-/tmp} -maxdepth 1 -name 'pyp_tpu_*' "
+                f"-mmin +{self.zombie_minutes} -exec rm -rf {{}} + "
+                "2>/dev/null || true")
         lines += [
-            "set -u",
             f"START=$(( (SLURM_ARRAY_TASK_ID - 1) * {self.bundle} + 1 ))",
             f"END=$(( START + {self.bundle} - 1 ))",
             f'sed -n "${{START}},${{END}}p" {cmd_file} | while read -r cmd; do',

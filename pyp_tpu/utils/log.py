@@ -25,7 +25,13 @@ def _configure():
     handler.setFormatter(logging.Formatter(_FORMAT, datefmt="%H:%M:%S"))
     root = logging.getLogger("pyp_tpu")
     root.addHandler(handler)
-    root.setLevel(logging.INFO)
+    # workers honor the level exported by the scheduler scripts
+    # (tabs.slurm.verbose_level: info/debug/trace)
+    import os
+
+    level = os.environ.get("PYP_TPU_LOG_LEVEL", "info").lower()
+    root.setLevel({"debug": logging.DEBUG, "trace": TRACE}.get(
+        level, logging.INFO))
     _configured = True
 
 

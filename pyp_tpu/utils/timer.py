@@ -14,6 +14,20 @@ logger = get_logger("timer")
 
 REGISTRY: dict[str, list[float]] = {}
 
+# profiling mode (tabs.slurm.profile via PYP_TPU_TRACE=1 in scheduler
+# scripts): dump the per-stage timing report when the worker exits
+import os as _os
+
+if _os.environ.get("PYP_TPU_TRACE"):
+    import atexit as _atexit
+
+    def _dump_profile():
+        for name, vals in sorted(REGISTRY.items()):
+            logger.info("[profile] %s: n=%d total=%.2fs mean=%.2fs",
+                        name, len(vals), sum(vals), sum(vals) / len(vals))
+
+    _atexit.register(_dump_profile)
+
 
 class Timer:
     def __init__(self, name: str, log: bool = True):

@@ -359,6 +359,50 @@ class TestBatchedEngine:
             np.testing.assert_allclose(
                 np.asarray(pscores_b[i]), ps_single, rtol=1e-4, atol=1e-5)
 
+    def test_chunked_dispatch_matches_whole_batch(self):
+        """series_per_dispatch chunking (bounds single-dispatch wall time on
+        shared-tunnel runtimes) must be invisible: S=3 series through chunk=2
+        dispatches (second chunk padded) == one whole-batch dispatch."""
+        import jax
+
+        from pyp_tpu.ops.fourier_slice import volume_to_fourier
+        from pyp_tpu.ops.refine3d import make_mask_points
+
+        vol = make_reference()
+        rng = np.random.RandomState(11)
+        series = []
+        for seed in (1, 5, 9):
+            true, images, defocus = make_tilt_series(vol, seed=seed)
+            pert = true._replace(
+                tilt_shifts=true.tilt_shifts + jnp.asarray(
+                    rng.uniform(-2, 2, (T, 2)).astype(np.float32)))
+            series.append((pert, images, defocus))
+
+        Fref = volume_to_fourier(jnp.asarray(vol))
+        mask_pts = jnp.asarray(make_mask_points(NBOX, PIXEL, 60.0, 8.0))
+        prep = [csp.prepare_series_windows(im, p, NBOX, mask_pts)
+                for p, im, df in series]
+        cp_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[p for p, _, _ in series])
+        xv_b = jnp.stack([jnp.asarray(x) for x, _, _ in prep])
+        wc_b = jnp.stack([jnp.asarray(w) for _, w, _ in prep])
+        va_b = jnp.stack([jnp.asarray(v) for _, _, v in prep])
+        df_b = jnp.stack([df for _, _, df in series])
+        tw_b = jnp.ones((3, T), jnp.float32)
+
+        kw = dict(iters_per_mode=3, reg_weight=0.05)
+        whole = csp.csp_refine_batch(
+            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+            (None, None), None, (3, 1), NBOX, PIXEL,
+            series_per_dispatch=3, **kw)
+        chunked = csp.csp_refine_batch(
+            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+            (None, None), None, (3, 1), NBOX, PIXEL,
+            series_per_dispatch=2, **kw)
+        for w, c in zip(jax.tree.leaves(whole), jax.tree.leaves(chunked)):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(w),
+                                       rtol=1e-5, atol=1e-6)
+
     def test_swarm_batch_pipeline(self, tmp_path):
         """csp_swarm_batch end-to-end: padded series of different P, metadata
         persisted, accumulators chained."""
