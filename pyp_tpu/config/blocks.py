@@ -188,6 +188,32 @@ def _hamming(v):
     return "hamming" if v else None
 
 
+def _win_enum(v):
+    # reference 2D/radial filter form enums -> engine WBP window names
+    return {"hamming": "hamming", "mtfilter": "radial", "lpradial": "radial",
+            "fakesirt": "ramp", "none": "ramp"}.get(str(v), str(v))
+
+
+def _sart(v):
+    return "sart" if v else None
+
+
+def _local_mode(v):
+    return str(v) == "local"
+
+
+def _dbg_trace(v):
+    return "trace" if v else None
+
+
+def _dbg_debug(v):
+    return "debug" if v else None
+
+
+def _dbg_info(v):
+    return "info" if v else None
+
+
 REFERENCE_ALIASES: dict[str, tuple] = {
     # ---- metric tab (refinement metric selection, pyp_config [tabs.metric])
     "metric_UseImagesForRefinementMin": ("csp_UseImagesForRefinementMin",
@@ -347,7 +373,287 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "class2d_num": ("class_num", None),
     "class2d_rlref": ("class_rlcls", None),
     "class2d_rhref": ("class_rhcls", None),
+    "class2d_ctf_min_res": ("ctf_min_res", None),
+    # ---- sharpen tab (reference spellings of the postprocess knobs)
+    "sharpen_automask_lp": ("sharpen_mask_lowpass", None),
+    "sharpen_automask_threshold": ("sharpen_mask_threshold", None),
+    "sharpen_adhoc_bfac": ("sharpen_bfactor", None),
+    "sharpen_auto_bfac_low": ("sharpen_bfac_lowres", None),
+    "sharpen_auto_bfac_high": ("sharpen_bfac_highres", None),
+    "sharpen_skip_fsc_weighting": ("sharpen_fsc_weight", _neg),
+    "sharpen_lowpass": ("sharpen_high_res_limit", None),
+    "sharpen_randomize_below_fsc": ("sharpen_randomize_at_fsc", None),
+    "sharpen_randomize_beyond": ("sharpen_rand_res", None),
+    "sharpen_resmap": ("sharpen_locres", None),
+    "sharpen_resmap_min_res": ("sharpen_locres_minres", None),
+    "sharpen_resmap_step_size": ("sharpen_locres_sampling", None),
+    # ---- ctf tab (reference spellings of the CTF-fit geometry)
+    "ctf_phase_shift": ("ctf_use_phs", None),
+    "ctf_min_rad": ("ctf_min_res", None),
+    "ctf_max_rad": ("ctf_max_res", None),
+    "ctf_ps_step": ("ctf_phase_steps", None),
+    "ctf_determine_tilt": ("ctf_use_lcl", None),
+    "ctf_tilt_axis": ("scope_tilt_axis", None),
+    "ctf_handedness_mintilt": ("tomo_hand_min_tilt", None),
+    # ---- movie tab (unblur/motioncor drivers)
+    "movie_no_frames": ("movie_ali", _neg),
+    "movie_bin": ("movie_align_bin", None),
+    "movie_eer_reduce": ("movie_eer_frames", None),
+    "movie_pbc": ("refine_pbc", None),
+    "movie_boff": ("refine_boff", None),
+    # ---- refine tab (FREALIGN/cisTEM card spellings)
+    "refine_dataset": ("data_set", None),
+    "refine_model": ("model_path", None),
+    "refine_parfile": ("csp_parfile", None),
+    "refine_parfile_tomo": ("csp_parfile_tomo", None),
+    "refine_resume": ("csp_resume", None),
+    "refine_first_iter": ("refine_iter", None),
+    "refine_itmax": ("refine_frm_rounds", None),
+    "refine_crop": ("reconstruct_crop", None),
+    "refine_debug": ("slurm_verbose", None),
+    "refine_dfsig": ("refine_def_range", None),
+    "refine_fastig": ("refine_fdef", None),
+    "refine_fpart": ("refine_fdef", None),
+    "refine_merge_normalize": ("reconstruct_norm", None),
+    "refine_xstd": ("refine_maskth", None),
+    "refine_same_ref": ("refine_goldstandard", _neg),
+    "refine_interp": ("reconstruct_gridding", None),
+    "refine_invert": ("data_invert", None),
+    "refine_ipmax": ("refine_topk", None),
+    # ---- reconstruct tab (FREALIGN reconstruct/merge cards)
+    "reconstruct_cutoff": ("reconstruct_score_threshold", None),
+    "reconstruct_threc": ("reconstruct_score_threshold", None),
+    "reconstruct_optimal_cutoff": ("reconstruct_score_fraction", None),
+    "reconstruct_radrec": ("reconstruct_rrec", None),
+    "reconstruct_saveplots": ("plot_per_item", None),
+    "reconstruct_num_frames": ("csp_frames", None),
+    "reconstruct_scratch_copy_stack": ("csp_save_stacks", None),
+    "reconstruct_weights": ("movie_weights", None),
+    "reconstruct_ffilt": ("refine_fssnr", None),
+    "reconstruct_lblur_start": ("reconstruct_lblur_range", None),
+    "reconstruct_dose_weighting_global": ("dose_weight_global", None),
+    "reconstruct_dose_weighting_fraction": ("dose_weight_fraction", None),
+    "reconstruct_dose_weighting_transition": ("dose_weight_transition", None),
+    "reconstruct_dose_weighting_multiply": ("dose_weight_multiply", None),
+    "reconstruct_denoise_enable": ("denoise_spr", None),
+    "reconstruct_denoise_method": ("denoise_method", None),
+    "reconstruct_denoise_iters": ("denoise_epochs", None),
+    "reconstruct_denoise_iterations": ("denoise_epochs", None),
+    "reconstruct_denoise_patch_size": ("denoise_patch", None),
+    "reconstruct_denoise_window": ("denoise_patch", None),
+    "reconstruct_denoise_batchsize": ("denoise_batch", None),
+    "reconstruct_denoise_learningrate_start": ("denoise_lr", None),
+    "reconstruct_denoise_lowpass": ("denoise_lowpass", None),
+    # ---- extract tab
+    "extract_gold": ("detect_gold_erase", None),
+    "extract_ctf_handedness": ("csp_ctf_handedness", None),
+    "extract_ctf_handedness_force": ("tomo_hand_detect", _neg),
+    "extract_wgh": ("scope_wgh", None),
+    "extract_stacks": ("csp_save_stacks", None),
+    "extract_using_frames": ("csp_frames", None),
+    # ---- sva tab (3DAVG subvolume averaging)
+    "sva_symmetry": ("particle_sym", None),
+    "sva_centering_symmetry": ("particle_sym", None),
+    "sva_refine_iter": ("sva_iters", None),
+    "sva_mode": ("sva_local", _local_mode),
+    "sva_zcorr": ("sva_wedge", None),
+    "sva_class_num": ("sva_classes", None),
+    "sva_centering_iterations": ("sva_centering_iters", None),
+    "sva_tol_angle": ("sva_ang", None),
+    "sva_tol_shifts": ("sva_shift", None),
+    "sva_pre_selection_fraction": ("sva_keep_fraction", None),
+    "sva_mask": ("mask_file", None),
+    "sva_filter_map": ("sva_lowpass", None),
+    # ---- stream tab (session daemon)
+    "stream_session_name": ("data_set", None),
+    "stream_session_group": ("stream_group", None),
+    "stream_session_timeout": ("stream_idle_exit", None),
+    "stream_transfer_local": ("stream_transfer_dir", None),
+    "stream_transfer_target_path": ("stream_transfer_dir", None),
+    "stream_transfer_age": ("stream_settle_polls", None),
+    # ---- csp tab (CSP binary argv spellings)
+    "csp_Grid_spr": ("csp_Grid", None),
+    "csp_OptimizerMaxIter": ("csp_OptimizerIters", None),
+    "csp_abinitio": ("refine_abinit", None),
+    "csp_InitialResolution": ("csp_rlref", None),
+    "csp_ResolutionLimit": ("csp_rhref", None),
+    "csp_automask": ("refine_mask", None),
+    "csp_frame_refinement": ("csp_frames", None),
+    "csp_produce_running_average": ("movie_group", None),
+    "csp_ctf_handedness_force": ("tomo_hand_detect", _neg),
+    "csp_thresh": ("reconstruct_score_threshold", None),
+    "csp_stacks": ("csp_save_stacks", None),
+    "csp_no_stacks": ("csp_save_stacks", _neg),
+    "csp_parx_only": ("csp_save_stacks", _neg),
+    "csp_DebugFull": ("slurm_verbose_level", _dbg_trace),
+    "csp_DebugData": ("slurm_verbose_level", _dbg_trace),
+    "csp_DebugBasic": ("slurm_verbose_level", _dbg_debug),
+    "csp_DebugInfo": ("slurm_verbose_level", _dbg_debug),
+    "csp_DebugNone": ("slurm_verbose_level", _dbg_info),
+    # ---- class tab
+    "class_force_init": ("class3d_force_init", None),
+    "class_bin": ("train_bin", None),
+    "class_refineeulers": ("class3d_refineeulers", None),
+    "class_refineshifts": ("class3d_refineshifts", None),
+    # ---- gain tab
+    "gain_remove_hot_pixels": ("data_remove_xrays", None),
+    # ---- clean tab
+    "clean_threshold": ("clean_min_score", None),
+    # ---- detect tab (SPA picking)
+    "detect_thre": ("detect_thresh", None),
+    "detect_ignore_contamination": ("detect_contamination", _neg),
+    "detect_rand": ("tomo_pick_rand", None),
+    "detect_ref": ("detect_nn_model", None),
+    # ---- denoise2d tab
+    "denoise2d_method": ("denoise_method", None),
+    # ---- import tab (RELION star interop)
+    "import_mode": ("data_mode", None),
+    "import_tilt_series_star": ("import_tomo_star", None),
+    "import_tomo_motion_star": ("import_motion_star", None),
+    # ---- tomo_rec tab (IMOD tilt / AreTomo spellings)
+    "tomo_rec_2d_filtering_method": ("tomo_rec_filter_window", _win_enum),
+    "tomo_rec_filtering_method": ("tomo_rec_filter_window", _win_enum),
+    "tomo_rec_filter_form": ("tomo_rec_filter_window", _win_enum),
+    "tomo_rec_mtfilter_cutoff": ("tomo_rec_filter_cutoff", None),
+    "tomo_rec_mtfilter_falloff": ("tomo_rec_filter_falloff", None),
+    "tomo_rec_lpradial_cutoff": ("tomo_rec_filter_cutoff", None),
+    "tomo_rec_lpradial_falloff": ("tomo_rec_filter_falloff", None),
+    "tomo_rec_hamming": ("tomo_rec_filter_window", _hamming),
+    "tomo_rec_fake_sirt_iterations": ("tomo_rec_fake_sirt", None),
+    "tomo_rec_aretomo_sart": ("tomo_rec_method", _sart),
+    "tomo_rec_aretomo_sart_iter": ("tomo_rec_sart_iters", None),
+    "tomo_rec_aretomo_sart_num_projs": ("tomo_rec_sart_subsets", None),
+    "tomo_rec_erase_detect_max": ("detect_gold_max", None),
+    "tomo_rec_erase_detect_threshold": ("detect_gold_thresh", None),
+    "tomo_rec_depth": ("tomo_rec_thickness", None),
+    # ---- tomo_ali tab (etomo/AreTomo spellings)
+    "tomo_ali_auto_bin": ("tomo_ali_bin", None),
+    "tomo_ali_binning": ("tomo_ali_bin", None),
+    "tomo_ali_fiducial_number": ("tomo_ali_fiducial_n", None),
+    "tomo_ali_radius1": ("tomo_ali_bp_low", None),
+    "tomo_ali_radius2": ("tomo_ali_bp_high", None),
+    "tomo_ali_iterate": ("tomo_ali_model_iters", None),
+    "tomo_ali_coarse_iterate": ("tomo_ali_model_iters", None),
+    "tomo_ali_patches_x": ("tomo_ali_patches", None),
+    "tomo_ali_patches_y": ("tomo_ali_patches", None),
+    "tomo_ali_patches_size_x": ("tomo_ali_patch_size", None),
+    "tomo_ali_patches_size_y": ("tomo_ali_patch_size", None),
+    "tomo_ali_aretomo_zheight": ("tomo_rec_thickness", None),
+    "tomo_ali_aretomo3_zheight": ("tomo_rec_thickness", None),
+    "tomo_ali_aretomo_estimate_zheight": ("tomo_rec_thickness", None),
+    # ---- tomo_vir tab (virion detection/segmentation)
+    "tomo_vir_number": ("tomo_vir_detect_max", None),
+    "tomo_vir_seg_tol": ("tomo_sphere_seg_tol_px", None),
+    "tomo_vir_seg_smoothness": ("tomo_vir_sh_smoothness", None),
+    "tomo_vir_seg_iterations": ("tomo_vir_sh_iters", _x16),
+    "tomo_vir_iterations": ("tomo_vir_sh_iters", _x16),
+    "tomo_vir_detect_method": ("tomo_vir_method", None),
+    "tomo_vir_detect_ref": ("tomo_pick_ref", None),
+    "tomo_vir_detect_thre": ("tomo_spk_thresh", None),
+    "tomo_vir_detect_dist": ("tomo_spk_dist", None),
+    "tomo_vir_detect_rand": ("tomo_pick_rand", None),
+    "tomo_vir_detect_offset": ("tomo_srf_offset", None),
+    "tomo_vir_force": ("detect_force", None),
+    "tomo_srf_force": ("detect_force", None),
+    # ---- tomo_spk tab (size-based 3D picker)
+    "tomo_spk_dilation_3d": ("tomo_spk_dist", None),
+    "tomo_spk_inhibit_3d": ("tomo_spk_dist", None),
+    "tomo_spk_remove_edge_3d": ("detect_edge", None),
+    "tomo_spk_stdtimes_cont_3d": ("detect_cont_sigma", None),
+    "tomo_spk_rand": ("tomo_pick_rand", None),
+    # ---- tomo_pick tab (additional pytom/manual spellings)
+    "tomo_pick_stdtimes_cont_3d": ("detect_cont_sigma", None),
+    "tomo_pick_inhibit_3d": ("tomo_spk_dist", None),
+    "tomo_pick_normals": ("refine_priors", None),
+    "tomo_pick_use_vector_normals": ("refine_priors", None),
+    "tomo_pick_pytom_defocus_handedness": ("csp_ctf_handedness", None),
+    "tomo_pick_pytom_half_precision": ("tomo_rec_float16", None),
+    # ---- tomo_ext tab (extraction-time reconstruction filters)
+    "tomo_ext_2d_filtering_method": ("tomo_rec_filter_window", _win_enum),
+    "tomo_ext_filtering_method": ("tomo_rec_filter_window", _win_enum),
+    "tomo_ext_filter_form": ("tomo_rec_filter_window", _win_enum),
+    "tomo_ext_erase_detect_max": ("detect_gold_max", None),
+    "tomo_ext_erase_detect_threshold": ("detect_gold_thresh", None),
+    "tomo_ext_coords": ("tomo_pick_files", None),
+    # ---- debug spellings -> worker log level
+    "tomo_vir_seg_debug": ("slurm_verbose", None),
+    "tomo_vir_debug": ("slurm_verbose", None),
+    "tomo_sphere_debug": ("slurm_verbose", None),
 }
+
+# Reference UI file-picker twins: every file parameter X is mirrored by
+# X_path (server-side path picker) and/or X_input (upload widget) in
+# pyp_config.toml; both land on the engine's X. Twins whose stem is itself
+# an alias resolve the chain at build time so apply_reference_aliases stays
+# single-pass.
+_TWIN_IDS = [
+    "csp_tomo_classification_parfile_input",
+    "csp_tomo_classification_parfile_path",
+    "csp_tomo_coarse_parfile_input", "csp_tomo_coarse_parfile_path",
+    "csp_tomo_free_parfile_input", "csp_tomo_free_parfile_path",
+    "csp_tomo_free_parfile_tomo_input", "csp_tomo_free_parfile_tomo_path",
+    "csp_tomo_movie_after_parfile_input", "csp_tomo_movie_after_parfile_path",
+    "csp_tomo_movie_parfile_input", "csp_tomo_movie_parfile_path",
+    "csp_tomo_reference_model_input", "csp_tomo_reference_model_path",
+    "data_parent_path", "data_path_path",
+    "detect_nn2d_ref_input", "detect_nn2d_ref_path",
+    "detect_nn3d_ref_input", "detect_nn3d_ref_path",
+    "detect_ref_path", "detect_ref_input", "detect_files_path",
+    "dose_weighting_weights_path", "gain_reference_path",
+    "import_motion_star_input", "import_motion_star_path",
+    "import_refine_star_input", "import_refine_star_path",
+    "import_tomo_star_input", "import_tomo_star_path",
+    "import_tilt_series_star_path", "import_tilt_series_star_input",
+    "import_tomo_motion_star_path", "import_tomo_motion_star_input",
+    "metric_maskth_input", "metric_maskth_path",
+    "model_fit_path", "refine_maskth_input", "refine_maskth_path",
+    "refine_model_path", "refine_model_input",
+    "refine_parfile_path", "refine_parfile_input",
+    "refine_parfile_tomo_path", "refine_parfile_tomo_input",
+    "sharpen_cistem_input_map_input", "sharpen_cistem_input_map_path",
+    "sharpen_input_map_input", "sharpen_input_map_path",
+    "sharpen_mask_input", "sharpen_mask_path", "sharpen_mtf_path",
+    "sharpen_relion_first_half_path", "sharpen_relion_mask_path",
+    "sharpen_relion_mtf_path", "sharpen_relion_second_half_path",
+    "slurm_class2d_queue_input", "slurm_daemon_queue_input",
+    "slurm_merge_queue_input", "slurm_queue_gpu_input", "slurm_queue_input",
+    "sva_parfile_path", "sva_parfile_input",
+    "clean_parfile_path", "clean_parfile_input",
+    "mask_model_path", "mask_model_input",
+    "tomo_pick_files_path",
+    "tomo_pick_pytom_mask_file_input", "tomo_pick_pytom_mask_file_path",
+    "tomo_pick_pytom_template_input", "tomo_pick_pytom_template_path",
+    "tomo_srf_detect_ref_path", "tomo_vir_detect_ref_path",
+]
+
+# stems with no same-named engine param: route to the engine equivalent
+_TWIN_STEM_OVERRIDES = {
+    "refine_model": "model_path",
+    "refine_parfile": "csp_parfile",
+    "refine_parfile_tomo": "csp_parfile_tomo",
+    "sva_parfile": "csp_parfile",
+    "clean_parfile": "csp_parfile",
+    "mask_model": "mask_file",
+    "detect_ref": "detect_nn_model",
+    "detect_files": "tomo_pick_files",
+    "dose_weighting_weights": "dose_weight_weights",
+    "tomo_srf_detect_ref": "tomo_pick_ref",
+    "tomo_vir_detect_ref": "tomo_pick_ref",
+}
+
+
+def _install_twins():
+    for twin in _TWIN_IDS:
+        stem = twin[:-len("_path")] if twin.endswith("_path") \
+            else twin[:-len("_input")]
+        stem = _TWIN_STEM_OVERRIDES.get(stem, stem)
+        if stem in REFERENCE_ALIASES:  # resolve alias chains at build time
+            REFERENCE_ALIASES[twin] = REFERENCE_ALIASES[stem]
+        else:
+            REFERENCE_ALIASES[twin] = (stem, None)
+
+
+_install_twins()
 
 
 def apply_reference_aliases(params: dict) -> dict:

@@ -34,16 +34,18 @@ DEFAULT_PAD = 2
 
 
 def _freq_checkerboard_2d(n: int):
-    i = np.add.outer(np.arange(n), np.arange(n // 2 + 1))
-    return jnp.asarray(np.where(i % 2 == 0, 1.0, -1.0).astype(np.float32))
+    # built from device iota, NOT host numpy: inside jit a host array this
+    # size becomes a serialized HLO literal (O(n^2-n^3) bytes per call
+    # site), which at production boxes overflows remote-compile transports
+    # and bloats the executable; iota folds to cheap elementwise work
+    i = (jnp.arange(n)[:, None] + jnp.arange(n // 2 + 1)[None, :]) % 2
+    return 1.0 - 2.0 * i.astype(jnp.float32)
 
 
 def _freq_checkerboard_3d(n: int):
-    iz = np.arange(n).reshape(n, 1, 1)
-    iy = np.arange(n).reshape(1, n, 1)
-    ix = np.arange(n // 2 + 1).reshape(1, 1, -1)
-    s = iz + iy + ix
-    return jnp.asarray(np.where(s % 2 == 0, 1.0, -1.0).astype(np.float32))
+    s = (jnp.arange(n).reshape(n, 1, 1) + jnp.arange(n).reshape(1, n, 1)
+         + jnp.arange(n // 2 + 1).reshape(1, 1, -1)) % 2
+    return 1.0 - 2.0 * s.astype(jnp.float32)
 
 
 def pad_image(imgs, pad: int):
@@ -407,10 +409,10 @@ def gridding_correction(n: int, pad: int = DEFAULT_PAD, power: int = 2):
     on the padded grid: divide by sinc^power((x - c)/pn) per axis
     (power=2 for the trilinear kernel, power=1 for nearest/box)."""
     pn = n * pad
-    ax = (np.arange(n) - n // 2) / pn
-    s = np.sinc(ax) ** power
+    ax = (jnp.arange(n, dtype=jnp.float32) - n // 2) / pn
+    s = jnp.sinc(ax) ** power  # device iota: see _freq_checkerboard_2d
     c = s[:, None, None] * s[None, :, None] * s[None, None, :]
-    return jnp.asarray(np.maximum(c, 1e-3).astype(np.float32))
+    return jnp.maximum(c, 1e-3)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"))

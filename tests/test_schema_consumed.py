@@ -72,8 +72,8 @@ def test_every_param_is_consumed():
 
 def test_param_count_target():
     """Coverage floor so the schema keeps growing toward the reference's
-    ~1,524 params (pyp_config.toml); round-4 target: 600+ on the way to
-    >= 900 (VERDICT r3 item 3)."""
+    ~1,524 params (pyp_config.toml); round-4 achieved >= 1,100 (VERDICT r3
+    item 3 target was >= 900) — ratcheted so the surface never shrinks."""
     from pyp_tpu.config.schema import all_params
 
-    assert len(all_params()) >= 600, len(all_params())
+    assert len(all_params()) >= 1100, len(all_params())
