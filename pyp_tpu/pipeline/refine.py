@@ -37,16 +37,40 @@ def table_to_poses(table: cistem.Table, pixel: float) -> np.ndarray:
     ], axis=1).astype(np.float32)
 
 
-def poses_into_table(table: cistem.Table, result, pixel: float):
-    table["phi"] = np.asarray(result.phi)
-    table["theta"] = np.asarray(result.theta)
-    table["psi"] = np.asarray(result.psi)
-    table["y_shift"] = np.asarray(result.shift_y) * pixel
-    table["x_shift"] = np.asarray(result.shift_x) * pixel
+def poses_into_table(table: cistem.Table, result, pixel: float,
+                     freeze: set | None = None):
+    """freeze: per-DOF toggles OFF keep the previous table value — the
+    reference's refine3d stdin per-parameter refine switches
+    (refine_refine_angle_{phi,theta,psi}, refine_refine_shift{x,y};
+    frealign.py refine3d card 'parameters to refine')."""
+    freeze = freeze or set()
+    if "phi" not in freeze:
+        table["phi"] = np.asarray(result.phi)
+    if "theta" not in freeze:
+        table["theta"] = np.asarray(result.theta)
+    if "psi" not in freeze:
+        table["psi"] = np.asarray(result.psi)
+    if "shifty" not in freeze:
+        table["y_shift"] = np.asarray(result.shift_y) * pixel
+    if "shiftx" not in freeze:
+        table["x_shift"] = np.asarray(result.shift_x) * pixel
     table["score"] = np.asarray(result.score)
     table["logp"] = np.asarray(result.logp)
     table["sigma"] = np.asarray(result.sigma)
     return table
+
+
+def _dof_freeze(params: dict) -> set:
+    """DOFs whose refine_refine_* switch is explicitly OFF."""
+    frozen = set()
+    for dof, key in (("phi", "refine_refine_angle_phi"),
+                     ("theta", "refine_refine_angle_theta"),
+                     ("psi", "refine_refine_angle_psi"),
+                     ("shiftx", "refine_refine_shiftx"),
+                     ("shifty", "refine_refine_shifty")):
+        if params.get(key) is not None and not params.get(key):
+            frozen.add(dof)
+    return frozen
 
 
 def reconstruct_banded(stack, poses, ctf_params, pixel, high_res, rc_kwargs,
@@ -479,7 +503,8 @@ def refinement_iteration(
                 jnp.concatenate([getattr(r, f) for r in results])
                 for f in refine3d.RefineResult._fields
             ))
-            table = poses_into_table(table, merged, pixel)
+            table = poses_into_table(table, merged, pixel,
+                                     freeze=_dof_freeze(params))
 
     with Timer(f"reconstruction iteration {iteration}"):
         poses = table_to_poses(table, pixel)

@@ -26,18 +26,26 @@ logger = get_logger("postprocess")
 
 
 def auto_mask(vol, lowpass_a=15.0, pixel_size=1.0, threshold_sigmas=1.0,
-              dilation_px=3, soft_px=6, mw_kda=0.0):
+              dilation_px=3, soft_px=6, mw_kda=0.0, threshold_abs=0.0,
+              volume_fraction=0.0):
     """Shape mask from a lowpassed map: threshold, dilate, soften.
 
-    mw_kda > 0 picks the threshold enclosing the expected molecular volume
+    The threshold follows the reference's sharpen-tab strategies
+    (masking_threshold_method intensity/volume/sigma): `threshold_abs`
+    (absolute density), `volume_fraction` (densest fraction of voxels),
+    or the default `threshold_sigmas` stds-above-mean rule. mw_kda > 0
+    picks the threshold enclosing the expected molecular volume
     (~1210 Å³/kDa at 1.35 g/cm³ protein density — the reference feeds
-    particle_mw to cisTEM for the same purpose, SURVEY §A.1 line 16)
-    instead of the sigma rule."""
+    particle_mw to cisTEM for the same purpose, SURVEY §A.1 line 16)."""
     from pyp_tpu.core.filters import lowpass_filter_3d
 
     lp = lowpass_filter_3d(jnp.asarray(vol), pixel_size, lowpass_a)
     vox = int(1210.0 * (mw_kda or 0.0) / pixel_size ** 3)
-    if 0 < vox < lp.size * 0.3:   # MW inconsistent with the box -> sigma rule
+    if threshold_abs:
+        thr = jnp.asarray(threshold_abs, dtype=lp.dtype)
+    elif volume_fraction and 0.0 < volume_fraction < 1.0:
+        thr = jnp.quantile(lp.ravel(), 1.0 - volume_fraction)
+    elif 0 < vox < lp.size * 0.3:  # MW inconsistent with the box -> sigma
         thr = jnp.sort(lp.ravel())[-max(vox, 1)]
     else:
         thr = jnp.mean(lp) + threshold_sigmas * jnp.std(lp)
@@ -172,7 +180,7 @@ def mtf_correct(vol, pixel_size, mtf_path, mtf_angpix: float = 0.0):
 def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
                 fsc_curve=None, guinier_min_res: float = 10.0,
                 guinier_max_res=None, bfactor_low=None, flatten_res=None,
-                edge_width_px: float = 0.0):
+                edge_width_px: float = 0.0, fsc_filter: str = "cref"):
     """Sharpen: apply -B (auto if None), optional Cref FSC weighting, and a
     cosine lowpass at `resolution`.
 
@@ -201,7 +209,10 @@ def sharpen_map(vol, pixel_size, bfactor=None, resolution=None,
     else:
         F = F * jnp.exp(-0.25 * bfactor * g2)  # bfactor < 0 -> sharpening
     if fsc_curve is not None:
-        w = fsc_mod.fsc_weights(jnp.clip(jnp.asarray(fsc_curve), 0.0, 1.0))
+        c = jnp.clip(jnp.asarray(fsc_curve), 0.0, 1.0)
+        # 'cref' = sqrt(2C/(1+C)) (Rosenthal & Henderson); 'fsc2' = C^2
+        # (reference sharpen tab apply_fsc2)
+        w = c * c if fsc_filter == "fsc2" else fsc_mod.fsc_weights(c)
         F = F * fsc_mod.radial_shell_filter_3d((n, n, n), w)
     out = jnp.fft.irfftn(F, s=vol.shape)
     if resolution is not None:
@@ -251,6 +262,16 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
 
     user_mask = str(params.get("sharpen_mask") or "")
     outer_rad = float(params.get("sharpen_outer_mask_radius") or 0.0)
+    # explicit strategy selection (reference sharpen tab masking_method
+    # auto/external); unset keeps the inference: file if given, sphere if
+    # an outer radius is set, else auto
+    mask_method = str(params.get("sharpen_masking_method") or "")
+    if mask_method == "external" and not user_mask:
+        logger.warning("masking_method=external but no sharpen_mask given; "
+                       "falling back to auto-masking")
+        mask_method = "auto"
+    if mask_method == "auto":
+        user_mask, outer_rad = "", 0.0
     if user_mask and Path(user_mask).exists():
         mask = jnp.asarray(mrc.read(user_mask).astype(np.float32))
     elif outer_rad > 0:
@@ -265,19 +286,37 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
             mask = mask * (1.0 - soft_spherical_mask(
                 n_box, inner_rad / pixel, 4.0))
     else:
+        # threshold strategy (sharpen tab masking_threshold_method):
+        # intensity = absolute automask_threshold, volume = densest
+        # automask_fraction of voxels, sigma = automask_sigma stds
+        tm = str(params.get("sharpen_masking_threshold_method") or "")
+        thr_abs = (float(params.get("sharpen_automask_threshold") or 0.0)
+                   if tm in ("", "intensity") else 0.0)
+        frac = (float(params.get("sharpen_automask_fraction") or 0.0)
+                if tm in ("", "volume") else 0.0)
+        sigmas = float(params.get("sharpen_automask_sigma") or 0.0) \
+            if tm in ("", "sigma") else 0.0
         mask = auto_mask(
             half1 + half2, pixel_size=pixel,
             lowpass_a=float(params.get("sharpen_mask_lowpass") or 15.0),
-            threshold_sigmas=float(
+            threshold_sigmas=sigmas or float(
                 params.get("sharpen_mask_threshold") or 1.0),
             dilation_px=int(params.get("sharpen_mask_dilation") or 3),
             soft_px=int(params.get("sharpen_mask_soft") or 6),
             mw_kda=float(params.get("particle_mw") or 0.0),
+            threshold_abs=thr_abs, volume_fraction=frac,
         )
     hard_limit = float(params.get("sharpen_high_res_limit") or 0.0)
     if have_halves:
         rand_res = float(params.get("sharpen_rand_res") or 10.0)
         rand_fsc = float(params.get("sharpen_randomize_at_fsc") or 0.0)
+        # randomize_method (sharpen tab): 'fsc' crosses the unmasked FSC
+        # (default value 0.8), 'resolution' uses the fixed Å shell
+        rmeth = str(params.get("sharpen_randomize_method") or "")
+        if rmeth == "fsc" and rand_fsc <= 0:
+            rand_fsc = 0.8
+        elif rmeth == "resolution":
+            rand_fsc = 0.0
         if rand_fsc > 0:
             # randomize where the UNMASKED FSC first crosses the value
             # (relion --randomize_at_fsc role)
@@ -298,16 +337,20 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
         res = max(res, hard_limit)
     combined = (half1 + half2) * 0.5
     bfac_user = float(params.get("sharpen_bfactor") or 0.0)
+    if str(params.get("sharpen_bfactor_method") or "") == "auto":
+        bfac_user = 0.0  # explicit auto overrides an adhoc leftover
     bfac_low = params.get("sharpen_low_res_bfactor")
     bfac_high = params.get("sharpen_high_res_bfactor")
     if bfac_high not in (None, "") and float(bfac_high) and not bfac_user:
         bfac_user = float(bfac_high)
+    fsc_w = (curve if params.get("sharpen_fsc_weight", True)
+             and have_halves else None)
+    fsc_filter = "fsc2" if params.get("sharpen_apply_fsc2") else "cref"
     sharp, bfac = sharpen_map(
         combined, pixel,
         resolution=(res if params.get("sharpen_final_lowpass", True)
                     else None),
-        fsc_curve=(curve if params.get("sharpen_fsc_weight", True)
-                   and have_halves else None),
+        fsc_curve=fsc_w, fsc_filter=fsc_filter,
         bfactor=bfac_user if bfac_user else None,
         guinier_min_res=float(params.get("sharpen_bfac_lowres") or 10.0),
         guinier_max_res=(float(params.get("sharpen_bfac_highres"))
@@ -331,11 +374,35 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
                          maps_dir / f"{dataset}_guinier.png")
         except (OSError, ValueError) as e:
             logger.warning("guinier plot skipped: %s", e)
+    if params.get("sharpen_gaussian"):
+        # gaussian-falloff lowpass reaching 0.5 at the measured resolution
+        # instead of the cosine edge (sharpen tab gaussian): equivalent to
+        # a B-factor blur with B = 4 ln2 res^2
+        nb = sharp.shape[-1]
+        fz = jnp.fft.fftfreq(nb, d=pixel).reshape(nb, 1, 1)
+        fy = jnp.fft.fftfreq(nb, d=pixel).reshape(1, nb, 1)
+        fx = jnp.fft.rfftfreq(nb, d=pixel).reshape(1, 1, -1)
+        g2 = fz * fz + fy * fy + fx * fx
+        gauss = jnp.exp(-float(np.log(2.0)) * g2 * res * res)
+        sharp = jnp.fft.irfftn(jnp.fft.rfftn(sharp) * gauss,
+                               s=sharp.shape[-3:])
+    hp = float(params.get("sharpen_highpass") or -1.0)
+    if hp > 0:
+        # high-pass (sharpen tab highpass; -1 = off)
+        from pyp_tpu.core.filters import lowpass_filter_3d
+
+        sharp = sharp - lowpass_filter_3d(sharp, pixel, hp)
     out_map = maps_dir / f"{dataset}_sharpened.mrc"
     out_vol = sharp * mask if params.get("sharpen_apply_mask", True) else sharp
     if params.get("sharpen_invert_handedness"):
         # mirror through the xy plane (cisTEM invert_handedness card)
         out_vol = jnp.asarray(out_vol)[::-1]
+    # per-axis handedness flips (sharpen tab flip_x/flip_y/flip_z;
+    # volume axes are (z, y, x))
+    for key, ax in (("sharpen_flip_z", 0), ("sharpen_flip_y", 1),
+                    ("sharpen_flip_x", 2)):
+        if params.get(key):
+            out_vol = jnp.flip(jnp.asarray(out_vol), axis=ax)
     mrc.write(np.asarray(out_vol, dtype=np.float32), out_map, pixel_size=pixel)
     np.savetxt(
         maps_dir / f"{dataset}_fsc_masked.txt",
@@ -394,6 +461,11 @@ def postprocess_latest(dataset: str, params: dict, work_dir=".") -> dict:
             minres_a=float(params.get("sharpen_locres_minres") or 50.0),
             threshold=float(params.get("sharpen_fsc_cut") or 0.143),
         )
+        max_res = float(params.get("sharpen_resmap_max_res") or 0.0)
+        if max_res > 0:
+            # resmap max-resolution clamp (sharpen tab resmap_max_res)
+            locres_map = jnp.maximum(jnp.asarray(locres_map), max_res)
+            vals = np.maximum(np.asarray(vals), max_res)
         locres_path = maps_dir / f"{dataset}_locres.mrc"
         mrc.write(np.asarray(locres_map, dtype=np.float32), locres_path,
                   pixel_size=pixel)

@@ -617,3 +617,38 @@ class TestDeviceResidentStack:
                                    np.asarray(t2["score"]), atol=1e-3)
         np.testing.assert_allclose(np.asarray(out1.volume),
                                    np.asarray(out2.volume), atol=1e-4)
+
+
+class TestPerDofFreeze:
+    def test_frozen_dofs_keep_input_values(self):
+        """refine_refine_* switches OFF pin those DOFs to the table input
+        (reference refine3d per-parameter refine switches)."""
+        from types import SimpleNamespace
+
+        from pyp_tpu.io import cistem
+        from pyp_tpu.pipeline.refine import _dof_freeze, poses_into_table
+
+        n = 4
+        t = cistem.Table.zeros(n)
+        t["phi"] = np.full(n, 11.0)
+        t["theta"] = np.full(n, 22.0)
+        t["psi"] = np.full(n, 33.0)
+        t["x_shift"] = np.full(n, 1.5)
+        t["y_shift"] = np.full(n, -2.5)
+        res = SimpleNamespace(
+            phi=np.full(n, 99.0), theta=np.full(n, 98.0),
+            psi=np.full(n, 97.0), shift_x=np.full(n, 9.0),
+            shift_y=np.full(n, 8.0), score=np.ones(n), logp=np.ones(n),
+            sigma=np.ones(n))
+        freeze = _dof_freeze({"refine_refine_angle_theta": False,
+                              "refine_refine_shiftx": False,
+                              "refine_refine_angle_phi": True})
+        assert freeze == {"theta", "shiftx"}
+        t = poses_into_table(t, res, pixel=2.0, freeze=freeze)
+        assert np.allclose(t["phi"], 99.0)        # refined
+        assert np.allclose(t["theta"], 22.0)      # frozen
+        assert np.allclose(t["psi"], 97.0)        # default: refined
+        assert np.allclose(t["x_shift"], 1.5)     # frozen
+        assert np.allclose(t["y_shift"], 16.0)    # refined (8 px * 2 Å/px)
+        # unset switches freeze nothing
+        assert _dof_freeze({}) == set()

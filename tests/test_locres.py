@@ -269,3 +269,57 @@ class TestSharpenCards:
             "sharpen_random_seed": 3,
         }, tmp_path)
         assert out["resolution_A"] > 0
+
+
+class TestSharpenStrategies:
+    """Reference sharpen-tab strategy params: masking methods, threshold
+    strategies, FSC^2 weighting, gaussian lowpass, highpass, flips."""
+
+    def _run(self, tmp_path, extra):
+        from pyp_tpu.io import mrc
+        from pyp_tpu.postprocess.core import postprocess_latest
+
+        _, h1, h2 = make_halves()
+        maps = tmp_path / "maps"
+        maps.mkdir(exist_ok=True)
+        mrc.write(h1, maps / "ds_r01_02_half1.mrc", pixel_size=PIXEL)
+        mrc.write(h2, maps / "ds_r01_02_half2.mrc", pixel_size=PIXEL)
+        return postprocess_latest("ds", dict({"plot_per_item": False},
+                                             **extra), tmp_path)
+
+    def test_volume_fraction_threshold(self, tmp_path):
+        from pyp_tpu.postprocess.core import auto_mask
+
+        _, h1, h2 = make_halves()
+        m = np.asarray(auto_mask(h1 + h2, pixel_size=PIXEL,
+                                 volume_fraction=0.1))
+        # the binary core covers ~10% of voxels before dilation/soft edge
+        assert 0.05 < (m > 0.99).mean() < 0.45, (m > 0.99).mean()
+        m_abs = np.asarray(auto_mask(h1 + h2, pixel_size=PIXEL,
+                                     threshold_abs=float((h1 + h2).max())))
+        assert (m_abs > 0.99).mean() < 0.01  # absolute thr above max -> ~0
+
+    def test_strategy_params_run_end_to_end(self, tmp_path):
+        out = self._run(tmp_path, {
+            "sharpen_masking_method": "auto",
+            "sharpen_masking_threshold_method": "volume",
+            "sharpen_automask_fraction": 0.15,
+            "sharpen_bfactor_method": "auto",
+            "sharpen_bfactor": -123.0,   # must be ignored (auto forces fit)
+            "sharpen_randomize_method": "fsc",
+            "sharpen_apply_fsc2": True,
+            "sharpen_gaussian": True,
+            "sharpen_highpass": 100.0,
+        })
+        assert out["resolution_A"] > 0
+        assert out["bfactor"] != -123.0  # Guinier fit ran, not adhoc
+
+    def test_flips(self, tmp_path):
+        from pyp_tpu.io import mrc
+
+        out = self._run(tmp_path, {"sharpen_apply_mask": False})
+        base = mrc.read(out["map"])
+        out_x = self._run(tmp_path, {"sharpen_apply_mask": False,
+                                     "sharpen_flip_x": True})
+        flipped = mrc.read(out_x["map"])
+        np.testing.assert_allclose(flipped, base[:, :, ::-1], atol=1e-5)
