@@ -130,18 +130,12 @@ def csp_swarm_one(
         )
         if params.get("csp_rotreg"):
             # per-tilt geometry angle regularization across the series
-            # (the reference's csp_rotreg, analysis/fit.py:330): spline-
-            # smooth tilt/axis angle tracks so one bad tilt cannot kink
-            # the geometry
-            from pyp_tpu.analysis.fit import fit_spline_trajectory
-
+            # (the reference's csp_rotreg, analysis/fit.py:330): smooth
+            # tilt/axis angle tracks per csp_rotreg_method so one bad
+            # tilt cannot kink the geometry
             refined = refined._replace(
-                tilt_angles=jnp.asarray(fit_spline_trajectory(
-                    np.asarray(refined.tilt_angles),
-                    outlier_mads=5.0).astype(np.float32)),
-                axis_angles=jnp.asarray(fit_spline_trajectory(
-                    np.asarray(refined.axis_angles),
-                    outlier_mads=5.0).astype(np.float32)))
+                tilt_angles=_rotreg_track(refined.tilt_angles, params),
+                axis_angles=_rotreg_track(refined.axis_angles, params))
 
     # per-tilt movie-frame refinement (csp_frames, the FIND axis): refine
     # per-(particle, frame) trajectories and insert dose-weighted polished
@@ -333,13 +327,47 @@ def _reconstruct_series(tilts, refined, defocus, params, t_lo, t_hi,
         box, pixel, **kw)
 
 
+def _rotreg_track(values, params: dict):
+    """Smooth one per-tilt angle track per csp_rotreg_method: AB1 = the
+    first-order Gaussian kernel, AB2 (default) = outlier-rejecting spline,
+    XD = the wrap-aware angular spline (reference rotreg enum)."""
+    from pyp_tpu.analysis.fit import (fit_angular_trajectory,
+                                      fit_spline_trajectory,
+                                      regularize_trajectories)
+
+    import jax.numpy as jnp
+
+    method = str(params.get("csp_rotreg_method") or "AB2")
+    mads = float(params.get("csp_reg_outlier_mads") or 5.0)
+    v = np.asarray(values)
+    if method == "AB1":
+        out = regularize_trajectories(
+            v[None, :, None], method="gaussian",
+            time_sigma=float(params.get("csp_time_sigma") or 21.0))[0, :, 0]
+    elif method == "XD":
+        out = fit_angular_trajectory(v, outlier_mads=mads)
+    else:
+        out = fit_spline_trajectory(v, outlier_mads=mads)
+    return jnp.asarray(out.astype(np.float32))
+
+
 def _csp_config(params: dict, iteration: int, pixel: float):
     """Shared mode-schedule configuration for a CSP pass (modes, band,
     grid-search tolerances) — one place so the single-series and batched
     paths cannot drift."""
-    modes = tuple(
-        int(m) for m in str(params.get("csp_refine_modes") or "3:0:2:1").split(":")
-    )
+    switches = [params.get(k) for k in ("csp_refine_micrographs",
+                                        "csp_refine_particles",
+                                        "csp_refine_ctf")]
+    if any(s is not None for s in switches):
+        # reference top-level refine switches (align/core.py:1015-1023
+        # builds the mode list from them) — win over an explicit schedule
+        from pyp_tpu.config.blocks import block_mode_schedule
+
+        modes_str = block_mode_schedule(bool(switches[0]), bool(switches[1]),
+                                        bool(switches[2]))
+    else:
+        modes_str = str(params.get("csp_refine_modes") or "3:0:2:1")
+    modes = tuple(int(m) for m in modes_str.split(":"))
     rhref = float(param(params.get("csp_rhref") or "12", iteration))
     grid_tols = None
     if params.get("csp_GridSearch"):
@@ -384,7 +412,10 @@ def _csp_config(params: dict, iteration: int, pixel: float):
         reg_weight=float(params.get("csp_transreg") or 0.1),
         grid_tols=grid_tols,
         grid_steps=int(params.get("csp_GridSearchSteps") or 9),
-        spin_step=float(params.get("csp_spin_search") or 0.0),
+        # csp_InitialSkip (reference: skip initialization during ab-initio)
+        # suppresses the spin-ring init pass
+        spin_step=(0.0 if params.get("csp_InitialSkip")
+                   else float(params.get("csp_spin_search") or 0.0)),
         # explicit grid spacings + random search (reference AngleStep/
         # ShiftStep/NumberOfRandomIterations block fields, SURVEY §A.3)
         angle_step=float(params.get("csp_AngleStep") or 0.0),
@@ -491,6 +522,26 @@ def csp_swarm_batch(
         wc[:T, :P] = s["w_centers"]
         va = np.zeros((Tm, Pm), dtype=np.float32)
         va[:T, :P] = s["valid"]
+        # random particle subsampling (reference csp RandomParticles /
+        # RandomSkipRatio): skipped particles carry zero weight for this
+        # pass (they do not drive geometry or scoring) and keep their
+        # previous parameters; deterministic per series name
+        skip_ratio = float(params.get("csp_RandomSkipRatio") or 0.0)
+        rand_n = (int(params.get("csp_RandomParticles") or 0)
+                  if params.get("refine_abinit") else 0)
+        if skip_ratio > 0.0 or 0 < rand_n < P:
+            srng = np.random.RandomState(abs(hash(s["name"])) % (2 ** 31))
+            keep = np.arange(P)
+            if 0 < rand_n < P:
+                keep = srng.choice(P, size=rand_n, replace=False)
+            if skip_ratio > 0.0:
+                keep = srng.choice(
+                    keep, size=max(1, int(round(len(keep)
+                                                * (1 - skip_ratio)))),
+                    replace=False)
+            mask = np.zeros(Pm, dtype=np.float32)
+            mask[keep] = 1.0
+            va *= mask[None, :]
         df = _pad_edge(s["defocus"], Tm)
         tw = np.zeros(Tm, dtype=np.float32)
         tw[:T] = s["tw"]
@@ -539,15 +590,9 @@ def csp_swarm_batch(
             defocus_offsets=r.defocus_offsets[:T],
         )
         if params.get("csp_rotreg"):
-            from pyp_tpu.analysis.fit import fit_spline_trajectory
-
             r = r._replace(
-                tilt_angles=jnp.asarray(fit_spline_trajectory(
-                    np.asarray(r.tilt_angles),
-                    outlier_mads=5.0).astype(np.float32)),
-                axis_angles=jnp.asarray(fit_spline_trajectory(
-                    np.asarray(r.axis_angles),
-                    outlier_mads=5.0).astype(np.float32)))
+                tilt_angles=_rotreg_track(r.tilt_angles, params),
+                axis_angles=_rotreg_track(r.axis_angles, params))
         acc = _reconstruct_series(
             s["tilts"], r, s["defocus"], params, s["t_lo"], s["t_hi"],
             prev_acc=acc, ref_volume=ref_volume)

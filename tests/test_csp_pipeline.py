@@ -257,3 +257,83 @@ class TestTiltStackExport:
         want = -((pred + center) - (starts + NBOX // 2))      # (T, P, 2)
         np.testing.assert_allclose(
             np.transpose(pp[:, :, 3:], (1, 0, 2)), want, atol=1e-4)
+
+
+class TestCspSwitches:
+    """Reference top-level CSP switches: refine_{micrographs,particles,ctf}
+    build the mode schedule; RandomParticles/RandomSkipRatio subsample;
+    InitialSkip suppresses the spin init; rotreg_method picks the smoother."""
+
+    def test_refine_switches_build_modes(self):
+        from pyp_tpu.pipeline.csp import _csp_config
+
+        base = {"scope_voltage": 300.0, "scope_cs": 2.7, "scope_wgh": 0.07}
+        cfg = _csp_config(dict(base, csp_refine_micrographs=True,
+                               csp_refine_particles=False), 2, 1.0)
+        assert cfg["modes"] == (3, 0)
+        cfg = _csp_config(dict(base, csp_refine_particles=True,
+                               csp_refine_ctf=True), 2, 1.0)
+        assert cfg["modes"] == (2, 1, 4)
+        # unset switches keep the explicit schedule
+        cfg = _csp_config(dict(base, csp_refine_modes="1:2"), 2, 1.0)
+        assert cfg["modes"] == (1, 2)
+
+    def test_initial_skip_disables_spin(self):
+        from pyp_tpu.pipeline.csp import _csp_config
+
+        base = {"scope_voltage": 300.0, "scope_cs": 2.7, "scope_wgh": 0.07,
+                "csp_spin_search": 30.0}
+        assert _csp_config(base, 2, 1.0)["spin_step"] == 30.0
+        assert _csp_config(dict(base, csp_InitialSkip=True), 2,
+                           1.0)["spin_step"] == 0.0
+
+    def test_rotreg_methods_smooth_a_kinked_track(self):
+        from pyp_tpu.pipeline.csp import _rotreg_track
+
+        t = np.linspace(-60, 60, 41).astype(np.float32)
+        kinked = t.copy()
+        kinked[20] += 8.0  # one bad tilt
+        for method in ("AB1", "AB2", "XD"):
+            out = np.asarray(_rotreg_track(
+                kinked, {"csp_rotreg_method": method}))
+            assert abs(out[20] - t[20]) < abs(kinked[20] - t[20]), method
+
+    def test_random_subsampling_zeroes_weights(self, tmp_path):
+        """csp_RandomSkipRatio: skipped particles end with zero weight and
+        unchanged parameters through csp_swarm_batch."""
+        import os
+
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.pipeline.csp import csp_swarm_batch
+        from test_csp import ANGLES, NBOX, P, PIXEL, make_reference, \
+            make_tilt_series
+
+        vol = make_reference()
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            true, images, defocus = make_tilt_series(vol, seed=3)
+            meta = ItemMetadata("s0", ".", mode="tomo")
+            meta["tlt"] = ANGLES
+            meta["ctf"] = np.asarray(defocus)
+            meta["box"] = np.zeros((P, 5), dtype=np.float32)
+            meta.save()
+            items = [{"name": "s0", "tilts": np.asarray(images),
+                      "coords": np.asarray(true.particle_pos),
+                      "eulers": np.asarray(true.particle_eulers)}]
+            params = {
+                "scope_pixel": PIXEL, "scope_voltage": 300.0,
+                "scope_cs": 2.7, "scope_wgh": 0.07, "csp_box": NBOX,
+                "csp_refine_modes": "2", "csp_OptimizerIters": 2,
+                "csp_RandomSkipRatio": 0.5,
+            }
+            refined, acc, scores, pscores = csp_swarm_batch(
+                items, params, vol, ".")
+            # with half the particles skipped, their positions must be
+            # bit-identical to the input (no gradient reached them)
+            moved = (np.abs(np.asarray(refined[0].particle_pos)
+                            - np.asarray(true.particle_pos)).max(axis=1)
+                     > 1e-7)
+            assert 0 < moved.sum() < P, moved.sum()
+        finally:
+            os.chdir(cwd)
