@@ -112,3 +112,36 @@ def write_point_model(path, points, shape_xyz=None, name="pyp_tpu",
     out += b"IEOF"
     Path(path).write_bytes(bytes(out))
     return Path(path)
+
+
+def read_xf(path):
+    """IMOD .xf transform file (6 columns per tilt: a11 a12 a21 a22 dx dy;
+    the etomo/AreTomo interchange format) -> (shifts (T, 2) as (dy, dx),
+    rotation_deg (T,)). Rotation is recovered from the linear part
+    (atan2(a21, a11)); IMOD dx/dy are x-then-y, internal order is (y, x)."""
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if len(parts) >= 6:
+            rows.append([float(v) for v in parts[:6]])
+    if not rows:
+        raise ValueError(f"no transforms in {path}")
+    a = np.asarray(rows, dtype=np.float64)
+    rot = np.degrees(np.arctan2(a[:, 2], a[:, 0]))
+    shifts = np.stack([a[:, 5], a[:, 4]], axis=1)  # (dy, dx)
+    return shifts.astype(np.float32), rot.astype(np.float32)
+
+
+def write_xf(path, shifts, rotation_deg=None):
+    """Inverse of read_xf: write IMOD 6-column transforms."""
+    shifts = np.asarray(shifts, dtype=np.float64)
+    T = shifts.shape[0]
+    rot = np.zeros(T) if rotation_deg is None else np.asarray(
+        rotation_deg, dtype=np.float64).reshape(-1)
+    lines = []
+    for t in range(T):
+        c, s = np.cos(np.radians(rot[t])), np.sin(np.radians(rot[t]))
+        lines.append(f"{c:12.7f}{-s:12.7f}{s:12.7f}{c:12.7f}"
+                     f"{shifts[t, 1]:12.3f}{shifts[t, 0]:12.3f}")
+    Path(path).write_text("\n".join(lines) + "\n")
+    return Path(path)

@@ -327,11 +327,16 @@ def _solve_alpha_weighted(m, th, w, alpha, n_inner: int = 4):
 
 
 def solve_projection_model_robust(measured, tilt_angles, image_shape,
-                                  confidence=None, rounds: int = 3):
+                                  confidence=None, rounds: int = 3,
+                                  tukey_factor: float = 1.0):
     """Projection-model solve with IRLS outlier rejection (tiltalign's robust
     fitting role): Tukey-biweight reweighting of bead measurements on top of
     the tracker's confidence, with the axis angle grid-searched outside the
-    weighted inner solve. Returns (ProjectionModel, final weights (T, P))."""
+    weighted inner solve. Returns (ProjectionModel, final weights (T, P)).
+
+    tukey_factor scales the biweight cutoff (reference
+    tomo_ali_robust_fitting_factor: smaller values downweight more
+    points)."""
     m = np.asarray(measured, dtype=np.float64).copy()
     T, P, _ = m.shape
     ny, nx = image_shape
@@ -359,7 +364,7 @@ def solve_projection_model_robust(measured, tilt_angles, image_shape,
     for _ in range(rounds):
         active = w > 1e-6
         sigma = 1.4826 * np.median(rn[active]) + 1e-6
-        cthr = 4.685 * sigma
+        cthr = 4.685 * sigma * max(float(tukey_factor), 1e-3)
         wt = np.where(rn < cthr, (1.0 - (rn / cthr) ** 2) ** 2, 0.0)
         w = w0 * wt
         best = best_alpha(w, coarse=False)
@@ -377,7 +382,8 @@ def solve_projection_model_robust(measured, tilt_angles, image_shape,
 
 
 def align_tilt_series_fiducial(tilts, tilt_angles, bead_radius_px: float = 8.0,
-                               max_beads: int = 40, min_beads: int = 4):
+                               max_beads: int = 40, min_beads: int = 4,
+                               tukey_factor: float = 1.0):
     """Full gold-fiducial alignment: xcorr prealign -> bead detection on the
     zero-tilt image -> template tracking -> robust projection solve.
 
@@ -406,7 +412,8 @@ def align_tilt_series_fiducial(tilts, tilt_angles, bead_radius_px: float = 8.0,
         tilts, shifts0, angles, coords, bead_radius_px=bead_radius_px
     )
     model, w = solve_projection_model_robust(
-        measured, angles, (ny, nx), confidence=np.asarray(conf)
+        measured, angles, (ny, nx), confidence=np.asarray(conf),
+        tukey_factor=tukey_factor,
     )
     return model, coords, measured, w
 

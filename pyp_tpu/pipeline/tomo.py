@@ -111,6 +111,12 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
         tilts = mrc.read(item["path"]).astype(np.float32)
     tilts = np.asarray(tilts, dtype=np.float32)
     angles = np.asarray(item["angles"], dtype=np.float32)
+    tiltoff = float(params.get("tomo_ali_tiltoff") or 0.0)
+    if tiltoff:
+        # constant stage-angle offset applied before alignment (reference
+        # tomo_ali tiltoff / AreTomo -TiltCor role)
+        angles = angles + tiltoff
+        summary["tilt_offset_deg"] = tiltoff
 
     # tilt exclusion (the reference's tomoedit mode: drop bad tilts); indices
     # come from the item, a prior edit, or params "tomo_ali_exclude" ("3:7")
@@ -126,6 +132,17 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     if lo_a > -90.0 or hi_a < 90.0:
         excl = sorted(set(excl) | {
             int(i) for i in np.where((angles < lo_a) | (angles > hi_a))[0]})
+    dark_tol = float(params.get("tomo_ali_aretomo_dark_tol") or 0.0)
+    if dark_tol > 0:
+        # auto-drop dark tilts (AreTomo -DarkTol role): mean intensity
+        # below tol x the median tilt mean counts as dark
+        means = tilts.reshape(tilts.shape[0], -1).mean(axis=1)
+        means = means - means.min() + 1e-6  # tolerate negative-mean data
+        dark = np.where(means < dark_tol * np.median(means))[0]
+        if dark.size:
+            logger.info("%s: dropping %d dark tilts (dark_tol %.2f)",
+                        name, dark.size, dark_tol)
+            excl = sorted(set(excl) | set(map(int, dark)))
     if excl:
         keep = np.setdiff1d(np.arange(len(angles)), np.asarray(excl, dtype=int))
         tilts = tilts[keep]
@@ -143,7 +160,33 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     pixel_b = pixel * binning
 
     # ---- tilt-series alignment -------------------------------------------
-    if not meta.is_done("xf") and params.get("tomo_ali_method") != "skip":
+    import_xf = str(params.get("tomo_ali_import_path") or "")
+    if not meta.is_done("xf") and (params.get("tomo_ali_method") == "import"
+                                   or import_xf):
+        # external alignment import (reference tomo_ali import role):
+        # read the IMOD .xf next to the series (or the explicit path)
+        from pyp_tpu.io.imod import read_xf
+
+        xf_path = Path(import_xf) if import_xf else None
+        if xf_path is not None and xf_path.is_dir():
+            xf_path = xf_path / f"{name}.xf"
+        if xf_path is None or not xf_path.exists():
+            cand = Path(item.get("path") or ".").with_suffix(".xf")
+            xf_path = cand if cand.exists() else None
+        if xf_path is None:
+            logger.warning("%s: no .xf found to import — aligning natively",
+                           name)
+        else:
+            sh_xf, rot_xf = read_xf(xf_path)
+            if sh_xf.shape[0] != len(angles):
+                raise ValueError(
+                    f"{xf_path}: {sh_xf.shape[0]} transforms for "
+                    f"{len(angles)} tilts")
+            meta["xf"] = np.concatenate(
+                [sh_xf, rot_xf[:, None]], axis=1).astype(np.float32)
+            summary["align_imported"] = str(xf_path)
+    if not meta.is_done("xf") and params.get("tomo_ali_method") not in (
+            "skip", "import"):
         with Timer("tilt-series alignment"):
             shifts = tomo.prealign_tilt_series(
                 jnp.asarray(tilts_b), angles,
@@ -164,6 +207,9 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         bead_radius_px=bead_radius_px,
                         max_beads=int(params.get("tomo_ali_fiducial_n") or 40),
                         min_beads=int(params.get("tomo_ali_min_beads") or 4),
+                        tukey_factor=float(
+                            params.get("tomo_ali_robust_fitting_factor")
+                            or 1.0),
                     )
                     shifts = -np.asarray(model.shifts)
                     axis_angle = float(model.axis_angle)
@@ -187,9 +233,17 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                 centers = np.array([(y, x) for y in ys for x in xs], dtype=np.float32)
                 tracks = tomo.track_patches(jnp.asarray(tilts_b), shifts, angles,
                                             centers, patch_size=ps)
-                model = tomo.solve_projection_model(
-                    tracks, angles, (ny, nx),
-                    iters=int(params.get("tomo_ali_model_iters") or 5))
+                if params.get("tomo_ali_robust_fitting", True):
+                    # tiltalign robust-fitting role on the patch tracks
+                    model, _w = tomo.solve_projection_model_robust(
+                        tracks, angles, (ny, nx),
+                        tukey_factor=float(
+                            params.get("tomo_ali_robust_fitting_factor")
+                            or 1.0))
+                else:
+                    model = tomo.solve_projection_model(
+                        tracks, angles, (ny, nx),
+                        iters=int(params.get("tomo_ali_model_iters") or 5))
                 shifts = -np.asarray(model.shifts)
                 axis_angle = float(model.axis_angle)
                 summary["align_residual_px"] = float(model.residual) * binning

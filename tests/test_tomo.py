@@ -578,3 +578,90 @@ class TestTomoPickCards:
         boxfiles.write_cbox(coords[:, ::-1], 32.0, tmp_path / "a.cbox")
         back2 = boxfiles.read_coords(tmp_path / "a.cbox")
         np.testing.assert_allclose(back2, coords, atol=0.1)
+
+
+class TestAlignKnobs:
+    """Reference tomo_ali knobs: tilt offset, dark-tilt auto-exclusion,
+    external .xf import, robust-fitting factor."""
+
+    def _params(self, **kw):
+        from pyp_tpu.config.params import defaults
+
+        params = defaults()
+        params.update({
+            "scope_pixel": 2.0, "tomo_ali_method": "skip",
+            "ctf_min_def": 8000, "ctf_max_def": 25000, "ctf_tile": 64,
+            "ctf_max_res": 9.0, "tomo_rec_thickness": 32,
+            "tomo_rec_binning": 1, "tomo_ali_bin": 1,
+            "tomo_spk_method": "none",
+        })
+        params.update(kw)
+        return params
+
+    def test_tiltoff_and_dark_exclusion(self, tmp_path):
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.pipeline.tomo import process_tilt_series
+
+        rng = np.random.RandomState(5)
+        tilts = rng.randn(7, 128, 128).astype(np.float32) + 10.0
+        tilts[3] -= 9.5  # dark tilt
+        item = {"name": "ak1", "tilts": tilts,
+                "angles": np.linspace(-60, 60, 7)}
+        out = process_tilt_series(
+            item, self._params(tomo_ali_tiltoff=2.0,
+                               tomo_ali_aretomo_dark_tol=0.5), tmp_path)
+        meta = ItemMetadata("ak1", tmp_path, mode="tomo").load()
+        assert out["tilt_offset_deg"] == 2.0
+        assert 3 in out["excluded_tilts"]
+        np.testing.assert_allclose(
+            meta["tlt"], np.delete(np.linspace(-60, 60, 7) + 2.0, 3))
+
+    def test_xf_roundtrip_and_import(self, tmp_path):
+        from pyp_tpu.io.imod import read_xf, write_xf
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.pipeline.tomo import process_tilt_series
+
+        sh = np.array([[1.5, -2.0], [0.0, 3.25], [-4.0, 0.5]],
+                      dtype=np.float32)
+        rot = np.array([85.0, 85.5, 86.0], dtype=np.float32)
+        p = tmp_path / "ak2.xf"
+        write_xf(p, sh, rot)
+        sh2, rot2 = read_xf(p)
+        np.testing.assert_allclose(sh2, sh, atol=1e-3)
+        np.testing.assert_allclose(rot2, rot, atol=1e-4)
+
+        rng = np.random.RandomState(7)
+        item = {"name": "ak2",
+                "tilts": rng.randn(3, 128, 128).astype(np.float32),
+                "angles": np.linspace(-30, 30, 3)}
+        process_tilt_series(
+            item, self._params(tomo_ali_method="import",
+                               tomo_ali_import_path=str(tmp_path)),
+            tmp_path)
+        meta = ItemMetadata("ak2", tmp_path, mode="tomo").load()
+        np.testing.assert_allclose(meta["xf"][:, :2], sh, atol=1e-3)
+        np.testing.assert_allclose(meta["xf"][:, 2], rot, atol=1e-4)
+
+    def test_robust_factor_rejects_outlier_track(self):
+        from pyp_tpu.ops import tomo as tomo_ops
+
+        # synthetic bead projections with one corrupted measurement
+        T, P = 9, 6
+        rng = np.random.RandomState(0)
+        angles = np.linspace(-60, 60, T)
+        pts = rng.uniform(-30, 30, (P, 3))
+        th = np.radians(angles)
+        proj = np.stack([
+            np.stack([pts[:, 0],
+                      pts[:, 1] * np.cos(t) + pts[:, 2] * np.sin(t)], 1)
+            for t in th])  # (T, P, 2) ideal y,x
+        proj = proj + np.array([64.0, 64.0])
+        bad = proj.copy()
+        bad[4, 2] += 25.0  # gross outlier
+        m_strict, w_strict = tomo_ops.solve_projection_model_robust(
+            bad, angles, (128, 128), tukey_factor=1.0)
+        assert w_strict[4, 2] < 0.1  # outlier killed
+        m_loose, w_loose = tomo_ops.solve_projection_model_robust(
+            bad, angles, (128, 128), tukey_factor=100.0)
+        assert w_loose[4, 2] > w_strict[4, 2]  # loose factor keeps it
+        assert float(m_strict.residual) <= float(m_loose.residual) + 1e-3

@@ -150,9 +150,21 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     for it, mode in schedule:
         params["refine_mode"] = mode
         t0 = time.perf_counter()
-        table, out, res_a = refinement_iteration(
-            stack, table, ref, params, it, batch=batch, fsc_curve=fsc_curve,
-            ref_halves=ref_halves)
+        # the shared axon tunnel intermittently drops remote_compile
+        # responses mid-read; one retry re-requests the (server-cached)
+        # compile instead of losing the whole multi-hour run
+        for attempt in range(3):
+            try:
+                table, out, res_a = refinement_iteration(
+                    stack, table, ref, params, it, batch=batch,
+                    fsc_curve=fsc_curve, ref_halves=ref_halves)
+                break
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                if attempt == 2 or "remote_compile" not in str(e):
+                    raise
+                print(f"iter {it}: transient tunnel failure, retrying "
+                      f"({e})", flush=True)
+                time.sleep(30)
         # keep maps device-resident between iterations (tunnel transfers
         # of 8 MB maps cost tens of seconds each)
         ref = out.volume
