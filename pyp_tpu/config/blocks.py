@@ -395,6 +395,7 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "ctf_determine_tilt": ("ctf_use_lcl", None),
     "ctf_tilt_axis": ("scope_tilt_axis", None),
     "ctf_handedness_mintilt": ("tomo_hand_min_tilt", None),
+    "ctf_handedness_maxtilt": ("tomo_hand_max_tilt", None),
     # ---- movie tab (unblur/motioncor drivers)
     "movie_no_frames": ("movie_ali", _neg),
     "movie_bin": ("movie_align_bin", None),

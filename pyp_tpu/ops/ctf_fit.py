@@ -215,8 +215,14 @@ def fit_ctf(
     phase_max: float = 3.1416,
     phase_steps: int = 14,
     bg_sigma: float = 6.0,
+    known_astig: float | None = None,
+    known_astig_angle: float = 0.0,
 ) -> CtfFit:
-    """Fit CTF parameters to an averaged power spectrum (rfft layout)."""
+    """Fit CTF parameters to an averaged power spectrum (rfft layout).
+
+    known_astig/known_astig_angle (Å / deg): pin astigmatism to calibrated
+    values and fit only defocus/phase (reference ctf tab known_ast /
+    known_ast_angle; ctffind --known-astigmatism role)."""
     P_polar, g_axis, theta_axis = polar_resample(power, n_g, n_theta)
     P_norm = _normalize_spectrum(P_polar, g_axis, bg_sigma=bg_sigma)
     g_inv_a = g_axis / pixel_size
@@ -243,7 +249,19 @@ def fit_ctf(
     phase_best = pp[ibest]
 
     # ---- stage 2: astig grid around best defocus --------------------------
-    if fit_astigmatism:
+    if known_astig is not None:
+        # pinned astigmatism: search defocus only, astig/angle fixed
+        d_offsets = jnp.linspace(-6.0 * dfstep, 6.0 * dfstep, 13)
+        ka = jnp.full_like(d_offsets, float(known_astig) / 2.0)
+        kt = jnp.full_like(d_offsets, np.radians(float(known_astig_angle)))
+        params2 = jnp.stack(
+            [df_best + d_offsets, ka, kt,
+             jnp.full_like(d_offsets, phase_best)], axis=1)
+        s2 = _score_grid(P_norm, g_axis, theta_axis, ring_mask, params2,
+                         pixel_size, voltage_kv, cs_mm, w)
+        best2 = params2[jnp.argmax(s2)]
+        fit_astigmatism = False  # stage 3 keeps a/t frozen
+    elif fit_astigmatism:
         d_offsets = jnp.linspace(-6.0 * dfstep, 6.0 * dfstep, 13)
         astigs = jnp.linspace(0.0, max_astig, 11)
         angs = jnp.linspace(0.0, np.pi, 12, endpoint=False)
@@ -263,10 +281,15 @@ def fit_ctf(
 
     # ---- stage 3: two rounds of local refinement --------------------------
     best = best2
+    astig_free = known_astig is None
     for shrink in (0.25, 0.06):
         d_off = jnp.linspace(-dfstep * 4 * shrink, dfstep * 4 * shrink, 7)
-        a_off = jnp.linspace(-max_astig * 0.2 * shrink * 4, max_astig * 0.2 * shrink * 4, 7)
-        t_off = jnp.linspace(-np.pi / 12 * shrink * 4, np.pi / 12 * shrink * 4, 7)
+        a_off = (jnp.linspace(-max_astig * 0.2 * shrink * 4,
+                              max_astig * 0.2 * shrink * 4, 7)
+                 if astig_free else jnp.zeros(1))
+        t_off = (jnp.linspace(-np.pi / 12 * shrink * 4,
+                              np.pi / 12 * shrink * 4, 7)
+                 if astig_free else jnp.zeros(1))
         p_off = jnp.linspace(-0.3, 0.3, 5) if fit_phase else jnp.zeros(1)
         grid = jnp.stack(
             [x.reshape(-1) for x in jnp.meshgrid(d_off, a_off, t_off, p_off, indexing="ij")],

@@ -665,7 +665,7 @@ def _half_defoci_jit(halves, defoci_rep, tile: int, pixel_size,
 def detect_handedness(tilts, tilt_angles, defoci, pixel_size,
                       voltage_kv=300.0, cs_mm=2.7, w=0.07,
                       min_tilt: float = 20.0, df_range: float = 8000.0,
-                      df_step: float = 250.0):
+                      df_step: float = 250.0, max_tilt: float = 90.0):
     """Defocus handedness detection (ctf/core.py:1935 `detect_handedness`):
     estimate defocus separately on the left and right halves of every tilt;
     the defocus gradient across the tilt axis must match +tan(theta) for
@@ -677,7 +677,9 @@ def detect_handedness(tilts, tilt_angles, defoci, pixel_size,
     T, ny, nx = tilts.shape
     half = nx // 2
     angles = np.asarray(tilt_angles, dtype=np.float32)
-    keep = np.abs(angles) >= min_tilt  # gradient too small below this
+    # gradient too small below min_tilt; half-spectra too smeared above
+    # max_tilt (reference ctf_handedness_mintilt/maxtilt)
+    keep = (np.abs(angles) >= min_tilt) & (np.abs(angles) <= max_tilt)
     if not keep.any():
         return 0, np.array([])
     halves = jnp.asarray(np.concatenate(

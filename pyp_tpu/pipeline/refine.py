@@ -829,11 +829,26 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
 
             try:
                 rhref_fit = float(param(params["refine_rhref"], it))
+                # fit-evaluation map preparation (reference [tabs.model]
+                # clip/flip/pixel/res/scale)
+                fit_map = np.asarray(ref, dtype=np.float32)
+                fit_pixel = float(params.get("model_pixel") or 0.0) or pixel
+                if params.get("model_scale") not in (None, "", 0, 1, 1.0):
+                    fit_map = fit_map * float(params["model_scale"])
+                if params.get("model_flip"):
+                    fit_map = fit_map[::-1].copy()
+                clip = int(params.get("model_clip") or 0)
+                if 0 < clip < fit_map.shape[-1]:
+                    c = fit_map.shape[-1] // 2
+                    lo = max(c - clip // 2, 0)
+                    fit_map = fit_map[lo:lo + clip, lo:lo + clip,
+                                      lo:lo + clip].copy()
+                res_cap = float(params.get("model_res") or 0.0)
                 fit = model_map_fit(
                     read_pdb(str(params["model_fit"])),
-                    np.asarray(ref, dtype=np.float32), pixel,
+                    fit_map, fit_pixel,
                     low_res=float(params.get("refine_rlref") or 100.0),
-                    high_res=max(rhref_fit, 2.5 * pixel),
+                    high_res=max(rhref_fit, res_cap, 2.5 * fit_pixel),
                     extra_bfactor_a2=float(
                         params.get("model_fit_bfactor") or 100.0))
                 entry["model_cc"] = round(fit["cc"], 4)

@@ -284,6 +284,11 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
                 n_theta=int(params.get("ctf_polar_angles") or 64),
                 lowres_1d=float(params.get("ctf_lowres_1d") or 8.0),
                 bg_sigma=float(params.get("ctf_bg_sigma") or 6.0),
+                # calibrated-astigmatism pinning (ctf tab known_ast)
+                known_astig=(float(params["ctf_known_ast"])
+                             if params.get("ctf_known_ast") else None),
+                known_astig_angle=float(
+                    params.get("ctf_known_ast_angle") or 0.0),
             )
             meta["ctf"] = np.array([
                 float(fit.df1), float(fit.df2), float(fit.angast),

@@ -349,6 +349,8 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         w=float(params["scope_wgh"]),
                         min_tilt=float(params.get("tomo_hand_min_tilt")
                                        or 20.0),
+                        max_tilt=float(params.get("tomo_hand_max_tilt")
+                                       or 90.0),
                         df_range=float(params.get("tomo_hand_df_range")
                                        or 8000.0),
                         df_step=float(params.get("tomo_hand_df_step")

@@ -48,6 +48,17 @@ class TestFitCtf:
         assert abs(float(fit.phase_shift) - 1.2) < 0.35
         assert abs(float(fit.df1) - 15000.0) < 800.0
 
+    def test_known_astigmatism_pinned(self):
+        """ctf_known_ast role: astigmatism/angle fixed to the calibrated
+        values, only defocus searched."""
+        power = synthetic_power(df1=21000.0, df2=19000.0, angast=35.0)
+        fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
+                              dfstep=250.0, min_res=25.0, max_res=3.5,
+                              known_astig=2000.0, known_astig_angle=35.0)
+        assert abs((float(fit.df1) - float(fit.df2)) - 2000.0) < 1e-3
+        assert abs(float(fit.angast) - 35.0) < 1e-3
+        assert abs((float(fit.df1) + float(fit.df2)) / 2 - 20000.0) < 400.0
+
     def test_fit_res_reasonable(self):
         power = synthetic_power()
         fit = ctf_fit.fit_ctf(power, 1.0, dfmin=5000.0, dfmax=40000.0,
