@@ -192,6 +192,7 @@ def _score_grid(P_norm, g_axis, theta_axis, ring_mask, params,
         "fit_astigmatism", "max_astig", "fit_phase",
         "n_g", "n_theta", "lowres_1d",
         "phase_min", "phase_max", "phase_steps", "bg_sigma",
+        "known_astig", "known_astig_angle",
     ),
 )
 def fit_ctf(

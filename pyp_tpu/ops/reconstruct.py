@@ -230,19 +230,31 @@ def merge_accumulators(accs) -> Accumulators:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"))
+@functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"),
+                   donate_argnums=(0, 1))
+def _rfa_donated(num, den, n: int, pad: int, wiener: float, gridding: str):
+    return reconstruct_from_accumulators(num, den, n, pad, wiener, gridding)
+
+
 def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
              wiener: float = 0.5,
              gridding: str = "trilinear") -> Reconstruction:
-    """Accumulators -> half maps, FSC-filtered combined map, FSC curve."""
+    """Accumulators -> half maps, FSC-filtered combined map, FSC curve.
+
+    Deliberately NOT one fused jit: a single program holds all three
+    padded-grid inverse-FFT pipelines (and the summed accumulators) live
+    at once, which exhausts HBM at production boxes (measured: box 256 /
+    pad-scaled crop grid, pn~515, OOM on a v5e). Sequential dispatches
+    free each reconstruction's workspace before the next, and the summed
+    num/den temporaries are donated into the combined-map dispatch."""
     half1 = reconstruct_from_accumulators(acc.num1, acc.den1, n, pad, wiener,
                                           gridding)
     half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener,
                                           gridding)
     freqs, curve = fsc_mod.fsc(half1, half2)
-    combined = reconstruct_from_accumulators(
-        acc.num1 + acc.num2, acc.den1 + acc.den2, n, pad, wiener, gridding
-    )
+    num = acc.num1 + acc.num2
+    den = acc.den1 + acc.den2
+    combined = _rfa_donated(num, den, n, pad, wiener, gridding)
     combined = fsc_mod.apply_fsc_filter(combined, jnp.clip(curve, 0.0, 1.0))
     return Reconstruction(volume=combined, half1=half1, half2=half2,
                           fsc=curve, freqs=freqs)
