@@ -1856,6 +1856,16 @@ def mode_mask(argv):
                          or params.get("particle_mw") or 0.0)))
     if params.get("mask_invert"):
         mask = 1.0 - mask
+    if params.get("mask_normalized"):
+        # normalize to the full [0, 1] range (reference mask tab
+        # normalized: input models whose densities are not 0-1)
+        lo, hi = float(mask.min()), float(mask.max())
+        mask = (mask - lo) / max(hi - lo, 1e-9)
+    ow = float(params.get("mask_outside_weight") or 0.0)
+    if ow > 0:
+        # keep a fraction of the outside density instead of zeroing it
+        # (relion --outside_weight role): m' = w + (1-w) m
+        mask = ow + (1.0 - ow) * mask
     out = f"{params.get('data_set') or 'dataset'}_mask.mrc"
     mrc.write(mask.astype(np.float32), out, pixel_size=pixel)
     print(json.dumps({"mask": out, "coverage":

@@ -229,6 +229,7 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "metric_priors": ("refine_priors", None),
     "metric_score_weighting": ("refine_score_weighting", None),
     "metric_masking_method": ("refine_masking_method", None),
+    "metric_global_stat": ("refine_global_stat", None),
     "metric_srad": ("refine_srad", None),
     "metric_maskth": ("refine_maskth", None),
     # ---- sharpen_cistem tab (cisTEM sharpen_map stdin card)

@@ -529,7 +529,19 @@ def refinement_iteration(
         bsc = float(params.get("refine_bsc") or 0.0)
         if bsc > 0 and "score" in table:
             sc = np.asarray(table["score"])
-            z = (sc - sc.mean()) / (sc.std() + 1e-6)
+            glob = params.get("refine_global_stat",
+                              params.get("metric_global_stat", True))
+            if not glob and "particle_group" in table:
+                # per-micrograph score statistics (metric tab global_stat
+                # OFF): z-score within each film so ice-thickness and dose
+                # differences between micrographs don't skew the weights
+                grp = np.asarray(table["particle_group"]).astype(int)
+                z = np.zeros_like(sc)
+                for g in np.unique(grp):
+                    m = grp == g
+                    z[m] = (sc[m] - sc[m].mean()) / (sc[m].std() + 1e-6)
+            else:
+                z = (sc - sc.mean()) / (sc.std() + 1e-6)
             weights = weights * np.exp(np.clip(bsc * z, -4.0, 1.0))
         # FREALIGN PBC/BOFF weighting (refine/frealign card contract):
         # weight = exp(pbc * (score - boff)/100), boff defaults to the

@@ -98,7 +98,12 @@ def apply_gain(frames, params):
         gain = gain[:, ::-1]
     if params.get("gain_flipv"):
         gain = gain[::-1]
-    return frames * gain[None]
+    frames = frames * gain[None]
+    if params.get("movie_force_integer"):
+        # counting cameras: round gain-corrected values back to integer
+        # counts (reference movie tab force_integer)
+        frames = np.rint(frames)
+    return frames
 
 
 def process_micrograph(item, params: dict, work_dir=".") -> dict:

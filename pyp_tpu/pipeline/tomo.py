@@ -404,6 +404,8 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             # optional denoising (cryoCARE/IsoNet roles, native models):
             # n2n trains on even/odd-tilt half tomograms of THIS series
             method_dn = str(params.get("denoise_method") or "none")
+            if method_dn == "none" and params.get("denoise_enable"):
+                method_dn = "bm4d"  # reference denoise tab default method
             if method_dn != "none":
                 with Timer(f"tomogram denoising ({method_dn})"):
                     from pyp_tpu.models import denoise as dn
@@ -448,6 +450,20 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                                       thickness, int(t2.shape[-1])),
                         )
                         den = dn.denoise_tomogram(model, np.asarray(recon))
+                    elif method_dn in ("bm4d", "nad", "imod-nad"):
+                        # classical training-free denoisers (reference
+                        # [tabs.denoise] bm4d/imod-nad roles) as single
+                        # XLA programs
+                        from pyp_tpu.ops.denoise_classic import denoise_map
+
+                        den = np.asarray(denoise_map(
+                            np.asarray(recon, dtype=np.float32),
+                            method=method_dn,
+                            patch_size=int(
+                                params.get("denoise_patch_size") or 4),
+                            nsearch=int(params.get("denoise_nsearch") or 11),
+                            sigma=float(params.get("denoise_sigma") or 0.25),
+                            iters=int(params.get("denoise_iters") or 1)))
                     else:  # missing-wedge restoration
                         model = dn.train_wedge_restorer(
                             [np.asarray(recon)],
