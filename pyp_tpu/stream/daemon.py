@@ -103,7 +103,20 @@ class SessionDaemon:
             src_size = Path(path).stat().st_size
             Path(tdir).mkdir(parents=True, exist_ok=True)
             dst = Path(tdir) / Path(path).name
-            shutil.move(path, dst)
+            # move/copy/link (reference stream tab transfer_operation;
+            # link keeps the microscope-side copy and costs no IO)
+            op = str(self.params.get("stream_transfer_operation") or "move")
+            if op == "copy":
+                shutil.copy2(path, dst)
+            elif op == "link":
+                if dst.exists():
+                    dst.unlink()
+                try:
+                    dst.hardlink_to(path)
+                except OSError:  # cross-device: fall back to symlink
+                    dst.symlink_to(Path(path).resolve())
+            else:
+                shutil.move(path, dst)
             if (self.params.get("stream_transfer_verify")
                     and dst.stat().st_size != src_size):
                 raise OSError(
@@ -112,7 +125,9 @@ class SessionDaemon:
             path = str(dst)
         item = {"name": Path(path).stem, "path": path}
         # session mode (data_mode): tomo sessions assemble + process a
-        # tilt-series per mdoc; spr sessions preprocess one micrograph
+        # tilt-series per mdoc (or by file count when the session declares
+        # its tilt scheme up front); spr sessions preprocess one micrograph
+        num_tilts = int(self.params.get("stream_num_tilts") or 1)
         if (str(self.params.get("data_mode") or "spr") == "tomo"
                 and path.endswith(".mdoc")):
             from pyp_tpu.pipeline import tomo as tomo_pipe
@@ -120,6 +135,18 @@ class SessionDaemon:
             item.update(tomo_pipe.assemble_tilt_series(path, self.params))
             summary = tomo_pipe.process_tilt_series(
                 item, self.params, self.work_dir)
+        elif (str(self.params.get("data_mode") or "spr") == "tomo"
+              and num_tilts > 1):
+            # mdoc-less session: the scheme comes from the session params
+            # (reference stream tab num_tilts / tilt_angles / tilt_order)
+            done = self._collect_tilt(path, num_tilts)
+            if done is None:
+                self.processed.add(path)
+                return {"name": item["name"], "pending_tilts": True}
+            from pyp_tpu.pipeline import tomo as tomo_pipe
+
+            summary = tomo_pipe.process_tilt_series(
+                done, self.params, self.work_dir)
         else:
             from pyp_tpu.pipeline import spr
 
@@ -144,6 +171,48 @@ class SessionDaemon:
         logger.info("stream: processed %s (%d particles)", item["name"],
                     summary.get("particles", 0))
         return summary
+
+    def _collect_tilt(self, path: str, num_tilts: int):
+        """Accumulate mdoc-less session tilts; return the assembled item
+        once a series has all `num_tilts` files, else None. Series key =
+        file stem with its trailing tilt counter stripped; angles come
+        from stream_tilt_angles, acquisition order from stream_tilt_order
+        (base-0, maps arrival order -> angle index)."""
+        import re
+
+        if not hasattr(self, "_pending_tilts"):
+            self._pending_tilts = {}
+        key = re.sub(r"[_\-][0-9]+$", "", Path(path).stem)
+        group = self._pending_tilts.setdefault(key, [])
+        group.append(path)
+        if len(group) < num_tilts:
+            logger.info("stream: %s tilt %d/%d collected", key,
+                        len(group), num_tilts)
+            return None
+        del self._pending_tilts[key]
+        angles_raw = str(self.params.get("stream_tilt_angles") or "")
+        if angles_raw:
+            angles = np.asarray([float(a) for a in angles_raw.split(",")],
+                                dtype=np.float32)[:num_tilts]
+        else:  # symmetric scheme fallback
+            angles = np.linspace(-60.0, 60.0, num_tilts).astype(np.float32)
+        order_raw = str(self.params.get("stream_tilt_order") or "")
+        order = ([int(o) for o in order_raw.split(",")][:num_tilts]
+                 if order_raw else list(range(num_tilts)))
+        from pyp_tpu.pipeline.spr import load_movie
+
+        tilt_imgs = [None] * num_tilts
+        tilt_angles = [0.0] * num_tilts
+        for arrival, p in enumerate(group):
+            idx = order[arrival] if arrival < len(order) else arrival
+            frames = load_movie(p, self.params)
+            tilt_imgs[idx] = np.asarray(frames, dtype=np.float32).mean(0)
+            tilt_angles[idx] = float(angles[idx]) if idx < len(angles) else 0.0
+        srt = np.argsort(np.asarray(tilt_angles))
+        stack = np.stack([tilt_imgs[i] for i in srt])
+        return {"name": key, "tilts": stack,
+                "angles": np.asarray(tilt_angles, dtype=np.float32)[srt],
+                "order": np.asarray(srt, dtype=np.float32)}
 
     def maybe_classify(self):
         """Incremental 2D classification over everything processed so far

@@ -377,3 +377,62 @@ class TestArtiaxStar:
         np.testing.assert_allclose(out["_rlnAnglePsi"], eul[:, 2])
         np.testing.assert_allclose(out["_rlnLogLikeliContribution"],
                                    [0.9, 0.4])
+
+
+class TestSessionTiltScheme:
+    def test_mdocless_tomo_session_assembles_series(self, tmp_path,
+                                                    monkeypatch):
+        """stream_num_tilts/tilt_angles/tilt_order: an mdoc-less tomo
+        session processes a series once all its tilt files arrive, mapping
+        arrival order -> angles through the declared acquisition order."""
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.io import mrc
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        rng = np.random.RandomState(0)
+        params = defaults()
+        params.update({
+            "data_mode": "tomo", "scope_pixel": 2.0,
+            "stream_num_tilts": 3,
+            "stream_tilt_angles": "-30,0,30",
+            "stream_tilt_order": "1,0,2",  # arrival 0 -> angle idx 1 (0 deg)
+            "tomo_ali_method": "skip", "tomo_ali_bin": 1,
+            "ctf_min_def": 8000, "ctf_max_def": 25000, "ctf_tile": 64,
+            "ctf_max_res": 9.0, "tomo_rec_thickness": 16,
+            "tomo_rec_binning": 1, "tomo_spk_method": "none",
+        })
+        daemon = SessionDaemon(str(tmp_path / "in" / "*.mrc"), params,
+                               tmp_path, poll_interval=0.01)
+        (tmp_path / "in").mkdir()
+        for i in range(3):
+            frames = rng.randn(2, 128, 128).astype(np.float32)
+            mrc.write(frames, tmp_path / "in" / f"ts1_{i:03d}.mrc",
+                      pixel_size=2.0)
+        daemon.run(max_iterations=3, idle_exit=1)
+        meta = ItemMetadata("ts1", tmp_path, mode="tomo").load()
+        np.testing.assert_allclose(meta["tlt"], [-30.0, 0.0, 30.0])
+
+    def test_transfer_link_keeps_source(self, tmp_path, monkeypatch):
+        from pyp_tpu.config.params import defaults
+        from pyp_tpu.io import mrc
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        params = defaults()
+        params.update({
+            "scope_pixel": 2.0, "movie_ali": "skip", "extract_box": 32,
+            "ctf_min_def": 8000, "ctf_max_def": 30000, "ctf_max_res": 8.0,
+            "ctf_tile": 64, "stream_transfer_dir": str(tmp_path / "sess"),
+            "stream_transfer_operation": "link",
+        })
+        daemon = SessionDaemon(str(tmp_path / "in" / "*.mrc"), params,
+                               tmp_path, poll_interval=0.01)
+        (tmp_path / "in").mkdir()
+        src = tmp_path / "in" / "m0.mrc"
+        mrc.write(np.random.RandomState(1).randn(2, 128, 128).astype(
+            np.float32), src, pixel_size=2.0)
+        daemon.run(max_iterations=2, idle_exit=1)
+        assert src.exists()                      # link keeps the source
+        assert (tmp_path / "sess" / "m0.mrc").exists()
