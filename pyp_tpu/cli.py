@@ -790,10 +790,21 @@ def mode_import_star(argv):
     # dispatch below is content-based; a declared format that disagrees
     # with the detected one is surfaced instead of silently honored
     declared = str(ip.get("import_format") or "none")
+    declared_ver = str(ip.get("import_tomo_star_version") or "")
     report = {}
     for path in paths:
         text = Path(path).read_text()
         detected = ("tomo" if "_rlnTomoProjX" in text else "spa")
+        if declared_ver:
+            # declared RELION star dialect (import tab tomo_star_version):
+            # content detection wins, disagreement is surfaced
+            ver_detected = "5" if ("_rlnTomoName" in text
+                                   or "_rlnTomoProjX" in text) else "4"
+            if declared_ver.lstrip("relion") not in ("", ver_detected):
+                logger.warning(
+                    "import_tomo_star_version=%s declared but %s uses the "
+                    "RELION %s tomo dialect — importing by content",
+                    declared_ver, path, ver_detected)
         if declared not in ("none", "") and declared.lower() not in (
                 "relion", "relion5", "star", detected):
             logger.warning("import_format=%s declared but %s looks like a "
@@ -1616,6 +1627,10 @@ def mode_sva(argv):
     from pyp_tpu.ops.extract import subvolume_gather
 
     box = int(params.get("sva_box") or 48)
+    # extraction boundary (reference extract_bnd / tomo_ext padd role):
+    # cut a larger window, process, and keep box³ — particles this close
+    # to the tomogram edge survive instead of being dropped
+    bnd = max(int(params.get("extract_bnd") or 0), box)
     subs, names = [], []
     for rec in sorted(glob.glob("*.rec.mrc")):
         name = Path(rec).name[: -len(".rec.mrc")]
@@ -1632,7 +1647,10 @@ def mode_sva(argv):
 
         got = np.asarray(subvolume_gather(
             jnp.asarray(vol),
-            jnp.asarray(np.round(coords[ok]).astype(np.int32)), box))
+            jnp.asarray(np.round(coords[ok]).astype(np.int32)), bnd))
+        if bnd > box:
+            lo = (bnd - box) // 2
+            got = got[:, lo:lo + box, lo:lo + box, lo:lo + box]
         subs.append(got)
         names.extend(f"{name}:{i}" for i in np.nonzero(ok)[0])
     if not subs:

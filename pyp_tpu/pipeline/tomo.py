@@ -277,7 +277,7 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
     rec_bin = int(params.get("tomo_rec_binning") or 8)
     rec_bin = max(1, rec_bin // binning)
     thickness = max(32, int(params.get("tomo_rec_thickness") or 2048) // (binning * rec_bin))
-    if not meta.is_done("rec_done"):
+    if not meta.is_done("rec_done") or params.get("tomo_rec_force"):
         with Timer("tomogram reconstruction"):
             t2 = (
                 np.asarray(bin_images(jnp.asarray(tilts_b), rec_bin))
@@ -400,6 +400,21 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                       pixel_size=pixel * binning * rec_bin)
             meta["rec_done"] = np.array([1])
             summary["tomogram"] = rec_path
+            if params.get("tomo_rec_generate_halves"):
+                # even/odd-tilt half tomograms beside the reconstruction
+                # (reference tomo_rec generate_halves: denoiser training /
+                # validation inputs)
+                h1, h2 = tomo.wbp_reconstruct_halves(
+                    jnp.asarray(t2), jnp.asarray(angles),
+                    shifts=jnp.asarray(shifts_r.astype(np.float32)),
+                    thickness=thickness,
+                    slab=min(int(params.get("tomo_rec_slab") or 16),
+                             thickness))
+                for tag, h in (("half1", h1), ("half2", h2)):
+                    mrc.write(np.asarray(h, dtype=rec_dtype),
+                              f"{work_dir}/{name}.rec_{tag}.mrc",
+                              pixel_size=pixel * binning * rec_bin)
+                summary["tomogram_halves"] = True
 
             # optional denoising (cryoCARE/IsoNet roles, native models):
             # n2n trains on even/odd-tilt half tomograms of THIS series
