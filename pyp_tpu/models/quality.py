@@ -89,14 +89,25 @@ def featurize(mics, size: int = 128):
 
 def train_quality(mics, size: int = 128, latent_dim: int = 16,
                   steps: int = 300, batch: int = 16, lr: float = 1e-3,
-                  seed: int = 0) -> QualityModel:
-    """Self-supervised training on the dataset's own micrographs."""
+                  seed: int = 0, momentum: float = 0.0,
+                  weight_decay: float = 0.0, log_every: int = 0,
+                  ) -> QualityModel:
+    """Self-supervised training on the dataset's own micrographs.
+
+    momentum > 0 switches to SGD+momentum (the reference prism trainer's
+    torch default); weight_decay adds decoupled L2 (prism_train tab
+    momentum/weight_decay); log_every mirrors prism_train print_freq."""
     feats = featurize(mics, size)
     M = feats.shape[0]
     model = QualityAE(latent_dim=latent_dim)
     key = jax.random.PRNGKey(seed)
     params = model.init(key, feats[:1])
-    tx = optax.adam(lr)
+    if momentum > 0:
+        tx = optax.sgd(lr, momentum=momentum)
+    else:
+        tx = optax.adam(lr)
+    if weight_decay > 0:
+        tx = optax.chain(optax.add_decayed_weights(weight_decay), tx)
     opt_state = tx.init(params)
     rng = np.random.RandomState(seed)
 
@@ -110,9 +121,12 @@ def train_quality(mics, size: int = 128, latent_dim: int = 16,
         updates, opt_state = tx.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    for _ in range(steps):
+    for i in range(steps):
         idx = jnp.asarray(rng.randint(0, M, min(batch, M)))
-        params, opt_state, _ = step(params, opt_state, idx)
+        params, opt_state, loss = step(params, opt_state, idx)
+        if log_every and (i + 1) % log_every == 0:
+            print(f"prism step {i + 1}/{steps}: loss {float(loss):.5f}",
+                  flush=True)
 
     z, _ = model.apply(params, feats)
     z = np.asarray(z)

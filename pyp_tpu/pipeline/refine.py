@@ -505,6 +505,12 @@ def refinement_iteration(
             ))
             table = poses_into_table(table, merged, pixel,
                                      freeze=_dof_freeze(params))
+            # release matcher state before reconstruction: the FRM
+            # direction bank + polish references are GBs of HBM at
+            # production boxes and nothing below needs them (measured:
+            # box 256 finalize OOMs with them alive)
+            results = merged = None
+            banks = bank = polish_refs = polish_pts = None  # noqa: F841
 
     with Timer(f"reconstruction iteration {iteration}"):
         poses = table_to_poses(table, pixel)
@@ -669,6 +675,21 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
     fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
     ref_halves = None
     beam_tilt_done = False
+    bt0 = (float(params.get("scope_beam_tilt_x") or 0.0),
+           float(params.get("scope_beam_tilt_y") or 0.0))
+    if any(bt0):
+        # calibrated microscope beam tilt (scope tab beam_tilt_x/y, mRad):
+        # correct the working stack up front; refine_beamtilt can still
+        # re-estimate the residual later
+        import jax.numpy as jnp
+
+        from pyp_tpu.ops import refine3d as _r3
+
+        stack = np.asarray(_r3.correct_beam_tilt(
+            jnp.asarray(np.asarray(stack, dtype=np.float32)), bt0[0], bt0[1],
+            pixel, voltage_kv=float(params["scope_voltage"]),
+            cs_mm=float(params["scope_cs"])))
+        logger.info("applied calibrated beam tilt (%.3f, %.3f) mRad", *bt0)
     for it in range(start, maxiter + 2):
         if (maps_dir / "wait").exists():
             # interactive pause (frealign.py:1425): drop a `wait` file in
