@@ -1337,7 +1337,10 @@ def mode_prism(argv):
         steps=int(params.get("prism_steps") or 300),
         batch=int(params.get("prism_batch") or 16),
         lr=float(params.get("prism_lr") or 1e-3),
-        seed=int(params.get("prism_seed") or 0))
+        seed=int(params.get("prism_seed") or 0),
+        momentum=float(params.get("prism_momentum") or 0.0),
+        weight_decay=float(params.get("prism_weight_decay") or 0.0),
+        log_every=int(params.get("prism_print_freq") or 0))
     scores = qual.quality_scores(model, stack)
     emb = qual.embed_quality(model, stack)
     for name, s in zip(kept_names, scores):

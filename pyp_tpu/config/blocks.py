@@ -370,6 +370,10 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "prism_train_lr": ("prism_lr", None),
     "prism_train_seed": ("prism_seed", None),
     "prism_train_dim": ("prism_latent", None),
+    "prism_train_momentum": ("prism_momentum", None),
+    "prism_train_weight_decay": ("prism_weight_decay", None),
+    "prism_train_print_freq": ("prism_print_freq", None),
+    "movie_motioncor_frameref": ("movie_ref", None),
     # ---- class2d tab -> 2D classification protocol
     "class2d_num": ("class_num", None),
     "class2d_rlref": ("class_rlcls", None),
