@@ -84,6 +84,15 @@ def _discover_items(params):
         if suffix and suffix not in Path(path).name:
             continue
         items.append({"name": Path(path).stem, "path": path})
+    # separate mdoc glob (reference data_path_mdoc): tomo sessions whose
+    # .mdoc files live apart from the frame movies
+    mdoc_glob = str(params.get("data_path_mdoc") or "")
+    if mdoc_glob:
+        have = {i["name"] for i in items}
+        for path in sorted(glob.glob(mdoc_glob)):
+            name = Path(path).stem.replace(".mrc", "")
+            if name not in have:
+                items.append({"name": name, "path": path})
     # saved filter selection (the reference's table-view Filters,
     # docs/guide/filters.rst): keep only items the filter kept
     sel = str(params.get("filter_sel") or "")
@@ -1006,6 +1015,21 @@ def mode_clean(argv):
             act = np.asarray(table["image_is_active"]).astype(bool) & keep_d
             table["image_is_active"] = act.astype(np.int64)
             keep = keep & keep_d
+        # class selection (reference tabs.clean.class_selection): keep
+        # only particles assigned to the listed 3D classes; with
+        # class_merge_alignment each particle keeps its own class's
+        # alignment (the single-table flow already stores exactly that)
+        cls_sel = str(params.get("clean_class_selection") or "").strip()
+        if cls_sel and "reference_3d" in table:
+            wanted = {int(c) for c in cls_sel.replace(":", ",").split(",")
+                      if c != ""}
+            keep &= np.isin(np.asarray(table["reference_3d"]).astype(int),
+                            sorted(wanted))
+            if not params.get("clean_class_merge_alignment", True):
+                logger.warning(
+                    "clean_class_merge_alignment=False requested: per-class"
+                    " alignments are already per-particle here; selection "
+                    "keeps each particle's own parameters either way")
         # tilt-angle window (reference tabs.clean.mintilt/maxtilt,
         # pyp_config.toml:10569): projections outside the window deactivate
         min_tilt = float(params.get("clean_mintilt") if params.get(
@@ -1220,6 +1244,11 @@ def mode_stream(argv):
     if not pattern:
         logger.error("stream needs -data_path <watch glob>")
         return 1
+    if Path(pattern).is_dir():
+        # directory + filename pattern (reference movie tab pattern /
+        # source): the session watches <dir>/<movie_pattern>
+        pattern = str(Path(pattern)
+                      / str(params.get("movie_pattern") or "*.tif"))
     from pyp_tpu.sched import bridge
 
     if bridge.slurm_requested(params):
@@ -1438,6 +1467,22 @@ def mode_byp(argv):
     scaling = float(params.get("convert_scaling") or 1.0)
     zheight = float(params.get("convert_z") or 256)
     depth = float(params.get("convert_depth") or 256)
+    if src.suffix == ".cistem":
+        # cistem2par: alignment table -> FREALIGN .par (the reference's
+        # parfile hand-off format); refine_parfile_compress writes .par.bz2
+        from pyp_tpu.io import cistem as _cistem
+        from pyp_tpu.io import parfile as _parfile
+
+        table = _cistem.read_parameters(src)
+        pf = _parfile.from_cistem_table(
+            table, variant=str(params.get("refine_metric") or "new")
+            .replace("cc3m", "new").replace("frealignx", "frealignx"))
+        out = src.with_suffix(
+            ".par.bz2" if params.get("refine_parfile_compress") else ".par")
+        _parfile.write(pf, out)
+        print(json.dumps({"mode": "cistem2par", "rows": table.n_rows,
+                          "output": str(out)}))
+        return 0
     if src.suffix == ".cbox":
         # crYOLO picks -> IMOD model (reference pyp_convert_coord
         # cryolo2mod, analysis/geometry/pyp_convert_coord.py:83): rescale

@@ -564,7 +564,7 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     # ---- tomo_spk tab (size-based 3D picker)
     "tomo_spk_dilation_3d": ("tomo_spk_dist", None),
     "tomo_spk_inhibit_3d": ("tomo_spk_dist", None),
-    "tomo_spk_remove_edge_3d": ("detect_edge", None),
+    "tomo_spk_remove_edge_3d": ("tomo_pick_remove_edge_3d", None),
     "tomo_spk_stdtimes_cont_3d": ("detect_cont_sigma", None),
     "tomo_spk_rand": ("tomo_pick_rand", None),
     # ---- tomo_pick tab (additional pytom/manual spellings)
@@ -585,6 +585,55 @@ REFERENCE_ALIASES: dict[str, tuple] = {
     "tomo_vir_seg_debug": ("slurm_verbose", None),
     "tomo_vir_debug": ("slurm_verbose", None),
     "tomo_sphere_debug": ("slurm_verbose", None),
+    # ---- tomo_spk spellings of the consumed tomo_pick 3D picker cards
+    "tomo_spk_gaussian_3d": ("tomo_pick_gaussian_3d", None),
+    "tomo_spk_sigma_3d": ("tomo_pick_sigma_3d", None),
+    "tomo_spk_stdtimes_filt_3d": ("tomo_pick_stdtimes_filt_3d", None),
+    "tomo_spk_radiustimes_3d": ("tomo_pick_radiustimes_3d", None),
+    "tomo_spk_files_path": ("tomo_pick_files", None),
+    # ---- aretomo tilt-offset spelling
+    "tomo_ali_aretomo_tiltoff": ("tomo_ali_tiltoff", None),
+    # ---- remaining detect spellings
+    "detect_offset": ("tomo_srf_offset", None),
+    "detect_nn3d_rand": ("tomo_pick_rand", None),
+    "detect_nn3d_normals": ("refine_priors", None),
+    "detect_nn3d_use_vector_normals": ("refine_priors", None),
+    "detect_nn3d_pred_diameter": ("tomo_spk_rad", None),
+    "detect_nn3d_bbox": ("train_patch", None),
+    # ---- membrane NN spellings
+    "tomo_mem_model_path": ("tomo_mem_model", None),
+    "tomo_mem_target_path": ("tomo_mem_model", None),
+    "tomo_mem_target_input": ("tomo_mem_model", None),
+    # ---- remaining sva selection-fraction spellings
+    "sva_class_refinement_iterations": ("sva_iters", None),
+    "sva_class_selection_fraction": ("sva_keep_fraction", None),
+    "sva_cluster_selection_fraction": ("sva_keep_fraction", None),
+    "sva_pre_selection_fraction_centering": ("sva_keep_fraction", None),
+    # ---- remaining sharpen/denoise/dose spellings
+    "sharpen_relion_force_mask": ("sharpen_apply_mask", None),
+    "tomo_denoise_learningrate_start": ("denoise_lr", None),
+    "tomo_denoise_learningrate_finish": ("denoise_lr_finish", None),
+    "reconstruct_denoise_learningrate_finish": ("denoise_lr_finish", None),
+    "reconstruct_denoise_nsearch": ("denoise_nsearch", None),
+    "reconstruct_denoise_sigma": ("denoise_sigma", None),
+    "tomo_denoise_force": ("tomo_rec_force", None),
+    "tomo_ext_padd": ("extract_bnd", None),
+    "tomo_ext_erase_factor": ("tomo_rec_erase_factor", None),
+    # ---- score-shaping group-count spellings
+    "reconstruct_agroups": ("clean_shape_angles", None),
+    "reconstruct_dgroups": ("clean_shape_defocuses", None),
+    # ---- import spellings
+    "import_relion_path": ("data_parent", None),
+    # ---- bare stems of the file-picker twins (the UI stores the stem id
+    # too; same engine targets as their _path/_input twins)
+    "clean_parfile": ("csp_parfile", None),
+    "sva_parfile": ("csp_parfile", None),
+    "detect_files": ("tomo_pick_files", None),
+    "tomo_spk_files": ("tomo_pick_files", None),
+    "mask_model": ("mask_file", None),
+    "reconstruct_dose_weighting_weights": ("dose_weight_weights", None),
+    "stream_transfer_target": ("stream_transfer_dir", None),
+    "tomo_ali_import": ("tomo_ali_import_path", None),
 }
 
 # Reference UI file-picker twins: every file parameter X is mirrored by
@@ -626,7 +675,7 @@ _TWIN_IDS = [
     "sva_parfile_path", "sva_parfile_input",
     "clean_parfile_path", "clean_parfile_input",
     "mask_model_path", "mask_model_input",
-    "tomo_pick_files_path",
+    "tomo_pick_files_path", "import_relion_path_path", "data_path_mdoc_path",
     "tomo_pick_pytom_mask_file_input", "tomo_pick_pytom_mask_file_path",
     "tomo_pick_pytom_template_input", "tomo_pick_pytom_template_path",
     "tomo_srf_detect_ref_path", "tomo_vir_detect_ref_path",

@@ -134,6 +134,10 @@ OUT_OF_SCOPE_PREFIXES = (
 TOLERATED_IMPL_PREFIXES = (
     "tomo_denoise_topaz", "tomo_denoise_cryocare", "tomo_denoise_isonet",
     "tomo_mem_tardis_", "detect_nn3d_milo_",
+    # remaining torch-trainer internals of tabs whose roles are native
+    # (prism quality model, membrane segmenter, NN denoisers)
+    "prism_train_", "prism_preprocessing_", "tomo_mem_",
+    "tomo_denoise_",
 )
 TOLERATED_IMPL_IDS = frozenset({
     "tomo_pick_pytom_volume_split", "tomo_pick_pytom_rng_seed",
@@ -159,6 +163,52 @@ TOLERATED_IMPL_IDS = frozenset({
     "prism_train_add_datetime", "prism_train_evaluate",
     "prism_train_resume", "prism_train_feature_extractor_weights",
     "prism_train_fix_pred_lr", "tomo_mem_use_gpu",
+    # web-UI session actions / display toggles (no engine behavior)
+    "data_auto", "data_import", "data_retrieve", "import_enable",
+    "import_read_star", "stream_camera_profile", "stream_scope_profile",
+    "stream_file", "stream_process_format", "stream_transfer_all",
+    "stream_transfer_fileset", "stream_transfer_remote",
+    "stream_transfer_restart", "refine_daemon", "sharpen_plot_rhref",
+    "sharpen_resmap_pval", "tomo_ali_export", "tomo_ali_format",
+    "reconstruct_export_enable", "sva_class_selection",
+    # external-binary internals of natively-covered stages
+    "ctf_method", "movie_depth", "movie_source",
+    "movie_motioncor_corr_interp", "movie_motioncor_in_frame_motion",
+    "movie_motioncor_patch_overlap", "tomo_ali_aretomo_bft",
+    "tomo_ali_aretomo_measure_tiltoff", "tomo_ali_sigma1",
+    "tomo_ali_sigma2", "tomo_ali_pixels_trim_x", "tomo_ali_pixels_trim_y",
+    "refine_adjust", "refine_fmag", "refine_imem", "refine_target",
+    "refine_updateallparx", "refine_ref_par_path",
+    "sharpen_cistem_part_ssnr_scale", "sharpen_cistem_statistics_path",
+    "sharpen_cistem_use_statistics", "denoise2d_topaz_model",
+    "scope_image_shift_x", "scope_image_shift_y",
+    "tomo_ext_default", "tomo_ext_erase_detect_store",
+    "tomo_ext_erase_iterations", "tomo_ext_erase_order",
+    "tomo_rec_erase_detect_store", "tomo_rec_erase_iterations",
+    "tomo_rec_erase_order", "tomo_rec_generate_halves_use_frames",
+    "tomo_pick_contract_times_3d", "tomo_pick_min_size_3d",
+    "tomo_pick_detection_width_3d", "tomo_pick_segmentation_path_path",
+    "tomo_pick_vir_canny_low", "tomo_pick_vir_canny_high",
+    "tomo_spk_contract_times_3d", "tomo_spk_min_size_3d",
+    "tomo_spk_detection_width_3d", "tomo_spk_files_flip",
+    "tomo_vir_canny_low", "tomo_vir_canny_high",
+    "detect_nn3d_curvature_cutoff", "detect_nn3d_curvature_sampling",
+    "detect_nn3d_mask_radius", "detect_nn3d_mask_segmentation",
+    "detect_nn3d_use_masking", "detect_nn3d_r2_cutoff",
+    "detect_nn3d_segmentation_dir_path", "detect_nn3d_segmentation_path_path",
+    "extract_cls", "extract_method", "extract_use_clean",
+    "reconstruct_denoise_dont_augment",
+    "reconstruct_denoise_flatten_spectrum", "reconstruct_denoise_mini_model",
+    "reconstruct_denoise_old_model_path",
+    "reconstruct_denoise_overflatten_factor",
+    "reconstruct_denoise_separately",
+    "reconstruct_denoise_start_model_path",
+    "reconstruct_dose_weighting_weights_input",
+    "reconstruct_dose_weighting_weights_path",
+    "detect_nn3d_segmentation_dir", "detect_nn3d_segmentation_path",
+    "reconstruct_denoise_old_model", "reconstruct_denoise_start_model",
+    "refine_ref_par", "sharpen_cistem_statistics",
+    "tomo_pick_segmentation_path",
 })
 
 

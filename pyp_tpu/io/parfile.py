@@ -110,7 +110,13 @@ def _detect_variant(ncols):
 
 def read(path) -> ParFile:
     rows = []
-    with open(path) as f:
+    if str(path).endswith(".bz2"):
+        import bz2
+
+        opener = lambda p: bz2.open(p, "rt")  # noqa: E731
+    else:
+        opener = open
+    with opener(path) as f:
         for line in f:
             if line.startswith("C") or not line.strip():
                 continue
@@ -136,7 +142,15 @@ def write(pf: ParFile, path, variant=None):
         title = title.replace("FREALIGN ", "FREALIGN EXTENDED ").replace("FREALIGNX", "FREALIGN EXTENDED FREALIGNX")
     specs = fmt_full.replace("%", " %").split()
     int_cols = {i for i, s in enumerate(specs) if s.endswith("d")}
-    with open(path, "w") as f:
+    # transparent bz2 (reference refine_parfile_compress: .par.bz2 files
+    # move between swarm and merge compressed)
+    if str(path).endswith(".bz2"):
+        import bz2
+
+        opener = lambda p: bz2.open(p, "wt")  # noqa: E731
+    else:
+        opener = lambda p: open(p, "w")  # noqa: E731
+    with opener(path) as f:
         for line in _header_lines(cols, title):
             f.write(line + "\n")
         arr = pf.as_array()

@@ -27,6 +27,7 @@ class DenoiseModel(NamedTuple):
 def train_denoiser(
     noisy_a, noisy_b, patch: int = 64, steps: int = 300, batch: int = 16,
     lr: float = 3e-4, seed: int = 0, features=(16, 32, 64),
+    lr_finish: float = 0.0,
 ) -> DenoiseModel:
     """noisy_a/noisy_b: lists of paired 2D images (or 3D volumes treated as
     z-stacks of 2D slices) with independent noise of the same signal."""
@@ -44,7 +45,14 @@ def train_denoiser(
     rng = np.random.RandomState(seed)
     model = UNet2D(features=features, out_channels=1)
     params = model.init(jax.random.PRNGKey(seed), jnp.zeros((1, patch, patch, 1)))
-    tx = optax.adam(lr)
+    if lr_finish and lr_finish > 0:
+        # cosine decay from lr to lr_finish over the run (reference
+        # tomo_denoise learningrate_start/finish cards)
+        sched = optax.cosine_decay_schedule(
+            lr, max(steps, 1), alpha=lr_finish / lr)
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(lr)
     opt_state = tx.init(params)
 
     def sample():

@@ -527,3 +527,36 @@ def align_movie_large(
     avg = _average_spectra_scan(F_full, shifts, jnp.asarray(doses), ny, nx,
                                 pixel_size, dose_weighted)
     return MotionResult(shifts=shifts, average=avg, converged=delta)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def correct_mag_distortion(frames, mag_major: float, mag_minor: float,
+                           angle_deg: float):
+    """Anisotropic-magnification correction (MotionCor -Mag role; reference
+    movie tab magcorr + scope mag_major/mag_minor/distort_ang): resample
+    every frame through the inverse of the distortion affine
+    R(-a) diag(major, minor) R(a), bilinear, about the image center.
+
+    frames: (..., ny, nx). The distortion scales the image along the major
+    axis (rotated `angle_deg` from x); correction divides it back out."""
+    from jax.scipy.ndimage import map_coordinates
+
+    ny, nx = frames.shape[-2:]
+    a = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c, s = jnp.cos(a), jnp.sin(a)
+    R = jnp.array([[c, -s], [s, c]], jnp.float32)          # (x, y) order
+    D = jnp.diag(jnp.array([mag_major, mag_minor], jnp.float32))
+    A = R @ D @ R.T  # forward distortion in (x, y)
+    yy = jnp.arange(ny, dtype=jnp.float32) - (ny - 1) / 2.0
+    xx = jnp.arange(nx, dtype=jnp.float32) - (nx - 1) / 2.0
+    gy, gx = jnp.meshgrid(yy, xx, indexing="ij")
+    # corrected pixel (gx, gy) samples the distorted image at A @ (gx, gy)
+    sx = A[0, 0] * gx + A[0, 1] * gy + (nx - 1) / 2.0
+    sy = A[1, 0] * gx + A[1, 1] * gy + (ny - 1) / 2.0
+
+    def one(img):
+        return map_coordinates(img, [sy, sx], order=1, mode="nearest")
+
+    flat = frames.reshape((-1, ny, nx))
+    out = jax.lax.map(one, flat)
+    return out.reshape(frames.shape)

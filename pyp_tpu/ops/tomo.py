@@ -328,7 +328,8 @@ def _solve_alpha_weighted(m, th, w, alpha, n_inner: int = 4):
 
 def solve_projection_model_robust(measured, tilt_angles, image_shape,
                                   confidence=None, rounds: int = 3,
-                                  tukey_factor: float = 1.0):
+                                  tukey_factor: float = 1.0,
+                                  fixed_alpha=None):
     """Projection-model solve with IRLS outlier rejection (tiltalign's robust
     fitting role): Tukey-biweight reweighting of bead measurements on top of
     the tracker's confidence, with the axis angle grid-searched outside the
@@ -349,6 +350,11 @@ def solve_projection_model_robust(measured, tilt_angles, image_shape,
     w = w0.copy()
 
     def best_alpha(w, coarse):
+        if fixed_alpha is not None:
+            # calibrated tilt axis (reference ctf_tilt_axis_known): no
+            # axis search, solve shifts/points at the given angle
+            rms, *_ = _solve_alpha_weighted(m, th, w, float(fixed_alpha))
+            return (rms, float(fixed_alpha))
         grid = (np.arange(-10.0, 10.01, 1.0) if coarse
                 else np.arange(best[1] - 1.0, best[1] + 1.01, 0.1))
         out = (1e18, 0.0)
@@ -383,7 +389,7 @@ def solve_projection_model_robust(measured, tilt_angles, image_shape,
 
 def align_tilt_series_fiducial(tilts, tilt_angles, bead_radius_px: float = 8.0,
                                max_beads: int = 40, min_beads: int = 4,
-                               tukey_factor: float = 1.0):
+                               tukey_factor: float = 1.0, fixed_alpha=None):
     """Full gold-fiducial alignment: xcorr prealign -> bead detection on the
     zero-tilt image -> template tracking -> robust projection solve.
 
@@ -413,7 +419,7 @@ def align_tilt_series_fiducial(tilts, tilt_angles, bead_radius_px: float = 8.0,
     )
     model, w = solve_projection_model_robust(
         measured, angles, (ny, nx), confidence=np.asarray(conf),
-        tukey_factor=tukey_factor,
+        tukey_factor=tukey_factor, fixed_alpha=fixed_alpha,
     )
     return model, coords, measured, w
 

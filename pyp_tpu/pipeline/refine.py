@@ -575,9 +575,20 @@ def refinement_iteration(
                 table, params, previous=prev_table)
             weights = np.where(keep_mask, weights, 0.0)
         batch = int(params.get("reconstruct_batch") or batch)
+        min_occ = float(params.get("reconstruct_min_occ") or 0.0)
+        if min_occ > 0 and "occupancy" in table:
+            # occupancy floor (FREALIGN reconstruct min_occ): particles
+            # under it contribute weight 0
+            weights = np.where(
+                np.asarray(table["occupancy"]) >= min_occ, weights, 0.0)
         rc_kwargs = dict(
             subset=subset.astype(np.int32), weights=weights.astype(np.float32),
-            symmetry=str(params["particle_sym"]),
+            # reconstruct_apply_symmetry=False inserts asymmetrically even
+            # when the refinement symmetry is higher (reference
+            # reconstruct3d card)
+            symmetry=(str(params["particle_sym"])
+                      if params.get("reconstruct_apply_symmetry", True)
+                      else "C1"),
             voltage_kv=float(params["scope_voltage"]),
             cs_mm=float(params["scope_cs"]),
             amplitude_contrast=float(params["scope_wgh"]),
@@ -595,10 +606,14 @@ def refinement_iteration(
         if params.get("reconstruct_lblur"):
             # likelihood blurring (reconstruct3d blurring card,
             # frealign.py:1772): insert over a psi-offset bank
-            rc_kwargs["lblur_nrot"] = int(
-                params.get("reconstruct_lblur_nrot") or 21)
             rc_kwargs["lblur_range"] = float(
                 params.get("reconstruct_lblur_range") or 20.0)
+            step_deg = float(params.get("reconstruct_lblur_step") or 0.0)
+            rc_kwargs["lblur_nrot"] = (
+                # psi step spelling of the bank density (lblur_step)
+                max(3, int(round(rc_kwargs["lblur_range"] / step_deg)) | 1)
+                if step_deg > 0
+                else int(params.get("reconstruct_lblur_nrot") or 21))
         # reconstruct_norm: per-particle normalization ahead of insertion
         # (cisTEM reconstruct3d "normalize particles", SURVEY §A.2)
         rec_stack = stack

@@ -133,6 +133,18 @@ def process_micrograph(item, params: dict, work_dir=".") -> dict:
             if raw is None:
                 raw = load_movie(item["path"], params)
             frames = apply_gain(np.asarray(raw, dtype=np.float32), params)
+            if params.get("movie_magcorr"):
+                # anisotropic-magnification correction ahead of alignment
+                # (movie tab magcorr; scope mag_major/minor/distort_ang)
+                import jax.numpy as _jnp
+
+                from pyp_tpu.ops.motion import correct_mag_distortion
+
+                frames = np.asarray(correct_mag_distortion(
+                    _jnp.asarray(frames),
+                    float(params.get("scope_mag_major") or 1.0),
+                    float(params.get("scope_mag_minor") or 1.0),
+                    float(params.get("scope_distort_ang") or 0.0)))
             if params.get("data_remove_xrays", True):
                 import jax.numpy as _jnp
 

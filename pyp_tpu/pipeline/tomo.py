@@ -154,6 +154,14 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
         summary["excluded_tilts"] = list(map(int, excl))
     meta["tlt"] = angles
 
+    if params.get("tomo_ali_square") and tilts.shape[-2] != tilts.shape[-1]:
+        # pad rectangular detectors to square before processing (etomo
+        # square role): keeps FFT shapes uniform across the pipeline
+        side = max(tilts.shape[-2:])
+        py, px = side - tilts.shape[-2], side - tilts.shape[-1]
+        tilts = np.pad(tilts, ((0, 0), (py // 2, py - py // 2),
+                               (px // 2, px - px // 2)), mode="reflect")
+        summary["squared_to"] = side
     binning = int(params.get("tomo_ali_bin") or 4)
     binning = max(1, min(binning, tilts.shape[-1] // 128 or 1))
     tilts_b = np.asarray(bin_images(jnp.asarray(tilts), binning)) if binning > 1 else tilts
@@ -210,6 +218,9 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         tukey_factor=float(
                             params.get("tomo_ali_robust_fitting_factor")
                             or 1.0),
+                        fixed_alpha=(axis_angle
+                                     if params.get("ctf_tilt_axis_known")
+                                     else None),
                     )
                     shifts = -np.asarray(model.shifts)
                     axis_angle = float(model.axis_angle)
@@ -239,7 +250,10 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         tracks, angles, (ny, nx),
                         tukey_factor=float(
                             params.get("tomo_ali_robust_fitting_factor")
-                            or 1.0))
+                            or 1.0),
+                        fixed_alpha=(axis_angle
+                                     if params.get("ctf_tilt_axis_known")
+                                     else None))
                 else:
                     model = tomo.solve_projection_model(
                         tracks, angles, (ny, nx),
@@ -289,13 +303,15 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             if params.get("tomo_rec_erase_fiducials"):
                 rad_px = max(2.0, float(params.get("tomo_rec_gold_rad") or 100.0)
                              / (pixel * binning * rec_bin))
+                # erase disk = factor x bead radius (reference erase_factor)
+                er_f = float(params.get("tomo_rec_erase_factor") or 1.5)
                 erased = []
                 for t in t2:
                     beads = pick.detect_gold_beads(
                         jnp.asarray(t), bead_radius_px=max(2, int(rad_px)))
                     erased.append(np.asarray(pick.erase_blobs(
                         jnp.asarray(t), beads.coords, beads.valid,
-                        1.5 * rad_px)))
+                        er_f * rad_px)))
                 t2 = np.asarray(erased, dtype=np.float32)
                 summary["fiducials_erased"] = True
             # cumulative-dose weighting per tilt (the reference's mtffilter
@@ -332,7 +348,8 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                     jnp.asarray(t2[i]),
                     *(lambda g: (g.coords, g.valid))(_pick.detect_gold_beads(
                         jnp.asarray(t2[i]), bead_radius_px=er_px)),
-                    1.5 * er_px)) for i in range(t2.shape[0])])
+                    float(params.get("tomo_rec_erase_factor") or 1.5)
+                    * er_px)) for i in range(t2.shape[0])])
             # defocus handedness + depth-dependent CTF correction (IMOD
             # ctfphaseflip / reference ctf/core.py:1935 detect_handedness):
             # both consume the per-tilt CTF fits; tilts here are already
@@ -459,6 +476,8 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
                         model = dn.train_denoiser(
                             [np.asarray(h1)], [np.asarray(h2)],
                             steps=steps, lr=lr,
+                            lr_finish=float(
+                                params.get("denoise_lr_finish") or 0.0),
                             batch=int(params.get("denoise_batch") or 16),
                             seed=int(params.get("denoise_seed") or 0),
                             patch=min(int(params.get("denoise_patch") or 64),
@@ -560,8 +579,13 @@ def process_tilt_series(item, params: dict, work_dir=".") -> dict:
             from pyp_tpu.io import mrc
 
             recon = mrc.read(f"{work_dir}/{name}.rec.mrc")
+            pick_vol = recon
+            if params.get("tomo_mem_use_denoised") and summary.get(
+                    "denoised"):
+                # pick on the denoised tomogram (tomo_mem use_denoised)
+                pick_vol = mrc.read(summary["denoised"]).astype(np.float32)
             box, vir, spk_eulers = pick_particles_3d(
-                recon, params, pixel * binning * rec_bin)
+                pick_vol, params, pixel * binning * rec_bin)
             meta["box"] = box
             if spk_eulers is not None:
                 # surface-normal orientation priors for CSPT init
@@ -660,7 +684,8 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
             from pyp_tpu.models import io as mio
             from pyp_tpu.models import membrane as mem
 
-            mpath = _Path(str(params.get("tomo_vir_nn_model") or "")
+            mpath = _Path(str(params.get("tomo_mem_model") or "")
+                          or str(params.get("tomo_vir_nn_model") or "")
                           or "membrane_model.npz")
             feats = (16, 32, 64)
             if mpath.exists():
@@ -671,11 +696,22 @@ def pick_particles_3d(recon, params: dict, eff_pixel: float):
                 model = mem.train_membrane_segmenter(
                     steps=int(params.get("tomo_vir_nn_steps") or 400),
                     seed=int(params.get("train_seed") or 0),
+                    patch=int(params.get("tomo_mem_patch_pxl") or 96),
                     features=feats)
                 mio.save_params(model.params, mpath)
             # the segmenter was trained on raw-contrast slices and handles
             # noise itself — the Hough detection band is NOT applied here
             prob = mem.segment_tomogram(model, recon)
+            seg_thres = float(params.get("tomo_mem_seg_thres") or 0.0)
+            if seg_thres > 0:
+                # probability floor (tomo_mem seg_thres): weak responses
+                # don't vote in the sphere Hough
+                prob = np.where(np.asarray(prob) >= seg_thres, prob, 0.0)
+            if params.get("tomo_mem_store_probabilities"):
+                from pyp_tpu.io import mrc as _mrc2
+
+                _mrc2.write(np.asarray(prob, dtype=np.float32),
+                            "membrane_prob.mrc")
             centers, rads, scores, valid = \
                 mem.detect_virions_from_segmentation(
                     prob, radii,

@@ -146,3 +146,29 @@ class TestMotionCorCards:
                                      search_radius=20.0, max_iters=1)
         np.testing.assert_allclose(np.asarray(res_tol.shifts),
                                    np.asarray(res_one.shifts), atol=1e-4)
+
+
+class TestMagDistortion:
+    def test_correction_inverts_planted_distortion(self):
+        """correct_mag_distortion must undo a known anisotropic stretch
+        (MotionCor -Mag role)."""
+        import jax.numpy as jnp
+
+        from pyp_tpu.core.filters import apply_bandpass
+        from pyp_tpu.ops.motion import correct_mag_distortion
+
+        rng = np.random.RandomState(0)
+        img = np.asarray(apply_bandpass(
+            jnp.asarray(rng.randn(128, 128).astype(np.float32)),
+            0.0, 0.12))
+        maj, mino, ang = 1.03, 0.98, 25.0
+        # plant the distortion by sampling the TRUE image at A^-1 grid:
+        # correct_mag_distortion(img, 1/maj, 1/mino, ang) applies A itself
+        distorted = np.asarray(correct_mag_distortion(
+            jnp.asarray(img), 1.0 / maj, 1.0 / mino, ang))
+        fixed = np.asarray(correct_mag_distortion(
+            jnp.asarray(distorted), maj, mino, ang))
+        c = 20  # interior (edge pixels extrapolate)
+        err_fixed = np.abs(fixed - img)[c:-c, c:-c].mean()
+        err_dist = np.abs(distorted - img)[c:-c, c:-c].mean()
+        assert err_fixed < 0.35 * err_dist, (err_fixed, err_dist)
