@@ -394,6 +394,7 @@ def refinement_iteration(
                     else:
                         polish_refs = [volume_to_fourier(
                             jnp.asarray(ref_volume), pad=iblow)]
+                frm_poses, frm_scores = [], []
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
                     xs = match_batch(lo, hi)
@@ -447,39 +448,61 @@ def refinement_iteration(
                             init_poses=init, prior_cone_deg=cone,
                             fsc_curve=fsc_curve, d_block=frm_dblock,
                         )
-                    if do_polish:
-                        # cisTEM refine_mask order (psi,theta,phi,shx,shy)
-                        # -> our pose layout (phi,theta,psi,sy,sx)
-                        rm = [float(v) for v in str(
-                            params.get("refine_mask") or "1,1,1,1,1"
-                        ).replace(":", ",").split(",")]
-                        pose_mask = (rm[2], rm[1], rm[0], rm[4], rm[3])
+                    if padb:
+                        poses = poses[:b0]
+                        scores = scores[:b0]
+                    frm_poses.append(np.asarray(poses))
+                    frm_scores.append(np.asarray(scores))
+                # FRM matching done: free the direction banks BEFORE the
+                # polish pass — bank + polish reference spectra + autodiff
+                # activations co-resident OOM the chip at production boxes
+                banks = bank = None
+                all_poses = np.concatenate(frm_poses)
+                all_scores = np.concatenate(frm_scores)
+                if do_polish:
+                    # cisTEM refine_mask order (psi,theta,phi,shx,shy)
+                    # -> our pose layout (phi,theta,psi,sy,sx)
+                    rm = [float(v) for v in str(
+                        params.get("refine_mask") or "1,1,1,1,1"
+                    ).replace(":", ",").split(",")]
+                    pose_mask = (rm[2], rm[1], rm[0], rm[4], rm[3])
+                    # gradient-polish activation memory scales with
+                    # batch x band points: shrink the chunk as the box
+                    # grows past the 128-px tuning point
+                    pstep = max(64, step // max(1, (stack.shape[-1]
+                                                    // 128) ** 2))
+                    for lo in range(0, n_total, pstep):
+                        hi = min(lo + pstep, n_total)
+                        xs = match_batch(lo, hi)
+                        cp = ctf_params[lo:hi]
+                        p0 = jnp.asarray(all_poses[lo:hi])
                         pol = [refine3d.local_refine(
                             jnp.asarray(xs), jnp.asarray(cp), F,
-                            jnp.asarray(poses), polish_pts,
+                            p0, polish_pts,
                             stack.shape[-1], pixel, pose_mask=pose_mask,
                             voltage_kv=float(params["scope_voltage"]),
                             cs_mm=float(params["scope_cs"]),
                             amplitude_contrast=float(params["scope_wgh"]),
-                            iters=int(params.get("refine_local_iters") or 24),
+                            iters=int(params.get("refine_local_iters")
+                                      or 24),
                             lr_angles=float(params.get("refine_lr_angles")
                                             or 2.0),
                             lr_shifts=float(params.get("refine_lr_shifts")
                                             or 0.4),
                             weights=shell_w) for F in polish_refs]
                         if gold:
-                            poses = jnp.where(hs == 0, pol[0][0], pol[1][0])
-                            scores = jnp.where(hs[:, 0] == 0, pol[0][1],
-                                               pol[1][1])
+                            hs = jnp.asarray(halves_now[lo:hi])[:, None]
+                            pp = jnp.where(hs == 0, pol[0][0], pol[1][0])
+                            ss = jnp.where(hs[:, 0] == 0, pol[0][1],
+                                           pol[1][1])
                         else:
-                            poses, scores = pol[0]
-                    res = frm.to_refine_result(
-                        poses, scores, n_band_points=G_pts)
-                    if padb:
-                        res = refine3d.RefineResult(
-                            *(getattr(res, f)[:b0]
-                              for f in refine3d.RefineResult._fields))
-                    results.append(res)
+                            pp, ss = pol[0]
+                        all_poses[lo:hi] = np.asarray(pp)
+                        all_scores[lo:hi] = np.asarray(ss)
+                    polish_refs = polish_pts = None  # noqa: F841
+                results.append(frm.to_refine_result(
+                    jnp.asarray(all_poses), jnp.asarray(all_scores),
+                    n_band_points=G_pts))
             else:
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)

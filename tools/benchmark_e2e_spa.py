@@ -88,17 +88,31 @@ def main(n_particles=4096, box=128, noise_x=3.0, frm_wiener=0.1,
     key = jax.random.PRNGKey(seed + 1)
     if resident:
         # assemble the dataset ON DEVICE in bf16 (half the HBM of f32; the
-        # matcher upcasts per batch) — functional .set() updates double-
-        # buffer one stack copy transiently, nothing leaves the chip
+        # matcher upcasts per batch); the writer DONATES the stack buffer
+        # so assembly never holds two copies (at 49k x 256^2 a functional
+        # .set() would transiently double 6.4 GB)
+        import functools as _ft
+
+        @_ft.partial(jax.jit, donate_argnums=(0,))
+        def _write(stack, xb, lo):
+            return jax.lax.dynamic_update_slice(
+                stack, xb.astype(jnp.bfloat16), (lo, 0, 0))
+
+        bs = min(bs, n_particles)
         stack = jnp.zeros((n_particles, box, box), dtype=jnp.bfloat16)
         for lo in range(0, n_particles, bs):
-            hi = min(lo + bs, n_particles)
+            # clamp the tail chunk to a full bs window ending at n — the
+            # overlapped rows re-render with the same pose/CTF (fresh
+            # noise draw, equally valid); one static shape keeps a single
+            # compiled writer
+            lo = min(lo, n_particles - bs)
+            hi = lo + bs
             key, sub = jax.random.split(key)
             xb = make_batch(
                 Fvol, jnp.asarray(phi[lo:hi]), jnp.asarray(theta[lo:hi]),
                 jnp.asarray(psi[lo:hi]), jnp.asarray(shifts[lo:hi]),
                 jnp.asarray(ctf_params[lo:hi]), sub)
-            stack = stack.at[lo:hi].set(xb.astype(jnp.bfloat16))
+            stack = _write(stack, xb, jnp.asarray(lo, jnp.int32))
         stack.block_until_ready()
     else:
         stack = np.empty((n_particles, box, box), dtype=np.float32)
