@@ -194,7 +194,12 @@ class FrmBank:
         self.n_psi = int(n_psi)
         self.n = int(n)
         pts = jnp.asarray(polar_points(radii, n_psi))
-        self.U, self.FUc, self.u2sum = _bank_tables(
+        # only the psi-FFT table is resident: U is exactly recoverable as
+        # conj(ifft(conj(FUc))) for the few selected rows that need ring
+        # values, and NOT storing it halves bank HBM — the binding
+        # constraint at production boxes (box 256 / late-iteration bands
+        # OOMed a v5e with both tables live)
+        self.FUc, self.u2sum = _bank_tables(
             Fref, jnp.asarray(self.directions), pts, n)
         R0 = euler_to_matrix(self.directions[:, 0], self.directions[:, 1],
                              np.zeros(len(self.directions)))
@@ -217,7 +222,7 @@ def _bank_tables(Fref, directions, pts, n: int):
     U = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
     FUc = jnp.conj(jnp.fft.fft(jnp.conj(U), axis=-1))        # (D, R, K)
     u2sum = jnp.sum(jnp.abs(U) ** 2, axis=-1)                # (D, R)
-    return U, FUc, u2sum
+    return FUc, u2sum
 
 
 # ---------------------------------------------------------------------------
@@ -374,7 +379,7 @@ def _refine_shifts(Xp_raw, ring_w, U_best, u2_best, psi_deg, pts,
                      "cone_deg", "coarse_step", "wiener"),
 )
 def _frm_refine_jit(
-    stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, U, dir_table,
+    stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, dir_table,
     bank_axes, shift_grid, coarse_shifts, init_shifts, init_axes,
     init_psi_deg, ring_cref,
     n: int, n_psi: int, pixel_size: float, voltage_kv: float, cs_mm: float,
@@ -479,8 +484,11 @@ def _frm_refine_jit(
         shifts = jnp.take_along_axis(
             cand, s_idx[None, :, None], axis=0)[0]              # (B, 2)
         psi_deg = psi_idx.astype(jnp.float32) * (360.0 / (k_round * up_round))
+        # ring values for the selected directions, recovered from the
+        # psi-FFT table (U = conj(ifft(conj(FUc))); exact)
+        U_sel = jnp.conj(jnp.fft.ifft(jnp.conj(FUc[d_idx]), axis=-1))
         shifts, scores = _refine_shifts(
-            Xp, wr, U[d_idx], u2sum[d_idx], psi_deg, pts,
+            Xp, wr, U_sel, u2sum[d_idx], psi_deg, pts,
             shift_grid[None] + shifts[:, None, :], n)
     dirs = dir_table[d_idx]                               # (B, 2)
     poses = jnp.stack([
@@ -604,7 +612,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         ring_cref = jnp.ones(len(cfg.radii), dtype=jnp.float32)
     poses, scores = _frm_refine_jit(
         stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
-        cfg.ring_w, bank.FUc, bank.u2sum, bank.U,
+        cfg.ring_w, bank.FUc, bank.u2sum,
         jnp.asarray(bank.directions), jnp.asarray(bank.axes),
         cfg.shift_grid, cfg.coarse_shifts, init_shifts, init_axes,
         init_psi_deg, ring_cref,
