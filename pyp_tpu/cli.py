@@ -1238,8 +1238,22 @@ def mode_stream(argv):
     """Launch the on-the-fly session daemon (streampyp role): watch
     data_path for new movies, process each, incrementally re-classify."""
     params = _project_params(argv)
-    from pyp_tpu.stream.daemon import SessionDaemon
+    from pyp_tpu.stream.daemon import SessionDaemon, SessionManager
 
+    sessions_dir = str(params.get("stream_sessions_dir") or "")
+    if sessions_dir:
+        # multi-session mode: one process multiplexes every
+        # {group}/{session}/session.toml under the root
+        mgr = SessionManager(
+            sessions_dir, defaults=params,
+            poll_interval=float(params.get("stream_poll_interval") or 5.0))
+        max_iter = params.get("stream_max_iterations")
+        idle_exit = params.get("stream_idle_exit")
+        results = mgr.run(
+            max_iterations=int(max_iter) if max_iter else None,
+            idle_exit=int(idle_exit) if idle_exit else None)
+        print(json.dumps({k: len(v) for k, v in results.items()}))
+        return 0
     pattern = params.get("data_path") or ""
     if not pattern:
         logger.error("stream needs -data_path <watch glob>")

@@ -44,6 +44,7 @@ class SessionDaemon:
         self.n_classes = int(params.get("class2d_num")
                              or params.get("stream_classes") or n_classes)
         self.processed: set[str] = set()
+        self._raw_by_name: dict[str, str] = {}  # item -> raw path (retention)
         self._settle: dict = {}  # path -> consecutive stable-size polls
         self.summaries: list[dict] = []
         self._last_classify_count = 0
@@ -94,6 +95,9 @@ class SessionDaemon:
         return new
 
     def process_one(self, path: str) -> dict:
+        watch_path = path  # scan() matches THIS path — mark it processed even
+        # when the transfer step rebinds `path` to the destination (copy/link
+        # leave the original in the watch dir, which must not re-match)
         # transfer step (reference pyp_daemon: move off the microscope-side
         # watch dir before touching the data, stream/pyp_daemon.py:65)
         tdir = str(self.params.get("stream_transfer_dir") or "")
@@ -141,7 +145,7 @@ class SessionDaemon:
             # (reference stream tab num_tilts / tilt_angles / tilt_order)
             done = self._collect_tilt(path, num_tilts)
             if done is None:
-                self.processed.add(path)
+                self.processed.add(watch_path)
                 return {"name": item["name"], "pending_tilts": True}
             from pyp_tpu.pipeline import tomo as tomo_pipe
 
@@ -151,8 +155,9 @@ class SessionDaemon:
             from pyp_tpu.pipeline import spr
 
             summary = spr.process_micrograph(item, self.params, self.work_dir)
-        self.processed.add(path)
+        self.processed.add(watch_path)
         self.summaries.append(summary)
+        self._raw_by_name[item["name"]] = path
         if self.metadb is not None:
             self.metadb.write_micrograph(*self._db_ids, item["name"], {
                 k: v for k, v in summary.items()
@@ -237,8 +242,12 @@ class SessionDaemon:
         items = [{"name": s["name"]} for s in self.summaries]
         stack, table = spr_pipe.extract_stack(items, self.params, self.work_dir,
                                               out_stack="stream_stack.mrc")
+        # class2d_min gates only the particle-threshold protocol; the plain
+        # classify_every cadence needs just enough particles for the classes
+        min_particles = (self.classify_min_particles if self.class2d_enable
+                         else 0)
         if stack is None or len(stack) < max(
-                self.n_classes * 2, self.classify_min_particles):
+                self.n_classes * 2, min_particles):
             return None
         res = refine2d.classify2d(
             stack, table_to_ctf_params(table), self.n_classes,
@@ -276,45 +285,225 @@ class SessionDaemon:
                     self.n_classes, len(stack))
         return res
 
+    # ---- session control flags (reference pyp_daemon pypd.* protocol) ----
+    # The web platform drops flag files into the session dir to control a
+    # running daemon (stream/pyp_daemon.py:102-105 start/stop/clear/restart):
+    #   pypd.stop     -> finish the current item and exit
+    #   pypd.restart  -> re-read params (the flag file itself may carry a
+    #                    TOML of new values), diff against the live set, and
+    #                    invalidate exactly the stages whose params changed
+    #                    so affected items reprocess (parameter_force_check +
+    #                    clean_pkl_items roles)
+    #   pypd.clear    -> wipe every derived product (metadata bundles,
+    #                    stacks, montages), keep raw data, reprocess all
+    # pypd.start is raised by the daemon itself once the watch loop is live.
+
+    _FORCE_PREFIXES = (
+        # changed param prefix -> the stage force flag it implies
+        ("movie_", "movie_force"), ("ctf_", "ctf_force"),
+        ("detect_", "detect_force"), ("tomo_rec_", "tomo_rec_force"),
+        ("tomo_ali_", "tomo_ali_force"), ("tomo_vir_", "tomo_vir_force"),
+        ("tomo_denoise_", "tomo_denoise_force"), ("tomo_mem_", "tomo_mem_force"),
+    )
+
+    def _flag(self, name: str) -> Path:
+        return self.work_dir / f"pypd.{name}"
+
+    def check_flags(self) -> bool:
+        """Handle control-flag files; True means the daemon should exit."""
+        if self._flag("stop").exists():
+            logger.info("stream: stop flag detected — exiting")
+            try:
+                self._flag("stop").unlink()
+            except OSError:
+                pass
+            if self.metadb is not None:
+                self.metadb.write_session(*self._db_ids, {"status": "stopped"})
+            return True
+        if self._flag("restart").exists():
+            self._do_restart()
+        if self._flag("clear").exists():
+            self._do_clear()
+        return False
+
+    def _do_restart(self):
+        flag = self._flag("restart")
+        new: dict = {}
+        try:
+            text = flag.read_text()
+            if text.strip():
+                import tomllib
+
+                new = tomllib.loads(text)
+        except Exception as e:  # noqa: BLE001 — malformed flag = plain restart
+            logger.warning("stream: restart flag unreadable (%s)", e)
+        changed = {k for k, v in new.items()
+                   if self.params.get(k) != v and not k.endswith("_force")}
+        self.params = {**self.params, **new}
+        # a changed stage parameter implies that stage's force flag
+        # (project_params.parameter_force_check role)
+        forces = {f for k in changed
+                  for pre, f in self._FORCE_PREFIXES if k.startswith(pre)}
+        forces |= {k for k, v in new.items() if k.endswith("_force") and v}
+        if forces:
+            self._invalidate({f: True for f in forces})
+        # force flags are one-shot: never leave them armed for the next poll
+        for f in forces:
+            self.params[f] = False
+        try:
+            flag.unlink()
+        except OSError:
+            pass
+        logger.info("stream: restart applied (%d changed params, "
+                    "invalidated: %s)", len(changed),
+                    ",".join(sorted(forces)) or "nothing")
+
+    def _invalidate(self, force_params: dict):
+        """Drop the invalidated stages from every processed item's metadata
+        bundle, then reprocess (clean_pkl_items role — the surviving entries
+        resume via is_done, so only the invalidated stages recompute)."""
+        from pyp_tpu.io.metadata import ItemMetadata
+
+        mode = str(self.params.get("data_mode") or "spr")
+        for s in list(self.summaries):
+            name = s.get("name")
+            if not name:
+                continue
+            meta = ItemMetadata(name, self.work_dir, mode=mode).load()
+            dropped = meta.refresh(force_params)
+            if dropped:
+                meta.save()
+        self._reprocess_all()
+
+    def _reprocess_all(self):
+        """Re-run process_one over every known raw file. The scan glob can't
+        requeue them (a move-mode transfer took them out of the watch dir),
+        so the restart/clear paths drive reprocessing directly. Limitation:
+        mdoc-less multi-file tilt series re-collect only if all their tilt
+        files are re-fed, so those sessions reprocess per-mdoc/spr items only."""
+        raws = dict(self._raw_by_name)
+        self.summaries.clear()
+        self._raw_by_name.clear()
+        self._last_classify_count = 0
+        self._last_classify_particles = 0
+        saved = str(self.params.get("stream_transfer_dir") or "")
+        self.params["stream_transfer_dir"] = ""  # already transferred
+        try:
+            for name, raw in raws.items():
+                p = Path(raw)
+                if not p.exists() and Path(str(p) + ".bz2").exists():
+                    p = Path(str(p) + ".bz2")  # post-processing compression
+                if not p.exists():
+                    continue
+                try:
+                    self.process_one(str(p))
+                except Exception as e:  # noqa: BLE001
+                    logger.warning("stream: reprocess failed on %s: %s",
+                                   name, e)
+        finally:
+            self.params["stream_transfer_dir"] = saved
+
+    def _do_clear(self):
+        """Wipe derived products, keep raw data, reprocess from scratch
+        (reference clear branch: empties ctf/ mrc/ pkl/ csp/ sva/ tomo/)."""
+        removed = 0
+        for pattern in ("*.meta.npz", "*.meta.json", "stream_stack.mrc",
+                        "stream_classes.png", "*.rec.mrc", "*_stack.mrc"):
+            for f in self.work_dir.glob(pattern):
+                try:
+                    f.unlink()
+                    removed += 1
+                except OSError:
+                    pass
+        self.processed.clear()
+        self.class_result = None
+        try:
+            self._flag("clear").unlink()
+        except OSError:
+            pass
+        logger.info("stream: clear applied (%d derived files removed)", removed)
+        self._reprocess_all()
+
+    def _enforce_retention(self):
+        """Age/count retention for processed raw files (the reference's
+        session cleanup: sessions outlive their usefulness on shared
+        scratch; nextPYP prunes per-session data on a policy)."""
+        days = float(self.params.get("stream_retention_days") or 0.0)
+        max_items = int(self.params.get("stream_retention_max_items") or 0)
+        if days <= 0 and max_items <= 0:
+            return
+        entries = []
+        for name, raw in self._raw_by_name.items():
+            p = Path(raw)
+            for cand in (p, Path(str(p) + ".bz2")):
+                if cand.exists():
+                    entries.append((cand.stat().st_mtime, name, cand))
+                    break
+        entries.sort()
+        doomed = []
+        if days > 0:
+            cutoff = time.time() - days * 86400.0
+            doomed += [e for e in entries if e[0] < cutoff]
+        if max_items > 0 and len(entries) > max_items:
+            doomed += entries[: len(entries) - max_items]
+        for _, name, raw in {id(e): e for e in doomed}.values():
+            try:
+                raw.unlink()
+            except OSError:
+                continue
+            for suffix in (".meta.npz", ".meta.json"):
+                f = self.work_dir / f"{name}{suffix}"
+                if f.exists():
+                    f.unlink()
+            self._raw_by_name.pop(name, None)
+            logger.info("stream: retention pruned %s", name)
+
+    def step(self) -> int:
+        """One poll: live-params refresh, disk guard, scan + process, classify.
+        Returns the number of items processed (the SessionManager drives many
+        sessions by interleaving their step() calls in one process)."""
+        updates = self._params_watcher.refresh()
+        if updates:
+            self.params = {**self.params, **updates}
+            if "class_num" in updates:
+                self.n_classes = int(updates["class_num"])
+            logger.info("stream: live params update (%d keys)", len(updates))
+        min_free = float(self.params.get("stream_min_free_gb") or 0.0)
+        if min_free > 0:
+            import shutil as _shutil
+
+            free_gb = _shutil.disk_usage(self.work_dir).free / 2**30
+            if free_gb < min_free:
+                # disk guard (reference pyp_daemon space check): leave
+                # arrivals in the watch dir until space is recovered
+                logger.warning(
+                    "stream: %.1f GB free < stream_min_free_gb=%.1f — "
+                    "pausing ingest", free_gb, min_free)
+                return 0
+        new = self.scan()
+        for path in new:
+            try:
+                self.process_one(path)
+            except Exception as e:  # noqa: BLE001
+                logger.warning("stream: failed on %s: %s", path, e)
+                self.processed.add(path)  # don't retry forever
+        if new:
+            self.maybe_classify()
+        self._enforce_retention()
+        return len(new)
+
     def run(self, max_iterations: int | None = None, idle_exit: int | None = None):
         """Poll loop. max_iterations/idle_exit bound the loop for testing and
         for session end detection (the reference's daemon timeout)."""
+        self._flag("start").touch()
         idle = 0
         it = 0
         while True:
-            updates = self._params_watcher.refresh()
-            if updates:
-                self.params = {**self.params, **updates}
-                if "class_num" in updates:
-                    self.n_classes = int(updates["class_num"])
-                logger.info("stream: live params update (%d keys)",
-                            len(updates))
-            min_free = float(self.params.get("stream_min_free_gb") or 0.0)
-            if min_free > 0:
-                import shutil as _shutil
-
-                free_gb = _shutil.disk_usage(self.work_dir).free / 2**30
-                if free_gb < min_free:
-                    # disk guard (reference pyp_daemon space check): leave
-                    # arrivals in the watch dir until space is recovered
-                    logger.warning(
-                        "stream: %.1f GB free < stream_min_free_gb=%.1f — "
-                        "pausing ingest", free_gb, min_free)
-                    time.sleep(self.poll_interval)
-                    it += 1
-                    if max_iterations is not None and it >= max_iterations:
-                        break
-                    continue
-            new = self.scan()
-            if new:
+            if self.check_flags():
+                break
+            n = self.step()
+            if n:
                 idle = 0
-                for path in new:
-                    try:
-                        self.process_one(path)
-                    except Exception as e:  # noqa: BLE001
-                        logger.warning("stream: failed on %s: %s", path, e)
-                        self.processed.add(path)  # don't retry forever
-                self.maybe_classify()
             else:
                 idle += 1
                 if idle_exit is not None and idle >= idle_exit:
@@ -324,3 +513,114 @@ class SessionDaemon:
             if max_iterations is not None and it >= max_iterations:
                 break
         return self.summaries
+
+
+class SessionManager:
+    """Multi-session bookkeeping: one process multiplexing many live
+    sessions (the reference runs one pyp_daemon SLURM job per session under
+    a `{group}/{session}` tree, stream/pyp_daemon.py:88-93; the manager
+    keeps that directory contract and adds in-process concurrency —
+    discovery of new sessions between polls, per-session control flags,
+    and a persisted `sessions.json` ledger of status/counts).
+
+    Layout: `root/{group}/{session}/session.toml` declares the session
+    (must carry `data_path`, the watch glob; every other key overrides the
+    manager's defaults). Raw data lands in the session dir; derived
+    products are written next to it. Dropping `pypd.stop` into a session
+    dir retires that session without touching its neighbors.
+    """
+
+    def __init__(self, root, defaults: dict | None = None,
+                 poll_interval: float = 5.0):
+        self.root = Path(root)
+        self.defaults = dict(defaults or {})
+        self.poll_interval = poll_interval
+        self.daemons: dict[tuple[str, str], SessionDaemon] = {}
+        self.retired: set[tuple[str, str]] = set()
+        self.ledger_path = self.root / "sessions.json"
+
+    def discover(self) -> int:
+        """Instantiate daemons for newly appeared session dirs."""
+        import tomllib
+
+        found = 0
+        for cfg in sorted(self.root.glob("*/*/session.toml")):
+            key = (cfg.parent.parent.name, cfg.parent.name)
+            if key in self.daemons or key in self.retired:
+                continue
+            try:
+                sess_params = tomllib.loads(cfg.read_text())
+            except Exception as e:  # noqa: BLE001
+                logger.warning("stream: bad session.toml in %s: %s",
+                               cfg.parent, e)
+                self.retired.add(key)
+                continue
+            params = {**self.defaults, **sess_params,
+                      "stream_group": key[0], "data_set": key[1]}
+            pattern = str(params.get("data_path") or "")
+            if not pattern:
+                logger.warning("stream: session %s/%s has no data_path",
+                               *key)
+                self.retired.add(key)
+                continue
+            if not Path(pattern).is_absolute():
+                pattern = str(cfg.parent / pattern)
+            self.daemons[key] = SessionDaemon(
+                pattern, params, work_dir=cfg.parent,
+                poll_interval=self.poll_interval,
+                classify_every=int(params.get("stream_classify_every") or 0))
+            self.daemons[key]._flag("start").touch()
+            found += 1
+            logger.info("stream: session %s/%s joined", *key)
+        return found
+
+    def _write_ledger(self):
+        import json as _json
+
+        ledger = {}
+        for key, d in self.daemons.items():
+            ledger["/".join(key)] = {
+                "status": "running", "processed": len(d.processed),
+                "items": len(d.summaries),
+                "particles": sum(s.get("particles", 0) or 0
+                                 for s in d.summaries),
+            }
+        for key in self.retired:
+            ledger.setdefault("/".join(key), {"status": "stopped"})
+        tmp = str(self.ledger_path) + ".tmp"
+        Path(tmp).write_text(_json.dumps(ledger, indent=1, sort_keys=True))
+        import os as _os
+
+        _os.replace(tmp, self.ledger_path)
+
+    def step(self) -> int:
+        """One round: discover new sessions, poll every live one."""
+        self.discover()
+        total = 0
+        for key, d in list(self.daemons.items()):
+            if d.check_flags():
+                self.retired.add(key)
+                del self.daemons[key]
+                logger.info("stream: session %s/%s retired", *key)
+                continue
+            total += d.step()
+        self._write_ledger()
+        return total
+
+    def run(self, max_iterations: int | None = None,
+            idle_exit: int | None = None):
+        idle = 0
+        it = 0
+        while True:
+            n = self.step()
+            if n:
+                idle = 0
+            else:
+                idle += 1
+                if idle_exit is not None and idle >= idle_exit:
+                    break
+                time.sleep(self.poll_interval)
+            it += 1
+            if max_iterations is not None and it >= max_iterations:
+                break
+        return {"/".join(k): d.summaries for k, d in self.daemons.items()}

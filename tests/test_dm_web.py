@@ -187,3 +187,132 @@ class TestMetaDB:
         assert pushes, d._web.sent
         assert pushes[-1]["params"]["dataset"] == "sess2"
         assert len(pushes[-1]["params"]["occupancy"]) == 2
+
+
+class TestSessionControl:
+    """Control-flag protocol + retention + multi-session manager
+    (reference stream/pyp_daemon.py pypd.start/stop/restart/clear and
+    the per-session {group}/{name} directory contract)."""
+
+    def _mkparams(self, tmp_path, **over):
+        from pyp_tpu.config.params import defaults
+
+        params = defaults()
+        params.update({"scope_pixel": 1.0, "data_set": "s",
+                       "ctf_tile": 64, "detect_max": 8, "extract_box": 16})
+        params.update(over)
+        return params
+
+    def _mkmovie(self, path, seed=0, n=3, size=64):
+        import numpy as np
+
+        from pyp_tpu.io import mrc
+
+        rng = np.random.RandomState(seed)
+        mrc.write(rng.randn(n, size, size).astype(np.float32), str(path))
+
+    def test_stop_flag_exits_and_start_flag_raised(self, tmp_path,
+                                                   monkeypatch):
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        self._mkmovie("a.mrc")
+        d = SessionDaemon("*.mrc", self._mkparams(tmp_path), work_dir=".")
+        (tmp_path / "pypd.stop").touch()
+        d.run(max_iterations=5)
+        assert (tmp_path / "pypd.start").exists()
+        assert not (tmp_path / "pypd.stop").exists()  # consumed
+        assert len(d.summaries) == 0  # stop honored before processing
+
+    def test_restart_flag_invalidates_changed_stage(self, tmp_path,
+                                                    monkeypatch):
+        """A restart flag carrying a changed ctf_* param drops the ctf
+        metadata entry and reprocesses; the untouched movie alignment
+        entry survives resume (parameter_force_check + clean_pkl_items)."""
+        from pyp_tpu.io.metadata import ItemMetadata
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        self._mkmovie("a.mrc")
+        d = SessionDaemon("*.mrc", self._mkparams(tmp_path), work_dir=".")
+        d.run(max_iterations=1)
+        assert len(d.summaries) == 1
+        meta = ItemMetadata("a", tmp_path, mode="spr").load()
+        assert "ctf" in meta.arrays
+        before_ctf = float(d.summaries[0].get("ctf_df", 0.0) or 0.0)
+        (tmp_path / "pypd.restart").write_text("ctf_max_res = 6.0\n")
+        assert not d.check_flags()
+        assert d.params["ctf_max_res"] == 6.0
+        assert len(d.summaries) == 1  # reprocessed, not duplicated
+        assert not (tmp_path / "pypd.restart").exists()
+        _ = before_ctf  # value may legitimately match; presence is the test
+
+    def test_clear_flag_wipes_derived_and_reprocesses(self, tmp_path,
+                                                      monkeypatch):
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        self._mkmovie("a.mrc")
+        d = SessionDaemon("*.mrc", self._mkparams(tmp_path), work_dir=".")
+        d.run(max_iterations=1)
+        assert (tmp_path / "a.meta.npz").exists()
+        (tmp_path / "pypd.clear").touch()
+        assert not d.check_flags()
+        assert not (tmp_path / "pypd.clear").exists()
+        # derived products were rebuilt by the reprocess pass
+        assert (tmp_path / "a.meta.npz").exists()
+        assert len(d.summaries) == 1
+
+    def test_retention_max_items_prunes_oldest(self, tmp_path, monkeypatch):
+        import os
+        import time as _time
+
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        for i in range(3):
+            self._mkmovie(f"m{i}.mrc", seed=i)
+            # stagger mtimes so "oldest" is deterministic
+            t = _time.time() - (3 - i) * 3600
+            os.utime(f"m{i}.mrc", (t, t))
+        params = self._mkparams(tmp_path, stream_retention_max_items=2)
+        d = SessionDaemon("*.mrc", params, work_dir=".")
+        d.run(max_iterations=1)
+        assert len(d.summaries) == 3
+        assert not (tmp_path / "m0.mrc").exists()  # oldest pruned
+        assert not (tmp_path / "m0.meta.npz").exists()
+        assert (tmp_path / "m1.mrc").exists()
+        assert (tmp_path / "m2.mrc").exists()
+
+    def test_session_manager_multiplexes_and_ledgers(self, tmp_path,
+                                                     monkeypatch):
+        """Two sessions under {group}/{name} run in one manager; the
+        sessions.json ledger records both; a stop flag retires one
+        without touching the other."""
+        import json
+
+        from pyp_tpu.stream.daemon import SessionManager
+
+        monkeypatch.chdir(tmp_path)
+        root = tmp_path / "sessions"
+        for g, s in (("krios1", "sessA"), ("krios2", "sessB")):
+            sdir = root / g / s
+            sdir.mkdir(parents=True)
+            (sdir / "session.toml").write_text('data_path = "*.mrc"\n')
+            self._mkmovie(sdir / "a.mrc")
+        mgr = SessionManager(root, defaults=self._mkparams(tmp_path),
+                             poll_interval=0.01)
+        mgr.step()
+        assert len(mgr.daemons) == 2
+        mgr.step()  # process
+        ledger = json.loads((root / "sessions.json").read_text())
+        assert ledger["krios1/sessA"]["items"] == 1
+        assert ledger["krios2/sessB"]["items"] == 1
+        # retire one session
+        (root / "krios1" / "sessA" / "pypd.stop").touch()
+        mgr.step()
+        assert ("krios1", "sessA") not in mgr.daemons
+        assert ("krios2", "sessB") in mgr.daemons
+        ledger = json.loads((root / "sessions.json").read_text())
+        assert ledger["krios1/sessA"]["status"] == "stopped"
+        assert ledger["krios2/sessB"]["status"] == "running"
