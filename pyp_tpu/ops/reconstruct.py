@@ -236,6 +236,14 @@ def _rfa_donated(num, den, n: int, pad: int, wiener: float, gridding: str):
     return reconstruct_from_accumulators(num, den, n, pad, wiener, gridding)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _add_donated(a, b):
+    """Sum two accumulator grids in place (output aliases an input): at
+    production boxes each padded num grid is ~1 GB and a functional add
+    while all four half-set grids are live tips HBM over."""
+    return a + b
+
+
 def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
              wiener: float = 0.5,
              gridding: str = "trilinear") -> Reconstruction:
@@ -251,11 +259,30 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
                                           gridding)
     half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener,
                                           gridding)
-    freqs, curve = fsc_mod.fsc(half1, half2)
-    num = acc.num1 + acc.num2
-    den = acc.den1 + acc.den2
+    # FSC on the host CPU backend: the half maps are tiny (n^3) but the
+    # four padded accumulator grids are still live at this point, and at
+    # box 256 even compiling+allocating the small FSC program on the TPU
+    # fails with ResourceExhausted (measured on the 49k x 256 e2e run —
+    # iteration 3 died exactly here). numpy round-trip costs two small
+    # host transfers; the curve re-uploads with the filter apply below.
+    h1_np, h2_np = np.asarray(half1), np.asarray(half2)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            freqs, curve = fsc_mod.fsc(jnp.asarray(h1_np), jnp.asarray(h2_np))
+        freqs, curve = np.asarray(freqs), np.asarray(curve)
+    else:
+        freqs, curve = fsc_mod.fsc(half1, half2)
+    # donated sums: the combined-map dispatch then runs with two live
+    # grids instead of four plus two temporaries
+    num = _add_donated(acc.num1, acc.num2)
+    den = _add_donated(acc.den1, acc.den2)
     combined = _rfa_donated(num, den, n, pad, wiener, gridding)
-    combined = fsc_mod.apply_fsc_filter(combined, jnp.clip(curve, 0.0, 1.0))
+    combined = fsc_mod.apply_fsc_filter(
+        combined, jnp.clip(jnp.asarray(curve), 0.0, 1.0))
     return Reconstruction(volume=combined, half1=half1, half2=half2,
                           fsc=curve, freqs=freqs)
 

@@ -76,4 +76,4 @@ def test_param_count_target():
     item 3 target was >= 900) — ratcheted so the surface never shrinks."""
     from pyp_tpu.config.schema import all_params
 
-    assert len(all_params()) >= 1100, len(all_params())
+    assert len(all_params()) >= 1240, len(all_params())
