@@ -69,8 +69,14 @@ def pad_volume(vol, pad: int):
 
 
 def image_to_fourier(imgs, pad: int = 1):
-    """Centered 2D spectra; optionally oversampled by zero padding."""
+    """Centered 2D spectra; optionally oversampled by zero padding.
+
+    Accepts bfloat16 input (the resident-stack layout at production
+    scale keeps 49k x 256^2 images at half the HBM): the upcast happens
+    here, per batch, inside the caller's jit — never on the whole stack."""
     x = pad_image(imgs, pad)
+    if x.dtype not in (jnp.float32, jnp.float64):
+        x = x.astype(jnp.float32)
     n = x.shape[-1]
     return jnp.fft.rfft2(x) * _freq_checkerboard_2d(n)
 

@@ -610,7 +610,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n_data))
     else:
         ring_cref = jnp.ones(len(cfg.radii), dtype=jnp.float32)
-    poses, scores = _frm_refine_jit(
+    _args = (
         stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
         cfg.ring_w, bank.FUc, bank.u2sum,
         jnp.asarray(bank.directions), jnp.asarray(bank.axes),
@@ -620,6 +620,10 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,
     )
+    from pyp_tpu.utils import memwatch
+
+    memwatch.observe("frm_match", _frm_refine_jit, _args)
+    poses, scores = _frm_refine_jit(*_args)
     # internal shifts are +content offsets; flip to the pose convention
     # (centering translation = -content) and rescale crop -> data pixels.
     # Before this boundary flip the FRM->reconstruction path doubled every

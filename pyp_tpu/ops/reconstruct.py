@@ -278,6 +278,10 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
         freqs, curve = fsc_mod.fsc(half1, half2)
     # donated sums: the combined-map dispatch then runs with two live
     # grids instead of four plus two temporaries
+    from pyp_tpu.utils import memwatch
+
+    memwatch.observe("reconstruct_finalize", _rfa_donated,
+                     (acc.num1, acc.den1, n, pad, wiener, gridding))
     num = _add_donated(acc.num1, acc.num2)
     den = _add_donated(acc.den1, acc.den2)
     combined = _rfa_donated(num, den, n, pad, wiener, gridding)
@@ -344,6 +348,8 @@ def reconstruct(
 
             rv = fourier_crop_3d(rv, out_shape=(n_rec, n_rec, n_rec))
         ref_fourier = volume_to_fourier(rv, pad=2)
+    from pyp_tpu.utils import memwatch
+
     acc = None
     for i in range(0, B, batch):
         sl = slice(i, min(i + batch, B))
@@ -352,6 +358,15 @@ def reconstruct(
         if n_rec < n:
             xb = _crop_jit(xb, n_rec)
             pb = pb.at[:, 3:5].multiply(ratio)
+        if i == 0:
+            memwatch.observe(
+                "reconstruct_accumulate", accumulate,
+                (xb, pb, jnp.asarray(ctf_params[sl]),
+                 jnp.asarray(subset[sl]), jnp.asarray(weights[sl]),
+                 n_rec, pixel_rec, voltage_kv, cs_mm, amplitude_contrast,
+                 symmetry, pad),
+                dict(prev=acc, gridding=gridding, iewald=iewald,
+                     lblur=lblur, ref_fourier=ref_fourier))
         acc = accumulate(
             xb, pb,
             jnp.asarray(ctf_params[sl]), jnp.asarray(subset[sl]),

@@ -45,6 +45,10 @@ class SessionDaemon:
                              or params.get("stream_classes") or n_classes)
         self.processed: set[str] = set()
         self._raw_by_name: dict[str, str] = {}  # item -> raw path (retention)
+        # item -> original watch-dir path: with transfer_operation=copy/link
+        # the original stays in the watch dir and must re-enter `processed`
+        # after a clear/restart reprocess, or scan() double-ingests it
+        self._watch_by_name: dict[str, str] = {}
         self._settle: dict = {}  # path -> consecutive stable-size polls
         self.summaries: list[dict] = []
         self._last_classify_count = 0
@@ -127,7 +131,12 @@ class SessionDaemon:
                     f"transfer verification failed for {dst}: "
                     f"{dst.stat().st_size} != {src_size} bytes")
             path = str(dst)
-        item = {"name": Path(path).stem, "path": path}
+        # name normalization: reprocessing after stream_compress feeds
+        # 'foo.mrc.bz2' — strip the archive suffix BEFORE taking the stem so
+        # the item keeps its original identity ('foo', not 'foo.mrc') and the
+        # restart invalidation that just refreshed foo.meta.npz is consulted
+        base = path[: -len(".bz2")] if path.endswith(".bz2") else path
+        item = {"name": Path(base).stem, "path": path}
         # session mode (data_mode): tomo sessions assemble + process a
         # tilt-series per mdoc (or by file count when the session declares
         # its tilt scheme up front); spr sessions preprocess one micrograph
@@ -158,6 +167,7 @@ class SessionDaemon:
         self.processed.add(watch_path)
         self.summaries.append(summary)
         self._raw_by_name[item["name"]] = path
+        self._watch_by_name[item["name"]] = watch_path
         if self.metadb is not None:
             self.metadb.write_micrograph(*self._db_ids, item["name"], {
                 k: v for k, v in summary.items()
@@ -304,6 +314,9 @@ class SessionDaemon:
         ("detect_", "detect_force"), ("tomo_rec_", "tomo_rec_force"),
         ("tomo_ali_", "tomo_ali_force"), ("tomo_vir_", "tomo_vir_force"),
         ("tomo_denoise_", "tomo_denoise_force"), ("tomo_mem_", "tomo_mem_force"),
+        # stages present in the ItemMetadata schemas that a pypd.restart
+        # param change must also invalidate (SPR 'denoised'; tomo spk picks)
+        ("denoise_", "denoise_force"), ("tomo_spk_", "tomo_spk_force"),
     )
 
     def _flag(self, name: str) -> Path:
@@ -382,8 +395,10 @@ class SessionDaemon:
         mdoc-less multi-file tilt series re-collect only if all their tilt
         files are re-fed, so those sessions reprocess per-mdoc/spr items only."""
         raws = dict(self._raw_by_name)
+        watches = dict(self._watch_by_name)
         self.summaries.clear()
         self._raw_by_name.clear()
+        self._watch_by_name.clear()
         self._last_classify_count = 0
         self._last_classify_particles = 0
         saved = str(self.params.get("stream_transfer_dir") or "")
@@ -400,6 +415,14 @@ class SessionDaemon:
                 except Exception as e:  # noqa: BLE001
                     logger.warning("stream: reprocess failed on %s: %s",
                                    name, e)
+                # copy/link transfers leave the ORIGINAL in the watch dir;
+                # reprocessing ran on the destination, so re-mark the watch
+                # path as processed or the next scan() ingests every item a
+                # second time (duplicate summaries / doubled particle counts)
+                w = watches.get(name)
+                if w and w != str(p) and Path(w).exists():
+                    self.processed.add(w)
+                    self._watch_by_name[name] = w
         finally:
             self.params["stream_transfer_dir"] = saved
 
@@ -468,6 +491,10 @@ class SessionDaemon:
             if "class_num" in updates:
                 self.n_classes = int(updates["class_num"])
             logger.info("stream: live params update (%d keys)", len(updates))
+        # retention runs BEFORE the disk guard: pruning is exactly the
+        # mechanism that frees space, so gating it behind the guard would
+        # pause ingest permanently once the disk fills past the threshold
+        self._enforce_retention()
         min_free = float(self.params.get("stream_min_free_gb") or 0.0)
         if min_free > 0:
             import shutil as _shutil
@@ -489,7 +516,7 @@ class SessionDaemon:
                 self.processed.add(path)  # don't retry forever
         if new:
             self.maybe_classify()
-        self._enforce_retention()
+            self._enforce_retention()
         return len(new)
 
     def run(self, max_iterations: int | None = None, idle_exit: int | None = None):
@@ -565,10 +592,20 @@ class SessionManager:
                 continue
             if not Path(pattern).is_absolute():
                 pattern = str(cfg.parent / pattern)
-            self.daemons[key] = SessionDaemon(
-                pattern, params, work_dir=cfg.parent,
-                poll_interval=self.poll_interval,
-                classify_every=int(params.get("stream_classify_every") or 0))
+            try:
+                # a bad typed value (non-numeric class2d_num, ...) must
+                # retire only THIS session, not crash the manager loop and
+                # take every healthy session down with it
+                self.daemons[key] = SessionDaemon(
+                    pattern, params, work_dir=cfg.parent,
+                    poll_interval=self.poll_interval,
+                    classify_every=int(params.get("stream_classify_every")
+                                       or 0))
+            except Exception as e:  # noqa: BLE001
+                logger.warning("stream: session %s/%s failed to start: %s",
+                               key[0], key[1], e)
+                self.retired.add(key)
+                continue
             self.daemons[key]._flag("start").touch()
             found += 1
             logger.info("stream: session %s/%s joined", *key)
