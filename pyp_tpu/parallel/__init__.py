@@ -3,6 +3,7 @@
 import os
 
 from pyp_tpu.parallel.spmd import (  # noqa: F401
+    csp_refine_batch_sharded,
     make_mesh,
     reconstruct_sharded,
     sharded_accumulate,

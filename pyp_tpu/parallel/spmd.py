@@ -439,3 +439,78 @@ def sharded_reconstruct(
         jnp.asarray(stack), jnp.asarray(poses), jnp.asarray(ctf_params),
         subset, weights,
     )
+
+
+def csp_refine_batch_sharded(
+    mesh: Mesh,
+    params_b,            # CspParams, every leaf (S, ...)
+    xv_b,                # (S, T, P, G) complex window samples
+    window_centers_b,    # (S, T, P, 2)
+    tilt_defocus_b,      # (S, T, 2)
+    mask_pts, Fref,      # shared (replicated)
+    tilt_weights_b,      # (S, T)
+    valid_b,             # (S, T, P)
+    offsets_by_mode, spin_offsets,
+    modes: tuple,
+    n: int,
+    pixel_size: float,
+    iters_per_mode: int = 20,
+    lr: float = 0.3,
+    reg_weight: float = 0.1,
+    voltage_kv: float = 300.0,
+    cs_mm: float = 2.7,
+    amplitude_contrast: float = 0.07,
+    step_tol: float = 0.0,
+    value_tol: float = 0.0,
+):
+    """`ops.csp.csp_refine_batch` with the SERIES axis sharded over every
+    mesh device (pure DP over ("data", "model") flattened — CSP has no
+    model-parallel dimension; the reference instead fans one SLURM array
+    element per series, local_run.py:363-463). Each device runs the fused
+    mode schedule (`_schedule_core`) over its series shard sequentially at
+    single-series activation memory; no collectives are needed until the
+    downstream reconstruction psum. S pads to a multiple of the device
+    count with zero-validity copies; outputs unpad before returning."""
+    from pyp_tpu.ops.csp import CspParams, _schedule_core
+
+    ndev = _mesh_size(mesh)
+    S = int(valid_b.shape[0])
+    axes = ("data", "model")
+    spec = P(axes)
+
+    def padS(x):
+        x = jnp.asarray(x)
+        short = (-x.shape[0]) % ndev
+        if short:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], short, axis=0)])
+        return x
+
+    p_pad = CspParams(*(padS(leaf) for leaf in params_b))
+    v_pad = padS(valid_b)
+    if S % ndev:
+        v_pad = v_pad.at[S:].set(0.0)
+
+    def shard_fn(p_s, xv_s, wc_s, td_s, tw_s, v_s, mask_s, Fref_s,
+                 offs_s, spin_s):
+        def one(args):
+            p, xv, c, d, tw, v = args
+            return _schedule_core(
+                p, xv, c, d, mask_s, Fref_s, tw, v, offs_s, spin_s,
+                modes, n, pixel_size, iters_per_mode, lr, reg_weight,
+                voltage_kv, cs_mm, amplitude_contrast,
+                step_tol=step_tol, value_tol=value_tol)
+
+        return jax.lax.map(one, (p_s, xv_s, wc_s, td_s, tw_s, v_s))
+
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, spec, P(), P(), P(), P()),
+        out_specs=(spec, spec, spec),
+    )
+    refined, mode_scores, pscores = jax.jit(fn)(
+        p_pad, padS(xv_b), padS(window_centers_b), padS(tilt_defocus_b),
+        padS(tilt_weights_b), v_pad, jnp.asarray(mask_pts), Fref,
+        offsets_by_mode, spin_offsets)
+    unpad = lambda x: x[:S]  # noqa: E731
+    return (jax.tree.map(unpad, refined), unpad(mode_scores),
+            unpad(pscores))

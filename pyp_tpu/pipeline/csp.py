@@ -562,16 +562,34 @@ def csp_swarm_batch(
         angle_step=cfg["angle_step"], shift_step=cfg["shift_step"],
         random_iters=cfg["random_iters"])
 
+    from pyp_tpu.parallel import csp_refine_batch_sharded, pipeline_mesh
+
+    mesh = pipeline_mesh(params)
     with Timer(f"csp batch refinement ({S} series)"):
-        refined_b, mode_scores_b, pscores_b = csp_ops.csp_refine_batch(
-            cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
-            offsets_by_mode, spin_offsets, cfg["modes"], box, pixel,
-            iters_per_mode=cfg["iters"], lr=cfg["lr"],
-            reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
-            cs_mm=cfg["cs_mm"], amplitude_contrast=cfg["amplitude_contrast"],
-            step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
-            series_per_dispatch=cfg["series_per_dispatch"],
-        )
+        if mesh is not None and S > 1:
+            # series are data-parallel across chips (SURVEY §2.3.1: the
+            # reference fans one cspswarm array task per series; here the
+            # mesh takes the series axis and each chip runs whole series)
+            refined_b, mode_scores_b, pscores_b = csp_refine_batch_sharded(
+                mesh, cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+                offsets_by_mode, spin_offsets, cfg["modes"], box, pixel,
+                iters_per_mode=cfg["iters"], lr=cfg["lr"],
+                reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
+                cs_mm=cfg["cs_mm"],
+                amplitude_contrast=cfg["amplitude_contrast"],
+                step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
+            )
+        else:
+            refined_b, mode_scores_b, pscores_b = csp_ops.csp_refine_batch(
+                cp_b, xv_b, wc_b, df_b, mask_pts, Fref, tw_b, va_b,
+                offsets_by_mode, spin_offsets, cfg["modes"], box, pixel,
+                iters_per_mode=cfg["iters"], lr=cfg["lr"],
+                reg_weight=cfg["reg_weight"], voltage_kv=cfg["voltage_kv"],
+                cs_mm=cfg["cs_mm"],
+                amplitude_contrast=cfg["amplitude_contrast"],
+                step_tol=cfg["step_tol"], value_tol=cfg["value_tol"],
+                series_per_dispatch=cfg["series_per_dispatch"],
+            )
         mode_scores_b = np.asarray(mode_scores_b)
         pscores_b = np.asarray(pscores_b)
 
