@@ -316,3 +316,67 @@ class TestSessionControl:
         ledger = json.loads((root / "sessions.json").read_text())
         assert ledger["krios1/sessA"]["status"] == "stopped"
         assert ledger["krios2/sessB"]["status"] == "running"
+
+    def test_clear_with_copy_transfer_does_not_double_ingest(self, tmp_path,
+                                                             monkeypatch):
+        """ADVICE r4: with transfer_operation=copy the watch-dir original
+        survives; after pypd.clear the reprocess pass must re-mark the
+        ORIGINAL processed, or the next scan() ingests every item twice
+        (duplicate summaries / doubled particle counts)."""
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "raw").mkdir()
+        self._mkmovie("raw/a.mrc")
+        params = self._mkparams(
+            tmp_path, stream_transfer_dir=str(tmp_path / "xfer"),
+            stream_transfer_operation="copy")
+        d = SessionDaemon("raw/*.mrc", params, work_dir=".")
+        d.run(max_iterations=1)
+        assert len(d.summaries) == 1
+        assert (tmp_path / "raw" / "a.mrc").exists()  # copy left original
+        (tmp_path / "pypd.clear").touch()
+        assert not d.check_flags()
+        assert len(d.summaries) == 1  # reprocessed once
+        d.step()  # the regression: scan() used to re-ingest raw/a.mrc
+        assert len(d.summaries) == 1
+
+    def test_bz2_reprocess_keeps_item_name(self, tmp_path, monkeypatch):
+        """ADVICE r4: stream_compress leaves foo.mrc.bz2; reprocessing it
+        must keep the item name 'foo' (not drift to 'foo.mrc'), so the
+        refreshed metadata bundle is the one actually consulted."""
+        from pyp_tpu.stream.daemon import SessionDaemon
+
+        monkeypatch.chdir(tmp_path)
+        self._mkmovie("a.mrc")
+        params = self._mkparams(tmp_path, stream_compress=True)
+        d = SessionDaemon("*.mrc", params, work_dir=".")
+        d.run(max_iterations=1)
+        assert len(d.summaries) == 1
+        assert d.summaries[0]["name"] == "a"
+        # compression replaced the raw file
+        assert (tmp_path / "a.mrc.bz2").exists()
+        (tmp_path / "pypd.clear").touch()
+        assert not d.check_flags()
+        assert len(d.summaries) == 1
+        assert d.summaries[0]["name"] == "a"  # no 'a.mrc' drift
+        assert not (tmp_path / "a.mrc.meta.npz").exists()
+
+    def test_session_manager_survives_bad_typed_value(self, tmp_path,
+                                                      monkeypatch):
+        """ADVICE r4: a session.toml with a bad typed value retires that
+        session only — the manager keeps serving the healthy one."""
+        from pyp_tpu.stream.daemon import SessionManager
+
+        monkeypatch.chdir(tmp_path)
+        for name, extra in (("good", ""),
+                            ("bad", 'stream_classify_every = "nope"\n')):
+            sdir = tmp_path / "g" / name
+            sdir.mkdir(parents=True)
+            self._mkmovie(sdir / "a.mrc", seed=1)
+            (sdir / "session.toml").write_text(
+                'data_path = "*.mrc"\n' + extra)
+        mgr = SessionManager(tmp_path, self._mkparams(tmp_path))
+        mgr.discover()
+        assert ("g", "good") in mgr.daemons
+        assert ("g", "bad") in mgr.retired
