@@ -590,7 +590,7 @@ def csp_refine_schedule(
     jax.jit,
     static_argnames=("modes", "n", "pixel_size", "iters_per_mode",
                      "voltage_kv", "cs_mm", "amplitude_contrast",
-                     "step_tol", "value_tol"),
+                     "step_tol", "value_tol", "series_vmap"),
 )
 def _csp_refine_batch_chunk(
     params_b: CspParams,  # every leaf carries a leading series axis S
@@ -613,14 +613,20 @@ def _csp_refine_batch_chunk(
     amplitude_contrast: float = 0.07,
     step_tol: float = 0.0,
     value_tol: float = 0.0,
+    series_vmap: bool = False,
 ):
     """Batched CSP kernel: a chunk of tilt-series through the full fused
-    mode schedule in ONE dispatch (sequential lax.map over the series
-    axis — one production series' schedule already fills the chip, and
-    vmapping multiplies every gradient-step activation by S: measured on
-    the v5e tunnel, S=4 x 41 x 128 vmapped blows up where the sequential
-    map runs at single-series memory). Series are padded to common (T, P)
+    mode schedule in ONE dispatch. Series are padded to common (T, P)
     with valid=0 rows; shorter series simply carry zero weight.
+
+    series_vmap=False runs a sequential lax.map over the series axis —
+    single-series activation memory (vmapping multiplies every gradient-
+    step activation by the chunk size; S=4 x 41 x 128 at box 64 blew HBM
+    on the round-4 v5e measurements). series_vmap=True vectorizes the
+    chunk's series instead — S x the activation memory, but the chip
+    pipelines S independent gather/NCC streams where the sequential map
+    leaves it latency-bound between tiny kernels; use it when the chunk
+    fits (small T*P*G or few series).
 
     Use `csp_refine_batch` (the host wrapper) rather than calling this
     directly: whole-batch single dispatches exceed the ~60 s RPC budget
@@ -635,8 +641,11 @@ def _csp_refine_batch_chunk(
             reg_weight, voltage_kv, cs_mm, amplitude_contrast,
             step_tol=step_tol, value_tol=value_tol)
 
-    return jax.lax.map(one, (params_b, xv_b, window_centers_b,
-                             tilt_defocus_b, tilt_weights_b, valid_b))
+    leaves = (params_b, xv_b, window_centers_b,
+              tilt_defocus_b, tilt_weights_b, valid_b)
+    if series_vmap:
+        return jax.vmap(one)(leaves)
+    return jax.lax.map(one, leaves)
 
 
 def csp_refine_batch(
@@ -656,6 +665,7 @@ def csp_refine_batch(
     step_tol: float = 0.0,
     value_tol: float = 0.0,
     series_per_dispatch: int = 2,
+    series_vmap: bool = False,
 ):
     """Batched CSP: S tilt-series refined in ceil(S/chunk) dispatches of
     one compiled program (the reference fans one cspswarm array task per
@@ -666,7 +676,8 @@ def csp_refine_batch(
     dispatches trip RPC deadlines on shared-tunnel runtimes (~60 s on the
     axon v5e path — see _csp_refine_batch_chunk). The final short chunk is
     padded to the chunk size (valid=0) so every chunk reuses ONE compiled
-    program."""
+    program. series_vmap vectorizes the series within each chunk instead
+    of mapping them sequentially (see _csp_refine_batch_chunk)."""
     S = int(valid_b.shape[0])
     c = max(1, min(int(series_per_dispatch), S))
     if S <= c:
@@ -674,7 +685,8 @@ def csp_refine_batch(
             params_b, xv_b, window_centers_b, tilt_defocus_b, mask_pts,
             Fref, tilt_weights_b, valid_b, offsets_by_mode, spin_offsets,
             modes, n, pixel_size, iters_per_mode, lr, reg_weight,
-            voltage_kv, cs_mm, amplitude_contrast, step_tol, value_tol)
+            voltage_kv, cs_mm, amplitude_contrast, step_tol, value_tol,
+            series_vmap)
 
     def pad(x, lo, hi):
         sl = x[lo:hi]
@@ -696,7 +708,7 @@ def csp_refine_batch(
             pad(tilt_weights_b, lo, hi), v_c, offsets_by_mode,
             spin_offsets, modes, n, pixel_size, iters_per_mode, lr,
             reg_weight, voltage_kv, cs_mm, amplitude_contrast, step_tol,
-            value_tol)
+            value_tol, series_vmap)
         keep = hi - lo
         outs.append(jax.tree.map(lambda a: a[:keep], out))
     return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
