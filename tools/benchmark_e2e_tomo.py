@@ -18,6 +18,7 @@ Run:  python tools/benchmark_e2e_tomo.py [n_series] [particles_per_series] [box]
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -25,6 +26,7 @@ from pathlib import Path
 import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("PYP_TPU_MEMWATCH", "1")
 
 
 def _sync(x):
@@ -146,8 +148,12 @@ def main(n_series=4, n_particles=32, box=48, force_cpu=False):
              "tilt_angle_before": [], "tilt_angle_after": [],
              "euler_before": [], "euler_after": []}
     t0 = time.perf_counter()
-    accs, prev = [], None
     with tempfile.TemporaryDirectory() as td:
+        # production path: ALL series through the fused batch engine in one
+        # csp_swarm_batch call (sharded across chips when a mesh exists) —
+        # the per-series csp_swarm_one loop was the round-3 harness and
+        # predates the fused engine
+        items, perturb = [], []
         for s, (true, images, defocus) in enumerate(series):
             prng = np.random.RandomState(100 + s)
             d_ang = prng.uniform(-1.5, 1.5, n_tilts).astype(np.float32)
@@ -165,15 +171,20 @@ def main(n_series=4, n_particles=32, box=48, force_cpu=False):
                 [defocus, np.zeros((n_tilts, 3), np.float32)], axis=1)
             meta.save()
 
-            item = {
+            items.append({
                 "name": f"ts{s}", "tilts": images,
                 "coords": np.asarray(true.particle_pos) + d_pos,
                 "eulers": np.asarray(true.particle_eulers) + d_eul,
-            }
-            refined, acc, scores = csp_pipe.csp_swarm_one(
-                item, params, vol, td, iteration=2, prev_acc=prev)
-            prev = acc  # accumulator chaining (the cspmerge sum)
+            })
+            perturb.append((d_ang, d_shift, d_eul))
 
+        refined_list, prev, scores_list, _ = csp_pipe.csp_swarm_batch(
+            items, params, vol, td, iteration=2)
+
+        for s, (true, _, _) in enumerate(series):
+            refined = refined_list[s]
+            d_ang, d_shift, d_eul = perturb[s]
+            scores = scores_list[s]
             stats["tilt_shift_before"].append(np.abs(d_shift).mean())
             stats["tilt_shift_after"].append(np.abs(
                 np.asarray(refined.tilt_shifts)
@@ -218,6 +229,13 @@ def main(n_series=4, n_particles=32, box=48, force_cpu=False):
         "euler_err_deg": [round(float(np.mean(stats["euler_before"])), 2),
                           round(float(np.mean(stats["euler_after"])), 2)],
     }
+    from pyp_tpu.utils import memwatch
+
+    mw = memwatch.report()
+    summary["hbm_live_GiB"] = round(mw["live_bytes"] / 2**30, 2)
+    summary["hbm_program_peak_GiB"] = round(max(
+        (p["peak_bytes"] for p in mw["programs"].values()), default=0)
+        / 2**30, 2)
     print(json.dumps(summary))
     return summary
 
