@@ -94,13 +94,19 @@ def volume_to_fourier(vol, pad: int = DEFAULT_PAD):
 
 
 def fourier_to_volume(F, n: int, pad: int = 1):
-    """Inverse: padded spectrum -> cropped central (n, n, n) volume."""
+    """Inverse: padded spectrum -> cropped central (n, n, n) volume.
+
+    HBM-lean form: instead of multiplying the spectrum by the 3D frequency
+    checkerboard (one (pn, pn, nxf) f32 constant + one c64 product temp —
+    ~1.1 GiB at pn 576, the straw that broke the 49k x box-256 e2e's
+    iteration-3 finalize), exploit ifft(F)[x] = ifft(F*(-1)^k)[x - pn/2]:
+    run the raw irfftn and gather the centered n-crop from the wrapped
+    corner positions. Extra cost: an (n, pn, pn) gather temp, which is
+    pad^2/pad^3 = 1/pad of the volume instead of ~3x the spectrum."""
     pn = n * pad
-    v = jnp.fft.irfftn(F * _freq_checkerboard_3d(pn), s=(pn, pn, pn))
-    if pad == 1:
-        return v
-    off = pn // 2 - n // 2
-    return v[..., off : off + n, off : off + n, off : off + n]
+    v = jnp.fft.irfftn(F, s=(pn, pn, pn))
+    idx = (jnp.arange(n) + (pn - n // 2)) % pn
+    return v[..., idx, :, :][..., :, idx, :][..., :, :, idx]
 
 
 # ---------------------------------------------------------------------------

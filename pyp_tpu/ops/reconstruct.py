@@ -244,6 +244,41 @@ def _add_donated(a, b):
     return a + b
 
 
+def _rfa_peak_estimate(n: int, pad: int) -> int:
+    """Conservative HBM bound for one reconstruct_from_accumulators
+    dispatch at grid pn = n*pad: half-spectrum args (c64 num ~4 B/point of
+    pn^3 + f32 den ~2) + irfftn workspace (~two full c64 cubes the backend
+    FFT may stage through + the f32 cube) ~= 26 bytes/point."""
+    return 26 * (n * pad) ** 3
+
+
+def _finalize_host(acc: Accumulators, n: int, pad: int, wiener: float,
+                   gridding: str) -> Reconstruction:
+    """Whole finalize on the host CPU backend: four grid downloads, zero
+    TPU allocations. The escape hatch when the device-side estimate says
+    the padded-grid iFFT pipelines cannot fit next to the resident state
+    (measured: 49k x box-256, iteration 3, pn 576, ~7.7 GiB live on a
+    16 GiB v5e — docs/e2e_box256.log round 4/5)."""
+    cpu = jax.devices("cpu")[0]
+    # plain numpy downloads: inside the default_device(cpu) scope the jit
+    # places them on the CPU backend (jnp.asarray here would re-upload)
+    grids = [np.asarray(g) for g in acc]
+    with jax.default_device(cpu):
+        half1 = reconstruct_from_accumulators(grids[0], grids[1], n, pad,
+                                              wiener, gridding)
+        half2 = reconstruct_from_accumulators(grids[2], grids[3], n, pad,
+                                              wiener, gridding)
+        freqs, curve = fsc_mod.fsc(half1, half2)
+        combined = reconstruct_from_accumulators(
+            grids[0] + grids[2], grids[1] + grids[3], n, pad, wiener,
+            gridding)
+        combined = fsc_mod.apply_fsc_filter(
+            combined, jnp.clip(curve, 0.0, 1.0))
+    return Reconstruction(volume=np.asarray(combined),
+                          half1=np.asarray(half1), half2=np.asarray(half2),
+                          fsc=np.asarray(curve), freqs=np.asarray(freqs))
+
+
 def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
              wiener: float = 0.5,
              gridding: str = "trilinear") -> Reconstruction:
@@ -252,19 +287,37 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
     Deliberately NOT one fused jit: a single program holds all three
     padded-grid inverse-FFT pipelines (and the summed accumulators) live
     at once, which exhausts HBM at production boxes (measured: box 256 /
-    pad-scaled crop grid, pn~515, OOM on a v5e). Sequential dispatches
-    free each reconstruction's workspace before the next, and the summed
-    num/den temporaries are donated into the combined-map dispatch."""
-    half1 = reconstruct_from_accumulators(acc.num1, acc.den1, n, pad, wiener,
-                                          gridding)
-    half2 = reconstruct_from_accumulators(acc.num2, acc.den2, n, pad, wiener,
-                                          gridding)
+    pad-scaled crop grid, OOM on a v5e). Sequential dispatches free each
+    reconstruction's workspace before the next; the half-set sums are
+    computed FIRST so every reconstruction dispatch can donate its grids
+    as scratch. When even that cannot fit next to the resident state
+    (live bytes + analytic estimate vs the device's HBM), the whole
+    finalize falls back to the host CPU backend instead of dying."""
+    from pyp_tpu.utils import memwatch
+
+    live = memwatch.live_device_bytes()
+    limit = memwatch.hbm_limit_bytes()
+    est = _rfa_peak_estimate(n, pad)
+    if live + est > 0.88 * limit:
+        import logging
+
+        logging.getLogger("pyp_tpu.reconstruct").warning(
+            "finalize: %.2f GiB live + %.2f GiB estimated iFFT peak vs "
+            "%.1f GiB HBM — running finalize on the host CPU backend",
+            live / 2**30, est / 2**30, limit / 2**30)
+        return _finalize_host(acc, n, pad, wiener, gridding)
+    memwatch.observe("reconstruct_finalize", _rfa_donated,
+                     (acc.num1, acc.den1, n, pad, wiener, gridding))
+    # half-set sums first (functional adds), so each reconstruction below
+    # donates its num/den grids into the dispatch as reusable scratch
+    num = acc.num1 + acc.num2
+    den = acc.den1 + acc.den2
+    half1 = _rfa_donated(acc.num1, acc.den1, n, pad, wiener, gridding)
+    half2 = _rfa_donated(acc.num2, acc.den2, n, pad, wiener, gridding)
     # FSC on the host CPU backend: the half maps are tiny (n^3) but the
-    # four padded accumulator grids are still live at this point, and at
-    # box 256 even compiling+allocating the small FSC program on the TPU
-    # fails with ResourceExhausted (measured on the 49k x 256 e2e run —
-    # iteration 3 died exactly here). numpy round-trip costs two small
-    # host transfers; the curve re-uploads with the filter apply below.
+    # summed grids are still live, and at box 256 even compiling the
+    # small FSC program on the TPU failed with ResourceExhausted
+    # (round-4 49k x 256 e2e — iteration 3 died exactly here).
     h1_np, h2_np = np.asarray(half1), np.asarray(half2)
     try:
         cpu = jax.devices("cpu")[0]
@@ -276,14 +329,6 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
         freqs, curve = np.asarray(freqs), np.asarray(curve)
     else:
         freqs, curve = fsc_mod.fsc(half1, half2)
-    # donated sums: the combined-map dispatch then runs with two live
-    # grids instead of four plus two temporaries
-    from pyp_tpu.utils import memwatch
-
-    memwatch.observe("reconstruct_finalize", _rfa_donated,
-                     (acc.num1, acc.den1, n, pad, wiener, gridding))
-    num = _add_donated(acc.num1, acc.num2)
-    den = _add_donated(acc.den1, acc.den2)
     combined = _rfa_donated(num, den, n, pad, wiener, gridding)
     combined = fsc_mod.apply_fsc_filter(
         combined, jnp.clip(jnp.asarray(curve), 0.0, 1.0))

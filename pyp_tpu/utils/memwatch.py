@@ -49,6 +49,30 @@ def live_device_bytes() -> int:
         return 0
 
 
+def hbm_limit_bytes() -> int:
+    """Device HBM capacity. memory_stats()['bytes_limit'] when the backend
+    exposes it; otherwise a device-kind table (the axon tunnel exposes no
+    counters at all). Override with PYP_TPU_HBM_GIB for unusual runtimes."""
+    env = os.environ.get("PYP_TPU_HBM_GIB")
+    if env:
+        return int(float(env) * 2**30)
+    ms = device_memory_stats()
+    if ms.get("bytes_limit"):
+        return int(ms["bytes_limit"])
+    import jax
+
+    try:
+        kind = jax.local_devices()[0].device_kind.lower()
+    except Exception:
+        return 16 * 2**30
+    for pat, gib in (("v5p", 95), ("v5 lite", 16), ("v5e", 16),
+                     ("v6 lite", 32), ("v6e", 32), ("v4", 32), ("v3", 32),
+                     ("v2", 16)):
+        if pat in kind:
+            return gib * 2**30
+    return 16 * 2**30
+
+
 def device_memory_stats() -> dict:
     """Raw backend counters; {} when the backend exposes none (axon)."""
     import jax
