@@ -90,6 +90,13 @@ MODE_AXIS = {0: "tilt", 3: "tilt", 4: "tilt", 5: "tilt",
 # CTF): candidates/iterations reuse one _csp_model_gather
 SHIFT_MODES = (2, 3, 4, 5, 6)
 
+# modes whose searched block moves neither particle depth (= tilt-frame z
+# of R_t @ pos) nor the defocus offsets: the (T, P, G) CTF is constant
+# across candidates/iterations and is computed ONCE (particle eulers set
+# M_p, not R_t, so depth is euler-invariant; micrograph shifts are pure
+# translations)
+CTF_CONST_MODES = (1, 3, 5, 7)
+
 
 def tilt_rotation(tilt_deg, axis_deg):
     """R_t = Rz(axis) @ Ry(tilt): tomogram -> image frame (batched)."""
@@ -148,20 +155,22 @@ def csp_score(
     amplitude_contrast: float = 0.07,
     xv_precomputed: bool = False,
     u=None,
+    c=None,
 ):
     """Mean CTF-weighted NCC over all (tilt, particle) projections.
 
     Perf: the window-spectrum gather is parameter-independent; the
     optimizer precomputes it once (xv_precomputed=True) so the gradient
     loop only re-gathers the reference slice — and for shift/defocus
-    modes the reference gather is ALSO precomputed (u)."""
+    modes the reference gather is ALSO precomputed (u), for depth-
+    invariant modes the CTF likewise (c)."""
     if xv_precomputed:
         xv = windows_f  # already (T, P, G)
     else:
         xv = gather_2d_hermitian_batched(windows_f, jnp.asarray(mask_pts))
     ncc = _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
                    n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
-                   u=u)
+                   u=u, c=c)
     w = tilt_weights[:, None] * valid
     return jnp.sum(ncc * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -182,14 +191,29 @@ def _csp_model_gather(params, mask_pts, Fref, n):
     return gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
 
 
+def _csp_ctf(params, tilt_defocus, mask_pts, n, pixel_size,
+             voltage_kv, cs_mm, amplitude_contrast):
+    """(T, P, G) CTF at the mask points for the current geometry (mean
+    tilt defocus + per-tilt offset + particle-depth defocus gradient)."""
+    depth = particle_depth(params)        # (T, P)
+    mask = jnp.asarray(mask_pts)
+    df = (tilt_defocus[:, None, 0] + params.defocus_offsets[:, None]
+          + depth * pixel_size)  # (T, P) Å
+    return _ctf_at_points(
+        mask[None, None], n, pixel_size, df[..., None], df[..., None], 0.0,
+        voltage_kv, cs_mm, amplitude_contrast, 0.0,
+    )
+
+
 def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
              n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
-             u=None):
+             u=None, c=None):
     """Per-(tilt, particle) CTF-weighted NCC map (T, P); xv precomputed.
     `u` optionally carries precomputed reference slice values (shift/
-    defocus modes — see _csp_model_gather)."""
+    defocus modes — see _csp_model_gather); `c` precomputed CTF values
+    (modes whose block moves neither depth nor defocus —
+    CTF_CONST_MODES)."""
     pred_pos = project_positions(params)  # (T, P, 2)
-    depth = particle_depth(params)        # (T, P)
 
     # residual shift between predicted position and window center
     dshift = pred_pos - window_centers    # (T, P, 2)
@@ -198,13 +222,9 @@ def _csp_ncc(params, xv, window_centers, tilt_defocus, mask_pts, Fref,
 
     if u is None:
         u = _csp_model_gather(params, mask_pts, Fref, n)  # (T, P, G)
-
-    df = (tilt_defocus[:, None, 0] + params.defocus_offsets[:, None]
-          + depth * pixel_size)  # (T, P) Å
-    c = _ctf_at_points(
-        mask[None, None], n, pixel_size, df[..., None], df[..., None], 0.0,
-        voltage_kv, cs_mm, amplitude_contrast, 0.0,
-    )  # (T, P, G)
+    if c is None:
+        c = _csp_ctf(params, tilt_defocus, mask_pts, n, pixel_size,
+                     voltage_kv, cs_mm, amplitude_contrast)  # (T, P, G)
 
     # model window = projection whose content sits at +dshift from the
     # window center: M = u * exp(-2*pi*i g.dshift/n); num = Re<X, M>
@@ -348,12 +368,16 @@ def _grid_search_xv(
     # gather once, sweep candidates with phase ramps / CTF re-evaluation
     u0 = (_csp_model_gather(params, mask_pts, Fref, n)
           if mode in SHIFT_MODES else None)
+    # depth-invariant candidates share one CTF evaluation
+    c0 = (_csp_ctf(params, tilt_defocus, mask_pts, n, pixel_size,
+                   voltage_kv, cs_mm, amplitude_contrast)
+          if mode in CTF_CONST_MODES else None)
 
     def score_candidate(off):
         p2 = _apply_mode_offset(params, mode, off)
         ncc = _csp_ncc(p2, xv, window_centers, tilt_defocus, mask_pts, Fref,
                        n, pixel_size, voltage_kv, cs_mm, amplitude_contrast,
-                       u=u0)
+                       u=u0, c=c0)
         if axis == "tilt":
             return jnp.sum(ncc * w, axis=1) / jnp.maximum(jnp.sum(w, axis=1), 1e-6)
         return jnp.sum(ncc * w, axis=0) / jnp.maximum(jnp.sum(w, axis=0), 1e-6)
@@ -392,12 +416,16 @@ def _refine_mode_xv(
     # gradient loop reuses one reference gather
     u0 = (_csp_model_gather(params, mask_pts, Fref, n)
           if mode in SHIFT_MODES else None)
+    # depth-invariant iterations share one CTF evaluation (see _csp_ctf)
+    c0 = (_csp_ctf(params, tilt_defocus, mask_pts, n, pixel_size,
+                   voltage_kv, cs_mm, amplitude_contrast)
+          if mode in CTF_CONST_MODES else None)
 
     def loss_fn(p):
         score = csp_score(
             p, xv, window_centers, tilt_defocus, mask_pts, Fref,
             tilt_weights, valid, n, pixel_size, voltage_kv, cs_mm,
-            amplitude_contrast, xv_precomputed=True, u=u0,
+            amplitude_contrast, xv_precomputed=True, u=u0, c=c0,
         )
         reg = _smoothness_penalty(p.tilt_shifts) + _smoothness_penalty(
             p.tilt_angles[:, None]

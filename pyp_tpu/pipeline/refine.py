@@ -715,20 +715,46 @@ def refine_loop(stack, table, initial_model, params, work_dir=".",
     maxiter = int(params["refine_maxiter"])
     ref = np.asarray(initial_model)
 
-    # resume: load the latest finished iteration's map/table if present
+    # resume: load the latest finished iteration's FULL durable state —
+    # map + table + half maps (-> the FSC/SSNR weighting the next
+    # iteration would have seen) + prior history, so a killed-and-resumed
+    # loop is numerically identical to an uninterrupted one (the
+    # reference's equivalent durable state is maps + .par + per-iteration
+    # statistics_rNN.txt, frealign.py:4660; proven by
+    # tests/test_cli_resume.py's exact-match control)
+    history = []
+    fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
+    ref_halves = None
     for it in range(maxiter + 1, start - 1, -1):
         m = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.mrc"
         t = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}.cistem"
         if m.exists() and t.exists():
             ref = mrc.read(m).astype(np.float32)
             table = cistem.read_parameters(t)
+            h1p = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half1.mrc"
+            h2p = maps_dir / f"{dataset}_r{cls:02d}_{it:02d}_half2.mrc"
+            if h1p.exists() and h2p.exists():
+                import jax.numpy as jnp
+
+                from pyp_tpu.core import fsc as fsc_mod
+
+                h1 = mrc.read(h1p).astype(np.float32)
+                h2 = mrc.read(h2p).astype(np.float32)
+                ref_halves = (h1, h2)
+                _, curve = fsc_mod.fsc(jnp.asarray(h1), jnp.asarray(h2))
+                fsc_curve = np.asarray(curve)
+            hist_p = maps_dir / f"{dataset}_r{cls:02d}_history.json"
+            if hist_p.exists():
+                import json as _json
+
+                try:
+                    history = [e for e in _json.loads(hist_p.read_text())
+                               if int(e.get("iteration", 0)) <= it]
+                except ValueError:
+                    history = []
             start = it + 1
             logger.info("resuming at iteration %d", start)
             break
-
-    history = []
-    fsc_curve = None  # previous iteration's half-map FSC -> SSNR weighting
-    ref_halves = None
     beam_tilt_done = False
     bt0 = (float(params.get("scope_beam_tilt_x") or 0.0),
            float(params.get("scope_beam_tilt_y") or 0.0))

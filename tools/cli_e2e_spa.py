@@ -288,10 +288,13 @@ def kill_resume_refine(a, report):
 
 
 def control_compare(a, snapshot, report):
-    """Uninterrupted control from the post-extract snapshot; compare."""
+    """Uninterrupted control from the post-extract snapshot; compare.
+
+    Pure numpy in the driver process — importing jax here would land on
+    the axon TPU (sitecustomize pins the platform) and contend with
+    whatever production run owns the chip."""
     import numpy as np
 
-    from pyp_tpu.core import fsc as fsc_mod
     from pyp_tpu.io import mrc
 
     ctrl = Path(a.workdir) / "ctrl"
@@ -309,20 +312,20 @@ def control_compare(a, snapshot, report):
     m2 = ctrl / "maps" / f"{a.dataset}_r01_{final:02d}.mrc"
     v1 = np.asarray(mrc.read(m1), np.float32)
     v2 = np.asarray(mrc.read(m2), np.float32)
-    exact = bool(np.allclose(v1, v2, atol=1e-5 * max(1.0, float(np.abs(v2).max()))))
-    freqs, curve = fsc_mod.fsc(v1, v2)
-    res = float(fsc_mod.resolution_at_threshold(freqs, np.asarray(curve),
-                                                a.pixel, 0.5))
+    scale = max(1.0, float(np.abs(v2).max()))
+    exact = bool(np.allclose(v1, v2, atol=1e-5 * scale))
+    corr = float(np.corrcoef(v1.ravel(), v2.ravel())[0, 1])
     report["control"] = {
         "exact_match": exact,
-        "fsc05_vs_control_A": round(res, 2),
+        "max_abs_diff_rel": round(float(np.abs(v1 - v2).max()) / scale, 7),
+        "corr_vs_control": round(corr, 6),
     }
     # CPU backend is deterministic -> resumed == control bit-for-bit (up to
-    # atol); TPU scatter-add ordering is not, FSC agreement is the bar
+    # atol); TPU scatter-add float ordering is not — correlation is the bar
     if a.platform == "cpu" and not exact:
         raise SystemExit("CPU resume diverged from the uninterrupted control")
-    if res > 1.05 * 2.0 * a.pixel and not exact:
-        raise SystemExit(f"resumed/control maps disagree (FSC0.5 {res:.2f} A)")
+    if corr < 0.999 and not exact:
+        raise SystemExit(f"resumed/control maps disagree (corr {corr:.4f})")
     return report
 
 
