@@ -261,8 +261,19 @@ def _finalize_host(acc: Accumulators, n: int, pad: int, wiener: float,
     16 GiB v5e — docs/e2e_box256.log round 4/5)."""
     cpu = jax.devices("cpu")[0]
     # plain numpy downloads: inside the default_device(cpu) scope the jit
-    # places them on the CPU backend (jnp.asarray here would re-upload)
-    grids = [np.asarray(g) for g in acc]
+    # places them on the CPU backend (jnp.asarray here would re-upload).
+    # Complex grids are downloaded as jitted real/imag f32 planes — the
+    # axon tunnel cannot transfer complex arrays host<->device (verify
+    # SKILL gotcha; a direct np.asarray of the c64 numerator killed the
+    # round-5 attempt-2 e2e at exactly this line)
+    def _download(g):
+        if np.issubdtype(np.dtype(getattr(g, "dtype", np.float32)),
+                         np.complexfloating):
+            re, im = jax.jit(lambda z: (jnp.real(z), jnp.imag(z)))(g)
+            return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
+        return np.asarray(g)
+
+    grids = [_download(g) for g in acc]
     with jax.default_device(cpu):
         half1 = reconstruct_from_accumulators(grids[0], grids[1], n, pad,
                                               wiener, gridding)
