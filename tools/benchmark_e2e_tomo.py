@@ -116,7 +116,12 @@ def main(n_series=4, n_particles=32, box=48, force_cpu=False):
     from pyp_tpu.pipeline import csp as csp_pipe
 
     pixel = 2.0
-    n_tilts, ny, nx = 41, 512, 512
+    # tilt-image size scales with the particle load so production shapes
+    # (>=256 particles at box >=128) stay physical instead of stacking
+    # every window onto the same 512^2 field
+    n_tilts = 41
+    ny = nx = max(512, int(np.ceil(np.sqrt(n_particles) * box * 1.25
+                                   / 256.0)) * 256)
     rng = np.random.RandomState(0)
     t_all = time.perf_counter()
 
