@@ -96,17 +96,28 @@ def volume_to_fourier(vol, pad: int = DEFAULT_PAD):
 def fourier_to_volume(F, n: int, pad: int = 1):
     """Inverse: padded spectrum -> cropped central (n, n, n) volume.
 
-    HBM-lean form: instead of multiplying the spectrum by the 3D frequency
-    checkerboard (one (pn, pn, nxf) f32 constant + one c64 product temp —
-    ~1.1 GiB at pn 576, the straw that broke the 49k x box-256 e2e's
-    iteration-3 finalize), exploit ifft(F)[x] = ifft(F*(-1)^k)[x - pn/2]:
-    run the raw irfftn and gather the centered n-crop from the wrapped
-    corner positions. Extra cost: an (n, pn, pn) gather temp, which is
-    pad^2/pad^3 = 1/pad of the volume instead of ~3x the spectrum."""
+    HBM- and FLOP-lean form: the padded grid has pad^3 x more points than
+    the n-crop we keep, so a monolithic irfftn wastes most of its work and
+    needs full-cube workspace (the box-256 e2e OOM series, rounds 4-5).
+    Instead transform ONE AXIS AT A TIME and crop that axis to n before
+    touching the next: ifft(F)[x] = ifft(F * (-1)^k)[x - pn/2], so the
+    centered n-window lives at wrapped corner rows of the raw transform —
+    gather them (no checkerboard constant, no c64 product temp) and move
+    on. Peak extra memory is ONE full-length axis transform (~2 half-
+    spectrum cubes, ~8 B per padded-grid point vs ~26 monolithic); the y/x
+    passes then run on n/pn and (n/pn)^2 of the data. The last axis is the
+    rfft-reduced one: after the z/y passes each spatial (z, y) row still
+    holds the 1D half-spectrum of a real signal, so a plain irfft
+    finishes it."""
     pn = n * pad
-    v = jnp.fft.irfftn(F, s=(pn, pn, pn))
     idx = (jnp.arange(n) + (pn - n // 2)) % pn
-    return v[..., idx, :, :][..., :, idx, :][..., :, :, idx]
+    v = jnp.fft.ifft(F, n=pn, axis=-3)
+    v = jnp.take(v, idx, axis=-3)
+    v = jnp.fft.ifft(v, n=pn, axis=-2)
+    v = jnp.take(v, idx, axis=-2)
+    # each inverse pass folds in one 1/pn — together the 1/pn^3 of irfftn
+    v = jnp.fft.irfft(v, n=pn, axis=-1)
+    return jnp.take(v, idx, axis=-1)
 
 
 # ---------------------------------------------------------------------------

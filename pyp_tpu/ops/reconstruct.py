@@ -246,10 +246,42 @@ def _add_donated(a, b):
 
 def _rfa_peak_estimate(n: int, pad: int) -> int:
     """Conservative HBM bound for one reconstruct_from_accumulators
-    dispatch at grid pn = n*pad: half-spectrum args (c64 num ~4 B/point of
-    pn^3 + f32 den ~2) + irfftn workspace (~two full c64 cubes the backend
-    FFT may stage through + the f32 cube) ~= 26 bytes/point."""
-    return 26 * (n * pad) ** 3
+    dispatch at grid pn = n*pad. With the axis-at-a-time crop-between-
+    passes inverse transform (fourier_to_volume), the peak is the first
+    (z) pass: half-spectrum input + equal-size ifft output (~4 B/point of
+    pn^3 each) + the f32 den argument (~2) — the y/x passes run on n/pn
+    and (n/pn)^2 of the data. ~12 bytes/point with slack (was 26 for the
+    monolithic irfftn, which forced the box-256 e2e onto the host path
+    and into the tunnel's transfer-size wall)."""
+    return 12 * (n * pad) ** 3
+
+
+_DL_CHUNK_BYTES = 64 * 2**20
+
+
+def _download_chunked(g) -> np.ndarray:
+    """Device -> host in <=64 MB leading-axis slabs: the axon tunnel's
+    transfer path rejects large single messages with RESOURCE_EXHAUSTED
+    (a 765 MB f32 plane killed e2e attempt 3; the error is the RPC
+    resource limit, not HBM). Slabs use a clamped dynamic_slice with one
+    static size so there is exactly one compiled slicer per grid shape."""
+    g = jnp.asarray(g)
+    if g.nbytes <= _DL_CHUNK_BYTES or g.ndim == 0:
+        return np.asarray(g)
+    per_row = max(1, g.nbytes // max(1, g.shape[0]))
+    rows = max(1, int(_DL_CHUNK_BYTES // per_row))
+    rows = min(rows, g.shape[0])
+
+    @functools.partial(jax.jit, static_argnames=("rows",))
+    def _slab(x, lo, rows):
+        return jax.lax.dynamic_slice_in_dim(x, lo, rows, axis=0)
+
+    out = np.empty(g.shape, dtype=g.dtype)
+    for lo in range(0, g.shape[0], rows):
+        lo = min(lo, g.shape[0] - rows)  # clamp: overlapped rows rewrite
+        out[lo:lo + rows] = np.asarray(
+            _slab(g, jnp.asarray(lo, jnp.int32), rows))
+    return out
 
 
 def _finalize_host(acc: Accumulators, n: int, pad: int, wiener: float,
@@ -269,9 +301,10 @@ def _finalize_host(acc: Accumulators, n: int, pad: int, wiener: float,
     def _download(g):
         if np.issubdtype(np.dtype(getattr(g, "dtype", np.float32)),
                          np.complexfloating):
-            re, im = jax.jit(lambda z: (jnp.real(z), jnp.imag(z)))(g)
-            return (np.asarray(re) + 1j * np.asarray(im)).astype(np.complex64)
-        return np.asarray(g)
+            parts = [_download_chunked(jax.jit(jnp.real)(g)),
+                     _download_chunked(jax.jit(jnp.imag)(g))]
+            return (parts[0] + 1j * parts[1]).astype(np.complex64)
+        return _download_chunked(g)
 
     grids = [_download(g) for g in acc]
     with jax.default_device(cpu):
