@@ -43,6 +43,7 @@ a fraction of a second — versus minutes for the per-pose gather loop.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +138,111 @@ def polar_transform(stack, W_re, W_im):
     out_re = Xr @ W_re.T - Xi @ W_im.T
     out_im = Xr @ W_im.T + Xi @ W_re.T
     return jax.lax.complex(out_re, out_im)
+
+
+def _oversampled_spectra(stack, os: int):
+    """Centered full-grid spectra of `os`-times zero-padded images:
+    (B, os*n, os*n) c64. The integer node os*q equals the n-grid centered
+    spectrum at wavenumber q; intermediate nodes sample the band-limited
+    interpolant exactly (the image has n-pixel support), so bilinear
+    interpolation between them is accurate to O((pi/2/os)^2)."""
+    n = stack.shape[-1]
+    N = os * n
+    off = (N - n) // 2
+    x = jnp.pad(stack.astype(jnp.float32),
+                ((0, 0), (off, N - n - off), (off, N - n - off)))
+    i = np.add.outer(np.arange(N), np.arange(N))
+    cb = jnp.asarray(np.where(i % 2 == 0, 1.0, -1.0).astype(np.float32))
+    return jnp.fft.fft2(x) * cb
+
+
+def _keys_cubic_weights(t):
+    """Catmull-Rom (Keys, a=-0.5) cubic kernel weights for taps
+    (-1, 0, +1, +2) at fractional position t in [0, 1)."""
+    t2 = t * t
+    t3 = t2 * t
+    return (-0.5 * t3 + t2 - 0.5 * t,
+            1.5 * t3 - 2.5 * t2 + 1.0,
+            -1.5 * t3 + 2.0 * t2 + 0.5 * t,
+            0.5 * t3 - 0.5 * t2)
+
+
+def _bicubic_wrap_take(Y, p):
+    """Bicubic (Keys) interpolation of (B, N, N) periodic full-fft grids
+    at wavenumber points p (..., 2) = (gy, gx) SHARED across the batch.
+    Cubic, not bilinear: at 2x spectrum oversampling a window-filling
+    image rotates the inter-node phase by up to pi/2, where linear
+    interpolation of e^{i theta} loses tens of percent (measured ~1.0
+    mean rel err on white noise) while the C^1 cubic stays at the few-
+    percent level. The flattened 16-tap indices are identical for every
+    particle, so each tap lowers to one take along the flattened axis."""
+    N = Y.shape[-1]
+    p0 = jnp.floor(p)
+    f = p - p0
+    p0 = p0.astype(jnp.int32)
+    wys = _keys_cubic_weights(f[..., 0])
+    wxs = _keys_cubic_weights(f[..., 1])
+    Yf = Y.reshape(Y.shape[0], -1)
+    out = None
+    for dy in (-1, 0, 1, 2):
+        wy = wys[dy + 1]
+        iy = (p0[..., 0] + dy) % N
+        for dx in (-1, 0, 1, 2):
+            wx = wxs[dx + 1]
+            ix = (p0[..., 1] + dx) % N
+            v = jnp.take(Yf, (iy * N + ix).reshape(-1), axis=1)
+            v = v.reshape((Y.shape[0],) + p.shape[:-1])
+            term = (wy * wx)[None] * v
+            out = term if out is None else out + term
+    return out
+
+
+def polar_sample_gather(stack, ctf_params, pts, n, pixel_size, voltage_kv,
+                        cs_mm, amplitude_contrast, wiener, os: int = 2):
+    """Wiener-restored polar spectra WITHOUT the dense Dirichlet matrix:
+    oversampled-FFT + 4-tap interpolation of the raw spectrum, then exact
+    ANALYTIC CTF restoration at each polar point.
+
+    Why it exists: the matmul path's W is (R*n_psi, n_crop^2) — exact and
+    MXU-perfect at small crops, but its size/FLOPs scale with the band.
+    At box 256 the rhref schedule grows W from 0.85 GiB (iteration 2) to
+    41 GiB (rhref 3 A, crop 224) and the polar matmuls alone dominate the
+    iteration wall (measured: ~113 s of iteration 2's 118 s at crop 128).
+    This path is O(n^2 log n) + O(R K) per particle with no resident
+    matrix, and the CTF needs no gridding at all (the matmul path must
+    restore on the grid before interpolating; here the raw data spectrum
+    is interpolated and the exact point CTF divides after).
+
+    Returns (Xp (B, R, K) c64 restored samples,
+             conf_mean (B, R) ring-mean restored confidence in [0, 1])."""
+    from pyp_tpu.ops.refine3d import _ctf_at_points
+
+    pts = jnp.asarray(pts)
+    # Wiener-restore ON THE n-GRID first, exactly like the matmul path:
+    # the data nodes are C[k]*S[k], and their band-limited interpolant at
+    # off-node points looks nothing like C(pt)*S(pt) once the CTF
+    # oscillates near the grid rate (measured: interpolate-then-divide
+    # decorrelated ring ncc to 0.41 at box 48 / 15k A defocus while
+    # restore-then-interpolate held 0.99). Restoration is pointwise in
+    # frequency, so it runs in the cheap rfft layout; the restored
+    # spectrum of a real image is again Hermitian, so the round trip
+    # stays real and the oversampled FFT interpolates the restored field.
+    Cr = ctf_model.ctf_2d(
+        (n, n), pixel_size, ctf_params[:, 0], ctf_params[:, 1],
+        ctf_params[:, 2], voltage_kv, cs_mm, w=amplitude_contrast,
+        phase_shift_rad=ctf_params[:, 3], rfft=True)          # (B, n, nxf)
+    xw = jnp.fft.irfft2(
+        jnp.fft.rfft2(stack.astype(jnp.float32))
+        * (Cr / (Cr * Cr + wiener)), s=(n, n))
+    Y = _oversampled_spectra(xw, os)
+    Xp = _bicubic_wrap_take(Y, pts * float(os))               # (B, R, K)
+    C = _ctf_at_points(
+        pts[None], n, pixel_size,
+        ctf_params[:, 0, None, None], ctf_params[:, 1, None, None],
+        ctf_params[:, 2, None, None], voltage_kv, cs_mm,
+        amplitude_contrast, ctf_params[:, 3, None, None])     # (B, R, K)
+    conf = C * C / (C * C + wiener)
+    return Xp, jnp.clip(jnp.mean(conf, axis=-1), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -376,7 +482,7 @@ def _refine_shifts(Xp_raw, ring_w, U_best, u2_best, psi_deg, pts,
     jax.jit,
     static_argnames=("n", "n_psi", "pixel_size", "voltage_kv", "cs_mm",
                      "amplitude_contrast", "rounds", "d_block", "upsample",
-                     "cone_deg", "coarse_step", "wiener"),
+                     "cone_deg", "coarse_step", "wiener", "polar_gather"),
 )
 def _frm_refine_jit(
     stack, ctf_params, W_re, W_im, pts, ring_w, FUc, u2sum, dir_table,
@@ -385,6 +491,7 @@ def _frm_refine_jit(
     n: int, n_psi: int, pixel_size: float, voltage_kv: float, cs_mm: float,
     amplitude_contrast: float, rounds: int, d_block: int, upsample: int,
     cone_deg, coarse_step: float = 0.0, wiener: float = 0.1,
+    polar_gather: bool = False,
 ):
     B = stack.shape[0]
     R = pts.shape[0]
@@ -395,23 +502,33 @@ def _frm_refine_jit(
     # ON THE GRID keeps every interpolation on the data side consistent,
     # and the model side becomes the CTF-free slice U. The restored-band
     # confidence C^2/(C^2+wiener) enters as per-particle ring weights.
-    X = image_to_fourier_full(stack)                       # (B, n, n)
-    Cg = ctf_model.ctf_2d(
-        (n, n), pixel_size, ctf_params[:, 0], ctf_params[:, 1],
-        ctf_params[:, 2], voltage_kv, cs_mm, w=amplitude_contrast,
-        phase_shift_rad=ctf_params[:, 3], rfft=False)      # (B, n, n)
-    conf = Cg * Cg / (Cg * Cg + wiener)
-    Xw = X * (Cg / (Cg * Cg + wiener))
-    Xr = jnp.real(Xw).reshape(B, -1)
-    Xi = jnp.imag(Xw).reshape(B, -1)
-    Xp = jax.lax.complex(
-        Xr @ W_re.T - Xi @ W_im.T,
-        Xr @ W_im.T + Xi @ W_re.T).reshape(B, R, n_psi)
-    # per-particle ring weights: quadrature x ring-mean restored confidence
-    # (real part of the complex-kernel interpolation of a real array)
-    conf_rings = (conf.reshape(B, -1) @ W_re.T).reshape(B, R, n_psi)
-    wr = (ring_w * ring_cref)[None, :] * jnp.clip(
-        jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
+    if polar_gather:
+        # band-scalable path (see polar_sample_gather): no dense W, raw
+        # spectrum interpolated from the 2x-oversampled FFT, exact CTF at
+        # the polar points
+        Xp, conf_mean = polar_sample_gather(
+            stack, ctf_params, pts, n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, wiener)
+        wr = (ring_w * ring_cref)[None, :] * conf_mean
+    else:
+        X = image_to_fourier_full(stack)                   # (B, n, n)
+        Cg = ctf_model.ctf_2d(
+            (n, n), pixel_size, ctf_params[:, 0], ctf_params[:, 1],
+            ctf_params[:, 2], voltage_kv, cs_mm, w=amplitude_contrast,
+            phase_shift_rad=ctf_params[:, 3], rfft=False)  # (B, n, n)
+        conf = Cg * Cg / (Cg * Cg + wiener)
+        Xw = X * (Cg / (Cg * Cg + wiener))
+        Xr = jnp.real(Xw).reshape(B, -1)
+        Xi = jnp.imag(Xw).reshape(B, -1)
+        Xp = jax.lax.complex(
+            Xr @ W_re.T - Xi @ W_im.T,
+            Xr @ W_im.T + Xi @ W_re.T).reshape(B, R, n_psi)
+        # per-particle ring weights: quadrature x ring-mean restored
+        # confidence (real part of the complex-kernel interpolation of a
+        # real array)
+        conf_rings = (conf.reshape(B, -1) @ W_re.T).reshape(B, R, n_psi)
+        wr = (ring_w * ring_cref)[None, :] * jnp.clip(
+            jnp.mean(conf_rings, axis=-1), 0.0, 1.0)
 
     D = FUc.shape[0]
     if cone_deg is None:
@@ -449,7 +566,14 @@ def _frm_refine_jit(
     k0 = min(n_psi, 64)
     FUc0 = jnp.concatenate([FUc[..., : k0 // 2], FUc[..., -k0 // 2:]],
                            axis=-1)
-    for rnd in range(rounds):
+    # local mode starts from table shifts that are already sub-pixel (the
+    # previous iteration's _refine_shifts), so the coarse absolute-shift
+    # marginalization is pure waste there — and its (S, B, R, K) candidate
+    # temps are the match program's HBM peak (measured 5.6 GiB at box 256
+    # iteration 3, S=29: the round-5 e2e OOM #7). _refine_shifts' per-
+    # particle grid still covers the full +/- shift_extent each round.
+    first_round = 1 if (cone_deg is not None and rounds > 1) else 0
+    for rnd in range(first_round, rounds):
         if rnd == 0:
             # unknown shift: marginalize the match over a coarse absolute
             # shift grid (exactly what the gather path's global search does
@@ -543,9 +667,25 @@ class FrmConfig:
         self.voltage_kv = float(voltage_kv)
         self.cs_mm = float(cs_mm)
         self.amplitude_contrast = float(amplitude_contrast)
-        W_re, W_im = polar_matrix(self.n, self.radii, self.n_psi)
-        self.W_re = jnp.asarray(W_re)
-        self.W_im = jnp.asarray(W_im)
+        # polar-transform mode: the dense Dirichlet matmul is exact and
+        # MXU-perfect while W = (R*n_psi, n_crop^2) stays small, but both
+        # its resident bytes and its FLOPs scale with the search band —
+        # at box 256 the rhref schedule takes W from 0.85 GiB to 41 GiB
+        # (and the host-side build to ~25 GB of c128 temps). Above the
+        # threshold, switch to the oversampled-FFT gather sampler
+        # (polar_sample_gather: no W at all). PYP_TPU_FRM_POLAR overrides
+        # (matmul | gather | auto) for A/Bs.
+        w_bytes = len(self.radii) * self.n_psi * self.n * self.n * 8
+        mode = os.environ.get("PYP_TPU_FRM_POLAR", "auto").lower()
+        self.polar_gather = (w_bytes > 512 * 2**20 if mode == "auto"
+                             else mode == "gather")
+        if self.polar_gather:
+            self.W_re = jnp.zeros((1, 1), jnp.float32)
+            self.W_im = jnp.zeros((1, 1), jnp.float32)
+        else:
+            W_re, W_im = polar_matrix(self.n, self.radii, self.n_psi)
+            self.W_re = jnp.asarray(W_re)
+            self.W_im = jnp.asarray(W_im)
         self.pts = jnp.asarray(polar_points(self.radii, self.n_psi))
 
     def crop_stack(self, stack):
@@ -584,10 +724,14 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
     stack = cfg.crop_stack(stack)
     B = stack.shape[0]
     if d_block is None:
-        # bound the (B, d_block, K*upsample) score block to ~64 MB
-        budget = 16 * 2 ** 20
-        d_block = max(8, min(64, budget // max(1, B * cfg.n_psi
-                                               * cfg.upsample // 4)))
+        # bound the (B, d_block, K*upsample) f32 score block to ~128 MB
+        # (the complex _upsampled_ifft temps are ~4x that). The previous
+        # formula divided by B*K*up//4 — 16x off its stated budget — which
+        # let the block hit 256 MB+ and stacked multi-GiB complex temps at
+        # box-256 late iterations.
+        budget = 128 * 2 ** 20
+        d_block = max(8, min(64, budget // max(1, 4 * B * cfg.n_psi
+                                               * cfg.upsample)))
     if init_poses is not None:
         init_poses = jnp.asarray(init_poses)
         # pose convention stores the CENTERING translation s (content sits
@@ -619,6 +763,7 @@ def frm_refine(stack, ctf_params, Fref, cfg: FrmConfig, bank: FrmBank = None,
         cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
         cfg.amplitude_contrast, cfg.rounds, int(d_block), cfg.upsample,
         cone, cfg.coarse_step, cfg.wiener,
+        bool(getattr(cfg, "polar_gather", False)),
     )
     from pyp_tpu.utils import memwatch
 
@@ -696,9 +841,10 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
     B = stack.shape[0]
     D = bank.FUc.shape[0]
     Xp, wr = _restore_polar(
-        stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.ring_w,
-        cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv, cfg.cs_mm,
-        cfg.amplitude_contrast, cfg.wiener)
+        stack, jnp.asarray(ctf_params), cfg.W_re, cfg.W_im, cfg.pts,
+        cfg.ring_w, cfg.n, cfg.n_psi, cfg.pixel_size, cfg.voltage_kv,
+        cfg.cs_mm, cfg.amplitude_contrast, cfg.wiener,
+        bool(getattr(cfg, "polar_gather", False)))
     if fsc_curve is not None:
         wr = wr * jnp.asarray(
             ring_weights_from_fsc(fsc_curve, cfg.radii, cfg.n_data))[None]
@@ -734,13 +880,19 @@ def frm_score_directions(stack, ctf_params, cfg: FrmConfig, bank: FrmBank,
 @functools.partial(
     jax.jit,
     static_argnames=("n", "n_psi", "pixel_size", "voltage_kv", "cs_mm",
-                     "amplitude_contrast", "wiener"),
+                     "amplitude_contrast", "wiener", "polar_gather"),
 )
-def _restore_polar(stack, ctf_params, W_re, W_im, ring_w, n: int,
+def _restore_polar(stack, ctf_params, W_re, W_im, pts, ring_w, n: int,
                    n_psi: int, pixel_size: float, voltage_kv: float,
-                   cs_mm: float, amplitude_contrast: float, wiener: float):
+                   cs_mm: float, amplitude_contrast: float, wiener: float,
+                   polar_gather: bool = False):
     """Wiener-restored polar spectra + per-particle ring weights (the
     shared front half of _frm_refine_jit, exposed for the scoring path)."""
+    if polar_gather:
+        Xp, conf_mean = polar_sample_gather(
+            stack, ctf_params, pts, n, pixel_size, voltage_kv, cs_mm,
+            amplitude_contrast, wiener)
+        return Xp, ring_w[None, :] * conf_mean
     B = stack.shape[0]
     X = image_to_fourier_full(stack)
     Cg = ctf_model.ctf_2d(

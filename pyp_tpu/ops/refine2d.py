@@ -196,9 +196,9 @@ class Polar2D:
 
         return frm._restore_polar(
             jnp.asarray(stack), jnp.asarray(ctf_params), self.W_re,
-            self.W_im, self.ring_w, self.n, self.n_psi, self.pixel_size,
-            self.voltage_kv, self.cs_mm, self.amplitude_contrast,
-            self.wiener)
+            self.W_im, self.pts, self.ring_w, self.n, self.n_psi,
+            self.pixel_size, self.voltage_kv, self.cs_mm,
+            self.amplitude_contrast, self.wiener)
 
 
 @functools.partial(jax.jit, static_argnames=("n_rings",))

@@ -334,13 +334,21 @@ def refinement_iteration(
                 from pyp_tpu.ops.fourier_slice import volume_to_fourier
 
                 n_box = stack.shape[-1]
+                # local iterations refine shifts AROUND the table estimate
+                # (already sub-pixel after the global iteration), so the
+                # candidate disk shrinks to +/-2 px — the full searchx disk
+                # at fine step is ~450 trig-heavy candidates per polar
+                # point and would dominate late box-256 iteration walls
+                se = float(params["refine_searchx"])
+                if not global_search:
+                    se = min(se, 2.0)
                 cfg = frm.get_config(
                     n_box, pixel,
                     low_res=float(params["refine_rlref"]),
                     high_res=max(rhref * 0.8, 2.1 * pixel),
                     angular_step=dang,
                     symmetry=str(params["particle_sym"]),
-                    shift_extent=float(params["refine_searchx"]),
+                    shift_extent=se,
                     shift_step=float(params.get("refine_frm_shift_step") or 0)
                     or max(0.5, float(params["refine_searchx"]) / 12.0),
                     voltage_kv=float(params["scope_voltage"]),
@@ -374,9 +382,11 @@ def refinement_iteration(
                 _fu = (banks[0] if gold else bank).FUc
                 logger.info(
                     "FRM bank iter %d: D=%d R=%d n_psi=%d -> %.2f GiB x %d "
-                    "bank(s); live HBM %.2f GiB", iteration, _fu.shape[0],
-                    _fu.shape[1], _fu.shape[2], _fu.nbytes / 2**30,
-                    2 if gold else 1, _mw.live_device_bytes() / 2**30)
+                    "bank(s); polar=%s; live HBM %.2f GiB", iteration,
+                    _fu.shape[0], _fu.shape[1], _fu.shape[2],
+                    _fu.nbytes / 2**30, 2 if gold else 1,
+                    "gather" if getattr(cfg, "polar_gather", False)
+                    else "matmul", _mw.live_device_bytes() / 2**30)
                 # refine_priors (metric tab): pose priors restrict the
                 # local search to a cone around the current pose; without
                 # priors the local mode still searches the full lattice
