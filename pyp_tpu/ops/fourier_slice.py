@@ -443,9 +443,30 @@ def reconstruct_from_accumulators(num, den, n: int, pad: int = DEFAULT_PAD,
                                   wiener: float = 1.0,
                                   gridding: str = "trilinear"):
     """num/den -> real-space n-box map with Wiener-style regularization and
-    kernel-matched gridding correction."""
-    vol_f = num / (den + wiener)
-    vol = fourier_to_volume(vol_f, n, pad)
+    kernel-matched gridding correction.
+
+    The Wiener division and the first (z) inverse pass run COLUMN-CHUNKED
+    along the reduced x axis: a full-grid `num/(den+wiener)` temp plus a
+    full-length ifft output is ~18 B per padded-grid point (measured,
+    pn 576) — the term that kept box-256 finalize within an ace of HBM.
+    Chunking fuses the division into each slab and frees it before the
+    next, so the peak extra is the (n, pn, nxf) z-cropped grid (4/pad
+    B/point) + two slabs (~2-3 B/point total at pad 4)."""
+    pn = n * pad
+    nxf = num.shape[-1]
+    idx = (jnp.arange(n) + (pn - n // 2)) % pn
+    n_chunks = min(8, nxf)
+    bounds = [round(c * nxf / n_chunks) for c in range(n_chunks + 1)]
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        Fc = num[..., lo:hi] / (den[..., lo:hi] + wiener)
+        vc = jnp.fft.ifft(Fc, n=pn, axis=-3)
+        parts.append(jnp.take(vc, idx, axis=-3))
+    v = jnp.concatenate(parts, axis=-1)            # (n, pn, nxf)
+    v = jnp.fft.ifft(v, n=pn, axis=-2)
+    v = jnp.take(v, idx, axis=-2)
+    v = jnp.fft.irfft(v, n=pn, axis=-1)
+    vol = jnp.take(v, idx, axis=-1)
     # padded irfftn spreads the inverse-transform normalization over pn^3
     # samples; rescale so amplitudes match the unpadded convention
     vol = vol * (pad ** 3)

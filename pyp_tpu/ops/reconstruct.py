@@ -236,6 +236,14 @@ def _rfa_donated(num, den, n: int, pad: int, wiener: float, gridding: str):
     return reconstruct_from_accumulators(num, den, n, pad, wiener, gridding)
 
 
+@functools.partial(jax.jit, static_argnames=("n", "pad", "gridding"))
+def _rfa_jit(num, den, n: int, pad: int, wiener: float, gridding: str):
+    """Non-donating twin of _rfa_donated for the half-map dispatches: the
+    half grids must SURVIVE their reconstruction so the combined map can
+    sum them in place afterwards (donation-ordered finalize, OOM #8)."""
+    return reconstruct_from_accumulators(num, den, n, pad, wiener, gridding)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _add_donated(a, b):
     """Sum two accumulator grids in place (output aliases an input): at
@@ -246,14 +254,13 @@ def _add_donated(a, b):
 
 def _rfa_peak_estimate(n: int, pad: int) -> int:
     """Conservative HBM bound for one reconstruct_from_accumulators
-    dispatch at grid pn = n*pad. With the axis-at-a-time crop-between-
-    passes inverse transform (fourier_to_volume), the peak is the first
-    (z) pass: half-spectrum input + equal-size ifft output (~4 B/point of
-    pn^3 each) + the f32 den argument (~2) — the y/x passes run on n/pn
-    and (n/pn)^2 of the data. ~12 bytes/point with slack (was 26 for the
-    monolithic irfftn, which forced the box-256 e2e onto the host path
-    and into the tunnel's transfer-size wall)."""
-    return 12 * (n * pad) ** 3
+    dispatch at grid pn = n*pad, BEYOND the argument grids (which alias
+    live buffers). With the column-chunked fused-Wiener z-pass the extra
+    is the (n, pn, nxf) z-cropped grid (4/pad B/point of pn^3) plus two
+    column slabs — ~8 B/point covers every pad with slack. (History: the
+    monolithic irfftn was ~26, the unchunked axis-at-a-time form measured
+    ~18.6 — each in turn the wall of a 49k x box-256 attempt.)"""
+    return 8 * (n * pad) ** 3
 
 
 _DL_CHUNK_BYTES = 64 * 2**20
@@ -342,7 +349,10 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
     live = memwatch.live_device_bytes()
     limit = memwatch.hbm_limit_bytes()
     est = _rfa_peak_estimate(n, pad)
-    if live + est > 0.88 * limit:
+    # 0.92: the estimate is tight now (chunked z-pass, measured), so a
+    # thin reserve suffices — an over-eager host reroute costs minutes of
+    # chunked tunnel downloads per iteration
+    if live + est > 0.92 * limit:
         import logging
 
         logging.getLogger("pyp_tpu.reconstruct").warning(
@@ -350,14 +360,22 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
             "%.1f GiB HBM — running finalize on the host CPU backend",
             live / 2**30, est / 2**30, limit / 2**30)
         return _finalize_host(acc, n, pad, wiener, gridding)
-    memwatch.observe("reconstruct_finalize", _rfa_donated,
+    memwatch.observe("reconstruct_finalize", _rfa_jit,
                      (acc.num1, acc.den1, n, pad, wiener, gridding))
-    # half-set sums first (functional adds), so each reconstruction below
-    # donates its num/den grids into the dispatch as reusable scratch
-    num = acc.num1 + acc.num2
-    den = acc.den1 + acc.den2
-    half1 = _rfa_donated(acc.num1, acc.den1, n, pad, wiener, gridding)
-    half2 = _rfa_donated(acc.num2, acc.den2, n, pad, wiener, gridding)
+    # Allocation-free ordering (the round-4 "sums first" order allocated
+    # two fresh grids — +1.5 GiB transient at pn 624 — and OOMed iteration
+    # 3 of the 49k x box-256 run): reconstruct the halves WITHOUT donating
+    # so the grids survive, then sum them with in-place donated adds (the
+    # output aliases an input buffer — zero new accumulator-sized
+    # allocations), then let the combined reconstruction consume the sums.
+    num1, den1, num2, den2 = acc
+    acc = None  # finalize owns the grids (all call sites hand them off)
+    half1 = _rfa_jit(num1, den1, n, pad, wiener, gridding)
+    half2 = _rfa_jit(num2, den2, n, pad, wiener, gridding)
+    num = _add_donated(num1, num2)
+    num1 = num2 = None
+    den = _add_donated(den1, den2)
+    den1 = den2 = None
     # FSC on the host CPU backend: the half maps are tiny (n^3) but the
     # summed grids are still live, and at box 256 even compiling the
     # small FSC program on the TPU failed with ResourceExhausted

@@ -68,11 +68,11 @@ class TestFinalizeBudget:
     def test_budget_estimate_scales_with_grid(self):
         from pyp_tpu.ops.reconstruct import _rfa_peak_estimate
 
-        # thresholds track the axis-at-a-time crop-between-passes inverse
-        # (12 B/point): still a real budget at production grids, small at
-        # test grids
-        assert _rfa_peak_estimate(256, 2) > 2**30           # full box 256
-        assert _rfa_peak_estimate(144, 4) > 2 * 2**30       # pad-scaled crop
+        # thresholds track the column-chunked fused-Wiener inverse
+        # (8 B/point beyond the argument grids): still a real budget at
+        # production grids, small at test grids
+        assert _rfa_peak_estimate(256, 2) >= 2**30          # full box 256
+        assert _rfa_peak_estimate(144, 4) > 2**30           # pad-scaled crop
         assert _rfa_peak_estimate(64, 2) < 2**29            # small stays small
 
     def test_hbm_limit_env_override(self, monkeypatch):
