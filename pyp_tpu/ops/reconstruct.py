@@ -346,6 +346,15 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
     finalize falls back to the host CPU backend instead of dying."""
     from pyp_tpu.utils import memwatch
 
+    # drain the dispatch queue before the budget check AND before the
+    # first dispatch: jax enqueues asynchronously and ALLOCATES each
+    # program's output/workspace at enqueue, so the accumulate pipeline's
+    # multi-GiB workspace can still be resident (and invisible to
+    # live_arrays) when finalize's first program asks for its own —
+    # measured: iteration 3 of the 49k x box-256 run OOMed at a ~2 GiB
+    # dispatch with ~4 GiB of nominal headroom (OOM #9). A one-scalar
+    # readback of the newest grid orders behind everything in flight.
+    _drain = np.asarray(jax.jit(lambda z: jnp.real(z[0, 0, 0]))(acc.num1))
     live = memwatch.live_device_bytes()
     limit = memwatch.hbm_limit_bytes()
     est = _rfa_peak_estimate(n, pad)
@@ -371,7 +380,11 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
     num1, den1, num2, den2 = acc
     acc = None  # finalize owns the grids (all call sites hand them off)
     half1 = _rfa_jit(num1, den1, n, pad, wiener, gridding)
+    # scalar readback between the big dispatches: allocation-at-enqueue
+    # would otherwise hold both reconstructions' workspaces at once
+    _drain = np.asarray(half1[0, 0, 0])
     half2 = _rfa_jit(num2, den2, n, pad, wiener, gridding)
+    _drain = np.asarray(half2[0, 0, 0])
     num = _add_donated(num1, num2)
     num1 = num2 = None
     den = _add_donated(den1, den2)
