@@ -244,6 +244,14 @@ def _rfa_jit(num, den, n: int, pad: int, wiener: float, gridding: str):
     return reconstruct_from_accumulators(num, den, n, pad, wiener, gridding)
 
 
+@jax.jit
+def _scalar_probe(z):
+    """One-scalar readback target used to drain the dispatch queue (module
+    level so jit caches the program; complex slicing must stay inside jit
+    on the axon tunnel)."""
+    return jnp.real(z[0, 0, 0])
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _add_donated(a, b):
     """Sum two accumulator grids in place (output aliases an input): at
@@ -354,7 +362,7 @@ def finalize(acc: Accumulators, n: int, pad: int = DEFAULT_PAD,
     # measured: iteration 3 of the 49k x box-256 run OOMed at a ~2 GiB
     # dispatch with ~4 GiB of nominal headroom (OOM #9). A one-scalar
     # readback of the newest grid orders behind everything in flight.
-    _drain = np.asarray(jax.jit(lambda z: jnp.real(z[0, 0, 0]))(acc.num1))
+    _drain = np.asarray(_scalar_probe(acc.num1))
     live = memwatch.live_device_bytes()
     limit = memwatch.hbm_limit_bytes()
     est = _rfa_peak_estimate(n, pad)
@@ -494,6 +502,11 @@ def reconstruct(
             amplitude_contrast, symmetry, pad, prev=acc, gridding=gridding,
             iewald=iewald, lblur=lblur, ref_fourier=ref_fourier,
         )
+        if (i // batch) % 8 == 7:
+            # periodic queue drain: enqueue-time allocation means many
+            # batches' scatter workspaces can be in flight at once at
+            # production grid sizes (the OOM #9 mechanism, see finalize)
+            np.asarray(_scalar_probe(acc.num1))
     return finalize(acc, n_rec, pad, wiener, gridding)
 
 
