@@ -99,6 +99,7 @@ def _shift_correct(X, shifts, n):
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
                      "amplitude_contrast", "symmetry", "pad", "gridding",
                      "iewald", "lblur"),
+    donate_argnames=("prev",),
 )
 def accumulate(
     stack,               # (B, n, n) particle images
