@@ -533,6 +533,7 @@ def load_accumulators(path) -> Accumulators:
     jax.jit,
     static_argnames=("n", "pixel_size", "voltage_kv", "cs_mm",
                      "amplitude_contrast", "pad", "iewald"),
+    donate_argnames=("prev",),
 )
 def accumulate_matrices(
     windows,             # (B, n, n) particle projections (e.g. CSP windows)
