@@ -461,7 +461,12 @@ def reconstruct(
         # ~the full-grid size. The crop map therefore does NOT exactly
         # equal the full pad-2 map in-band (it is sharper) — the
         # framework test asserts ground-truth quality, not similarity.
-        pad = int(np.ceil(pad * n / float(n_rec)))
+        # round(), not ceil(): the ceil grid at awkward ratios is up to
+        # (ceil/exact)^3 larger — at box 256 iteration 3 (n_rec 160)
+        # that was pn 640 vs 480, 2.9 vs 1.2 GiB of grids on a ~12 GiB
+        # usable tunnel budget — for a node spacing already finer than
+        # the full grid's.
+        pad = max(2, int(round(pad * n / float(n_rec))))
     pixel_rec = pixel_size / ratio
     lblur = lblur_bank(lblur_nrot, lblur_range)
     ref_fourier = None
@@ -479,6 +484,13 @@ def reconstruct(
         ref_fourier = volume_to_fourier(rv, pad=2)
     from pyp_tpu.utils import memwatch
 
+    # grid-size-aware batch: the insertion program's scratch (tap values +
+    # indices per inserted point) measures ~190 B * batch * n_rec^2
+    # (calibrated: 1.91 GiB at batch 512 / n_rec 144; 2.35 at n_rec 160).
+    # Cap it at ~1.8 GiB so production grids fit beside the resident
+    # stack on the ~12 GiB usable tunnel budget.
+    eff_batch = max(64, min(batch, int(1.8e9 / (190.0 * n_rec * n_rec))))
+    batch = eff_batch
     acc = None
     for i in range(0, B, batch):
         sl = slice(i, min(i + batch, B))

@@ -62,15 +62,25 @@ def hbm_limit_bytes() -> int:
     import jax
 
     try:
-        kind = jax.local_devices()[0].device_kind.lower()
+        dev = jax.local_devices()[0]
+        kind = dev.device_kind.lower()
+        platform = dev.platform.lower()
     except Exception:
         return 16 * 2**30
+    cap = 16 * 2**30
     for pat, gib in (("v5p", 95), ("v5 lite", 16), ("v5e", 16),
                      ("v6 lite", 32), ("v6e", 32), ("v4", 32), ("v3", 32),
                      ("v2", 16)):
         if pat in kind:
-            return gib * 2**30
-    return 16 * 2**30
+            cap = gib * 2**30
+            break
+    if platform == "axon":
+        # the shared tunnel runtime never exposed counters, and the 49k x
+        # box-256 campaign measured repeated RESOURCE_EXHAUSTED between
+        # ~11.3 and ~12.4 GiB of accounted usage on a "16 GB" v5e —
+        # budget for ~12 GiB usable unless PYP_TPU_HBM_GIB overrides
+        cap = min(cap, 12 * 2**30)
+    return cap
 
 
 def device_memory_stats() -> dict:
