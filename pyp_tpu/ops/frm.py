@@ -317,17 +317,36 @@ def _bank_tables(Fref, directions, pts, n: int):
     """U (D, R, P) ring values + the FFT table for the psi correlation
     s(j) = sum_a A(a) B(a-j) = ifft_j[ fft(A)_k * conj(fft(conj(B)))_k ]
     + per-ring power sums (the NCC denominator: psi-independent because a
-    full-circle sum is invariant under circular shifts)."""
+    full-circle sum is invariant under circular shifts).
+
+    Built in DIRECTION BLOCKS via lax.map: the monolithic build held the
+    (D, R, K, 3) coordinate grid, the full U, and the full FUc live at
+    once (~2.5 GiB at box-256 late-iteration bands) — at the worst
+    possible moment, right after an iteration's reconstruction. Blocked,
+    the peak is the FUc output plus one block's temps."""
     D = directions.shape[0]
     vol_pad = Fref.shape[0] // n
     R0 = euler_to_matrix(directions[:, 0], directions[:, 1], jnp.zeros(D))
     ex = R0[:, 0, :]
     ey = R0[:, 1, :]
-    q = (pts[None, ..., 1, None] * ex[:, None, None, :]
-         + pts[None, ..., 0, None] * ey[:, None, None, :])   # (D, R, P, 3) xyz
-    U = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
-    FUc = jnp.conj(jnp.fft.fft(jnp.conj(U), axis=-1))        # (D, R, K)
-    u2sum = jnp.sum(jnp.abs(U) ** 2, axis=-1)                # (D, R)
+    blk = 128
+    pad_d = (-D) % blk
+    ex_p = jnp.pad(ex, ((0, pad_d), (0, 0)))
+    ey_p = jnp.pad(ey, ((0, pad_d), (0, 0)))
+
+    def one_block(args):
+        ex_b, ey_b = args
+        q = (pts[None, ..., 1, None] * ex_b[:, None, None, :]
+             + pts[None, ..., 0, None] * ey_b[:, None, None, :])
+        U = gather_3d_hermitian(Fref, q[..., ::-1], scale=float(vol_pad))
+        return (jnp.conj(jnp.fft.fft(jnp.conj(U), axis=-1)),
+                jnp.sum(jnp.abs(U) ** 2, axis=-1))
+
+    nb = (D + pad_d) // blk
+    FUc_b, u2_b = jax.lax.map(
+        one_block, (ex_p.reshape(nb, blk, 3), ey_p.reshape(nb, blk, 3)))
+    FUc = FUc_b.reshape(nb * blk, *FUc_b.shape[2:])[:D]      # (D, R, K)
+    u2sum = u2_b.reshape(nb * blk, *u2_b.shape[2:])[:D]      # (D, R)
     return FUc, u2sum
 
 

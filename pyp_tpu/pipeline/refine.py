@@ -365,6 +365,12 @@ def refinement_iteration(
                 iblow = int(params.get("refine_iblow") or 2)
                 gold = bool(params.get("refine_goldstandard")) and \
                     ref_halves is not None
+                # drain the dispatch queue before the bank build: the
+                # previous iteration's finalize/upsample programs may
+                # still hold their workspace (enqueue-time allocation —
+                # the attempt-10 iteration-6 OOM happened exactly here)
+                if ref_halves is not None:
+                    np.asarray(jnp.asarray(ref_halves[0])[0, 0, 0])
                 if gold:
                     banks = [cfg.bank(volume_to_fourier(jnp.asarray(h),
                                                         pad=iblow))
@@ -406,17 +412,6 @@ def refinement_iteration(
                 do_polish = polish_when == "always" or (
                     polish_when == "final" and "refine_maxiter" in params
                     and iteration >= int(params["refine_maxiter"]) + 1)
-                if do_polish:
-                    polish_pts = jnp.asarray(refine3d.make_mask_points(
-                        stack.shape[-1], pixel, float(params["refine_rlref"]),
-                        max(rhref * 0.8, 2.1 * pixel)))
-                    if gold:
-                        polish_refs = [volume_to_fourier(jnp.asarray(h),
-                                                          pad=iblow)
-                                       for h in ref_halves]
-                    else:
-                        polish_refs = [volume_to_fourier(
-                            jnp.asarray(ref_volume), pad=iblow)]
                 frm_poses, frm_scores = [], []
                 for lo in range(0, n_total, step):
                     hi = min(lo + step, n_total)
@@ -483,6 +478,20 @@ def refinement_iteration(
                 all_poses = np.concatenate(frm_poses)
                 all_scores = np.concatenate(frm_scores)
                 if do_polish:
+                    # polish reference spectra are built HERE, after the
+                    # bank free — constructing them before the match loop
+                    # kept banks + polish spectra + match temps co-resident
+                    # and OOMed the box-256 final iteration (attempt 10)
+                    polish_pts = jnp.asarray(refine3d.make_mask_points(
+                        stack.shape[-1], pixel, float(params["refine_rlref"]),
+                        max(rhref * 0.8, 2.1 * pixel)))
+                    if gold:
+                        polish_refs = [volume_to_fourier(jnp.asarray(h),
+                                                          pad=iblow)
+                                       for h in ref_halves]
+                    else:
+                        polish_refs = [volume_to_fourier(
+                            jnp.asarray(ref_volume), pad=iblow)]
                     # cisTEM refine_mask order (psi,theta,phi,shx,shy)
                     # -> our pose layout (phi,theta,psi,sy,sx)
                     rm = [float(v) for v in str(
