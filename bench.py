@@ -29,6 +29,7 @@ tunnel; every timing here syncs with a host readback (_sync).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
